@@ -1,0 +1,217 @@
+"""Derived spatial fixtures, defined once in dialect-shared SQL.
+
+The driver's testdata (TESTDATA.md) is TPC-H-ish with no geometry. Per
+FIXTURES.md, spatial columns are derived deterministically from primary
+keys. The derivation below is written in the SQL subset common to Spark
+SQL and DuckDB (integer arithmetic, CAST/FLOOR, `||` concat) and executed
+verbatim by BOTH engines, so Spark queries and DuckDB oracles see
+bit-identical inputs by construction. Geometry (WKB) columns are attached
+on the Spark side only — oracle queries compare scalar columns.
+
+Fixture shapes (mirroring FIXTURES.md T1-T3):
+- ``points``  (from customer): scattered Points with value/weight/category.
+- ``polys``   (from supplier): an axis-aligned rectangle mosaic on a
+  32-wide grid — rectangles tile edge-to-edge so borders/adjacency exist,
+  and every spatial predicate has a closed-form SQL equivalent (interval
+  arithmetic), which is what makes DuckDB-oracle checks possible without
+  a spatial extension.
+- ``polys_b`` (from supplier): the same mosaic shifted by a half-cell —
+  the overlapping layer for area-of-intersection operators.
+- ``mpolys``  (from nation): multi-part features (1-3 rectangle parts)
+  for explode/dump operators.
+- ``road_verts`` (from part): 4-vertex polyline vertex table; ``roads_b``
+  is a jittered copy with 1-in-10 features deleted (match/no-match path).
+
+Coordinates live in [0, 100000]^2 (planar, FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .geometry.functions import st_point, st_rect
+
+FRAME = 100_000.0
+POLY_GRID = 32
+POLY_CELL = 3125.0
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# A 4-row literal index table — the dialect-shared substitute for
+# explode(sequence())/unnest(range()) where a tiny fan-out is needed.
+J4 = (
+    "(SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL "
+    "SELECT 3) j4"
+)
+
+# 32-row index table; cross-join twice for up to 1024 (grid-cell oracle).
+N32 = (
+    "(SELECT "
+    + " UNION ALL SELECT ".join(str(i) for i in range(32))
+    + ")"
+)
+N32 = N32.replace("(SELECT 0", "(SELECT 0 AS n", 1)
+
+# Coordinates and weights are INTEGER-VALUED doubles by construction:
+# integer-valued double products/sums are exact (until 2^53) in ANY
+# summation order, so Spark's partial aggregation and DuckDB's serial
+# aggregation produce bit-identical results — no rounding-tolerance
+# games in the oracle comparison.
+POINTS_SQL = """
+SELECT c_custkey AS id,
+       CAST((c_custkey * 2654435761) % 100000 AS DOUBLE) AS x,
+       CAST((c_custkey * 2246822519) % 100000 AS DOUBLE) AS y,
+       (c_custkey * 40503) % 86400 AS t_obs,
+       CAST(1 + (c_custkey * 7919) % 100 AS DOUBLE) AS weight,
+       'C' || CAST(c_custkey % 8 AS STRING) AS cat
+FROM customer
+"""
+
+POLYS_SQL = f"""
+SELECT s_suppkey AS id,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} AS x0,
+       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} AS y0,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
+           + {POLY_CELL} AS x1,
+       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {POLY_CELL} AS y1,
+       'U' || CAST(s_suppkey AS STRING) AS code,
+       'CTY' || CAST(s_suppkey % 8 AS STRING) AS country,
+       CAST(1 + (s_suppkey * 9973) % 5000 AS DOUBLE) AS size_mb,
+       CASE WHEN s_suppkey % 7 = 0 THEN 0
+            ELSE (s_suppkey * 104729) % 100000 END AS pop
+FROM supplier
+"""
+
+# Same mosaic shifted by a half cell: overlap fixture for
+# intersection_part / area-fraction operators.
+POLYS_B_SQL = f"""
+SELECT s_suppkey AS id,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
+           + {POLY_CELL / 2} AS x0,
+       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {POLY_CELL / 2} AS y0,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
+           + {POLY_CELL * 1.5} AS x1,
+       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {POLY_CELL * 1.5} AS y1
+FROM supplier
+"""
+
+# Multi-part features: part k of feature i is a 400x400 square at
+# (i*900, k*900); 1 + i%3 parts. Exploded (one row per part) in shared
+# SQL; the Spark side reassembles a MultiPolygon geometry per feature.
+MPOLY_PARTS_SQL = f"""
+SELECT n_nationkey AS id,
+       'N' || CAST(n_nationkey AS STRING) AS code,
+       1 + n_nationkey % 3 AS n_parts,
+       j AS part_idx,
+       CAST(n_nationkey AS DOUBLE) * 900.0 AS x0,
+       CAST(j AS DOUBLE) * 900.0 AS y0,
+       CAST(n_nationkey AS DOUBLE) * 900.0 + 400.0 AS x1,
+       CAST(j AS DOUBLE) * 900.0 + 400.0 AS y1
+FROM nation CROSS JOIN {J4}
+WHERE j < 1 + n_nationkey % 3
+"""
+
+# Road vertex tables: feature = 4-vertex polyline anchored by hashed key,
+# mostly-horizontal with deterministic wiggle. roads_b jitters roads_a by
+# <=1 unit per coordinate and removes every 10th feature.
+ROAD_VERTS_SQL = f"""
+SELECT p_partkey AS id,
+       j AS vidx,
+       CAST((p_partkey * 3266489917) % 90000
+            + j * 40 AS DOUBLE) AS vx,
+       CAST((p_partkey * 668265263) % 90000
+            + (p_partkey * 31 + j * 17) % 100 AS DOUBLE) AS vy,
+       CASE p_partkey % 4 WHEN 0 THEN 'motorway' WHEN 1 THEN 'primary'
+            WHEN 2 THEN 'secondary' ELSE 'local' END AS road_class
+FROM part CROSS JOIN {J4}
+"""
+
+ROAD_B_VERTS_SQL = f"""
+SELECT p_partkey AS id,
+       j AS vidx,
+       CAST((p_partkey * 3266489917) % 90000 + j * 40
+            + (p_partkey * 7 + j * 13) % 21 - 10 AS DOUBLE) AS vx,
+       CAST((p_partkey * 668265263) % 90000
+            + (p_partkey * 31 + j * 17) % 100
+            + (p_partkey * 11 + j * 19) % 21 - 10 AS DOUBLE) AS vy
+FROM part CROSS JOIN {J4}
+WHERE p_partkey % 10 <> 0
+"""
+
+_FIXTURE_SQL = {
+    "points": POINTS_SQL,
+    "polys": POLYS_SQL,
+    "polys_b": POLYS_B_SQL,
+    "mpoly_parts": MPOLY_PARTS_SQL,
+    "road_verts": ROAD_VERTS_SQL,
+    "road_b_verts": ROAD_B_VERTS_SQL,
+}
+
+
+def oracle_ctes(*names: str) -> str:
+    """WITH-clause body declaring the requested fixtures for DuckDB."""
+    return ", ".join(f"{n} AS ({_FIXTURE_SQL[n]})" for n in names)
+
+
+def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver parquet tables as temp views (idempotent).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as
+    int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
+    a microsecond timestamp so Spark and DuckDB agree on the value.
+    """
+    from pyspark.sql import functions as F
+
+    for name in TPCH_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+            )
+        df.createOrReplaceTempView(name)
+
+
+def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Build a derived fixture on the Spark side from the shared SQL."""
+    register_base_tables(spark, sf_dir)
+    return spark.sql(_FIXTURE_SQL[name])
+
+
+def points(spark: SparkSession, sf_dir: str, with_geometry: bool = True) -> DataFrame:
+    df = fixture_df(spark, sf_dir, "points")
+    if with_geometry:
+        df = df.withColumn("geometry", st_point("x", "y"))
+    return df
+
+
+def polys(spark: SparkSession, sf_dir: str, with_geometry: bool = True) -> DataFrame:
+    df = fixture_df(spark, sf_dir, "polys")
+    if with_geometry:
+        df = df.withColumn("geometry", st_rect("x0", "y0", "x1", "y1"))
+    return df
+
+
+def polys_b(spark: SparkSession, sf_dir: str, with_geometry: bool = True) -> DataFrame:
+    df = fixture_df(spark, sf_dir, "polys_b")
+    if with_geometry:
+        df = df.withColumn("geometry", st_rect("x0", "y0", "x1", "y1"))
+    return df
+
+
+def mpoly_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixture_df(spark, sf_dir, "mpoly_parts")
+
+
+def road_verts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixture_df(spark, sf_dir, "road_verts")
+
+
+def road_b_verts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixture_df(spark, sf_dir, "road_b_verts")

@@ -1,0 +1,177 @@
+"""Geometry function layer: Arrow-batched pandas UDFs + native exprs.
+
+Design rule (SURVEY.md §4): anything expressible as plain column math is a
+native Catalyst expression (haversine ``utils.py:83-91``, bearing
+``utils.py:94-104``, bbox predicates, grid cell-ids); the Python boundary
+is crossed only for real geometry kernels, one ``wkb`` decode per Arrow
+batch. Row-at-a-time ``F.udf`` is never used.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernels as K
+from . import wkb as W
+
+BBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+XY_SCHEMA = T.StructType(
+    [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+)
+
+
+# ------------------------------------------------------------ constructors
+@F.pandas_udf(T.BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(W.points_wkb(x.to_numpy(), y.to_numpy()))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_rect(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    return pd.Series(
+        [W.rect_wkb(a, b, c, d) for a, b, c, d in zip(x0, y0, x1, y1)]
+    )
+
+
+# -------------------------------------------------------------- accessors
+@F.pandas_udf(T.DoubleType())
+def st_x(geom: pd.Series) -> pd.Series:
+    return pd.Series([float(W.decode(g)[1][0]) for g in geom])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_y(geom: pd.Series) -> pd.Series:
+    return pd.Series([float(W.decode(g)[1][1]) for g in geom])
+
+
+@F.pandas_udf(T.StringType())
+def st_geom_type(geom: pd.Series) -> pd.Series:
+    return pd.Series([W.geom_type(g) for g in geom])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(geom: pd.Series) -> pd.Series:
+    return pd.Series([K.geom_area(W.decode(g)) for g in geom])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_length(geom: pd.Series) -> pd.Series:
+    return pd.Series([K.geom_length(W.decode(g)) for g in geom])
+
+
+@F.pandas_udf(XY_SCHEMA)
+def st_centroid_xy(geom: pd.Series) -> pd.DataFrame:
+    pts = [K.geom_centroid(W.decode(g)) for g in geom]
+    return pd.DataFrame(pts, columns=["x", "y"])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_centroid(geom: pd.Series) -> pd.Series:
+    pts = np.array([K.geom_centroid(W.decode(g)) for g in geom])
+    if len(pts) == 0:
+        return pd.Series([], dtype=object)
+    return pd.Series(W.points_wkb(pts[:, 0], pts[:, 1]))
+
+
+@F.pandas_udf(BBOX_SCHEMA)
+def st_bounds(geom: pd.Series) -> pd.DataFrame:
+    rows = [K.geom_bounds(W.decode(g)) for g in geom]
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.ArrayType(T.BinaryType()))
+def st_parts(geom: pd.Series) -> pd.Series:
+    """Multi-part -> array of single-part WKB; singles -> 1-element array.
+
+    Backs ``multi_to_single`` (reference ``core.py:285-317``) via a native
+    ``explode`` afterwards.
+    """
+    out = []
+    for g in geom:
+        t, payload = W.decode(g)
+        if t == "MultiPolygon":
+            out.append([W.polygon_wkb(rings) for rings in payload])
+        elif t == "MultiLineString":
+            out.append([W.linestring_wkb(c) for c in payload])
+        elif t == "MultiPoint":
+            out.append(W.points_wkb(payload[:, 0], payload[:, 1]))
+        else:
+            out.append([g])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_xy(geom: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = np.empty(len(geom), dtype=bool)
+    for i, g in enumerate(geom):
+        out[i] = bool(
+            K.points_in_geom(
+                np.array([x.iloc[i]]), np.array([y.iloc[i]]), W.decode(g)
+            )[0]
+        )
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_buffer_mitre(geom: pd.Series, tol: pd.Series) -> pd.Series:
+    """Mitre/square buffer — exact for axis-aligned rectangles (bbox
+    expansion), bbox-expansion approximation otherwise. The reference's
+    round shapely buffers (``core.py:158``) are used only as a pairing
+    tolerance, for which the mitre variant is the scale-friendly choice.
+    """
+    out = []
+    for g, t in zip(geom, tol):
+        gt, payload = W.decode(g)
+        if gt in ("Polygon", "MultiPolygon"):
+            rings = payload if gt == "Polygon" else payload[0]
+            out.append(W.polygon_wkb(K.rect_buffer(rings, float(t))))
+        else:
+            x0, y0, x1, y1 = K.geom_bounds((gt, payload))
+            out.append(W.rect_wkb(x0 - t, y0 - t, x1 + t, y1 + t))
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------- native exprs
+def hav_dist_expr(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column, radius: float = 6367.0
+) -> Column:
+    """Vectorized haversine (km) as a pure Catalyst expression — native
+    re-expression of the reference's numpy kernel (``utils.py:83-91``,
+    same Earth radius 6367 km). No UDF: whole-stage codegen applies.
+    """
+    rlon1, rlat1 = F.radians(lon1), F.radians(lat1)
+    rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
+    dlon = rlon2 - rlon1
+    dlat = rlat2 - rlat1
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(
+        F.sin(dlon / 2), 2
+    )
+    return 2.0 * radius * F.asin(F.sqrt(a))
+
+
+def bearing_expr(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
+    """Line bearing in degrees 0..360 measured from north, native expr
+    (reference ``utils.py:60-74`` mparams bearing)."""
+    deg = F.degrees(F.atan2(x1 - x0, y1 - y0))
+    return F.when(deg < 0, deg + 360.0).otherwise(deg)
+
+
+def bearing_180_expr(b: Column) -> Column:
+    """Fold a 0..360 bearing into (-180, 180] (``utils.py:94-104``)."""
+    return F.when(b > 180.0, b - 360.0).otherwise(b)
+
+
+def euclid_expr(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    return F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))

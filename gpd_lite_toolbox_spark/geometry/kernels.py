@@ -1,0 +1,229 @@
+"""Numpy geometry kernels used inside Arrow-batched pandas UDFs.
+
+These supply the scalar geometry math the reference gets from shapely
+(area, centroid, length, bounds, containment, distance — used throughout
+``/root/reference/gpd_lite_toolbox/core.py`` e.g. :158 buffer, :501
+centroid via x/y means, :557 contains, :722 centroid+buffer). All kernels
+take decoded geometries (see ``wkb.decode``) or raw coordinate arrays and
+are written to stay in numpy for whole-batch work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb as _wkb
+
+
+# ----------------------------------------------------------------- basics
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area; CCW positive. Ring may be closed or open."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Exterior minus holes, by |signed area| convention (ring 0 = shell)."""
+    if not rings:
+        return 0.0
+    a = abs(ring_signed_area(_open(rings[0])))
+    for hole in rings[1:]:
+        a -= abs(ring_signed_area(_open(hole)))
+    return a
+
+
+def _open(ring: np.ndarray) -> np.ndarray:
+    """Drop the repeated closing vertex if present."""
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        return ring[:-1]
+    return ring
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float, float]:
+    """(cx, cy, signed_area) of one ring by the standard polygon formula."""
+    r = _open(ring)
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = 0.5 * float(cross.sum())
+    if a == 0.0:
+        return float(x.mean()), float(y.mean()), 0.0
+    cx = float(((x + xn) * cross).sum() / (6.0 * a))
+    cy = float(((y + yn) * cross).sum() / (6.0 * a))
+    return cx, cy, a
+
+
+def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Area-weighted centroid with holes subtracted."""
+    num_x = num_y = den = 0.0
+    for i, ring in enumerate(rings):
+        cx, cy, a = ring_centroid(ring)
+        w = abs(a) if i == 0 else -abs(a)
+        num_x += cx * w
+        num_y += cy * w
+        den += w
+    if den == 0.0:
+        flat = np.vstack([_open(r) for r in rings])
+        return float(flat[:, 0].mean()), float(flat[:, 1].mean())
+    return num_x / den, num_y / den
+
+
+def line_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def geom_area(geom) -> float:
+    t, payload = geom
+    if t == "Polygon":
+        return polygon_area(payload)
+    if t == "MultiPolygon":
+        return sum(polygon_area(rings) for rings in payload)
+    return 0.0
+
+
+def geom_length(geom) -> float:
+    t, payload = geom
+    if t == "LineString":
+        return line_length(payload)
+    if t == "MultiLineString":
+        return sum(line_length(c) for c in payload)
+    if t == "Polygon":  # shapely convention: polygon length = perimeter
+        return sum(line_length(r) for r in payload)
+    if t == "MultiPolygon":
+        return sum(sum(line_length(r) for r in rings) for rings in payload)
+    return 0.0
+
+
+def geom_centroid(geom) -> tuple[float, float]:
+    t, payload = geom
+    if t == "Point":
+        return float(payload[0]), float(payload[1])
+    if t in ("LineString", "MultiPoint"):
+        return float(payload[:, 0].mean()), float(payload[:, 1].mean())
+    if t == "Polygon":
+        return polygon_centroid(payload)
+    if t == "MultiPolygon":
+        num_x = num_y = den = 0.0
+        for rings in payload:
+            cx, cy = polygon_centroid(rings)
+            a = polygon_area(rings)
+            num_x += cx * a
+            num_y += cy * a
+            den += a
+        if den == 0.0:
+            return polygon_centroid(payload[0])
+        return num_x / den, num_y / den
+    if t == "MultiLineString":
+        flat = np.vstack(payload)
+        return float(flat[:, 0].mean()), float(flat[:, 1].mean())
+    raise ValueError(t)
+
+
+def geom_bounds(geom) -> tuple[float, float, float, float]:
+    t, payload = geom
+    if t == "Point":
+        x, y = float(payload[0]), float(payload[1])
+        return x, y, x, y
+    if t in ("LineString", "MultiPoint"):
+        arr = payload
+    elif t == "Polygon":
+        arr = payload[0]
+    elif t == "MultiLineString":
+        arr = np.vstack(payload)
+    elif t == "MultiPolygon":
+        arr = np.vstack([rings[0] for rings in payload])
+    else:
+        raise ValueError(t)
+    return (
+        float(arr[:, 0].min()),
+        float(arr[:, 1].min()),
+        float(arr[:, 0].max()),
+        float(arr[:, 1].max()),
+    )
+
+
+# --------------------------------------------------------------- predicates
+def point_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast: for arrays of points against one ring.
+
+    Boundary behavior is half-open (consistent, not symmetric) — callers
+    needing closed semantics should pair with an on-boundary test.
+    """
+    r = _open(ring)
+    x0, y0 = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    px = np.asarray(px)[:, None]
+    py = np.asarray(py)[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    crossings = cond & (px < xint)
+    return crossings.sum(axis=1) % 2 == 1
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    inside = point_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~point_in_ring(px, py, hole)
+    return inside
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
+    t, payload = geom
+    if t == "Polygon":
+        return points_in_polygon(px, py, payload)
+    if t == "MultiPolygon":
+        res = np.zeros(len(px), dtype=bool)
+        for rings in payload:
+            res |= points_in_polygon(px, py, rings)
+        return res
+    raise ValueError(f"contains undefined for {t}")
+
+
+# --------------------------------------------------------------- distances
+def pairwise_min_dist(a: np.ndarray, b: np.ndarray) -> float:
+    """min over vertex pairs of euclidean distance (used in NN kernels)."""
+    d = a[:, None, :] - b[None, :, :]
+    return float(np.sqrt((d * d).sum(axis=2)).min())
+
+
+def max_pairwise_dist(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact variant of the reference's line distance
+    (``utils.py:77-80`` fh2_dist_lines2): max euclidean distance over the
+    cross product of the two vertex sets."""
+    d = a[:, None, :] - b[None, :, :]
+    return float(np.sqrt((d * d).sum(axis=2)).max())
+
+
+def cheap_hausdorff(a: np.ndarray, b: np.ndarray) -> float:
+    """Directed-max-of-min Hausdorff over vertex sets (the intended
+    semantics of the reference's 'cheap hausdorff', ``core.py:104-131``,
+    without the step-subsampling approximation)."""
+    d = a[:, None, :] - b[None, :, :]
+    dist = np.sqrt((d * d).sum(axis=2))
+    return float(max(dist.min(axis=1).max(), dist.min(axis=0).max()))
+
+
+# ------------------------------------------------------------- rectangles
+def rect_buffer(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
+    """Mitre-style buffer exact for axis-aligned rectangles: expand the
+    bbox by tol. (General round buffers are approximated in functions.py.)
+    """
+    shell = rings[0]
+    x0, y0 = shell[:, 0].min() - tol, shell[:, 1].min() - tol
+    x1, y1 = shell[:, 0].max() + tol, shell[:, 1].max() + tol
+    return [
+        np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype="<f8")
+    ]
+
+
+def rect_intersection(a4: tuple, b4: tuple):
+    """Intersection of two bboxes -> (x0, y0, x1, y1) or None."""
+    x0 = max(a4[0], b4[0])
+    y0 = max(a4[1], b4[1])
+    x1 = min(a4[2], b4[2])
+    y1 = min(a4[3], b4[3])
+    if x0 > x1 or y0 > y1:
+        return None
+    return (x0, y0, x1, y1)

@@ -1,0 +1,158 @@
+"""Grid tessellation + spatial binning (the reference's flagship ops).
+
+Re-expresses ``make_grid`` (reference ``core.py:565-634``) and
+``gridify_data`` (``core.py:637-687``) Spark-first:
+
+- cell generation is ``spark.range`` + pure column arithmetic (no UDF,
+  no driver loop — the reference's nested Python loop at
+  ``core.py:600-612`` becomes a lazily generated range);
+- point->cell assignment is native ``floor()`` arithmetic (the
+  reference's R-tree probe per cell, ``core.py:680-683``, becomes a
+  shuffle-free projection);
+- aggregation is one ``groupBy(cell).agg`` — partial aggregation,
+  whole-stage codegen, AQE all apply. At 100 TB this is a single
+  map-side-combinable shuffle keyed by cell id, which is as good as the
+  problem allows.
+
+Deliberate fixes vs the reference, kept stable for tests:
+- cells are HALF-OPEN ([x0,x1) horizontally, (y0,y1] vertically, with
+  the outermost edge clamped in): the reference's bbox-intersection probe
+  double-counts points that sit exactly on a shared cell edge;
+- empty cells still get the ``-1`` sentinel (``core.py:679``);
+- cell ids are column-major from the top-left (``core.py:600-612``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geometry.functions import st_rect
+
+
+def compute_bounds(df: DataFrame, x_col: str = "x", y_col: str = "y") -> dict:
+    """Global bbox reduce (the ``gdf.bounds`` min/max at core.py:590-591).
+
+    One tiny all-to-one agg; the 4 scalars then ride into the plan as
+    literals so everything downstream stays native.
+    """
+    row = df.agg(
+        F.min(x_col).alias("xmin"),
+        F.min(y_col).alias("ymin"),
+        F.max(x_col).alias("xmax"),
+        F.max(y_col).alias("ymax"),
+    ).collect()[0]
+    return dict(xmin=row.xmin, ymin=row.ymin, xmax=row.xmax, ymax=row.ymax)
+
+
+def grid_dims(bounds: dict, height: float) -> tuple[int, int]:
+    rows = int(math.ceil((bounds["ymax"] - bounds["ymin"]) / height))
+    cols = int(math.ceil((bounds["xmax"] - bounds["xmin"]) / height))
+    return max(rows, 1), max(cols, 1)
+
+
+def make_grid(
+    spark: SparkSession,
+    bounds: dict,
+    height: float,
+    with_geometry: bool = False,
+) -> DataFrame:
+    """Bounding-box grid (cut=False path of core.py:565-634): cell_id is
+    column-major from the top-left; corners are closed-form column math.
+    """
+    rows, cols = grid_dims(bounds, height)
+    h = float(height)
+    grid = (
+        spark.range(rows * cols)
+        .withColumnRenamed("id", "cell_id")
+        .withColumn("col", (F.col("cell_id") / rows).cast("bigint"))
+        .withColumn("row", F.col("cell_id") % rows)
+        .withColumn("x0", F.lit(bounds["xmin"]) + F.col("col") * h)
+        .withColumn("y1", F.lit(bounds["ymax"]) - F.col("row") * h)
+        .withColumn("x1", F.col("x0") + h)
+        .withColumn("y0", F.col("y1") - h)
+    )
+    if with_geometry:
+        grid = grid.withColumn("geometry", st_rect("x0", "y0", "x1", "y1"))
+    return grid
+
+
+def assign_cells(
+    df: DataFrame,
+    bounds: dict,
+    height: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Add column-major ``cell_id`` to a point table — pure projection,
+    no shuffle, replaces the reference's per-cell R-tree probe."""
+    rows, cols = grid_dims(bounds, height)
+    h = float(height)
+    c = F.least(
+        F.floor((F.col(x_col) - F.lit(bounds["xmin"])) / h), F.lit(cols - 1)
+    )
+    r = F.least(
+        F.floor((F.lit(bounds["ymax"]) - F.col(y_col)) / h), F.lit(rows - 1)
+    )
+    return df.withColumn("cell_id", (c * rows + r).cast("bigint"))
+
+
+# Aggregates written in exact-arithmetic form: for integer-typed value
+# columns every SUM stays an exact integer regardless of partial-agg
+# merge order, so results are reproducible bit-for-bit across engines
+# and partitionings. "mean" = sum/count (not AVG: engine accumulators
+# differ); "std" = population std via the sum-of-squares identity (same
+# reason; fine for the value ranges this engine bins).
+def _agg_exprs(c: str, m: str):
+    col = F.col(c)
+    if m == "min":
+        return F.min(col).cast("double")
+    if m == "max":
+        return F.max(col).cast("double")
+    if m == "sum":
+        return F.sum(col).cast("double")
+    if m == "mean":
+        return F.sum(col).cast("double") / F.count(col)
+    if m == "std":
+        n = F.count(col).cast("double")
+        ex2 = F.sum(col * col).cast("double") / n
+        ex = F.sum(col).cast("double") / n
+        return F.sqrt(ex2 - ex * ex)
+    raise ValueError(m)
+
+
+def gridify_data(
+    points: DataFrame,
+    height: float,
+    value_col: str,
+    methods: tuple[str, ...] = ("mean",),
+    x_col: str = "x",
+    y_col: str = "y",
+    bounds: dict | None = None,
+    with_geometry: bool = False,
+) -> DataFrame:
+    """Spatial binning + aggregation (core.py:637-687), fully native.
+
+    Output: one row per grid cell (including empty cells, value ``-1`` as
+    the reference's sentinel at core.py:679), columns
+    ``cell_id,row,col,x0,y0,x1,y1`` + one ``{value_col}_{m}`` per method.
+    """
+    spark = points.sparkSession
+    dtype = dict(points.dtypes).get(value_col)
+    if dtype not in ("bigint", "double", "int", "float", "smallint", "tinyint"):
+        raise ValueError("Target column has to be a numerical field")
+    if bounds is None:
+        bounds = compute_bounds(points, x_col, y_col)
+    grid = make_grid(spark, bounds, height, with_geometry=with_geometry)
+    binned = assign_cells(points, bounds, height, x_col, y_col)
+    aggs = [
+        _agg_exprs(value_col, m).alias(f"{value_col}_{m}") for m in methods
+    ]
+    cell_stats = binned.groupBy("cell_id").agg(*aggs)
+    out = grid.join(cell_stats, "cell_id", "left")
+    for m in methods:
+        name = f"{value_col}_{m}"
+        out = out.withColumn(name, F.coalesce(F.round(name, 6), F.lit(-1.0)))
+    return out

@@ -1,0 +1,158 @@
+"""Point-table operators: weighted mean coordinates, random points, snap.
+
+- ``mean_coordinates`` re-expresses reference ``core.py:466-514``: the
+  x*w / y*w column products + groupBy sums become one native aggregate —
+  map-side partial aggregation makes this a single small shuffle at any
+  scale.
+- ``random_pts_on_surface`` (``core.py:517-562``) is a table-generating
+  op: explode a per-row count then compute deterministic in-rectangle
+  positions. Determinism under Spark re-execution comes from hashing
+  (feature id, point index) — never ``rand()`` (SURVEY.md §7 hard parts).
+- ``snap_to_nearest`` (``core.py:320-386``) is a bounded-radius NN join:
+  grid-bucket both sides on a cell of the search radius, equi-join on
+  neighboring cells, window-argmin. The reference's growing-and-never-
+  reset R-tree search frame (quirk at core.py:371) is replaced by a fixed
+  ``max_searchframe`` radius applied per point independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..geometry.functions import euclid_expr, st_point
+
+
+def mean_coordinates(
+    df: DataFrame,
+    id_field: str | None = None,
+    weight_field: str | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    with_geometry: bool = False,
+) -> DataFrame:
+    """Weighted mean center per group (or global when id_field is None).
+
+    Output columns: [id_field,] x, y, weight — weight is the group's
+    summed weight (count when no weight_field, matching core.py:497-504).
+    """
+    w = F.col(weight_field) if weight_field else F.lit(1.0)
+    aggs = [
+        (F.sum(F.col(x_col) * w) / F.sum(w)).alias(x_col),
+        (F.sum(F.col(y_col) * w) / F.sum(w)).alias(y_col),
+        F.sum(w).cast("double").alias("weight"),
+    ]
+    if id_field:
+        out = df.groupBy(id_field).agg(*aggs)
+    else:
+        out = df.agg(*aggs)
+    # round: double-summation order differs across engines/partitionings
+    out = (
+        out.withColumn(x_col, F.round(x_col, 6))
+        .withColumn(y_col, F.round(y_col, 6))
+        .withColumn("weight", F.round("weight", 6))
+    )
+    if with_geometry:
+        out = out.withColumn("geometry", st_point(x_col, y_col))
+    return out
+
+
+def random_pts_on_surface(
+    rects: DataFrame,
+    coef: int = 1,
+    nb_field: str | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """N deterministic pseudo-uniform points inside each rectangle.
+
+    The reference rejection-samples with numpy RNG inside each polygon's
+    bbox (core.py:546-561). For distributed determinism we derive each
+    point from integer hashes of (id, k): positions are reproducible
+    across retries, partitionings and engines (the DuckDB oracle runs the
+    same arithmetic). For rectangle surfaces rejection sampling accepts
+    every draw, so hashed-uniform placement matches the reference's
+    distribution semantics exactly; general polygons get the same frame
+    semantics via an in-polygon filter (property-tested instead).
+
+    Expects bbox columns x0, y0, x1, y1 (the engine's rectangle layer).
+    """
+    n = (
+        F.round(F.col(nb_field) * F.lit(float(coef))).cast("bigint")
+        if nb_field
+        else F.lit(int(coef)).cast("bigint")
+    )
+    df = rects.withColumn("n_pts", n).filter(F.col("n_pts") > 0)
+    df = df.withColumn("k", F.explode(F.sequence(F.lit(0), F.col("n_pts") - 1)))
+    # 32-bit multiplicative hashes of (id, k) -> fraction in [0, 1)
+    fx = ((F.col(id_col) * 2654435761 + F.col("k") * 97561) % 1000003) / 1000003.0
+    fy = ((F.col(id_col) * 2246822519 + F.col("k") * 40503) % 1000003) / 1000003.0
+    return (
+        df.withColumn("px", F.round(F.col("x0") + fx * (F.col("x1") - F.col("x0")), 6))
+        .withColumn("py", F.round(F.col("y0") + fy * (F.col("y1") - F.col("y0")), 6))
+        .drop("n_pts")
+    )
+
+
+def snap_to_nearest(
+    pts: DataFrame,
+    target_verts: DataFrame,
+    max_searchframe: float = 500.0,
+    pt_id: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Snap each point to the nearest vertex of the target layer within
+    ``max_searchframe`` (Euclidean), the intended semantics of reference
+    ``core.py:320-386`` (nearest feature, then nearest vertex).
+
+    Scale strategy: bucket both sides into cells of side
+    ``max_searchframe``; a point's nearest in-range vertex lives in its
+    3x3 cell neighborhood, so the join is an equi-join on cell id with a
+    9x fan-out on the (smaller) vertex side — no cross join, AQE handles
+    skewed cells. Ties broken by (dist, target id, vidx) for determinism.
+
+    ``target_verts`` columns: id, vidx, vx, vy. Output: one row per input
+    point that found a match: id, x, y, snapped_id, snapped_vidx,
+    snap_x, snap_y, snap_dist.
+    """
+    cell = float(max_searchframe)
+    p = pts.select(
+        F.col(pt_id).alias("pid"),
+        F.col(x_col).alias("px"),
+        F.col(y_col).alias("py"),
+        F.floor(F.col(x_col) / cell).alias("cx"),
+        F.floor(F.col(y_col) / cell).alias("cy"),
+    )
+    # replicate each vertex into its 3x3 neighborhood: the vertex side is
+    # the smaller/static layer; 9x duplication buys a pure equi-join
+    v = (
+        target_verts.select(
+            F.col("id").alias("vid"), "vidx", "vx", "vy",
+            F.floor(F.col("vx") / cell).alias("vcx"),
+            F.floor(F.col("vy") / cell).alias("vcy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("cx", F.col("vcx") + F.col("dx"))
+        .withColumn("cy", F.col("vcy") + F.col("dy"))
+        .drop("vcx", "vcy", "dx", "dy")
+    )
+    joined = p.join(v, ["cx", "cy"]).withColumn(
+        "snap_dist", euclid_expr(F.col("px"), F.col("py"), F.col("vx"), F.col("vy"))
+    )
+    joined = joined.filter(F.col("snap_dist") <= cell)
+    w = Window.partitionBy("pid").orderBy("snap_dist", "vid", "vidx")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("pid").alias("id"),
+            F.col("px").alias("x"),
+            F.col("py").alias("y"),
+            F.col("vid").alias("snapped_id"),
+            F.col("vidx").alias("snapped_vidx"),
+            F.col("vx").alias("snap_x"),
+            F.col("vy").alias("snap_y"),
+            F.round("snap_dist", 6).alias("snap_dist"),
+        )
+    )

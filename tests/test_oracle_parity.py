@@ -1,0 +1,29 @@
+"""Driver-style correctness gate, run locally: every queries() entry that
+has an oracle_sql() entry must match DuckDB on the same parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from tests.util import assert_parity
+
+_QUERIES = sorted(E.queries().keys())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = E.queries()[name]
+    sql = E.oracle_sql().get(name)
+    df = q(spark, sf_dir)
+    if sql is None:
+        # weaker rows-only check, mirroring the driver
+        assert df.count() >= 0
+        return
+    assert_parity(df, sql, sf_dir)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
