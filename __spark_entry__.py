@@ -23,6 +23,9 @@ from gpd_lite_toolbox_spark import oracles as OR  # noqa: E402
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Session knobs the engine needs regardless of who built the session."""
+    from gpd_lite_toolbox_spark.deploy import ship_package
+
+    ship_package(spark)  # workers can't import the package otherwise
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +66,155 @@ def _q_mean_coords_by_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_coordinates(pts, id_field="cat", weight_field="weight")
 
 
+_POLY_CELL = 3125.0
+
+
+def _q_intersects_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.joins import intersects_byid
+
+    polys = FX.polys(_configure(spark), sf_dir)
+    return intersects_byid(polys, polys, cell_size=_POLY_CELL)
+
+
+def _q_ftouches_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.joins import ftouches_byid
+
+    polys = FX.polys(_configure(spark), sf_dir)
+    return ftouches_byid(polys, polys, cell_size=_POLY_CELL, tolerance=10.0)
+
+
+def _q_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.joins import get_borders
+
+    polys = FX.polys(_configure(spark), sf_dir)
+    return get_borders(polys, cell_size=_POLY_CELL, tol=1.0, col_name="code")
+
+
+def _q_shared_border(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.joins import l_shared_border
+
+    polys = FX.polys(_configure(spark), sf_dir)
+    return l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01)
+
+
+def _q_intersection_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.joins import intersection_part_table
+
+    s = _configure(spark)
+    return intersection_part_table(
+        FX.polys(s, sf_dir), FX.polys_b(s, sf_dir), cell_size=_POLY_CELL
+    )
+
+
+def _q_multi_to_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area, st_centroid_xy
+    from gpd_lite_toolbox_spark.operators.explode import multi_to_single
+
+    parts = multi_to_single(FX.mpolys(_configure(spark), sf_dir))
+    return parts.select(
+        "id",
+        "code",
+        "part_idx",
+        st_area("geometry").alias("area"),
+        st_centroid_xy("geometry").alias("_c"),
+    ).select("id", "code", "part_idx", "area", F.col("_c.x").alias("cx"), F.col("_c.y").alias("cy"))
+
+
+def _q_dumb_multi_to_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area, st_centroid_xy
+    from gpd_lite_toolbox_spark.operators.explode import dumb_multi_to_single
+
+    firsts = dumb_multi_to_single(FX.mpolys(_configure(spark), sf_dir))
+    return firsts.select(
+        "id",
+        "code",
+        st_area("geometry").alias("area"),
+        st_centroid_xy("geometry").alias("_c"),
+    ).select("id", "code", "area", F.col("_c.x").alias("cx"), F.col("_c.y").alias("cy"))
+
+
+def _q_dissolve_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.dissolve import dissolve
+
+    out = dissolve(FX.polys(_configure(spark), sf_dir), "country")
+    return out.select(
+        "country", "n_parts", F.round("area", 6).alias("area"), "code"
+    )
+
+
+def _q_random_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.points import random_pts_on_surface
+
+    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
+    pts = random_pts_on_surface(polys, coef=3)
+    return pts.select("id", "k", "px", "py")
+
+
+def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.points import snap_to_nearest
+
+    s = _configure(spark)
+    return snap_to_nearest(
+        FX.points(s, sf_dir, with_geometry=False),
+        FX.road_verts(s, sf_dir),
+        max_searchframe=500.0,
+    )
+
+
+def _q_hav_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import hav_dist_expr
+
+    pts = FX.points(_configure(spark), sf_dir, with_geometry=False)
+    ll = pts.filter(F.col("id") % 37 == 0).select(
+        "id",
+        (F.col("x") / 1000.0 - 50.0).alias("lon"),
+        (F.col("y") / 1000.0 - 40.0).alias("lat"),
+    )
+    a, b = ll.alias("a"), ll.alias("b")
+    pr = a.join(b, F.col("b.id") == F.col("a.id") + 37)
+    return pr.select(
+        F.col("a.id").alias("id"),
+        F.round(
+            hav_dist_expr(
+                F.col("a.lon"), F.col("a.lat"), F.col("b.lon"), F.col("b.lat")
+            ),
+            3,
+        ).alias("dist_km"),
+    )
+
+
+def _q_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import (
+        bearing_180_expr,
+        bearing_expr,
+    )
+
+    verts = FX.road_verts(_configure(spark), sf_dir).filter(F.col("id") % 13 == 0)
+    a = verts.filter(F.col("vidx") == 0).select(
+        "id", F.col("vx").alias("x0"), F.col("vy").alias("y0")
+    )
+    b = verts.filter(F.col("vidx") == 3).select(
+        "id", F.col("vx").alias("x1"), F.col("vy").alias("y1")
+    )
+    ends = a.join(b, "id")
+    brg = bearing_expr(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    return ends.select(
+        "id",
+        F.round(brg, 3).alias("bearing"),
+        F.round(bearing_180_expr(brg), 3).alias("bearing_180"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -75,6 +227,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gridify_stats": _q_gridify_stats,
         "mean_coords_global": _q_mean_coords_global,
         "mean_coords_by_cat": _q_mean_coords_by_cat,
+        "intersects_pairs": _q_intersects_pairs,
+        "ftouches_pairs": _q_ftouches_pairs,
+        "borders": _q_borders,
+        "shared_border": _q_shared_border,
+        "intersection_part": _q_intersection_part,
+        "multi_to_single": _q_multi_to_single,
+        "dumb_multi_to_single": _q_dumb_multi_to_single,
+        "dissolve_country": _q_dissolve_country,
+        "random_pts": _q_random_pts,
+        "snap_points": _q_snap_points,
+        "hav_dist": _q_hav_dist,
+        "bearing": _q_bearing,
     }
 
 
@@ -84,4 +248,16 @@ def oracle_sql() -> dict[str, str]:
         "gridify_stats": OR.GRIDIFY_STATS,
         "mean_coords_global": OR.MEAN_COORDS_GLOBAL,
         "mean_coords_by_cat": OR.MEAN_COORDS_BY_CAT,
+        "intersects_pairs": OR.INTERSECTS_PAIRS,
+        "ftouches_pairs": OR.FTOUCHES_PAIRS,
+        "borders": OR.BORDERS,
+        "shared_border": OR.SHARED_BORDER,
+        "intersection_part": OR.INTERSECTION_PART,
+        "multi_to_single": OR.MULTI_TO_SINGLE,
+        "dumb_multi_to_single": OR.DUMB_MULTI_TO_SINGLE,
+        "dissolve_country": OR.DISSOLVE_COUNTRY,
+        "random_pts": OR.RANDOM_PTS,
+        "snap_points": OR.SNAP_POINTS,
+        "hav_dist": OR.HAV_DIST,
+        "bearing": OR.BEARING,
     }

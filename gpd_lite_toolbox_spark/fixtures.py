@@ -209,6 +209,49 @@ def mpoly_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixture_df(spark, sf_dir, "mpoly_parts")
 
 
+def mpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled multi-part features: one row per nation id with a real
+    MultiPolygon WKB geometry built from its rectangle parts (exercises
+    the decode->explode path end-to-end)."""
+    import numpy as np
+    import pandas as pd
+
+    from .geometry import wkb as W
+
+    parts = mpoly_parts(spark, sf_dir)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("part_idx")
+        first = pdf.iloc[0]
+        rings = [
+            [
+                np.array(
+                    [
+                        [r.x0, r.y0],
+                        [r.x1, r.y0],
+                        [r.x1, r.y1],
+                        [r.x0, r.y1],
+                        [r.x0, r.y0],
+                    ],
+                    dtype="<f8",
+                )
+            ]
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "id": [first.id],
+                "code": [first.code],
+                "n_parts": [first.n_parts],
+                "geometry": [W.multipolygon_wkb(rings)],
+            }
+        )
+
+    return parts.groupBy("id").applyInPandas(
+        assemble, schema="id bigint, code string, n_parts int, geometry binary"
+    )
+
+
 def road_verts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixture_df(spark, sf_dir, "road_verts")
 

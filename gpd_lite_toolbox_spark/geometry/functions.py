@@ -143,6 +143,52 @@ def st_buffer_mitre(geom: pd.Series, tol: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+PAIR_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("isect", T.BooleanType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("length", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(PAIR_STATS_SCHEMA)
+def st_pair_stats(
+    ga: pd.Series, gb: pd.Series, tol_a: pd.Series, tol_b: pd.Series
+) -> pd.DataFrame:
+    """Per-pair intersection statistics after buffering each side by its
+    tolerance: (intersects?, intersection area, intersection boundary
+    length). One decode pass serves get_borders (boundary length,
+    reference core.py:158-171), l_shared_border (utils.py:149-157,
+    asymmetric buffer), intersection_part (utils.py:188-205) and the
+    intersects/ftouches adjacency ops (core.py:233-254, utils.py:159-185).
+
+    Exact for the engine's rectangle layers (mitre buffer + bbox
+    intersection); general polygons get bbox semantics (the refine step
+    for arbitrary shapes is a later-phase kernel).
+    """
+    n = len(ga)
+    isect = np.zeros(n, dtype=bool)
+    area = np.zeros(n)
+    length = np.zeros(n)
+    for i in range(n):
+        a = K.geom_bounds(W.decode(ga[i]))
+        b = K.geom_bounds(W.decode(gb[i]))
+        ta, tb = float(tol_a.iloc[i]), float(tol_b.iloc[i])
+        a = (a[0] - ta, a[1] - ta, a[2] + ta, a[3] + ta)
+        b = (b[0] - tb, b[1] - tb, b[2] + tb, b[3] + tb)
+        r = K.rect_intersection(a, b)
+        if r is None:
+            continue
+        isect[i] = True
+        w, h = r[2] - r[0], r[3] - r[1]
+        area[i] = w * h
+        # shapely-consistent: degenerate overlap (shared edge/corner) is
+        # a LineString/Point — length w+h, not a ring perimeter
+        length[i] = (w + h) if (w == 0.0 or h == 0.0) else 2.0 * (w + h)
+    return pd.DataFrame({"isect": isect, "area": area, "length": length})
+
+
 # ---------------------------------------------------------- native exprs
 def hav_dist_expr(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column, radius: float = 6367.0
@@ -155,9 +201,11 @@ def hav_dist_expr(
     rlon2, rlat2 = F.radians(lon2), F.radians(lat2)
     dlon = rlon2 - rlon1
     dlat = rlat2 - rlat1
-    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(
-        F.sin(dlon / 2), 2
-    )
+    # sin*sin, not pow(sin,2): pow is not correctly-rounded everywhere,
+    # explicit products keep Spark and DuckDB bit-comparable
+    sdlat = F.sin(dlat / 2)
+    sdlon = F.sin(dlon / 2)
+    a = sdlat * sdlat + F.cos(rlat1) * F.cos(rlat2) * sdlon * sdlon
     return 2.0 * radius * F.asin(F.sqrt(a))
 
 
@@ -174,4 +222,6 @@ def bearing_180_expr(b: Column) -> Column:
 
 
 def euclid_expr(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
-    return F.sqrt(F.pow(x2 - x1, 2) + F.pow(y2 - y1, 2))
+    dx = x2 - x1
+    dy = y2 - y1
+    return F.sqrt(dx * dx + dy * dy)

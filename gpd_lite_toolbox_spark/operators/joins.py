@@ -1,0 +1,121 @@
+"""Join-shaped spatial operators over the bbox_join helper.
+
+Each re-expresses a reference adjacency/intersection op (SURVEY.md §2
+#3, #7, ``ftouches_byid``, ``l_shared_border``, ``intersection_part``)
+as: cell-partitioned candidate join -> native bbox refine -> one
+pandas-UDF pass for geometry statistics. Adjacency-list outputs
+(reference returns Series-of-lists, ``core.py:247-254``) are normalized
+to ``(left_id, right_id)`` pair tables (FIXTURES.md rule 4) — the
+relational form that scales; ``collect_list`` is available to callers
+wanting the list shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geometry.functions import st_pair_stats
+from .spatial_join import bbox_join
+
+
+def _pair_stats(
+    joined: DataFrame, tol_left: float, tol_right: float
+) -> DataFrame:
+    return joined.withColumn(
+        "_ps",
+        st_pair_stats(
+            F.col("l_geometry"),
+            F.col("r_geometry"),
+            F.lit(float(tol_left)),
+            F.lit(float(tol_right)),
+        ),
+    )
+
+
+def intersects_byid(
+    geoms1: DataFrame, geoms2: DataFrame, cell_size: float
+) -> DataFrame:
+    """Spatial adjacency pairs: (left_id, right_id) for every
+    intersecting pair, self-pairs included (reference core.py:233-254
+    lists every intersecting index, including i itself)."""
+    j = bbox_join(geoms1, geoms2, cell_size)
+    j = _pair_stats(j, 0.0, 0.0).filter(F.col("_ps.isect"))
+    return j.select(
+        F.col("l_id").alias("left_id"), F.col("r_id").alias("right_id")
+    )
+
+
+def ftouches_byid(
+    geoms1: DataFrame, geoms2: DataFrame, cell_size: float, tolerance: float = 0.0
+) -> DataFrame:
+    """Tolerance-buffered intersects adjacency (utils.py:159-185): the
+    right side is buffered by ``tolerance`` before the intersects test."""
+    j = bbox_join(geoms1, geoms2, cell_size, tol_right=tolerance)
+    j = _pair_stats(j, 0.0, tolerance).filter(F.col("_ps.isect"))
+    return j.select(
+        F.col("l_id").alias("left_id"), F.col("r_id").alias("right_id")
+    )
+
+
+def get_borders(
+    polys: DataFrame, cell_size: float, tol: float = 1.0, col_name: str = "code"
+) -> DataFrame:
+    """Border lines between polygons (reference core.py:134-172): buffer
+    every polygon by ``tol``, intersect each DIRECTED pair i != j, emit
+    boundary(buffer_i ∩ buffer_j) tagged ``id_i-id_j``. Directed pairs
+    mean every border appears twice — kept, as the reference does.
+
+    Output: border id string + border length (geometry statistics; the
+    boundary geometry itself is reference core's plot payload).
+    """
+    j = bbox_join(polys, polys, cell_size, tol_left=tol, tol_right=tol)
+    j = j.filter(F.col("l_id") != F.col("r_id"))
+    j = _pair_stats(j, tol, tol).filter(F.col("_ps.isect"))
+    return j.select(
+        F.concat_ws("-", F.col(f"l_{col_name}"), F.col(f"r_{col_name}")).alias(
+            col_name
+        ),
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        F.round(F.col("_ps.length"), 6).alias("length"),
+    )
+
+
+def l_shared_border(
+    polys: DataFrame, cell_size: float, buf: float = 0.01
+) -> DataFrame:
+    """Shared-border length pairs (utils.py:149-157): for touching pairs
+    i != j, length(buffer(g_i, buf) ∩ g_j). The reference materializes a
+    dense symmetric matrix; the scale form is the (i, j, length) pair
+    table (both directions emitted, as the matrix is filled
+    symmetrically)."""
+    j = bbox_join(polys, polys, cell_size)
+    j = j.filter(F.col("l_id") != F.col("r_id"))
+    # touch test (unbuffered intersects) AND buffered intersection length
+    t = _pair_stats(j, 0.0, 0.0).withColumnRenamed("_ps", "_touch")
+    t = t.filter(F.col("_touch.isect"))
+    t = _pair_stats(t, buf, 0.0)
+    return t.select(
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        F.round(F.col("_ps.length"), 6).alias("shared_border_len"),
+    )
+
+
+def intersection_part_table(
+    geoms1: DataFrame, geoms2: DataFrame, cell_size: float
+) -> DataFrame:
+    """Coverage fractions (utils.py:188-211): fraction of g1's area
+    covered by each intersecting g2. Non-intersecting pairs are the
+    reference's zeros — omitted in pair-table form."""
+    j = bbox_join(geoms1, geoms2, cell_size)
+    j = _pair_stats(j, 0.0, 0.0).filter(F.col("_ps.isect"))
+    frac = F.col("_ps.area") / (
+        (F.col("l_x1") - F.col("l_x0")) * (F.col("l_y1") - F.col("l_y0"))
+    )
+    return j.select(
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        F.round(frac, 6).alias("part"),
+    ).filter(F.col("part") > 0)

@@ -98,3 +98,161 @@ SELECT cat,
        ROUND(CAST(SUM(weight) AS DOUBLE), 6) AS weight
 FROM points GROUP BY cat
 """
+
+# ---------------------------------------------------------------- joins
+# Rectangle layers make every spatial predicate closed-form interval
+# arithmetic — exactly what the engine's pair-stats kernel computes.
+
+INTERSECTS_PAIRS = f"""
+WITH {oracle_ctes('polys')}
+SELECT a.id AS left_id, b.id AS right_id
+FROM polys a, polys b
+WHERE a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+FTOUCHES_PAIRS = f"""
+WITH {oracle_ctes('polys')}
+SELECT a.id AS left_id, b.id AS right_id
+FROM polys a, polys b
+WHERE a.x0 <= b.x1 + 10.0 AND b.x0 - 10.0 <= a.x1
+  AND a.y0 <= b.y1 + 10.0 AND b.y0 - 10.0 <= a.y1
+"""
+
+BORDERS = f"""
+WITH {oracle_ctes('polys')},
+pair AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         a.code || '-' || b.code AS code,
+         LEAST(a.x1 + 1.0, b.x1 + 1.0)
+             - GREATEST(a.x0 - 1.0, b.x0 - 1.0) AS w,
+         LEAST(a.y1 + 1.0, b.y1 + 1.0)
+             - GREATEST(a.y0 - 1.0, b.y0 - 1.0) AS h
+  FROM polys a, polys b WHERE a.id <> b.id)
+SELECT code, left_id, right_id,
+       ROUND(CASE WHEN w = 0 OR h = 0 THEN w + h
+                  ELSE 2.0 * (w + h) END, 6) AS length
+FROM pair WHERE w >= 0 AND h >= 0
+"""
+
+SHARED_BORDER = f"""
+WITH {oracle_ctes('polys')},
+touch AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         LEAST(a.x1 + 0.01, b.x1) - GREATEST(a.x0 - 0.01, b.x0) AS w,
+         LEAST(a.y1 + 0.01, b.y1) - GREATEST(a.y0 - 0.01, b.y0) AS h
+  FROM polys a, polys b
+  WHERE a.id <> b.id
+    AND a.x0 <= b.x1 AND b.x0 <= a.x1
+    AND a.y0 <= b.y1 AND b.y0 <= a.y1)
+SELECT left_id, right_id,
+       ROUND(CASE WHEN w = 0 OR h = 0 THEN w + h
+                  ELSE 2.0 * (w + h) END, 6) AS shared_border_len
+FROM touch
+"""
+
+INTERSECTION_PART = f"""
+WITH {oracle_ctes('polys', 'polys_b')},
+pair AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0) AS w,
+         LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0) AS h,
+         (a.x1 - a.x0) * (a.y1 - a.y0) AS a_area
+  FROM polys a, polys_b b)
+SELECT left_id, right_id, ROUND(w * h / a_area, 6) AS part
+FROM pair WHERE w > 0 AND h > 0
+"""
+
+# ------------------------------------------------------- explode/dissolve
+MULTI_TO_SINGLE = f"""
+WITH {oracle_ctes('mpoly_parts')}
+SELECT id, code, part_idx,
+       (x1 - x0) * (y1 - y0) AS area,
+       (x0 + x1) / 2.0 AS cx,
+       (y0 + y1) / 2.0 AS cy
+FROM mpoly_parts
+"""
+
+DUMB_MULTI_TO_SINGLE = f"""
+WITH {oracle_ctes('mpoly_parts')}
+SELECT id, code,
+       (x1 - x0) * (y1 - y0) AS area,
+       (x0 + x1) / 2.0 AS cx,
+       (y0 + y1) / 2.0 AS cy
+FROM mpoly_parts WHERE part_idx = 0
+"""
+
+DISSOLVE_COUNTRY = f"""
+WITH {oracle_ctes('polys')}
+SELECT country,
+       CAST(COUNT(*) AS INT) AS n_parts,
+       ROUND(SUM((x1 - x0) * (y1 - y0)), 6) AS area,
+       'U' || CAST(MIN(id) AS STRING) AS code
+FROM polys GROUP BY country
+"""
+
+RANDOM_PTS = f"""
+WITH {oracle_ctes('polys')},
+j4 AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2)
+SELECT id, CAST(j AS BIGINT) AS k,
+       ROUND(x0 + (CAST((id * 2654435761 + j * 97561) % 1000003 AS DOUBLE)
+                   / 1000003.0) * (x1 - x0), 6) AS px,
+       ROUND(y0 + (CAST((id * 2246822519 + j * 40503) % 1000003 AS DOUBLE)
+                   / 1000003.0) * (y1 - y0), 6) AS py
+FROM polys CROSS JOIN j4
+"""
+
+# ------------------------------------------------------------------ snap
+SNAP_POINTS = f"""
+WITH {oracle_ctes('points', 'road_verts')},
+cand AS (
+  SELECT p.id, p.x, p.y,
+         v.id AS snapped_id, v.vidx AS snapped_vidx,
+         v.vx AS snap_x, v.vy AS snap_y,
+         SQRT((p.x - v.vx) * (p.x - v.vx)
+              + (p.y - v.vy) * (p.y - v.vy)) AS d
+  FROM points p, road_verts v
+  WHERE v.vx BETWEEN p.x - 500.0 AND p.x + 500.0
+    AND v.vy BETWEEN p.y - 500.0 AND p.y + 500.0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY d, snapped_id, snapped_vidx) AS rn
+  FROM cand WHERE d <= 500.0)
+SELECT id, x, y, snapped_id, snapped_vidx, snap_x, snap_y,
+       ROUND(d, 6) AS snap_dist
+FROM ranked WHERE rn = 1
+"""
+
+# --------------------------------------------------------- native kernels
+HAV_DIST = f"""
+WITH {oracle_ctes('points')},
+ll AS (SELECT id, x / 1000.0 - 50.0 AS lon, y / 1000.0 - 40.0 AS lat
+       FROM points WHERE id % 37 = 0),
+pr AS (SELECT a.id AS id, a.lon AS lon1, a.lat AS lat1,
+              b.lon AS lon2, b.lat AS lat2
+       FROM ll a JOIN ll b ON b.id = a.id + 37),
+t AS (SELECT id,
+             SIN((RADIANS(lat2) - RADIANS(lat1)) / 2) AS sdlat,
+             SIN((RADIANS(lon2) - RADIANS(lon1)) / 2) AS sdlon,
+             COS(RADIANS(lat1)) AS c1, COS(RADIANS(lat2)) AS c2
+      FROM pr)
+SELECT id,
+       ROUND(2.0 * 6367.0 * ASIN(SQRT(
+           sdlat * sdlat + c1 * c2 * sdlon * sdlon)), 3) AS dist_km
+FROM t
+"""
+
+BEARING = f"""
+WITH {oracle_ctes('road_verts')},
+ends AS (
+  SELECT a.id, a.vx AS x0, a.vy AS y0, b.vx AS x1, b.vy AS y1
+  FROM road_verts a JOIN road_verts b ON a.id = b.id
+  WHERE a.vidx = 0 AND b.vidx = 3 AND a.id % 13 = 0),
+raw AS (SELECT id, DEGREES(ATAN2(x1 - x0, y1 - y0)) AS b FROM ends)
+SELECT id,
+       ROUND(CASE WHEN b < 0 THEN b + 360.0 ELSE b END, 3) AS bearing,
+       ROUND(CASE WHEN (CASE WHEN b < 0 THEN b + 360.0 ELSE b END) > 180.0
+                  THEN (CASE WHEN b < 0 THEN b + 360.0 ELSE b END) - 360.0
+                  ELSE (CASE WHEN b < 0 THEN b + 360.0 ELSE b END)
+             END, 3) AS bearing_180
+FROM raw
+"""

@@ -33,4 +33,7 @@ def get_spark(app_name: str = "gpd_lite_toolbox_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from .deploy import ship_package
+
+    ship_package(spark)
     return spark
