@@ -215,6 +215,98 @@ def _q_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_match_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.lines import match_lines
+
+    s = _configure(spark)
+    return match_lines(
+        FX.road_verts(s, sf_dir).drop("road_class"),
+        FX.road_b_verts(s, sf_dir),
+        limit=50.0,
+    )
+
+
+def _q_match_line_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.lines import match_line_cluster
+
+    s = _configure(spark)
+    # subset keeps KMeans (k=|A|) bounded; id%20==7 avoids the ids that
+    # roads_b deletes (id%10==0), so every A line has a B counterpart
+    va = FX.road_verts(s, sf_dir).filter(F.col("id") % 20 == 7).drop("road_class")
+    vb = FX.road_b_verts(s, sf_dir).filter(F.col("id") % 20 == 7)
+    return match_line_cluster(va, vb)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FX.fixture_df(_configure(spark), sf_dir, "corpus")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.dedup import exact_dedup
+
+    return exact_dedup(_corpus(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.dedup import simhash
+
+    return simhash(_corpus(spark, sf_dir))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.analysis import token_stats
+
+    return token_stats(_corpus(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.analysis import quality_score
+
+    return quality_score(_corpus(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.analysis import lang_id
+
+    return lang_id(_corpus(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.analysis import fingerprint
+
+    return fingerprint(_corpus(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.ann import cosine_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.ann import ann_lsh_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return ann_lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -239,6 +331,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points": _q_snap_points,
         "hav_dist": _q_hav_dist,
         "bearing": _q_bearing,
+        "match_lines": _q_match_lines,
+        "match_line_cluster": _q_match_line_cluster,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
     }
 
 
@@ -260,4 +363,17 @@ def oracle_sql() -> dict[str, str]:
         "snap_points": OR.SNAP_POINTS,
         "hav_dist": OR.HAV_DIST,
         "bearing": OR.BEARING,
+        "match_lines": OR.MATCH_LINES,
+        # match_line_cluster: KMeans blocking — not SQL-expressible,
+        # rows-only check (the judge sees which).
+        "exact_dedup": OR.EXACT_DEDUP,
+        "minhash_pairs": OR.MINHASH_PAIRS,
+        "simhash": OR.SIMHASH,
+        "token_stats": OR.TOKEN_STATS,
+        "quality": OR.QUALITY,
+        "lang_id": OR.LANG_ID,
+        "fingerprint": OR.FINGERPRINT,
+        "ann_topk": OR.ANN_TOPK,
+        # ann_lsh_topk: same scoring as ann_topk but bucket-pruned;
+        # rows-only check (approximate op by design).
     }

@@ -145,7 +145,21 @@ FROM part CROSS JOIN {J4}
 WHERE p_partkey % 10 <> 0
 """
 
+# Document corpus with PLANTED duplicates for the dedup operator family:
+# the driver's documents are all-distinct, so exact duplicates (1 in 10)
+# and near-duplicates (1 in 17, a token appended) are derived
+# deterministically. id offsets keep provenance recoverable.
+CORPUS_SQL = """
+SELECT doc_id AS id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS id, text || ' zq extra' AS text
+FROM documents WHERE doc_id % 17 = 0
+"""
+
 _FIXTURE_SQL = {
+    "corpus": CORPUS_SQL,
     "points": POINTS_SQL,
     "polys": POLYS_SQL,
     "polys_b": POLYS_B_SQL,

@@ -1,0 +1,165 @@
+"""Line-matching operators (reference core.py:26-131).
+
+``match_lines`` is a bounded-distance nearest-neighbor theta-join under
+the reference's "cheap hausdorff" line distance. For equal vertex counts
+the reference kernel (``core.py:104-131`` fh_dist_lines, chkl=1 path)
+reduces to the max of ALIGNED vertex distances — which lets the whole
+operator stay native: bbox-join candidates, an equi-join on vertex index,
+one max-aggregate, a rank-1 window. No Python boundary at all.
+
+Scale: candidates are pruned by the bbox join with radius=limit (lossless
+for this metric: fh < limit implies expanded-bbox overlap), so the
+complexity is candidates-within-limit, not |A|x|B|. The reference is the
+full O(n*m) nested apply.
+
+``match_line_cluster`` (core.py:70-101) re-expresses the KMeans blocking
+idea with pyspark.ml: descriptor vector (centroid x/y, length, bearing
+per utils.py:60-74 mparams), k = |gdf1| clusters fit on the union, rows
+sharing a label are matched. The reference's label-slice bug (both sides
+read labels_[len(gdf1):], core.py:93-94) is fixed to the intended
+semantics, as SURVEY.md documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..geometry.functions import bearing_expr, euclid_expr
+from .spatial_join import bbox_join
+
+
+def _line_bboxes(verts: DataFrame) -> DataFrame:
+    return verts.groupBy("id").agg(
+        F.min("vx").alias("x0"),
+        F.min("vy").alias("y0"),
+        F.max("vx").alias("x1"),
+        F.max("vy").alias("y1"),
+    )
+
+
+def match_lines(
+    verts_a: DataFrame,
+    verts_b: DataFrame,
+    limit: float,
+    cell_size: float | None = None,
+) -> DataFrame:
+    """For each line of A, the closest line(s) of B by aligned-max
+    distance, strictly under ``limit``; ties kept (reference keeps every
+    argmin, core.py:56).
+
+    Inputs are vertex tables (id, vidx, vx, vy) with equal per-line
+    vertex counts. Output: (id_a, id_b, fh_dist).
+    """
+    ba = _line_bboxes(verts_a)
+    bb = _line_bboxes(verts_b)
+    if cell_size is None:
+        # cell must cover the largest bbox extent, or the cell-explode
+        # fan-out degenerates (a bbox spanning k cells produces k copies);
+        # one tiny agg bounds fan-out to <= 2 cells per axis per feature.
+        row = (
+            ba.unionByName(bb)
+            .agg(
+                F.max(F.col("x1") - F.col("x0")).alias("mx"),
+                F.max(F.col("y1") - F.col("y0")).alias("my"),
+            )
+            .collect()[0]
+        )
+        cell_size = max(float(limit), float(row.mx or 1.0), float(row.my or 1.0), 1.0)
+    cs = float(cell_size)
+    cand = bbox_join(ba, bb, cs, tol_left=limit).select(
+        F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b")
+    )
+    a = verts_a.select(
+        F.col("id").alias("id_a"), "vidx",
+        F.col("vx").alias("ax"), F.col("vy").alias("ay"),
+    )
+    b = verts_b.select(
+        F.col("id").alias("id_b"), "vidx",
+        F.col("vx").alias("bx"), F.col("vy").alias("by"),
+    )
+    d = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "vidx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                euclid_expr(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+            ).alias("fh")
+        )
+        .filter(F.col("fh") < limit)
+    )
+    return (
+        d.withColumn("rk", F.rank().over(Window.partitionBy("id_a").orderBy("fh")))
+        .filter(F.col("rk") == 1)
+        .select("id_a", "id_b", F.round("fh", 6).alias("fh_dist"))
+    )
+
+
+def line_params(verts: DataFrame) -> DataFrame:
+    """Per-line descriptor (utils.py:60-74 mparams): centroid x/y of the
+    vertex set, total length, bearing of the end-to-end chord."""
+    ends = verts.groupBy("id").agg(
+        F.avg("vx").alias("cx"),
+        F.avg("vy").alias("cy"),
+        F.min("vidx").alias("_v0"),
+        F.max("vidx").alias("_v1"),
+    )
+    seg = verts.select(
+        "id", "vidx", "vx", "vy",
+        F.lead("vx").over(Window.partitionBy("id").orderBy("vidx")).alias("nx"),
+        F.lead("vy").over(Window.partitionBy("id").orderBy("vidx")).alias("ny"),
+    )
+    length = seg.filter(F.col("nx").isNotNull()).groupBy("id").agg(
+        F.sum(
+            euclid_expr(F.col("vx"), F.col("vy"), F.col("nx"), F.col("ny"))
+        ).alias("length")
+    )
+    first = verts.filter(F.col("vidx") == 0).select(
+        "id", F.col("vx").alias("fx"), F.col("vy").alias("fy")
+    )
+    w_last = Window.partitionBy("id").orderBy(F.col("vidx").desc())
+    last = (
+        verts.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("vx").alias("lx"), F.col("vy").alias("ly"))
+    )
+    return (
+        ends.join(length, "id")
+        .join(first, "id")
+        .join(last, "id")
+        .select(
+            "id", "cx", "cy", "length",
+            bearing_expr(
+                F.col("fx"), F.col("fy"), F.col("lx"), F.col("ly")
+            ).alias("bearing"),
+        )
+    )
+
+
+def match_line_cluster(
+    verts_a: DataFrame, verts_b: DataFrame, seed: int = 42
+) -> DataFrame:
+    """KMeans co-clustering match (core.py:70-101, intended semantics):
+    fit k=|A| clusters on the pooled descriptors, emit (id_a, id_b) for
+    rows sharing a cluster label."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    pa = line_params(verts_a).withColumn("_side", F.lit("a"))
+    pb = line_params(verts_b).withColumn("_side", F.lit("b"))
+    pooled = pa.unionByName(pb)
+    va = VectorAssembler(
+        inputCols=["cx", "cy", "length", "bearing"], outputCol="features"
+    )
+    feats = va.transform(pooled)
+    k = pa.count()
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    labeled = model.transform(feats).select("id", "_side", "prediction")
+    la = labeled.filter(F.col("_side") == "a").select(
+        F.col("id").alias("id_a"), "prediction"
+    )
+    lb = labeled.filter(F.col("_side") == "b").select(
+        F.col("id").alias("id_b"), "prediction"
+    )
+    return la.join(lb, "prediction").select("id_a", "id_b")

