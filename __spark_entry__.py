@@ -307,6 +307,113 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
 
 
+def _q_find_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.joins import find_borders
+
+    polys = FX.polys(_configure(spark), sf_dir)
+    return find_borders(polys, cell_size=_POLY_CELL, tol=1.0, col_name="code")
+
+
+def _q_grid_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.grid import make_grid, make_grid_cut
+
+    s = _configure(spark)
+    polys = FX.polys(s, sf_dir)
+    b = polys.agg(
+        F.min("x0").alias("xmin"),
+        F.min("y0").alias("ymin"),
+        F.max("x1").alias("xmax"),
+        F.max("y1").alias("ymax"),
+    ).collect()[0]
+    bounds = dict(xmin=b.xmin, ymin=b.ymin, xmax=b.xmax, ymax=b.ymax)
+    grid = make_grid(s, bounds, 8000.0, with_geometry=True)
+    return make_grid_cut(grid, polys, cell_size=8000.0)
+
+
+def _q_grid_cut_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.grid import make_grid_cut_hull
+
+    pts = FX.points(_configure(spark), sf_dir, with_geometry=False)
+    out = make_grid_cut_hull(pts, 8000.0)
+    return out.select("cell_id", "row", "col", "clip_area")
+
+
+def _q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.isochrone import isochrone_bands
+
+    m = FX.fixture_df(_configure(spark), sf_dir, "osrm_matrix")
+    return isochrone_bands(m, height=8000.0, interval_h=0.25)
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.streaming.grid_stream import windowed_grid_agg
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return windowed_grid_agg(s.table("events"), height=8000.0, window="1 hour")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.streaming.grid_stream import sessionize
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return sessionize(s.table("events"))
+
+
+def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius
+
+    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
+    base = polys.select(
+        "id",
+        "size_mb",
+        ((F.col("x0") + F.col("x1")) / 2.0).alias("cx"),
+        ((F.col("y0") + F.col("y1")) / 2.0).alias("cy"),
+        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias(
+            "area"
+        ),
+    )
+    return dorling_radius(base, "size_mb", ratio=0.8)
+
+
+def _q_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area
+    from gpd_lite_toolbox_spark.operators.cartogram import transform_cartogram
+
+    polys = FX.polys(_configure(spark), sf_dir)
+    out = transform_cartogram(polys, "size_mb", iterations=2)
+    return out.select(
+        "id", F.round(st_area("geometry"), 2).alias("new_area")
+    )
+
+
+def _q_dorling_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.cartogram import (
+        non_contiguous_cartogram,
+    )
+
+    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
+    base = polys.select(
+        "id",
+        "size_mb",
+        ((F.col("x0") + F.col("x1")) / 2.0).alias("cx"),
+        ((F.col("y0") + F.col("y1")) / 2.0).alias("cy"),
+        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias(
+            "area"
+        ),
+    )
+    return non_contiguous_cartogram(base, "size_mb", ratio=0.8, n_iter=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -342,6 +449,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "find_borders": _q_find_borders,
+        "grid_cut": _q_grid_cut,
+        "grid_cut_hull": _q_grid_cut_hull,
+        "isochrone_bands": _q_isochrone_bands,
+        "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
+        "dorling_radius": _q_dorling_radius,
+        "cartogram": _q_cartogram,
+        "dorling_cartogram": _q_dorling_cartogram,
     }
 
 
@@ -376,4 +492,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": OR.ANN_TOPK,
         # ann_lsh_topk: same scoring as ann_topk but bucket-pruned;
         # rows-only check (approximate op by design).
+        "find_borders": OR.FIND_BORDERS,
+        "grid_cut": OR.GRID_CUT,
+        # grid_cut_hull: convex-hull clip — geometry not SQL-expressible
+        # without a spatial extension; property-tested, rows-only here.
+        "isochrone_bands": OR.ISOCHRONE_BANDS,
+        "events_window": OR.EVENTS_WINDOW,
+        "sessionize": OR.SESSIONIZE,
+        "dorling_radius": OR.DORLING_RADIUS,
+        # cartogram / dorling_cartogram: iterative geometry transforms,
+        # property-tested (area-error contraction, overlap-free circles).
     }

@@ -73,12 +73,12 @@ FROM customer
 POLYS_SQL = f"""
 SELECT s_suppkey AS id,
        CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} AS x0,
-       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
-           * {POLY_CELL} AS y0,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} AS DOUBLE) AS y0,
        CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
            + {POLY_CELL} AS x1,
-       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
-           * {POLY_CELL} + {POLY_CELL} AS y1,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {POLY_CELL} AS DOUBLE) AS y1,
        'U' || CAST(s_suppkey AS STRING) AS code,
        'CTY' || CAST(s_suppkey % 8 AS STRING) AS country,
        CAST(1 + (s_suppkey * 9973) % 5000 AS DOUBLE) AS size_mb,
@@ -93,12 +93,12 @@ POLYS_B_SQL = f"""
 SELECT s_suppkey AS id,
        CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
            + {POLY_CELL / 2} AS x0,
-       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
-           * {POLY_CELL} + {POLY_CELL / 2} AS y0,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {POLY_CELL / 2} AS DOUBLE) AS y0,
        CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
            + {POLY_CELL * 1.5} AS x1,
-       (FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
-           * {POLY_CELL} + {POLY_CELL * 1.5} AS y1
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {POLY_CELL * 1.5} AS DOUBLE) AS y1
 FROM supplier
 """
 
@@ -158,8 +158,22 @@ SELECT doc_id + 2000000 AS id, text || ' zq extra' AS text
 FROM documents WHERE doc_id % 17 = 0
 """
 
+# Mocked OSRM travel-time matrix (FIXTURES.md T5): one row per grid
+# point, with the reference's sentinel values (2147483647 unreachable,
+# 0 self) planted for the filter path (core.py:916).
+OSRM_SQL = """
+SELECT c_custkey AS pt_id,
+       CAST((c_custkey * 2654435761) % 100000 AS DOUBLE) AS x,
+       CAST((c_custkey * 2246822519) % 100000 AS DOUBLE) AS y,
+       CASE WHEN c_custkey % 23 = 0 THEN 2147483647
+            WHEN c_custkey % 29 = 0 THEN 0
+            ELSE (c_custkey * 7919) % 7200 END AS time_s
+FROM customer
+"""
+
 _FIXTURE_SQL = {
     "corpus": CORPUS_SQL,
+    "osrm_matrix": OSRM_SQL,
     "points": POINTS_SQL,
     "polys": POLYS_SQL,
     "polys_b": POLYS_B_SQL,
@@ -186,9 +200,9 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     for name in TPCH_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-            )
+            # integer div, not /1000 via double: ~1.7e18 ns exceeds double
+            # precision and would round microseconds off by ±1
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
 
 

@@ -205,6 +205,58 @@ def cheap_hausdorff(a: np.ndarray, b: np.ndarray) -> float:
     return float(max(dist.min(axis=1).max(), dist.min(axis=0).max()))
 
 
+# ----------------------------------------------------------- hull & clip
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull; returns CCW open ring (N,2).
+
+    Backs make_grid's cut-by-convex-hull path for non-polygon layers
+    (reference core.py:620-624 uses unary_union(...).convex_hull).
+    """
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort (np.unique already sorts rows)
+    def half(iterable):
+        h: list[np.ndarray] = []
+        for p in iterable:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def clip_poly_convex(subject: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip an open subject ring by a convex CCW
+    ring. Returns the clipped open ring (possibly empty)."""
+    output = list(np.asarray(subject, float))
+    n = len(clip_ccw)
+    for i in range(n):
+        a = clip_ccw[i]
+        b = clip_ccw[(i + 1) % n]
+        edge = b - a
+        if not output:
+            break
+        input_pts = output
+        output = []
+        prev = input_pts[-1]
+        prev_in = np.cross(edge, prev - a) >= 0
+        for cur in input_pts:
+            cur_in = np.cross(edge, cur - a) >= 0
+            if cur_in != prev_in:
+                d = cur - prev
+                denom = np.cross(edge, d)
+                t = np.cross(edge, a - prev) / denom
+                output.append(prev + t * d)
+            if cur_in:
+                output.append(cur)
+            prev, prev_in = cur, cur_in
+    return np.array(output) if output else np.empty((0, 2))
+
+
 # ------------------------------------------------------------- rectangles
 def rect_buffer(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Mitre-style buffer exact for axis-aligned rectangles: expand the

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,7 +46,12 @@ def compute_bounds(df: DataFrame, x_col: str = "x", y_col: str = "y") -> dict:
         F.max(x_col).alias("xmax"),
         F.max(y_col).alias("ymax"),
     ).collect()[0]
-    return dict(xmin=row.xmin, ymin=row.ymin, xmax=row.xmax, ymax=row.ymax)
+    return dict(
+        xmin=float(row.xmin),
+        ymin=float(row.ymin),
+        xmax=float(row.xmax),
+        ymax=float(row.ymax),
+    )
 
 
 def grid_dims(bounds: dict, height: float) -> tuple[int, int]:
@@ -97,6 +104,94 @@ def assign_cells(
         F.floor((F.lit(bounds["ymax"]) - F.col(y_col)) / h), F.lit(rows - 1)
     )
     return df.withColumn("cell_id", (c * rows + r).cast("bigint"))
+
+
+def make_grid_cut(
+    grid: DataFrame,
+    polys: DataFrame,
+    cell_size: float,
+) -> DataFrame:
+    """The cut=True path of make_grid over a polygon layer
+    (core.py:613-624): clip every cell by the union of the input
+    polygons and keep non-empty results. For an interior-disjoint mosaic
+    the union decomposes, so the clip is a bbox-partitioned pair join +
+    per-cell area sum — no geometry union materialized, which is the
+    only shape that survives a 100 TB polygon layer.
+
+    Output: cells that intersect the layer, with ``clip_area``.
+    """
+    from ..geometry.functions import st_pair_stats
+    from .spatial_join import bbox_join
+
+    g = grid.select("cell_id", "x0", "y0", "x1", "y1", "geometry")
+    j = bbox_join(
+        g, polys.select("id", "x0", "y0", "x1", "y1", "geometry"), cell_size
+    )
+    j = j.withColumn(
+        "_ps",
+        st_pair_stats(
+            F.col("l_geometry"), F.col("r_geometry"), F.lit(0.0), F.lit(0.0)
+        ),
+    ).filter(F.col("_ps.area") > 0)
+    return j.groupBy(
+        F.col("l_cell_id").alias("cell_id"),
+        F.col("l_x0").alias("x0"),
+        F.col("l_y0").alias("y0"),
+        F.col("l_x1").alias("x1"),
+        F.col("l_y1").alias("y1"),
+    ).agg(F.round(F.sum("_ps.area"), 6).alias("clip_area"))
+
+
+def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
+    """cut=True over a non-polygon layer (core.py:620-624): clip cells by
+    the CONVEX HULL of the points. Hull-of-hulls: each partition reduces
+    to its local hull vertices (mapInPandas), the driver hulls the small
+    candidate union — exact, and never collects the full point table.
+    The per-cell clip is then a pandas-UDF pass with the tiny hull in
+    the closure.
+
+    Output: grid cells overlapping the hull, with ``clip_area``.
+    """
+    from ..geometry import kernels as K
+
+    spark = points.sparkSession
+
+    def local_hull(batches):
+        for pdf in batches:
+            h = K.convex_hull(pdf[["x", "y"]].to_numpy(dtype=float))
+            yield pd.DataFrame({"x": h[:, 0], "y": h[:, 1]})
+
+    cand = (
+        points.select("x", "y")
+        .mapInPandas(local_hull, schema="x double, y double")
+        .collect()
+    )
+    hull = K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
+    bounds = compute_bounds(points)
+    grid = make_grid(spark, bounds, height)
+
+    @F.pandas_udf("double")
+    def clip_area(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(x0))
+        for i in range(len(x0)):
+            cell = np.array(
+                [
+                    [x0.iloc[i], y0.iloc[i]],
+                    [x1.iloc[i], y0.iloc[i]],
+                    [x1.iloc[i], y1.iloc[i]],
+                    [x0.iloc[i], y1.iloc[i]],
+                ]
+            )
+            clipped = K.clip_poly_convex(cell, hull)
+            if len(clipped) >= 3:
+                out[i] = abs(K.ring_signed_area(clipped))
+        return pd.Series(out)
+
+    return grid.withColumn(
+        "clip_area", F.round(clip_area("x0", "y0", "x1", "y1"), 6)
+    ).filter(F.col("clip_area") > 0)
 
 
 # Aggregates written in exact-arithmetic form: for integer-typed value

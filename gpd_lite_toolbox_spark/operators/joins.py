@@ -103,6 +103,40 @@ def l_shared_border(
     )
 
 
+def find_borders(
+    polys: DataFrame, cell_size: float, tol: float = 1.0, col_name: str = "code"
+) -> DataFrame:
+    """Exact border table (reference core.py:175-196 + Borderiz,
+    utils.py:268-377): same pair geometry as get_borders but deduplicated
+    to ONE row per unordered pair — the reference's quadratic dedup scan
+    (utils.py:340-364) becomes a row_number window over the canonical
+    (least, greatest) pair key. Emits the directed FRONT/FRONT_r keys of
+    the surviving row. The reference's multi_to_singles off-by-one (drops
+    the last feature, utils.py:290) is fixed to the intended full table.
+    """
+    from pyspark.sql import Window
+
+    directed = get_borders(polys, cell_size, tol, col_name)
+    key_a = F.least(F.col("left_id"), F.col("right_id"))
+    key_b = F.greatest(F.col("left_id"), F.col("right_id"))
+    w = Window.partitionBy(key_a, key_b).orderBy("left_id")
+    return (
+        directed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(col_name).alias("front"),
+            F.concat_ws(
+                "-",
+                F.split(F.col(col_name), "-").getItem(1),
+                F.split(F.col(col_name), "-").getItem(0),
+            ).alias("front_r"),
+            "left_id",
+            "right_id",
+            "length",
+        )
+    )
+
+
 def intersection_part_table(
     geoms1: DataFrame, geoms2: DataFrame, cell_size: float
 ) -> DataFrame:

@@ -436,3 +436,136 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
+
+# ----------------------------------------------- borders dedup / grid cut
+FIND_BORDERS = f"""
+WITH {oracle_ctes('polys')},
+pair AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         a.code || '-' || b.code AS front,
+         b.code || '-' || a.code AS front_r,
+         LEAST(a.x1 + 1.0, b.x1 + 1.0)
+             - GREATEST(a.x0 - 1.0, b.x0 - 1.0) AS w,
+         LEAST(a.y1 + 1.0, b.y1 + 1.0)
+             - GREATEST(a.y0 - 1.0, b.y0 - 1.0) AS h
+  FROM polys a, polys b WHERE a.id <> b.id),
+ok AS (SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY LEAST(left_id, right_id), GREATEST(left_id, right_id)
+           ORDER BY left_id) AS rn
+       FROM pair WHERE w >= 0 AND h >= 0)
+SELECT front, front_r, left_id, right_id,
+       ROUND(CASE WHEN w = 0 OR h = 0 THEN w + h
+                  ELSE 2.0 * (w + h) END, 6) AS length
+FROM ok WHERE rn = 1
+"""
+
+_PGRID_H = 8000.0
+GRID_CUT = f"""
+WITH {oracle_ctes('polys')},
+d AS (SELECT MIN(x0) AS xmin, MIN(y0) AS ymin, MAX(x1) AS xmax,
+             MAX(y1) AS ymax,
+             CAST(CEIL((MAX(y1) - MIN(y0)) / {_PGRID_H}) AS BIGINT) AS nrows,
+             CAST(CEIL((MAX(x1) - MIN(x0)) / {_PGRID_H}) AS BIGINT) AS ncols
+      FROM polys),
+n32 AS {_N32},
+nums AS (SELECT CAST(a.n * 32 + b.n AS BIGINT) AS cell_id
+         FROM n32 a CROSS JOIN n32 b),
+grid AS (SELECT cell_id,
+                xmin + CAST(FLOOR(CAST(cell_id AS DOUBLE)
+                                  / CAST(nrows AS DOUBLE)) AS BIGINT)
+                     * {_PGRID_H} AS x0,
+                (ymax - (cell_id % nrows) * {_PGRID_H}) - {_PGRID_H} AS y0,
+                (xmin + CAST(FLOOR(CAST(cell_id AS DOUBLE)
+                                   / CAST(nrows AS DOUBLE)) AS BIGINT)
+                      * {_PGRID_H}) + {_PGRID_H} AS x1,
+                ymax - (cell_id % nrows) * {_PGRID_H} AS y1
+         FROM nums CROSS JOIN d
+         WHERE cell_id < nrows * ncols),
+pair AS (
+  SELECT g.cell_id, g.x0, g.y0, g.x1, g.y1,
+         LEAST(g.x1, p.x1) - GREATEST(g.x0, p.x0) AS w,
+         LEAST(g.y1, p.y1) - GREATEST(g.y0, p.y0) AS h
+  FROM grid g, polys p)
+SELECT cell_id, x0, y0, x1, y1, ROUND(SUM(w * h), 6) AS clip_area
+FROM pair WHERE w > 0 AND h > 0
+GROUP BY cell_id, x0, y0, x1, y1
+"""
+
+# ------------------------------------------------------------- isochrone
+ISOCHRONE_BANDS = f"""
+WITH {oracle_ctes('osrm_matrix')},
+pts AS (SELECT x, y, time_s / 3600.0 AS time_h
+        FROM osrm_matrix
+        WHERE time_s <> 2147483647 AND time_s <> 0),
+d AS (SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+             CAST(CEIL((MAX(y) - MIN(y)) / {_PGRID_H}) AS BIGINT) AS nrows,
+             CAST(CEIL((MAX(x) - MIN(x)) / {_PGRID_H}) AS BIGINT) AS ncols
+      FROM pts),
+b AS (SELECT CAST(FLOOR(time_h / 0.25) AS BIGINT) AS band,
+             CAST(LEAST(FLOOR((x - xmin) / {_PGRID_H}),
+                        CAST(ncols - 1 AS DOUBLE)) * nrows
+                + LEAST(FLOOR((ymax - y) / {_PGRID_H}),
+                        CAST(nrows - 1 AS DOUBLE)) AS BIGINT) AS cell_id,
+             time_h
+      FROM pts CROSS JOIN d),
+per_cell AS (SELECT band, cell_id, COUNT(*) AS n_pts, MIN(time_h) AS t_min
+             FROM b GROUP BY band, cell_id)
+SELECT band,
+       ROUND(MIN(t_min), 6) AS t_min_h,
+       COUNT(*) AS n_cells,
+       CAST(SUM(n_pts) AS BIGINT) AS n_pts,
+       ROUND(COUNT(*) * {_PGRID_H * _PGRID_H}, 6) AS area
+FROM per_cell GROUP BY band
+"""
+
+# ------------------------------------------------------------ events ops
+EVENTS_WINDOW = """
+WITH ev AS (SELECT ts, value,
+                   (user_id * 2654435761) % 100000 AS x,
+                   (user_id * 2246822519) % 100000 AS y
+            FROM events),
+c AS (SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+             CAST(FLOOR(x / 8000.0) AS BIGINT) * 1000
+                 + CAST(FLOOR(y / 8000.0) AS BIGINT) AS cell_id,
+             value
+      FROM ev)
+SELECT window_start_us, cell_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM c GROUP BY window_start_us, cell_id
+"""
+
+SESSIONIZE = """
+WITH s AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS prev
+      FROM s),
+b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM l),
+cs AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+       FROM b)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(us) AS t_start_us, MAX(us) AS t_end_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM cs GROUP BY user_id, session_id
+"""
+
+# ------------------------------------------------------------- cartogram
+DORLING_RADIUS = f"""
+WITH {oracle_ctes('polys')},
+base AS (SELECT id, CAST(size_mb AS DOUBLE) AS v,
+                (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy,
+                (x1 - x0) * (y1 - y0) AS area
+         FROM polys),
+sums AS (SELECT SUM(SQRT((a.cx - b.cx) * (a.cx - b.cx)
+                         + (a.cy - b.cy) * (a.cy - b.cy))) AS cum_dist,
+                SUM(SQRT(a.v / PI()) + SQRT(b.v / PI())) AS cum_rad
+         FROM base a, base b WHERE a.id <> b.id),
+nrm AS (SELECT SQRT(SUM(area * area)) AS area_l2 FROM base)
+SELECT id,
+       ROUND(SQRT(v / PI()) * (cum_dist / cum_rad) * 0.8 * (area / area_l2),
+             6) AS radius
+FROM base, sums, nrm
+"""

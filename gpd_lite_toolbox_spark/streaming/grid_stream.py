@@ -1,0 +1,131 @@
+"""Structured-Streaming variant of the grid aggregation + event-table
+operators (SURVEY.md §7 Phase 3: the reference is batch-only; the
+`events` table is the driver-provided hook for the streaming extension).
+
+``windowed_grid_agg`` expresses the SAME logical aggregation for batch
+and streaming input: tumbling event-time window x spatial cell ->
+count/sum. On a stream it needs only a watermark on top; state size is
+bounded by (windows in flight) x (occupied cells).
+
+``run_streaming_grid_agg`` drives the streaming flavor end-to-end from
+a parquet directory (file source -> memory sink), which is how the
+tests prove batch/stream equivalence without Kafka in the image.
+
+``sessionize`` is the batch sessionization pattern (lag + cumulative
+gap-break sum), the same state machine ``session_window`` runs in
+streaming mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FRAME = 100_000.0
+
+
+def event_cells(events: DataFrame, height: float) -> DataFrame:
+    """Derive a deterministic spatial cell for each event (events carry
+    no coordinates; production pipelines would join a location table —
+    the hash derivation keeps the operator self-contained and
+    cross-engine checkable)."""
+    x = (F.col("user_id") * 2654435761) % 100000
+    y = (F.col("user_id") * 2246822519) % 100000
+    cell = F.floor(x / F.lit(height)) * F.lit(1000) + F.floor(
+        y / F.lit(height)
+    )
+    return events.withColumn("cell_id", cell.cast("bigint"))
+
+
+def windowed_grid_agg(
+    events: DataFrame, height: float = 8000.0, window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window x grid-cell aggregation; works unchanged on a
+    batch DataFrame or a streaming DataFrame (add withWatermark before
+    calling for append-mode streams)."""
+    cells = event_cells(events, height)
+    return (
+        cells.groupBy(F.window("ts", window).alias("w"), "cell_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cell_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_grid_agg(
+    spark, parquet_dir: str, height: float = 8000.0, window: str = "1 hour"
+) -> DataFrame:
+    """Drive the streaming flavor to completion over a bounded parquet
+    source (file stream -> complete-mode memory sink) and return the
+    result as a batch DataFrame."""
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_dir):
+        # the file-stream source requires a directory; stage a symlink
+        d = tempfile.mkdtemp(prefix="grid_stream_")
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    batch_df = spark.read.parquet(parquet_dir)
+    schema = batch_df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = windowed_grid_agg(stream.withWatermark("ts", "1 day"), height, window)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("grid_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("grid_stream_out")
+
+
+SESSION_GAP_S = 1800
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Per-user sessions: a session breaks after ``gap_s`` of silence.
+    lag + cumulative break-sum — the batch twin of streaming
+    ``session_window(ts, gap)``.
+
+    Output: (user_id, session_id, n_events, t_start_us, t_end_us,
+    sum_value).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_break = (
+        F.when(
+            (us - F.lag(us).over(w)) > gap_s * 1_000_000, 1
+        )
+        .otherwise(0)
+    )
+    with_sess = events.withColumn(
+        "session_id",
+        F.sum(gap_break).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("t_start_us"),
+        F.max(F.unix_micros("ts")).alias("t_end_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

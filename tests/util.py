@@ -37,6 +37,13 @@ def assert_parity(spark_df, sql: str, sf_dir: str, rel_tol: float = 1e-9):
     assert list(left.columns) == list(right.columns), (
         f"column mismatch: {list(left.columns)} vs {list(right.columns)}"
     )
+    for c in left.columns:
+        lk, rk = left[c].dtype.kind, right[c].dtype.kind
+        # catch DecimalType leakage (arrives as object) and int/float
+        # divergence — the driver compares schemas, we must too
+        assert lk == rk or {lk, rk} <= {"i", "u"}, (
+            f"dtype mismatch on {c}: {left[c].dtype} vs {right[c].dtype}"
+        )
     assert len(left) == len(right), f"row count {len(left)} vs {len(right)}"
     for c in left.columns:
         lv, rv = left[c].to_numpy(), right[c].to_numpy()
