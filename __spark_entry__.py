@@ -414,6 +414,23 @@ def _q_dorling_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return non_contiguous_cartogram(base, "size_mb", ratio=0.8, n_iter=2)
 
 
+def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        decode_image_meta,
+        resize_meta,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select("doc_id")
+    out = resize_meta(decode_image_meta(attach_fake_media(docs)))
+    return out.select(
+        "doc_id", "meta_kind", "meta_n_bytes", "meta_width", "meta_height",
+        "meta_sample_rate", "meta_n_frames", "target_width", "target_height",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -458,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dorling_radius": _q_dorling_radius,
         "cartogram": _q_cartogram,
         "dorling_cartogram": _q_dorling_cartogram,
+        "media_pipeline": _q_media_pipeline,
     }
 
 
@@ -502,4 +520,5 @@ def oracle_sql() -> dict[str, str]:
         "dorling_radius": OR.DORLING_RADIUS,
         # cartogram / dorling_cartogram: iterative geometry transforms,
         # property-tested (area-error contraction, overlap-free circles).
+        "media_pipeline": OR.MEDIA_PIPELINE,
     }

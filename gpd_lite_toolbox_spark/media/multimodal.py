@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (the training-data-pipeline extension the driver's north star
+asks for).
+
+Schema convention:
+    media: binary                      -- the raw payload (opaque)
+    media_meta: struct<kind string, n_bytes bigint, width int,
+                       height int, sample_rate int, n_frames int>
+
+The real decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the DECODE step is stubbed two ways, both behind the same
+Spark plumbing (Arrow-batched ``mapInPandas``, partition-parallel,
+schema-stable):
+
+- ``decode_image_meta``: a deterministic fake decoder that parses the
+  payload's leading bytes as (width, height) — real batch shape, real
+  schema, fake pixels; lets every downstream op (resize bookkeeping,
+  frame sampling, feature hashing) be exercised and tested.
+- ``decode_image_pixels``: raises NotImplementedError with the exact
+  integration point documented — swap the body for PIL/turbojpeg on a
+  real cluster; the partitioning/batching around it already works.
+
+``attach_fake_media`` derives payloads deterministically from an id
+column so fixtures exist at every scale factor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "kind string, n_bytes bigint, width int, height int, "
+    "sample_rate int, n_frames int"
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary payload per row: 16-byte header (width,
+    height, sample_rate, n_frames as little-endian uint32, derived from
+    the id) + md5-stream body. Kind cycles image/audio/video."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            kinds = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = 16 + (i * 7919) % 2032
+                h = 16 + (i * 104729) % 2032
+                sr = 8000 + (i % 5) * 8000
+                nf = 1 + (i * 31) % 240
+                header = struct.pack("<IIII", w, h, sr, nf)
+                body = hashlib.md5(str(i).encode()).digest() * 4
+                payloads.append(header + body)
+                kinds.append(("image", "audio", "video")[i % 3])
+            pdf = pdf.copy()
+            pdf["media"] = payloads
+            pdf["media_kind"] = kinds
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        gen, schema=f"{schema}, media binary, media_kind string"
+    )
+
+
+def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """STUB DECODER (deterministic fake): parse the 16-byte header into
+    typed metadata. Real pipelines replace the body of ``_parse`` with
+    an actual image decode; the mapInPandas batching, schema, and
+    partition behavior are production-shaped already."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload, kind in zip(pdf[media_col], pdf["media_kind"]):
+                b = bytes(payload)
+                w, h, sr, nf = struct.unpack_from("<IIII", b, 0)
+                metas.append(
+                    {
+                        "kind": kind,
+                        "n_bytes": len(b),
+                        "width": int(w),
+                        "height": int(h),
+                        "sample_rate": int(sr),
+                        "n_frames": int(nf),
+                    }
+                )
+            out = pdf.copy()
+            m = pd.DataFrame(metas)
+            for c in m.columns:
+                out[f"meta_{c}"] = m[c].to_numpy()
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        _parse,
+        schema=(
+            f"{schema}, meta_kind string, meta_n_bytes bigint, "
+            "meta_width int, meta_height int, meta_sample_rate int, "
+            "meta_n_frames int"
+        ),
+    )
+
+
+def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Integration point for a REAL image decode (PIL/turbojpeg absent
+    in this container). Raises immediately rather than at executor time
+    so misuse is visible at plan construction."""
+    raise NotImplementedError(
+        "pixel decode requires an image library not present in this "
+        "environment; plug PIL/turbojpeg into the mapInPandas body of "
+        "decode_image_meta — the batching/schema plumbing is identical"
+    )
+
+
+def resize_meta(
+    df: DataFrame, max_side: int = 512
+) -> DataFrame:
+    """Resize BOOKKEEPING (the metadata half of a resize op): compute
+    target dimensions preserving aspect ratio — native column math; the
+    pixel transform itself plugs into the decode stub."""
+    scale = F.least(
+        F.lit(float(max_side)) / F.col("meta_width"),
+        F.lit(float(max_side)) / F.col("meta_height"),
+        F.lit(1.0),
+    )
+    return df.withColumn(
+        "target_width", F.floor(F.col("meta_width") * scale).cast("int")
+    ).withColumn(
+        "target_height", F.floor(F.col("meta_height") * scale).cast("int")
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 10
+) -> DataFrame:
+    """Frame sampling as a table-generating op: one row per sampled
+    frame index (native sequence+explode over n_frames metadata) —
+    the downstream per-frame decode then runs partition-parallel over
+    an already-exploded table."""
+    return df.withColumn(
+        "frame_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta_n_frames") - 1, F.lit(0)),
+                F.lit(int(every_n)),
+            )
+        ),
+    )
+
+
+def media_feature_hash(
+    df: DataFrame, media_col: str = "media", n_features: int = 8
+) -> DataFrame:
+    """Cheap content feature: md5-derived integer features of the
+    payload (stand-in for an embedding; deterministic, schema-real)."""
+    cols = [
+        F.conv(
+            F.substring(F.md5(F.col(media_col)), 1 + 8 * (i % 4), 8), 16, 10
+        )
+        .cast("bigint")
+        .alias(f"f{i}")
+        for i in range(n_features)
+    ]
+    return df.select("*", *cols)

@@ -569,3 +569,28 @@ SELECT id,
              6) AS radius
 FROM base, sums, nrm
 """
+
+# ---------------------------------------------------------------- media
+# Mirrors media/multimodal.py's deterministic fake payloads: the Spark
+# side round-trips REAL binary (struct.pack -> mapInPandas parse); the
+# oracle computes the same metadata closed-form. A mismatch means the
+# binary plumbing (not the arithmetic) broke.
+MEDIA_PIPELINE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS meta_kind,
+       CAST(80 AS BIGINT) AS meta_n_bytes,
+       CAST(16 + (doc_id * 7919) % 2032 AS INT) AS meta_width,
+       CAST(16 + (doc_id * 104729) % 2032 AS INT) AS meta_height,
+       CAST(8000 + (doc_id % 5) * 8000 AS INT) AS meta_sample_rate,
+       CAST(1 + (doc_id * 31) % 240 AS INT) AS meta_n_frames,
+       CAST(FLOOR((16 + (doc_id * 7919) % 2032)
+            * LEAST(512.0 / (16 + (doc_id * 7919) % 2032),
+                    512.0 / (16 + (doc_id * 104729) % 2032),
+                    1.0)) AS INT) AS target_width,
+       CAST(FLOOR((16 + (doc_id * 104729) % 2032)
+            * LEAST(512.0 / (16 + (doc_id * 7919) % 2032),
+                    512.0 / (16 + (doc_id * 104729) % 2032),
+                    1.0)) AS INT) AS target_height
+FROM documents
+"""
