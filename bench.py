@@ -46,6 +46,15 @@ BENCH_QUERIES = [
     "fingerprint",
     "ann_topk",
     "ann_lsh_topk",
+    "find_borders",
+    "grid_cut",
+    "grid_cut_hull",
+    "isochrone_bands",
+    "events_window",
+    "sessionize",
+    "dorling_radius",
+    "cartogram",
+    "media_pipeline",
 ]
 
 

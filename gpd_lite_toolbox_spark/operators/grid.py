@@ -120,19 +120,14 @@ def make_grid_cut(
 
     Output: cells that intersect the layer, with ``clip_area``.
     """
-    from ..geometry.functions import st_pair_stats
+    from .joins import _pair_stats
     from .spatial_join import bbox_join
 
     g = grid.select("cell_id", "x0", "y0", "x1", "y1", "geometry")
     j = bbox_join(
         g, polys.select("id", "x0", "y0", "x1", "y1", "geometry"), cell_size
     )
-    j = j.withColumn(
-        "_ps",
-        st_pair_stats(
-            F.col("l_geometry"), F.col("r_geometry"), F.lit(0.0), F.lit(0.0)
-        ),
-    ).filter(F.col("_ps.area") > 0)
+    j = _pair_stats(j, 0.0, 0.0).filter(F.col("_ps.area") > 0)
     return j.groupBy(
         F.col("l_cell_id").alias("cell_id"),
         F.col("l_x0").alias("x0"),

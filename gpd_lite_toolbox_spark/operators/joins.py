@@ -22,6 +22,31 @@ from .spatial_join import bbox_join
 def _pair_stats(
     joined: DataFrame, tol_left: float, tol_right: float
 ) -> DataFrame:
+    """Pair intersection statistics. Fast path: when both sides carry
+    the engine's bbox companion columns (x0..y1), the stats are pure
+    Catalyst expressions — no Python boundary, whole-stage codegen,
+    exact for axis-aligned geometry. General geometry (no bbox columns)
+    falls back to the WKB-decoding kernel UDF."""
+    cols = set(joined.columns)
+    if {"l_x0", "l_y0", "l_x1", "l_y1", "r_x0", "r_y0", "r_x1", "r_y1"} <= cols:
+        tl, tr = float(tol_left), float(tol_right)
+        ix0 = F.greatest(F.col("l_x0") - tl, F.col("r_x0") - tr)
+        iy0 = F.greatest(F.col("l_y0") - tl, F.col("r_y0") - tr)
+        ix1 = F.least(F.col("l_x1") + tl, F.col("r_x1") + tr)
+        iy1 = F.least(F.col("l_y1") + tl, F.col("r_y1") + tr)
+        w = ix1 - ix0
+        h = iy1 - iy0
+        isect = (w >= 0) & (h >= 0)
+        area = F.when(isect, w * h).otherwise(F.lit(0.0))
+        length = F.when(
+            ~isect, F.lit(0.0)
+        ).when((w == 0) | (h == 0), w + h).otherwise(2.0 * (w + h))
+        return joined.withColumn(
+            "_ps",
+            F.struct(
+                isect.alias("isect"), area.alias("area"), length.alias("length")
+            ),
+        )
     return joined.withColumn(
         "_ps",
         st_pair_stats(

@@ -117,7 +117,11 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: band-bucket candidates refined by exact
     Jaccard over distinct shingle sets. Output (id_a, id_b, jaccard)
     with id_a < id_b and jaccard >= threshold."""
-    sh = shingles(corpus)
+    # the shingle table feeds four consumers (signatures, both sides of
+    # the intersection join, sizes): persist it instead of recomputing
+    # the scan+explode per consumer. At warehouse scale this would be a
+    # materialized intermediate table.
+    sh = shingles(corpus).persist()
     sig = minhash_signatures(corpus)
     bands = minhash_band_keys(sig)
     a = bands.select(F.col("id").alias("id_a"), "band", "band_key")

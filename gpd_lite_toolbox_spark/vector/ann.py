@@ -87,39 +87,40 @@ N_BANDS_V = 4  # 4 bands x 4 planes: candidate if ANY band's bits match
 _PLANE_PRIME = 10007
 
 
-def _plane_component(plane: int, dim_col):
+def _plane_component_value(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived integer -> affine map. Reproducible everywhere."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"plane{plane}_"), dim_col.cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return ((h % _PLANE_PRIME) - (_PLANE_PRIME - 1) / 2.0) / (
-        (_PLANE_PRIME - 1) / 2.0
+    md5-derived integer -> affine map. Computed DRIVER-SIDE once and
+    shipped as literals — hashing per element row at runtime would cost
+    |rows| x dims x planes md5 calls for values that never change."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{plane}_{dim}".encode()).hexdigest()[:8], 16)
+    half = (_PLANE_PRIME - 1) / 2.0
+    return ((h % _PLANE_PRIME) - half) / half
+
+
+def _plane_literal(plane: int, dims: int):
+    return F.array(
+        *[F.lit(_plane_component_value(plane, d)) for d in range(dims)]
     )
 
 
 def lsh_bands(
-    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dims: int = 64,
 ) -> DataFrame:
     """(id, band, bucket): sign pattern of each band's hyperplanes,
     packed per band. Banded like minhash-LSH — a pair is a candidate if
     ANY band's bits agree, which keeps recall high without all-pairs.
-    Native posexplode + groupBy — no UDF."""
-    elems = vectors.select(
+    Projections are aggregate/zip_with folds against literal plane
+    vectors — no explode, no shuffle, whole-stage codegen."""
+    emb = _as_double(F.col(vec_col))
+    sums = vectors.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("d", "val"),
-    )
-    sums = elems.groupBy("id").agg(
         *[
-            F.sum(F.col("val") * _plane_component(p, F.col("d"))).alias(f"p{p}")
+            _dot(emb, _plane_literal(p, dims)).alias(f"p{p}")
             for p in range(N_PLANES)
-        ]
+        ],
     )
     per_band = N_PLANES // N_BANDS_V
     bands = []
