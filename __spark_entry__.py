@@ -414,6 +414,37 @@ def _q_dorling_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return non_contiguous_cartogram(base, "size_mb", ratio=0.8, n_iter=2)
 
 
+def _q_dorling_radius2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius2
+    from gpd_lite_toolbox_spark.operators.joins import l_shared_border
+
+    s = _configure(spark)
+    polys = FX.polys(s, sf_dir)
+    shared = l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01)
+    base = polys.select(
+        "id",
+        "size_mb",
+        ((F.col("x0") + F.col("x1")) / 2.0).alias("cx"),
+        ((F.col("y0") + F.col("y1")) / 2.0).alias("cy"),
+        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias(
+            "area"
+        ),
+    )
+    return dorling_radius2(base, shared, "size_mb", ratio=0.8)
+
+
+def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.isochrone import (
+        filter_osrm_times,
+        interpolate_idw,
+    )
+
+    m = FX.fixture_df(_configure(spark), sf_dir, "osrm_matrix")
+    return interpolate_idw(filter_osrm_times(m), n=32, radius=8000.0)
+
+
 def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.media.multimodal import (
         attach_fake_media,
@@ -476,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cartogram": _q_cartogram,
         "dorling_cartogram": _q_dorling_cartogram,
         "media_pipeline": _q_media_pipeline,
+        "dorling_radius2": _q_dorling_radius2,
+        "idw_interpolation": _q_idw_interpolation,
     }
 
 
@@ -521,4 +554,6 @@ def oracle_sql() -> dict[str, str]:
         # cartogram / dorling_cartogram: iterative geometry transforms,
         # property-tested (area-error contraction, overlap-free circles).
         "media_pipeline": OR.MEDIA_PIPELINE,
+        "dorling_radius2": OR.DORLING_RADIUS2,
+        "idw_interpolation": OR.IDW_INTERPOLATION,
     }

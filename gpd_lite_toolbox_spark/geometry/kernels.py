@@ -17,8 +17,15 @@ from . import wkb as _wkb
 
 # ----------------------------------------------------------------- basics
 def ring_signed_area(ring: np.ndarray) -> float:
-    """Shoelace signed area; CCW positive. Ring may be closed or open."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Shoelace signed area; CCW positive. Ring may be closed or open.
+
+    Computed relative to the first vertex: shoelace is translation-
+    invariant, and shifting to a local origin avoids the catastrophic
+    cancellation the raw formula hits for small geometry far from the
+    global origin (found by hypothesis: ~1e14-scale cross products for
+    a 1e-3-area rect at x=1e7)."""
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
 
@@ -40,16 +47,19 @@ def _open(ring: np.ndarray) -> np.ndarray:
 
 
 def ring_centroid(ring: np.ndarray) -> tuple[float, float, float]:
-    """(cx, cy, signed_area) of one ring by the standard polygon formula."""
+    """(cx, cy, signed_area) of one ring by the standard polygon formula,
+    in local-origin coordinates (see ring_signed_area) with the shift
+    added back — conditioning, not semantics."""
     r = _open(ring)
-    x, y = r[:, 0], r[:, 1]
+    ox, oy = float(r[0, 0]), float(r[0, 1])
+    x, y = r[:, 0] - ox, r[:, 1] - oy
     xn, yn = np.roll(x, -1), np.roll(y, -1)
     cross = x * yn - xn * y
     a = 0.5 * float(cross.sum())
     if a == 0.0:
-        return float(x.mean()), float(y.mean()), 0.0
-    cx = float(((x + xn) * cross).sum() / (6.0 * a))
-    cy = float(((y + yn) * cross).sum() / (6.0 * a))
+        return float(r[:, 0].mean()), float(r[:, 1].mean()), 0.0
+    cx = float(((x + xn) * cross).sum() / (6.0 * a)) + ox
+    cy = float(((y + yn) * cross).sum() / (6.0 * a)) + oy
     return cx, cy, a
 
 

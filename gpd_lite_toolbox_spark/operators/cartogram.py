@@ -209,6 +209,92 @@ def dorling_radius(
     )
 
 
+def dorling_radius2(
+    gdf: DataFrame,
+    shared: DataFrame,
+    value_col: str,
+    ratio: float,
+    id_col: str = "id",
+) -> DataFrame:
+    """Shared-border-weighted Dorling radius (utils.py:127-147): the
+    all-pairs distance sum is weighted by fp/2 where
+    fp = |round(share_ij / share_i_total, 2) - 1| — non-touching pairs
+    get fp = 1 (the reference reads uninitialized memory there, an
+    np.empty bug; the intended zero-share semantics are implemented).
+
+    ``shared``: (left_id, right_id, shared_border_len) pair table from
+    ``l_shared_border``. Same output shape as ``dorling_radius``.
+    """
+    base = gdf.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+        "cx",
+        "cy",
+        F.col("area").cast("double").alias("area"),
+    )
+    tot = shared.groupBy("left_id").agg(
+        F.sum("shared_border_len").alias("share_tot")
+    )
+    a = base.select(
+        F.col("id").alias("ia"), F.col("v").alias("va"),
+        F.col("cx").alias("xa"), F.col("cy").alias("ya"),
+    )
+    b = base.select(
+        F.col("id").alias("ib"), F.col("v").alias("vb"),
+        F.col("cx").alias("xb"), F.col("cy").alias("yb"),
+    )
+    pi = math.pi
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .join(
+            shared.select(
+                F.col("left_id").alias("ia"),
+                F.col("right_id").alias("ib"),
+                "shared_border_len",
+            ),
+            ["ia", "ib"],
+            "left",
+        )
+        .join(F.broadcast(tot.withColumnRenamed("left_id", "ia")), "ia", "left")
+    )
+    share = F.coalesce(F.col("shared_border_len"), F.lit(0.0))
+    share_tot = F.coalesce(F.col("share_tot"), F.lit(0.0))
+    fp = F.abs(
+        F.round(
+            F.when(share_tot > 0, share / share_tot).otherwise(F.lit(0.0)), 2
+        )
+        - 1.0
+    )
+    dist = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    sums = pairs.agg(
+        F.sum(dist * (fp / 2.0)).alias("cum_dist"),
+        F.sum(F.sqrt(F.col("va") / pi) + F.sqrt(F.col("vb") / pi)).alias(
+            "cum_rad"
+        ),
+    )
+    norm = base.agg(
+        F.sqrt(F.sum(F.col("area") * F.col("area"))).alias("area_l2")
+    )
+    return (
+        base.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "id",
+            F.round(
+                F.sqrt(F.col("v") / pi)
+                * (F.col("cum_dist") / F.col("cum_rad"))
+                * F.lit(float(ratio))
+                * (F.col("area") / F.col("area_l2")),
+                4,
+            ).alias("radius"),
+        )
+    )
+
+
 def non_contiguous_cartogram(
     gdf: DataFrame,
     value_col: str,

@@ -23,6 +23,70 @@ from .grid import assign_cells, compute_bounds
 OSRM_UNREACHABLE = 2147483647
 
 
+def interpolate_idw(
+    pts: DataFrame,
+    n: int = 40,
+    radius: float = 8000.0,
+    value_col: str = "time_h",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation onto an n x n lattice —
+    the relational re-expression of the reference's contour
+    interpolation step (core.py:818-821 uses scipy griddata onto a
+    200x200 lattice; scipy is out of the engine's dependency set, and
+    IDW-over-a-radius is the join-shaped estimator that scales: lattice
+    cells x in-radius points via the cell-bucket join, one groupBy).
+
+    Output: (li, lx, ly, est) for lattice nodes with >= 1 in-radius
+    point; est = sum(v/(d^2+1)) / sum(1/(d^2+1)).
+    """
+    spark = pts.sparkSession
+    b = compute_bounds(pts, x_col, y_col)
+    step_x = (b["xmax"] - b["xmin"]) / n
+    step_y = (b["ymax"] - b["ymin"]) / n
+    lattice = (
+        spark.range(n * n)
+        .withColumnRenamed("id", "li")
+        .withColumn("lx", F.lit(b["xmin"]) + ((F.col("li") % n) + 0.5) * step_x)
+        .withColumn(
+            "ly",
+            F.lit(b["ymin"])
+            + (F.floor(F.col("li") / n) + 0.5) * step_y,
+        )
+    )
+    # cell-bucket join bounded by the radius (same pruning shape as
+    # snap_to_nearest): lattice nodes only meet points within their
+    # 3x3 neighborhood of radius-sized cells
+    lat = lattice.withColumn("cx", F.floor(F.col("lx") / radius)).withColumn(
+        "cy", F.floor(F.col("ly") / radius)
+    )
+    p = (
+        pts.select(
+            F.col(x_col).alias("px"),
+            F.col(y_col).alias("py"),
+            F.col(value_col).alias("v"),
+            F.floor(F.col(x_col) / radius).alias("pcx"),
+            F.floor(F.col(y_col) / radius).alias("pcy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("cx", F.col("pcx") + F.col("dx"))
+        .withColumn("cy", F.col("pcy") + F.col("dy"))
+        .drop("pcx", "pcy", "dx", "dy")
+    )
+    j = lat.join(p, ["cx", "cy"])
+    d2 = (F.col("lx") - F.col("px")) * (F.col("lx") - F.col("px")) + (
+        F.col("ly") - F.col("py")
+    ) * (F.col("ly") - F.col("py"))
+    j = j.filter(d2 <= radius * radius)
+    w = 1.0 / (d2 + 1.0)
+    return (
+        j.groupBy("li", "lx", "ly")
+        .agg(F.round(F.sum(w * F.col("v")) / F.sum(w), 4).alias("est"))
+    )
+
+
 def filter_osrm_times(matrix: DataFrame, time_col: str = "time_s") -> DataFrame:
     """Drop the OSRM sentinels (core.py:916) and convert to hours."""
     return matrix.filter(

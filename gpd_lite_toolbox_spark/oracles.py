@@ -594,3 +594,75 @@ SELECT doc_id,
                     1.0)) AS INT) AS target_height
 FROM documents
 """
+
+# ----------------------------------------- dorling2 / IDW interpolation
+DORLING_RADIUS2 = f"""
+WITH {oracle_ctes('polys')},
+base AS (SELECT id, CAST(size_mb AS DOUBLE) AS v,
+                (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy,
+                (x1 - x0) * (y1 - y0) AS area
+         FROM polys),
+shared AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         ROUND(CASE WHEN (LEAST(a.x1 + 0.01, b.x1) - GREATEST(a.x0 - 0.01, b.x0)) = 0
+                      OR (LEAST(a.y1 + 0.01, b.y1) - GREATEST(a.y0 - 0.01, b.y0)) = 0
+                    THEN (LEAST(a.x1 + 0.01, b.x1) - GREATEST(a.x0 - 0.01, b.x0))
+                       + (LEAST(a.y1 + 0.01, b.y1) - GREATEST(a.y0 - 0.01, b.y0))
+                    ELSE 2.0 * ((LEAST(a.x1 + 0.01, b.x1) - GREATEST(a.x0 - 0.01, b.x0))
+                              + (LEAST(a.y1 + 0.01, b.y1) - GREATEST(a.y0 - 0.01, b.y0)))
+               END, 6) AS share
+  FROM polys a, polys b
+  WHERE a.id <> b.id
+    AND a.x0 <= b.x1 AND b.x0 <= a.x1
+    AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+tot AS (SELECT left_id, SUM(share) AS share_tot FROM shared GROUP BY left_id),
+pairs AS (
+  SELECT a.id AS ia, a.v AS va, a.cx AS xa, a.cy AS ya,
+         b.v AS vb, b.cx AS xb, b.cy AS yb,
+         COALESCE(s.share, 0.0) AS share,
+         COALESCE(t.share_tot, 0.0) AS share_tot
+  FROM base a JOIN base b ON a.id <> b.id
+  LEFT JOIN shared s ON s.left_id = a.id AND s.right_id = b.id
+  LEFT JOIN tot t ON t.left_id = a.id),
+sums AS (
+  SELECT SUM(SQRT((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb))
+             * (ABS(ROUND(CASE WHEN share_tot > 0 THEN share / share_tot
+                               ELSE 0.0 END, 2) - 1.0) / 2.0)) AS cum_dist,
+         SUM(SQRT(va / PI()) + SQRT(vb / PI())) AS cum_rad
+  FROM pairs),
+nrm AS (SELECT SQRT(SUM(area * area)) AS area_l2 FROM base)
+SELECT id,
+       ROUND(SQRT(v / PI()) * (cum_dist / cum_rad) * 0.8 * (area / area_l2),
+             4) AS radius
+FROM base, sums, nrm
+"""
+
+_IDW_N = 32
+_IDW_R = 8000.0
+IDW_INTERPOLATION = f"""
+WITH {oracle_ctes('osrm_matrix')},
+pts AS (SELECT x, y, time_s / 3600.0 AS time_h
+        FROM osrm_matrix
+        WHERE time_s <> 2147483647 AND time_s <> 0),
+d AS (SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax,
+             MAX(y) AS ymax FROM pts),
+n32 AS {_N32},
+nums AS (SELECT CAST(a.n * 32 + b.n AS BIGINT) AS li
+         FROM n32 a CROSS JOIN n32 b),
+lattice AS (
+  SELECT li,
+         xmin + ((li % {_IDW_N}) + 0.5) * ((xmax - xmin) / {_IDW_N}) AS lx,
+         ymin + (FLOOR(CAST(li AS DOUBLE) / {_IDW_N}) + 0.5)
+              * ((ymax - ymin) / {_IDW_N}) AS ly
+  FROM nums CROSS JOIN d),
+j AS (SELECT li, lx, ly,
+             (lx - x) * (lx - x) + (ly - y) * (ly - y) AS d2,
+             time_h
+      FROM lattice, pts
+      WHERE (lx - x) * (lx - x) + (ly - y) * (ly - y)
+            <= {_IDW_R * _IDW_R})
+SELECT li, lx, ly,
+       ROUND(SUM((1.0 / (d2 + 1.0)) * time_h) / SUM(1.0 / (d2 + 1.0)), 4)
+           AS est
+FROM j GROUP BY li, lx, ly
+"""

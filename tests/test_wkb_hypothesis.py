@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the WKB codec and kernels —
+round-trip stability and geometric invariants over arbitrary inputs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gpd_lite_toolbox_spark.geometry import kernels as K
+from gpd_lite_toolbox_spark.geometry import wkb as W
+
+finite = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@given(finite, finite)
+def test_point_roundtrip_any_coords(x, y):
+    t, p = W.decode(W.point_wkb(x, y))
+    assert t == "Point" and p[0] == x and p[1] == y
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=50))
+def test_linestring_roundtrip(coords):
+    arr = np.array(coords, dtype=float)
+    t, back = W.decode(W.linestring_wkb(arr))
+    assert t == "LineString"
+    assert np.array_equal(back, arr)
+
+
+@given(finite, finite, st.floats(min_value=0.001, max_value=1e6),
+       st.floats(min_value=0.001, max_value=1e6))
+@settings(max_examples=50)
+def test_rect_invariants(x0, y0, w, h):
+    # expectation from the STORED corners: fl(x0+w) quantizes the input
+    # itself; the kernel must be exact w.r.t. what the bytes say
+    x1 = np.float64(x0) + np.float64(w)
+    y1 = np.float64(y0) + np.float64(h)
+    ws, hs = float(x1 - x0), float(y1 - y0)
+    b = W.rect_wkb(x0, y0, x1, y1)
+    g = W.decode(b)
+    area = K.geom_area(g)
+    assert abs(area - ws * hs) <= 1e-9 * max(1.0, abs(ws * hs))
+    cx, cy = K.geom_centroid(g)
+    assert abs(cx - (x0 + ws / 2)) <= 1e-9 * max(1.0, abs(x0) + ws)
+    x0b, y0b, x1b, y1b = K.geom_bounds(g)
+    assert (x0b, y0b) == (x0, y0)
+
+
+@given(st.lists(st.tuples(st.floats(min_value=-1e4, max_value=1e4),
+                          st.floats(min_value=-1e4, max_value=1e4)),
+                min_size=3, max_size=60))
+@settings(max_examples=50)
+def test_hull_contains_all_points(pts):
+    arr = np.array(pts, dtype=float)
+    hull = K.convex_hull(arr)
+    if len(hull) < 3:
+        return  # collinear degenerate — no interior to test
+    # every input point is inside or on the hull: signed area of each
+    # hull edge with the point is non-negative (CCW), within tolerance
+    for p in arr:
+        for i in range(len(hull)):
+            a, b = hull[i], hull[(i + 1) % len(hull)]
+            cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (
+                p[0] - a[0]
+            )
+            assert cross >= -1e-6 * max(1.0, abs(cross))
+
+
+@given(st.floats(min_value=-5e3, max_value=5e3),
+       st.floats(min_value=-5e3, max_value=5e3),
+       st.floats(min_value=1.0, max_value=1e4))
+@settings(max_examples=50)
+def test_clip_by_containing_square_is_identity(cx, cy, half):
+    # subject entirely inside the clip window -> unchanged vertex set
+    subject = np.array(
+        [[cx - 1, cy - 1], [cx + 1, cy - 1], [cx + 1, cy + 1], [cx - 1, cy + 1]]
+    )
+    clip = np.array(
+        [
+            [cx - half - 2, cy - half - 2],
+            [cx + half + 2, cy - half - 2],
+            [cx + half + 2, cy + half + 2],
+            [cx - half - 2, cy + half + 2],
+        ]
+    )
+    out = K.clip_poly_convex(subject, clip)
+    assert abs(abs(K.ring_signed_area(out)) - 4.0) < 1e-6
