@@ -445,6 +445,23 @@ def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_idw(filter_osrm_times(m), n=32, radius=8000.0)
 
 
+def _q_isochrone_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.isochrone import access_isocrone
+
+    m = FX.fixture_df(_configure(spark), sf_dir, "osrm_matrix")
+    surface, _bands = access_isocrone(m, height=8000.0)
+    return surface
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return embedding_near_dups(emb, threshold=0.45, exact=True)
+
+
 def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.media.multimodal import (
         attach_fake_media,
@@ -509,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": _q_media_pipeline,
         "dorling_radius2": _q_dorling_radius2,
         "idw_interpolation": _q_idw_interpolation,
+        "isochrone_surface": _q_isochrone_surface,
+        "embedding_dups": _q_embedding_dups,
     }
 
 
@@ -556,4 +575,6 @@ def oracle_sql() -> dict[str, str]:
         "media_pipeline": OR.MEDIA_PIPELINE,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
+        "isochrone_surface": OR.ISOCHRONE_SURFACE,
+        "embedding_dups": OR.EMBEDDING_DUPS,
     }

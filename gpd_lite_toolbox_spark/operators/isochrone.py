@@ -94,6 +94,29 @@ def filter_osrm_times(matrix: DataFrame, time_col: str = "time_s") -> DataFrame:
     ).withColumn("time_h", F.col(time_col) / 3600.0)
 
 
+def access_isocrone(
+    matrix: DataFrame,
+    height: float = 8000.0,
+    interval_h: float = 0.25,
+    time_col: str = "time_s",
+) -> tuple[DataFrame, DataFrame]:
+    """The composed reference pipeline (core.py:873-924): travel-time
+    matrix -> sentinel filter -> hours -> per-cell min-time surface +
+    banded isochrone polygons (relational contour, see module
+    docstring). Returns (cell_surface, bands): the reference's
+    (grid, isochrone gdf) pair in relational form.
+    """
+    pts = filter_osrm_times(matrix, time_col)
+    bounds = compute_bounds(pts)
+    binned = assign_cells(pts, bounds, height)
+    surface = binned.groupBy("cell_id").agg(
+        F.round(F.min("time_h"), 6).alias("t_min_h"),
+        F.count("*").alias("n_pts"),
+    )
+    bands = isochrone_bands(matrix, height, interval_h, time_col)
+    return surface, bands
+
+
 def isochrone_bands(
     matrix: DataFrame,
     height: float,

@@ -666,3 +666,33 @@ SELECT li, lx, ly,
            AS est
 FROM j GROUP BY li, lx, ly
 """
+
+# -------------------------------------- isochrone surface / embedding dup
+ISOCHRONE_SURFACE = f"""
+WITH {oracle_ctes('osrm_matrix')},
+pts AS (SELECT x, y, time_s / 3600.0 AS time_h
+        FROM osrm_matrix
+        WHERE time_s <> 2147483647 AND time_s <> 0),
+d AS (SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+             CAST(CEIL((MAX(y) - MIN(y)) / {_PGRID_H}) AS BIGINT) AS nrows,
+             CAST(CEIL((MAX(x) - MIN(x)) / {_PGRID_H}) AS BIGINT) AS ncols
+      FROM pts),
+b AS (SELECT CAST(LEAST(FLOOR((x - xmin) / {_PGRID_H}),
+                        CAST(ncols - 1 AS DOUBLE)) * nrows
+                + LEAST(FLOOR((ymax - y) / {_PGRID_H}),
+                        CAST(nrows - 1 AS DOUBLE)) AS BIGINT) AS cell_id,
+             time_h
+      FROM pts CROSS JOIN d)
+SELECT cell_id, ROUND(MIN(time_h), 6) AS t_min_h, COUNT(*) AS n_pts
+FROM b GROUP BY cell_id
+"""
+
+EMBEDDING_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+           FROM embeddings)
+SELECT q.vec_id AS id_a, v.vec_id AS id_b,
+       ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+FROM e q, e v
+WHERE q.vec_id < v.vec_id
+  AND ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45
+"""

@@ -158,6 +158,59 @@ def minhash_lsh_pairs(
     return out
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Default path prunes candidates with the banded hyperplane LSH
+    (vector/ann.py) before scoring — the 100 TB shape. ``exact=True``
+    scores all pairs (the oracle-checkable baseline; |N|^2, bounded
+    corpora only).
+    """
+    from ..vector.ann import _as_double, _dot, _norm, lsh_bands
+    from pyspark.sql import functions as FF
+
+    v = vectors.select(
+        FF.col(id_col).alias("id"), _as_double(FF.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(FF.col("v")))
+    a = v.select(
+        FF.col("id").alias("id_a"), FF.col("v").alias("va"), FF.col("n").alias("na")
+    )
+    b = v.select(
+        FF.col("id").alias("id_b"), FF.col("v").alias("vb"), FF.col("n").alias("nb")
+    )
+    if exact:
+        cand = a.crossJoin(b).filter(FF.col("id_a") < FF.col("id_b"))
+    else:
+        bands = lsh_bands(vectors, id_col, vec_col)
+        ba = bands.withColumnRenamed("id", "id_a")
+        bb = bands.withColumnRenamed("id", "id_b")
+        pairs = (
+            ba.join(bb, ["band", "bucket"])
+            .filter(FF.col("id_a") < FF.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            FF.round(
+                _dot(FF.col("va"), FF.col("vb")) / (FF.col("na") * FF.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(FF.col("cosine") >= threshold)
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -66,6 +66,33 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall {recall:.2f}"
 
 
+def test_embedding_lsh_finds_planted_scaled_copies(spark, sf_dir):
+    from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
+
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    planted = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    aug = emb.unionByName(planted)
+    # scaled copies have cosine exactly 1.0 and identical LSH buckets:
+    # the pruned path MUST retrieve every planted pair
+    pairs = embedding_near_dups(aug, threshold=0.999).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    expect = {
+        (r.vec_id, r.vec_id + 1000000)
+        for r in emb.filter(F.col("vec_id") % 20 == 0).select("vec_id").collect()
+    }
+    assert expect <= found, f"missed {len(expect - found)} planted pairs"
+
+
 def test_match_lines_matches_jittered_counterpart(spark, sf_dir):
     import __spark_entry__ as E
 
