@@ -462,6 +462,70 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.45, exact=True)
 
 
+def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    li = s.table("lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    li = s.table("lineitem")
+    o = s.table("orders")
+    c = s.table("customer")
+    n = F.broadcast(s.table("nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    c = s.table("customer")
+    o = s.table("orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("total_spend").desc(), "c_custkey"
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("segment", "c_custkey", "total_spend", "rank")
+    )
+
+
 def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.media.multimodal import (
         attach_fake_media,
@@ -528,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_interpolation": _q_idw_interpolation,
         "isochrone_surface": _q_isochrone_surface,
         "embedding_dups": _q_embedding_dups,
+        "tpch_pricing": _q_tpch_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
     }
 
 
@@ -577,4 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,
         "embedding_dups": OR.EMBEDDING_DUPS,
+        "tpch_pricing": OR.TPCH_PRICING,
+        "revenue_by_nation": OR.REVENUE_BY_NATION,
+        "top_customers": OR.TOP_CUSTOMERS_PER_SEGMENT,
     }

@@ -197,6 +197,14 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     """
     from pyspark.sql import functions as F
 
+    from .deploy import ship_package
+
+    ship_package(spark)  # UDF closures reference this package: workers
+    # launched from a non-repo cwd cannot import it otherwise
+    try:  # events.parquet is TIMESTAMP(NANOS); runtime-settable on 4.x
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     for name in TPCH_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":

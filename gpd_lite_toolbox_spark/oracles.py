@@ -696,3 +696,44 @@ FROM e q, e v
 WHERE q.vec_id < v.vec_id
   AND ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45
 """
+
+# ------------------------------------------------------- relational demos
+# The engine is a general analytics engine; three classic OLAP shapes
+# over the driver tables prove the relational substrate (pricing
+# summary, join-aggregate, top-k per group). Sums over money doubles
+# are rounded in both engines (summation-order differences).
+TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+REVENUE_BY_NATION = """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+TOP_CUSTOMERS_PER_SEGMENT = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+         ROUND(SUM(o.o_totalprice), 2) AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY segment ORDER BY total_spend DESC, c_custkey) AS INT)
+      AS rank
+  FROM spend)
+SELECT segment, c_custkey, total_spend, rank FROM ranked WHERE rank <= 5
+"""

@@ -1,0 +1,39 @@
+"""Sinks: partitioned geoparquet writes.
+
+The engine's canonical sink is parquet with the WKB + bbox convention
+preserved. ``write_geoparquet`` spatially partitions output by grid
+cell — the layout that makes downstream spatial predicates prune at
+the FILE level (cell directories) on re-read, the closest vanilla-Spark
+equivalent of a spatial index on storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    cell_size: float | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    mode: str = "overwrite",
+) -> None:
+    """Write with optional spatial partitioning: when ``cell_size`` is
+    given, rows land in ``pcell=<id>`` directories keyed by the grid
+    cell of (x_col, y_col); a reader filtering on a bbox can prune whole
+    directories (Catalyst partition pruning), before parquet row-group
+    min/max stats prune within files."""
+    if cell_size:
+        df = df.withColumn(
+            "pcell",
+            (
+                F.floor(F.col(x_col) / cell_size) * 100000
+                + F.floor(F.col(y_col) / cell_size)
+            ).cast("bigint"),
+        )
+        df.write.mode(mode).partitionBy("pcell").parquet(path)
+    else:
+        df.write.mode(mode).parquet(path)

@@ -98,6 +98,91 @@ def run_streaming_grid_agg(
     return spark.table("grid_stream_out")
 
 
+def run_stateful_session_count(
+    spark, parquet_dir: str, gap_s: int = 1800
+) -> "DataFrame":
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-user running session count with a gap-timeout state machine —
+    the arbitrary-state API the engine exposes for operators windowing
+    can't express. Driven to completion over a bounded file stream;
+    returns the final per-user (user_id, n_sessions, n_events) table.
+
+    State per user: (last_ts_us, session_count, event_count). On each
+    batch of a user's events (sorted by time): any gap > gap_s starts a
+    new session. Update mode + processAllAvailable => the memory sink
+    holds one final row per user per batch; the last row per user is
+    the answer.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix="sess_stream_")
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    ev = stream.select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+
+    gap_us = gap_s * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_us, sessions, events = state.get
+        else:
+            last_us, sessions, events = -1, 0, 0
+        for pdf in pdfs:
+            for us in sorted(pdf["us"].tolist()):
+                if last_us < 0 or us - last_us > gap_us:
+                    sessions += 1
+                last_us = us
+                events += 1
+        state.update((last_us, sessions, events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [sessions],
+                "n_events": [events],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="last_us bigint, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per user per batch; keep the last
+    res = spark.table("sess_state_out")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 SESSION_GAP_S = 1800
 
 
