@@ -128,6 +128,27 @@ def l_shared_border(
     )
 
 
+def adjacency_lists(
+    pairs: DataFrame, left: DataFrame | None = None, id_col: str = "id"
+) -> DataFrame:
+    """Collect a (left_id, right_id) pair table into the reference's
+    Series-of-lists shape (core.py:247-254): (left_id, right_ids sorted
+    array). Pass ``left`` to get one row per LEFT feature including
+    empty arrays for match-less features (the reference's exact shape);
+    without it only matched features appear. The pair table remains the
+    scale-native form; this is the presentation adapter."""
+    lists = pairs.groupBy("left_id").agg(
+        F.sort_array(F.collect_list("right_id")).alias("right_ids")
+    )
+    if left is None:
+        return lists
+    base = left.select(F.col(id_col).alias("left_id"))
+    return base.join(lists, "left_id", "left").withColumn(
+        "right_ids",
+        F.coalesce(F.col("right_ids"), F.array().cast("array<bigint>")),
+    )
+
+
 def find_borders(
     polys: DataFrame, cell_size: float, tol: float = 1.0, col_name: str = "code"
 ) -> DataFrame:
