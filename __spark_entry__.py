@@ -87,7 +87,9 @@ def _q_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.joins import get_borders
 
     polys = FX.polys(_configure(spark), sf_dir)
-    return get_borders(polys, cell_size=_POLY_CELL, tol=1.0, col_name="code")
+    return get_borders(
+        polys, cell_size=_POLY_CELL, tol=1.0, col_name="code"
+    ).drop("left_code", "right_code")
 
 
 def _q_shared_border(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,8 +188,17 @@ def oracle_ctes(*names: str) -> str:
     return ", ".join(f"{n} AS ({_FIXTURE_SQL[n]})" for n in names)
 
 
+# last-registered sf_dir per SparkSession (temp views live in the
+# SESSION catalog — a newSession() shares the context but has an empty
+# catalog): only a repeat of the SAME dir on the SAME session may skip;
+# switching dirs (even back to an earlier one) must re-register.
+_last_registered: dict[int, str] = {}
+
+
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver parquet tables as temp views (idempotent).
+    """Register the driver parquet tables as temp views (idempotent,
+    memoized per session+dir — the driver calls every query function in
+    one session and re-reading 10 parquet schemas per query is waste).
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as
     int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``); normalize to
@@ -201,6 +210,9 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
 
     ship_package(spark)  # UDF closures reference this package: workers
     # launched from a non-repo cwd cannot import it otherwise
+    key = id(spark)
+    if _last_registered.get(key) == sf_dir:
+        return
     try:  # events.parquet is TIMESTAMP(NANOS); runtime-settable on 4.x
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -212,6 +224,8 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
             # precision and would round microseconds off by ±1
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
+    # mark AFTER all views registered so a mid-loop failure retries
+    _last_registered[key] = sf_dir
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

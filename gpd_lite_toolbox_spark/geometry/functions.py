@@ -133,13 +133,10 @@ def st_buffer_mitre(geom: pd.Series, tol: pd.Series) -> pd.Series:
     """
     out = []
     for g, t in zip(geom, tol):
-        gt, payload = W.decode(g)
-        if gt in ("Polygon", "MultiPolygon"):
-            rings = payload if gt == "Polygon" else payload[0]
-            out.append(W.polygon_wkb(K.rect_buffer(rings, float(t))))
-        else:
-            x0, y0, x1, y1 = K.geom_bounds((gt, payload))
-            out.append(W.rect_wkb(x0 - t, y0 - t, x1 + t, y1 + t))
+        # bbox over ALL parts (a first-ring shortcut would drop every
+        # other part of a MultiPolygon), expanded by the tolerance
+        x0, y0, x1, y1 = K.geom_bounds(W.decode(g))
+        out.append(W.rect_wkb(x0 - t, y0 - t, x1 + t, y1 + t))
     return pd.Series(out)
 
 

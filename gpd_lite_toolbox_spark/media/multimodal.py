@@ -167,9 +167,17 @@ def media_feature_hash(
 ) -> DataFrame:
     """Cheap content feature: md5-derived integer features of the
     payload (stand-in for an embedding; deterministic, schema-real)."""
+    # salt the digest per feature index: one md5 only has 4 disjoint
+    # 8-hex windows, so features beyond 4 would duplicate earlier ones
     cols = [
         F.conv(
-            F.substring(F.md5(F.col(media_col)), 1 + 8 * (i % 4), 8), 16, 10
+            F.substring(
+                F.md5(F.concat(F.col(media_col), F.lit(f"_f{i}".encode()))),
+                1,
+                8,
+            ),
+            16,
+            10,
         )
         .cast("bigint")
         .alias(f"f{i}")

@@ -58,6 +58,10 @@ def _dougenik_params(st: pd.DataFrame) -> tuple[np.ndarray, float]:
     fraction = area_total / value_total
     desired = st.value.to_numpy() * fraction
     area = np.maximum(st.area.to_numpy(), 0.0)
+    if (area <= 0).any():
+        # a zero-area feature would make size_err infinite, driving the
+        # force-reduction factor to 0 and silently freezing every vertex
+        raise ValueError("cartogram features must have positive area")
     radius = np.sqrt(area / math.pi)
     mass = np.where(desired > 0, np.sqrt(desired / math.pi) - radius, 0.0)
     size_err = np.maximum(area, desired) / np.minimum(area, desired)
@@ -132,8 +136,14 @@ def transform_cartogram(
     if dtype not in ("bigint", "double", "int", "float"):
         raise ValueError("value field must be numeric")
     cur = gdf
+    prev = None
     for _ in range(iterations):
+        # the stats pass materializes cur's cache; once it has, the
+        # PREVIOUS iteration's cache is dead — unpersist it so storage
+        # holds at most two copies of the layer, not `iterations` copies
         st = _feature_stats(cur, field_name, id_col)
+        if prev is not None:
+            prev.unpersist()
         if (st.value <= 0).any():
             raise ValueError("cartogram value field must be > 0")
         params, reduction = _dougenik_params(st)
@@ -144,11 +154,8 @@ def transform_cartogram(
                 pdf[_g] = _transform_wkb_batch(pdf[_g], _p, _r)
                 yield pdf
 
-        cur = cur.mapInPandas(mapper, schema=cur.schema)
-        # each iteration's stats pass re-executes the lineage; cache the
-        # (small) intermediate so iteration i+1 starts from materialized
-        # geometry instead of recomputing i passes of displacement
-        cur = cur.cache()
+        prev = cur
+        cur = cur.mapInPandas(mapper, schema=cur.schema).cache()
     return cur
 
 

@@ -97,11 +97,23 @@ def assign_cells(
     no shuffle, replaces the reference's per-cell R-tree probe."""
     rows, cols = grid_dims(bounds, height)
     h = float(height)
-    c = F.least(
-        F.floor((F.col(x_col) - F.lit(bounds["xmin"])) / h), F.lit(cols - 1)
+    # clamp BOTH edges: with caller-supplied bounds tighter than the
+    # data, unclamped negative indices would silently drop points on
+    # the left/bottom while the right/top clamp kept them — symmetric
+    # edge-cell assignment instead
+    c = F.greatest(
+        F.least(
+            F.floor((F.col(x_col) - F.lit(bounds["xmin"])) / h),
+            F.lit(cols - 1),
+        ),
+        F.lit(0),
     )
-    r = F.least(
-        F.floor((F.lit(bounds["ymax"]) - F.col(y_col)) / h), F.lit(rows - 1)
+    r = F.greatest(
+        F.least(
+            F.floor((F.lit(bounds["ymax"]) - F.col(y_col)) / h),
+            F.lit(rows - 1),
+        ),
+        F.lit(0),
     )
     return df.withColumn("cell_id", (c * rows + r).cast("bigint"))
 

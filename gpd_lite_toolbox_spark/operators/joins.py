@@ -101,6 +101,11 @@ def get_borders(
         F.concat_ws("-", F.col(f"l_{col_name}"), F.col(f"r_{col_name}")).alias(
             col_name
         ),
+        # raw side codes carried through: derived keys (front_r in
+        # find_borders) must NOT re-split the concatenation — codes may
+        # themselves contain the separator
+        F.col(f"l_{col_name}").alias("left_code"),
+        F.col(f"r_{col_name}").alias("right_code"),
         F.col("l_id").alias("left_id"),
         F.col("r_id").alias("right_id"),
         F.round(F.col("_ps.length"), 6).alias("length"),
@@ -171,11 +176,9 @@ def find_borders(
         .filter(F.col("_rn") == 1)
         .select(
             F.col(col_name).alias("front"),
-            F.concat_ws(
-                "-",
-                F.split(F.col(col_name), "-").getItem(1),
-                F.split(F.col(col_name), "-").getItem(0),
-            ).alias("front_r"),
+            F.concat_ws("-", F.col("right_code"), F.col("left_code")).alias(
+                "front_r"
+            ),
             "left_id",
             "right_id",
             "length",

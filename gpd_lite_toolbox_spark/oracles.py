@@ -12,13 +12,10 @@ order-independent).
 
 from __future__ import annotations
 
+from .fixtures import N32 as _N32  # 32-row literal index table
 from .fixtures import oracle_ctes
 
 GRID_H = 8000.0
-
-# 32x32 literal index table: the dialect-free substitute for range().
-_N32 = "(SELECT " + " UNION ALL SELECT ".join(str(i) for i in range(32)) + ")"
-_N32 = _N32.replace("SELECT 0", "SELECT 0 AS n", 1)
 
 # Grid CTEs shared by make_grid / gridify oracles. Mirrors
 # operators/grid.py: column-major cell ids from top-left, x0 = xmin +

@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-FRAME = 100_000.0
-
 
 def event_cells(events: DataFrame, height: float) -> DataFrame:
     """Derive a deterministic spatial cell for each event (events carry
@@ -141,12 +139,19 @@ def run_stateful_session_count(
             last_us, sessions, events = state.get
         else:
             last_us, sessions, events = -1, 0, 0
+        # gather ALL Arrow chunks before sorting: chunks arrive in
+        # shuffle order, and per-chunk sorting would let a late chunk
+        # regress last_us and merge sessions. Cross-MICRO-BATCH order
+        # still follows arrival order (the streaming contract); the
+        # equivalence test feeds time-ordered batches.
+        all_us: list[int] = []
         for pdf in pdfs:
-            for us in sorted(pdf["us"].tolist()):
-                if last_us < 0 or us - last_us > gap_us:
-                    sessions += 1
-                last_us = us
-                events += 1
+            all_us.extend(pdf["us"].tolist())
+        for us in sorted(all_us):
+            if last_us < 0 or us - last_us > gap_us:
+                sessions += 1
+            last_us = us
+            events += 1
         state.update((last_us, sessions, events))
         yield pd.DataFrame(
             {

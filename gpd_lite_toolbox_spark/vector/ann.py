@@ -107,13 +107,24 @@ def _plane_literal(plane: int, dims: int):
 
 def lsh_bands(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    dims: int = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """(id, band, bucket): sign pattern of each band's hyperplanes,
     packed per band. Banded like minhash-LSH — a pair is a candidate if
     ANY band's bits agree, which keeps recall high without all-pairs.
     Projections are aggregate/zip_with folds against literal plane
-    vectors — no explode, no shuffle, whole-stage codegen."""
+    vectors — no explode, no shuffle, whole-stage codegen.
+
+    ``dims`` is probed from one row when not given: a plane literal
+    shorter than the vectors would null out every projection and
+    silently collapse all buckets (degenerating LSH to all-pairs).
+    """
+    if dims is None:
+        first = vectors.select(vec_col).first()
+        if first is None:
+            dims = 1  # empty input: any plane length yields no rows
+        else:
+            dims = len(first[0])
     emb = _as_double(F.col(vec_col))
     sums = vectors.select(
         F.col(id_col).alias("id"),

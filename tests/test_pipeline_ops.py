@@ -93,6 +93,23 @@ def test_embedding_lsh_finds_planted_scaled_copies(spark, sf_dir):
     assert expect <= found, f"missed {len(expect - found)} planted pairs"
 
 
+def test_find_borders_codes_containing_separator(spark, sf_dir):
+    # regression: front_r must come from the raw side codes, not a
+    # re-split of the concatenated key — codes like 'FR-75' would mangle
+    from gpd_lite_toolbox_spark.operators.joins import find_borders
+
+    polys = FX.polys(spark, sf_dir).withColumn(
+        "code", F.concat(F.lit("FR-"), F.col("code"))
+    )
+    fb = find_borders(polys, cell_size=3125.0).limit(10).collect()
+    assert fb
+    for r in fb:
+        # codes are 'FR-U{id}': rebuild expected keys from the ids
+        lc, rc = f"FR-U{r.left_id}", f"FR-U{r.right_id}"
+        assert r.front == f"{lc}-{rc}"
+        assert r.front_r == f"{rc}-{lc}"
+
+
 def test_match_lines_matches_jittered_counterpart(spark, sf_dir):
     import __spark_entry__ as E
 
