@@ -2,10 +2,80 @@
 query/data-processing capabilities of mthh/gpd_lite_toolbox, rebuilt
 Spark-first (DataFrame/Catalyst; geometry as WKB + Arrow pandas UDFs).
 
-See SURVEY.md for the operator inventory and the reference mapping.
+The top-level namespace mirrors the reference's public API
+(``gpd_lite_toolbox/__init__.py:7-12`` re-exports 16 functions) so a
+reference user finds the same names here, each returning DataFrames
+instead of GeoDataFrames. See SURVEY.md §8 for the full coverage map.
 """
 
-from .session import get_spark
+from .operators.cartogram import (  # noqa: F401
+    dorling_radius,
+    dorling_radius2,
+    non_contiguous_cartogram,
+    transform_cartogram,
+)
+from .operators.dissolve import dissolve  # noqa: F401
+from .operators.explode import (  # noqa: F401
+    dumb_multi_to_single,
+    multi_to_single,
+)
+from .operators.grid import (  # noqa: F401
+    gridify_data,
+    make_grid,
+    make_grid_cut,
+    make_grid_cut_hull,
+)
+from .operators.isochrone import access_isocrone, isochrone_bands  # noqa: F401
+from .operators.joins import (  # noqa: F401
+    adjacency_lists,
+    find_borders,
+    ftouches_byid,
+    get_borders,
+    intersection_part_table,
+    intersects_byid,
+    l_shared_border,
+)
+from .operators.lines import match_line_cluster, match_lines  # noqa: F401
+from .operators.points import (  # noqa: F401
+    mean_coordinates,
+    random_pts_on_surface,
+    snap_to_nearest,
+)
+from .operators.spatial_join import bbox_join  # noqa: F401
+from .session import get_spark  # noqa: F401
+from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    # reference API parity (SURVEY.md §2.1)
+    "match_lines",
+    "match_line_cluster",
+    "get_borders",
+    "find_borders",
+    "transform_cartogram",
+    "dissolve",
+    "intersects_byid",
+    "multi_to_single",
+    "dumb_multi_to_single",
+    "snap_to_nearest",
+    "read_geoparquet",
+    "read_geo_jdbc",
+    "mean_coordinates",
+    "non_contiguous_cartogram",
+    "make_grid",
+    "make_grid_cut",
+    "make_grid_cut_hull",
+    "gridify_data",
+    "random_pts_on_surface",
+    "access_isocrone",
+    "isochrone_bands",
+    # spatial-join substrate
+    "bbox_join",
+    "adjacency_lists",
+    "ftouches_byid",
+    "intersection_part_table",
+    "l_shared_border",
+    "dorling_radius",
+    "dorling_radius2",
+]
 __version__ = "0.1.0"

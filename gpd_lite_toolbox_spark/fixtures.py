@@ -262,17 +262,23 @@ def mpoly_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assembled multi-part features: one row per nation id with a real
     MultiPolygon WKB geometry built from its rectangle parts (exercises
-    the decode->explode path end-to-end)."""
+    the decode->explode path end-to-end).
+
+    nation is a FIXED 25-row dimension at every scale factor, so the
+    assembly is a driver-side build (a grouped-map job for 25 rows was
+    pure overhead)."""
     import numpy as np
     import pandas as pd
 
     from .geometry import wkb as W
 
-    parts = mpoly_parts(spark, sf_dir)
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("part_idx")
-        first = pdf.iloc[0]
+    parts = (
+        mpoly_parts(spark, sf_dir)
+        .orderBy("id", "part_idx")
+        .toPandas()
+    )
+    rows = []
+    for fid, grp in parts.groupby("id", sort=True):
         rings = [
             [
                 np.array(
@@ -286,19 +292,16 @@ def mpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype="<f8",
                 )
             ]
-            for r in pdf.itertuples()
+            for r in grp.itertuples()
         ]
-        return pd.DataFrame(
-            {
-                "id": [first.id],
-                "code": [first.code],
-                "n_parts": [first.n_parts],
-                "geometry": [W.multipolygon_wkb(rings)],
-            }
+        first = grp.iloc[0]
+        rows.append(
+            (int(fid), str(first.code), int(first.n_parts),
+             W.multipolygon_wkb(rings))
         )
-
-    return parts.groupBy("id").applyInPandas(
-        assemble, schema="id bigint, code string, n_parts int, geometry binary"
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "code", "n_parts", "geometry"]),
+        schema="id bigint, code string, n_parts int, geometry binary",
     )
 
 

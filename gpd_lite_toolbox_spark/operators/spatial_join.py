@@ -56,6 +56,7 @@ def bbox_join(
     tol_left: float = 0.0,
     tol_right: float = 0.0,
     broadcast_right: bool = False,
+    salt: int = 0,
 ) -> DataFrame:
     """Candidate pairs whose tolerance-expanded bboxes intersect.
 
@@ -64,12 +65,29 @@ def bbox_join(
     prefixed ``r_``, exactly one row per intersecting bbox pair
     (closed-interval overlap, matching shapely's inclusive
     ``intersects``).
+
+    ``salt > 1`` splits every cell's left rows across ``salt`` sub-keys
+    and replicates right rows to all of them — the manual remedy for a
+    pathologically hot cell (urban cores in spatial data) when AQE's
+    skew-join splitting isn't enough. Results are identical; only the
+    shuffle layout changes.
     """
     l = _with_cells(left, cell_size, tol_left, "l")
     r = _with_cells(right, cell_size, tol_right, "r")
+    join_keys = ["cx", "cy"]
+    if salt > 1:
+        l = l.withColumn(
+            "_salt",
+            (F.abs(F.hash(*[F.col(c) for c in l.columns if c.startswith("l_")]))
+             % salt),
+        )
+        r = r.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        join_keys = ["cx", "cy", "_salt"]
     if broadcast_right:
         r = F.broadcast(r)
-    j = l.join(r, ["cx", "cy"])
+    j = l.join(r, join_keys)
     # exact bbox-overlap refine (tolerance-expanded, closed intervals)
     j = j.filter(
         (F.col("l_x0") - tol_left <= F.col("r_x1") + tol_right)
@@ -85,4 +103,4 @@ def bbox_join(
         (F.floor(ref_x / cell_size) == F.col("cx"))
         & (F.floor(ref_y / cell_size) == F.col("cy"))
     )
-    return j.drop("cx", "cy")
+    return j.drop("cx", "cy", "_salt")
