@@ -302,7 +302,8 @@ def mpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["id", "code", "n_parts", "geometry"]),
         schema="id bigint, code string, n_parts int, geometry binary",
-    )
+    ).coalesce(1)  # 25-49 rows across 32 partitions costs 32 Python
+    # workers per downstream UDF stage — one partition is the right size
 
 
 def road_verts(spark: SparkSession, sf_dir: str) -> DataFrame:
