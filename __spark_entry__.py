@@ -365,13 +365,11 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(s.table("events"))
 
 
-def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dorling_base(polys: DataFrame) -> DataFrame:
+    """Centroid/area projection shared by the three dorling queries."""
     from pyspark.sql import functions as F
 
-    from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius
-
-    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
-    base = polys.select(
+    return polys.select(
         "id",
         "size_mb",
         ((F.col("x0") + F.col("x1")) / 2.0).alias("cx"),
@@ -380,7 +378,13 @@ def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             "area"
         ),
     )
-    return dorling_radius(base, "size_mb", ratio=0.8)
+
+
+def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius
+
+    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
+    return dorling_radius(_dorling_base(polys), "size_mb", ratio=0.8)
 
 
 def _q_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,44 +401,26 @@ def _q_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dorling_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from gpd_lite_toolbox_spark.operators.cartogram import (
         non_contiguous_cartogram,
     )
 
     polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
-    base = polys.select(
-        "id",
-        "size_mb",
-        ((F.col("x0") + F.col("x1")) / 2.0).alias("cx"),
-        ((F.col("y0") + F.col("y1")) / 2.0).alias("cy"),
-        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias(
-            "area"
-        ),
+    return non_contiguous_cartogram(
+        _dorling_base(polys), "size_mb", ratio=0.8, n_iter=2
     )
-    return non_contiguous_cartogram(base, "size_mb", ratio=0.8, n_iter=2)
 
 
 def _q_dorling_radius2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius2
     from gpd_lite_toolbox_spark.operators.joins import l_shared_border
 
     s = _configure(spark)
     polys = FX.polys(s, sf_dir)
     shared = l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01)
-    base = polys.select(
-        "id",
-        "size_mb",
-        ((F.col("x0") + F.col("x1")) / 2.0).alias("cx"),
-        ((F.col("y0") + F.col("y1")) / 2.0).alias("cy"),
-        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias(
-            "area"
-        ),
+    return dorling_radius2(
+        _dorling_base(polys), shared, "size_mb", ratio=0.8
     )
-    return dorling_radius2(base, shared, "size_mb", ratio=0.8)
 
 
 def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,6 +80,9 @@ def make_grid(
         .withColumn("y1", F.lit(bounds["ymax"]) - F.col("row") * h)
         .withColumn("x1", F.col("x0") + h)
         .withColumn("y0", F.col("y1") - h)
+        # column order matches the oracle projection: a positional
+        # value-hash must agree, not only a name-sorted one
+        .select("cell_id", "row", "col", "x0", "y0", "x1", "y1")
     )
     if with_geometry:
         grid = grid.withColumn("geometry", st_rect("x0", "y0", "x1", "y1"))

@@ -189,13 +189,13 @@ FROM polys GROUP BY country
 
 RANDOM_PTS = f"""
 WITH {oracle_ctes('polys')},
-j4 AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2)
+coef3 AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2)
 SELECT id, CAST(j AS BIGINT) AS k,
        ROUND(x0 + (CAST((id * 2654435761 + j * 97561) % 1000003 AS DOUBLE)
                    / 1000003.0) * (x1 - x0), 6) AS px,
        ROUND(y0 + (CAST((id * 2246822519 + j * 40503) % 1000003 AS DOUBLE)
                    / 1000003.0) * (y1 - y0), 6) AS py
-FROM polys CROSS JOIN j4
+FROM polys CROSS JOIN coef3
 """
 
 # ------------------------------------------------------------------ snap
@@ -324,8 +324,8 @@ SELECT i.id_a, i.id_b,
 FROM inter i
 JOIN sizes na ON na.id = i.id_a
 JOIN sizes nb ON nb.id = i.id_b
-WHERE CAST(i.n_inter AS DOUBLE)
-      / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+            / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= 0.5
 """
 
 _SIM_SUMS = ", ".join(
@@ -371,8 +371,8 @@ st AS (SELECT id, LENGTH(text) AS n_chars, {_NTOK} AS n_tokens,
        FROM corpus)
 SELECT id,
        ROUND(((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
-            + (CASE WHEN n_stop / CAST(n_tokens AS DOUBLE) >= 0.01 THEN 1.0 ELSE 0.0 END)
-            + (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0,
+            + (CASE WHEN ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN ROUND(atl, 6) >= 2.0 AND ROUND(atl, 6) <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0,
            6) AS quality
 FROM st
 """
@@ -456,7 +456,7 @@ SELECT front, front_r, left_id, right_id,
 FROM ok WHERE rn = 1
 """
 
-_PGRID_H = 8000.0
+_PGRID_H = GRID_H
 GRID_CUT = f"""
 WITH {oracle_ctes('polys')},
 d AS (SELECT MIN(x0) AS xmin, MIN(y0) AS ymin, MAX(x1) AS xmax,
@@ -511,7 +511,7 @@ SELECT band,
        ROUND(MIN(t_min), 6) AS t_min_h,
        COUNT(*) AS n_cells,
        CAST(SUM(n_pts) AS BIGINT) AS n_pts,
-       ROUND(COUNT(*) * {_PGRID_H * _PGRID_H}, 6) AS area
+       ROUND(CAST(COUNT(*) * {_PGRID_H * _PGRID_H} AS DOUBLE), 6) AS area
 FROM per_cell GROUP BY band
 """
 
