@@ -149,40 +149,54 @@ PAIR_STATS_SCHEMA = T.StructType(
 )
 
 
+def _shells(geom) -> list:
+    t, payload = geom
+    if t == "Polygon":
+        return [payload[0]]
+    if t == "MultiPolygon":
+        return [rings[0] for rings in payload]
+    raise ValueError(f"pair stats expects polygons, got {t}")
+
+
 @F.pandas_udf(PAIR_STATS_SCHEMA)
 def st_pair_stats(
     ga: pd.Series, gb: pd.Series, tol_a: pd.Series, tol_b: pd.Series
 ) -> pd.DataFrame:
-    """Per-pair intersection statistics after buffering each side by its
-    tolerance: (intersects?, intersection area, intersection boundary
-    length). One decode pass serves get_borders (boundary length,
-    reference core.py:158-171), l_shared_border (utils.py:149-157,
-    asymmetric buffer), intersection_part (utils.py:188-205) and the
-    intersects/ftouches adjacency ops (core.py:233-254, utils.py:159-185).
+    """Per-pair intersection statistics after mitre-buffering each side
+    by its tolerance: (intersects?, intersection area, intersection
+    boundary length). One decode pass serves get_borders (boundary
+    length, reference core.py:158-171), l_shared_border
+    (utils.py:149-157, asymmetric buffer), intersection_part
+    (utils.py:188-205) and the intersects/ftouches adjacency ops
+    (core.py:233-254, utils.py:159-185).
 
-    Exact for the engine's rectangle layers (mitre buffer + bbox
-    intersection); general polygons get bbox semantics (the refine step
-    for arbitrary shapes is a later-phase kernel).
+    EXACT for convex polygon parts (Sutherland-Hodgman clip of
+    mitre-offset shells; bbox prefilter short-circuits disjoint pairs);
+    holes and concave shells are approximated by their shells. The
+    native bbox-column fast path in operators/joins.py is byte-equal to
+    this kernel for axis-aligned rectangles (differential-tested).
     """
     n = len(ga)
     isect = np.zeros(n, dtype=bool)
     area = np.zeros(n)
     length = np.zeros(n)
     for i in range(n):
-        a = K.geom_bounds(W.decode(ga[i]))
-        b = K.geom_bounds(W.decode(gb[i]))
+        da = W.decode(ga[i])
+        db = W.decode(gb[i])
         ta, tb = float(tol_a.iloc[i]), float(tol_b.iloc[i])
-        a = (a[0] - ta, a[1] - ta, a[2] + ta, a[3] + ta)
-        b = (b[0] - tb, b[1] - tb, b[2] + tb, b[3] + tb)
-        r = K.rect_intersection(a, b)
-        if r is None:
+        ba = K.geom_bounds(da)
+        bb = K.geom_bounds(db)
+        if K.rect_intersection(
+            (ba[0] - ta, ba[1] - ta, ba[2] + ta, ba[3] + ta),
+            (bb[0] - tb, bb[1] - tb, bb[2] + tb, bb[3] + tb),
+        ) is None:
             continue
-        isect[i] = True
-        w, h = r[2] - r[0], r[3] - r[1]
-        area[i] = w * h
-        # shapely-consistent: degenerate overlap (shared edge/corner) is
-        # a LineString/Point — length w+h, not a ring perimeter
-        length[i] = (w + h) if (w == 0.0 or h == 0.0) else 2.0 * (w + h)
+        it, ar, ln = K.convex_pair_stats(
+            _shells(da), _shells(db), ta, tb
+        )
+        isect[i] = it
+        area[i] = ar
+        length[i] = ln
     return pd.DataFrame({"isect": isect, "area": area, "length": length})
 
 

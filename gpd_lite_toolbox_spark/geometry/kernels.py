@@ -10,6 +10,8 @@ are written to stay in numpy for whole-batch work.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from . import wkb as _wkb
@@ -265,6 +267,79 @@ def clip_poly_convex(subject: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
                 output.append(cur)
             prev, prev_in = cur, cur_in
     return np.array(output) if output else np.empty((0, 2))
+
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    """Open ring, counter-clockwise orientation."""
+    r = _open(np.asarray(ring, float))
+    if ring_signed_area(r) < 0:
+        return r[::-1]
+    return r
+
+
+def convex_offset(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Mitre-join outward offset of a CONVEX CCW ring by ``tol``: each
+    edge shifts along its outward normal; new vertices are intersections
+    of consecutive shifted edges. Exact for convex polygons (reduces to
+    bbox expansion for axis-aligned rectangles); concave inputs are the
+    caller's responsibility."""
+    r = ensure_ccw(ring)
+    if tol == 0.0 or len(r) < 3:
+        return r
+    n = len(r)
+    # shifted edge i: through a_i + d*normal_i toward b_i + d*normal_i
+    pts = []
+    for i in range(n):
+        a_prev, b_prev = r[i - 1], r[i]
+        a_cur, b_cur = r[i], r[(i + 1) % n]
+        for_edges = []
+        for a, b in ((a_prev, b_prev), (a_cur, b_cur)):
+            e = b - a
+            ln = math.hypot(e[0], e[1])
+            nx, ny = e[1] / ln, -e[0] / ln  # outward normal for CCW
+            for_edges.append((a + tol * np.array([nx, ny]), e))
+        (p1, d1), (p2, d2) = for_edges
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(denom) < 1e-12:  # collinear edges: shifted point suffices
+            pts.append(p2)
+            continue
+        t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / denom
+        pts.append(p1 + t * d1)
+    return np.array(pts)
+
+
+def convex_pair_stats(
+    shells_a: list[np.ndarray],
+    shells_b: list[np.ndarray],
+    tol_a: float,
+    tol_b: float,
+) -> tuple[bool, float, float]:
+    """(intersects, area, boundary length) of the intersection of two
+    (multi)polygons after mitre-buffering each side — EXACT for convex
+    parts (Sutherland-Hodgman clip per part pair; valid multipolygons
+    have disjoint parts so pairwise results are additive). Degenerate
+    edge/point contact reports shapely-consistent length (w+h style)."""
+    isect = False
+    area = 0.0
+    length = 0.0
+    offs_a = [convex_offset(s, tol_a) for s in shells_a]
+    offs_b = [convex_offset(s, tol_b) for s in shells_b]
+    for sa in offs_a:
+        for sb in offs_b:
+            clipped = clip_poly_convex(sa, sb)
+            if len(clipped) == 0:
+                continue
+            isect = True
+            if len(clipped) >= 3:
+                a = abs(ring_signed_area(clipped))
+                area += a
+                closed = np.vstack([clipped, clipped[:1]])
+                peri = line_length(closed)
+                # degenerate sliver: treat as line contact
+                length += peri if a > 0 else peri / 2.0
+            elif len(clipped) == 2:
+                length += line_length(clipped)
+    return isect, area, length
 
 
 # ------------------------------------------------------------- rectangles
