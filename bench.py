@@ -53,8 +53,15 @@ BENCH_QUERIES = [
     "events_window",
     "sessionize",
     "dorling_radius",
+    "dorling_radius2",
     "cartogram",
     "media_pipeline",
+    "idw_interpolation",
+    "isochrone_surface",
+    "embedding_dups",
+    "tpch_pricing",
+    "revenue_by_nation",
+    "top_customers",
 ]
 
 
