@@ -120,21 +120,36 @@ def access_isocrone(
 def isochrone_bands(
     matrix: DataFrame,
     height: float,
-    interval_h: float = 0.25,
+    interval_h: float | None = 0.25,
     time_col: str = "time_s",
 ) -> DataFrame:
     """Banded isochrone surface: per (band, cell) the point count and
     min/mean time; per band one row with cell count and covered area.
 
     Output: (band, t_min_h, n_cells, n_pts, area) where band =
-    floor(time_h / interval_h).
+    floor(time_h / interval_h). ``interval_h=None`` reproduces the
+    reference's auto-levels rule (core.py:823-824): 15 classes spanning
+    the value range, interval = (max - min) / 15.
     """
     pts = filter_osrm_times(matrix, time_col)
+    band_origin = 0.0
+    if interval_h is None:
+        # reference auto-levels: 15 classes spanning [min, max]
+        # (core.py:823-824) — bands are RELATIVE to the min, indices
+        # 0..14 (the max value clamps into the last class)
+        row = pts.agg(
+            F.min("time_h").alias("lo"), F.max("time_h").alias("hi")
+        ).collect()[0]
+        band_origin = float(row.lo)
+        interval_h = max((float(row.hi) - band_origin) / 15.0, 1e-9)
     bounds = compute_bounds(pts)
     binned = assign_cells(pts, bounds, height)
-    binned = binned.withColumn(
-        "band", F.floor(F.col("time_h") / F.lit(float(interval_h)))
+    band = F.floor(
+        (F.col("time_h") - F.lit(band_origin)) / F.lit(float(interval_h))
     )
+    if band_origin != 0.0:
+        band = F.least(band, F.lit(14))  # auto mode: clamp max into class 14
+    binned = binned.withColumn("band", band)
     per_cell = binned.groupBy("band", "cell_id").agg(
         F.count("*").alias("n_pts"), F.min("time_h").alias("t_min_h")
     )

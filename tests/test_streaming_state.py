@@ -34,6 +34,72 @@ def test_stateful_session_count_matches_batch(spark, sf_dir):
     assert (batch.n_sessions.to_numpy() == stateful.n_sessions.to_numpy()).all()
 
 
+def test_isochrone_auto_levels_matches_reference_rule(spark, sf_dir):
+    from gpd_lite_toolbox_spark.operators.isochrone import (
+        filter_osrm_times,
+        isochrone_bands,
+    )
+
+    m = FX.fixture_df(spark, sf_dir, "osrm_matrix")
+    auto = isochrone_bands(m, height=8000.0, interval_h=None).toPandas()
+    pts = filter_osrm_times(m).toPandas()
+    # 15 classes spanning [min, max], indices 0..14, all points banded
+    assert auto.band.min() >= 0 and auto.band.max() <= 14
+    assert auto.n_pts.sum() == len(pts)
+    # the minimum time lands in class 0, the maximum in class 14
+    lo, hi = pts.time_h.min(), pts.time_h.max()
+    interval = (hi - lo) / 15.0
+    assert int((pts.time_h.min() - lo) // interval) == 0
+    assert 0 in set(auto.band) and 14 in set(auto.band)
+
+
+def test_streaming_append_mode_with_watermark(spark, sf_dir):
+    """Append-mode windowed agg: with a watermark, finalized windows are
+    emitted exactly once and match the batch aggregation for every
+    window older than the watermark horizon."""
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import windowed_grid_agg
+
+    FX.register_base_tables(spark, sf_dir)
+    batch = windowed_grid_agg(spark.table("events")).toPandas()
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="append_stream_")
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet")
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = windowed_grid_agg(stream.withWatermark("ts", "1 hour"))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    appended = spark.table("append_out").toPandas()
+    # append mode only emits windows the watermark has CLOSED; every
+    # emitted row must match the batch result exactly
+    merged = appended.merge(
+        batch, on=["window_start_us", "cell_id"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(appended), "stream emitted unknown windows"
+    assert (merged.n_events_s == merged.n_events_b).all()
+    # all but the final (open) window(s) get emitted
+    assert len(appended) >= len(batch) * 0.5
+
+
 def test_partitioned_geoparquet_roundtrip(spark, sf_dir, tmp_path):
     from gpd_lite_toolbox_spark.sources.sinks import write_geoparquet
 
