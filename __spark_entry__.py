@@ -306,7 +306,7 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _configure(spark)
     FX.register_base_tables(s, sf_dir)
     emb = s.table("embeddings")
-    return ann_lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
+    return ann_lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10, dims=64)
 
 
 def _q_find_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,7 +447,10 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _configure(spark)
     FX.register_base_tables(s, sf_dir)
     emb = s.table("embeddings")
-    return embedding_near_dups(emb, threshold=0.45, exact=True)
+    # LSH path (exact=False) — the scale shape; the oracle mirrors the
+    # deterministic band bucketing, and tests/test_text_properties.py
+    # cross-checks recall against the exact path.
+    return embedding_near_dups(emb, threshold=0.45, exact=False, dims=64)
 
 
 def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -684,7 +684,7 @@ SELECT cell_id, ROUND(MIN(time_h), 6) AS t_min_h, COUNT(*) AS n_pts
 FROM b GROUP BY cell_id
 """
 
-EMBEDDING_DUPS = f"""
+EMBEDDING_DUPS_EXACT = f"""
 WITH e AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
            FROM embeddings)
 SELECT q.vec_id AS id_a, v.vec_id AS id_b,
@@ -692,6 +692,63 @@ SELECT q.vec_id AS id_a, v.vec_id AS id_b,
 FROM e q, e v
 WHERE q.vec_id < v.vec_id
   AND ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45
+"""
+
+
+def _lsh_oracle_parts() -> tuple[str, str]:
+    """Mirror of vector/ann.py hyperplane LSH in plain SQL.
+
+    The planes are deterministic md5-derived literals computed at
+    import time by the same function the Spark side uses, and each
+    projection is an explicit left-to-right sum — the identical
+    floating-point evaluation order as Spark's ``aggregate`` fold, so
+    the bucket assignment is bitwise-reproducible across engines.
+    Returns (projection select-list, band-table SQL building
+    (vec_id, band, bucket) from the projection CTE ``proj``).
+    """
+    from .vector.ann import N_BANDS_V, N_PLANES, _plane_component_value
+
+    proj_cols = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({_plane_component_value(p, d)!r})"
+            for d in range(_EMB_DIM)
+        )
+        proj_cols.append(f"({terms}) AS p{p}")
+    per_band = N_PLANES // N_BANDS_V
+    band_selects = []
+    for b in range(N_BANDS_V):
+        bits = " + ".join(
+            f"(CASE WHEN p{b * per_band + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({bits} AS BIGINT) AS bucket FROM proj"
+        )
+    return ", ".join(proj_cols), " UNION ALL ".join(band_selects)
+
+
+_LSH_PROJ, _LSH_BANDS = _lsh_oracle_parts()
+
+# The benched/declared embedding-dup query runs the banded-LSH path
+# (the 100 TB shape); this oracle mirrors the candidate generation, so
+# the gate checks cross-engine algorithm equivalence. The exact
+# all-pairs baseline stays above as the pytest cross-check.
+EMBEDDING_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+           FROM embeddings),
+proj AS (SELECT vec_id, {_LSH_PROJ} FROM embeddings),
+bands AS ({_LSH_BANDS}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+FROM cand c
+JOIN e q ON q.vec_id = c.id_a
+JOIN e v ON v.vec_id = c.id_b
+WHERE ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45
 """
 
 # ------------------------------------------------------- relational demos

@@ -164,14 +164,26 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
 
     Default path prunes candidates with the banded hyperplane LSH
     (vector/ann.py) before scoring — the 100 TB shape. ``exact=True``
-    scores all pairs (the oracle-checkable baseline; |N|^2, bounded
-    corpora only).
+    scores all pairs (|N|^2; the cross-check baseline for bounded
+    corpora only — never the shape to deploy). ``dims`` skips the
+    one-row schema probe when the embedding width is known.
+
+    Recall is threshold-dependent: sign-LSH collision probability per
+    plane is 1 - theta/pi, so at production near-dup thresholds
+    (cosine >= 0.9) a 4x4-band scheme recalls ~99.8% of true pairs,
+    while at weak thresholds (0.45, used by the fixture oracle so the
+    output is non-empty) recall is ~60% — tested against the exact
+    path in tests/test_text_properties.py. The driver oracle mirrors
+    the LSH candidate generation exactly (deterministic md5-derived
+    planes), so the gate checks cross-engine equivalence of THIS
+    algorithm, and the exact-path cross-check pins its recall.
     """
     from ..vector.ann import _as_double, _dot, _norm, lsh_bands
     from pyspark.sql import functions as FF
@@ -188,7 +200,7 @@ def embedding_near_dups(
     if exact:
         cand = a.crossJoin(b).filter(FF.col("id_a") < FF.col("id_b"))
     else:
-        bands = lsh_bands(vectors, id_col, vec_col)
+        bands = lsh_bands(vectors, id_col, vec_col, dims=dims)
         ba = bands.withColumnRenamed("id", "id_a")
         bb = bands.withColumnRenamed("id", "id_b")
         pairs = (

@@ -158,12 +158,13 @@ def ann_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing at least one band
     bucket. Output schema matches cosine_topk (rank within retrieved
-    candidates)."""
-    qb = lsh_bands(queries, id_col, vec_col).withColumnRenamed("id", "query_id")
-    vb = lsh_bands(vectors, id_col, vec_col).withColumnRenamed("id", "neighbor_id")
+    candidates). Pass ``dims`` to skip the one-row schema probe."""
+    qb = lsh_bands(queries, id_col, vec_col, dims=dims).withColumnRenamed("id", "query_id")
+    vb = lsh_bands(vectors, id_col, vec_col, dims=dims).withColumnRenamed("id", "neighbor_id")
     cand = (
         qb.join(vb, ["band", "bucket"])
         .select("query_id", "neighbor_id")
