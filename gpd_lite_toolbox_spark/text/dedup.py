@@ -180,7 +180,7 @@ def embedding_near_dups(
     (cosine >= 0.9) a 4x4-band scheme recalls ~99.8% of true pairs,
     while at weak thresholds (0.45, used by the fixture oracle so the
     output is non-empty) recall is ~60% — tested against the exact
-    path in tests/test_text_properties.py. The driver oracle mirrors
+    path in tests/test_pipeline_ops.py. The driver oracle mirrors
     the LSH candidate generation exactly (deterministic md5-derived
     planes), so the gate checks cross-engine equivalence of THIS
     algorithm, and the exact-path cross-check pins its recall.

@@ -93,6 +93,31 @@ def test_embedding_lsh_finds_planted_scaled_copies(spark, sf_dir):
     assert expect <= found, f"missed {len(expect - found)} planted pairs"
 
 
+def test_embedding_lsh_subset_of_exact_with_recall_floor(spark, sf_dir):
+    # cross-check the benched LSH path against the exact all-pairs
+    # baseline: LSH can only prune, never invent pairs, and at the
+    # fixture threshold it must keep a meaningful fraction of them
+    from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
+
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, threshold=0.45, exact=True).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, threshold=0.45, exact=False).collect()
+    }
+    assert lsh <= exact, f"LSH invented {len(lsh - exact)} pairs"
+    if exact:
+        recall = len(lsh) / len(exact)
+        # weak 0.45 threshold: sign-LSH collision probability is low by
+        # design here; the floor pins that banding retrieves a real
+        # fraction (planted-copy test above pins the ~1.0-cosine regime)
+        assert recall >= 0.25, f"LSH recall {recall:.2f}"
+
+
 def test_find_borders_codes_containing_separator(spark, sf_dir):
     # regression: front_r must come from the raw side codes, not a
     # re-split of the concatenated key — codes like 'FR-75' would mangle
