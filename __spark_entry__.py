@@ -73,14 +73,16 @@ def _q_intersects_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.joins import intersects_byid
 
     polys = FX.polys(_configure(spark), sf_dir)
-    return intersects_byid(polys, polys, cell_size=_POLY_CELL)
+    return intersects_byid(polys, polys, cell_size=_POLY_CELL, rect_exact=True)
 
 
 def _q_ftouches_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.joins import ftouches_byid
 
     polys = FX.polys(_configure(spark), sf_dir)
-    return ftouches_byid(polys, polys, cell_size=_POLY_CELL, tolerance=10.0)
+    return ftouches_byid(
+        polys, polys, cell_size=_POLY_CELL, tolerance=10.0, rect_exact=True
+    )
 
 
 def _q_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +90,7 @@ def _q_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     polys = FX.polys(_configure(spark), sf_dir)
     return get_borders(
-        polys, cell_size=_POLY_CELL, tol=1.0, col_name="code"
+        polys, cell_size=_POLY_CELL, tol=1.0, col_name="code", rect_exact=True
     ).drop("left_code", "right_code")
 
 
@@ -96,7 +98,7 @@ def _q_shared_border(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.joins import l_shared_border
 
     polys = FX.polys(_configure(spark), sf_dir)
-    return l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01)
+    return l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01, rect_exact=True)
 
 
 def _q_intersection_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +106,8 @@ def _q_intersection_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _configure(spark)
     return intersection_part_table(
-        FX.polys(s, sf_dir), FX.polys_b(s, sf_dir), cell_size=_POLY_CELL
+        FX.polys(s, sf_dir), FX.polys_b(s, sf_dir), cell_size=_POLY_CELL,
+        rect_exact=True,
     )
 
 
@@ -313,7 +316,9 @@ def _q_find_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.joins import find_borders
 
     polys = FX.polys(_configure(spark), sf_dir)
-    return find_borders(polys, cell_size=_POLY_CELL, tol=1.0, col_name="code")
+    return find_borders(
+        polys, cell_size=_POLY_CELL, tol=1.0, col_name="code", rect_exact=True
+    )
 
 
 def _q_grid_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,7 +336,7 @@ def _q_grid_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     bounds = dict(xmin=b.xmin, ymin=b.ymin, xmax=b.xmax, ymax=b.ymax)
     grid = make_grid(s, bounds, 8000.0, with_geometry=True)
-    return make_grid_cut(grid, polys, cell_size=8000.0)
+    return make_grid_cut(grid, polys, cell_size=8000.0, rect_exact=True)
 
 
 def _q_grid_cut_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,7 +422,7 @@ def _q_dorling_radius2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _configure(spark)
     polys = FX.polys(s, sf_dir)
-    shared = l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01)
+    shared = l_shared_border(polys, cell_size=_POLY_CELL, buf=0.01, rect_exact=True)
     return dorling_radius2(
         _dorling_base(polys), shared, "size_mb", ratio=0.8
     )
@@ -534,6 +539,19 @@ def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact intersection area + perimeter over the CONCAVE + HOLED
+    L-shape layers — the non-rectangle geometry path (boundary-trace
+    Green kernel); the oracle recomputes both via the fixtures' signed
+    rectangle decomposition, an independent algorithm."""
+    from gpd_lite_toolbox_spark.operators.joins import intersection_stats_table
+
+    s = _configure(spark)
+    return intersection_stats_table(
+        FX.cpolys(s, sf_dir), FX.cpolys_b(s, sf_dir), cell_size=_POLY_CELL
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -551,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "borders": _q_borders,
         "shared_border": _q_shared_border,
         "intersection_part": _q_intersection_part,
+        "concave_pairs": _q_concave_pairs,
         "multi_to_single": _q_multi_to_single,
         "dumb_multi_to_single": _q_dumb_multi_to_single,
         "dissolve_country": _q_dissolve_country,
@@ -600,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "borders": OR.BORDERS,
         "shared_border": OR.SHARED_BORDER,
         "intersection_part": OR.INTERSECTION_PART,
+        "concave_pairs": OR.CONCAVE_PAIRS,
         "multi_to_single": OR.MULTI_TO_SINGLE,
         "dumb_multi_to_single": OR.DUMB_MULTI_TO_SINGLE,
         "dissolve_country": OR.DISSOLVE_COUNTRY,

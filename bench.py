@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "borders",
     "shared_border",
     "intersection_part",
+    "concave_pairs",
     "multi_to_single",
     "dissolve_country",
     "random_pts",
@@ -82,6 +83,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
+
+    # Warm the Python worker pool before timing: the first pandas-UDF
+    # stage otherwise pays ~32 worker spin-ups, charging a fixed local
+    #-mode startup cost to whichever query happens to run first (a
+    # long-lived cluster amortizes this to zero).
+    from pyspark.sql import functions as F
+    from gpd_lite_toolbox_spark.deploy import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf("double")
+    def _warm(v):
+        return v
+
+    spark.range(0, int(CPUS) * 4, 1, int(CPUS)).select(
+        _warm(F.col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     qs = E.queries()
     timings: dict[str, float] = {}

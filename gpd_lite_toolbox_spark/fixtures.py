@@ -27,6 +27,7 @@ Coordinates live in [0, 100000]^2 (planar, FIXTURES.md).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .geometry.functions import st_point, st_rect
@@ -145,6 +146,58 @@ FROM part CROSS JOIN {J4}
 WHERE p_partkey % 10 <> 0
 """
 
+# Concave + holed polygon layers — the NON-rectangle fixture family.
+# Feature = an L-shaped hexagon (union of two axis-aligned rectangles:
+# R1 = [0,2000]x[0,1000], R2 = [0,1000]x[1000,2000] relative to the cell
+# origin), with a square hole [200,700]^2 on a subset of features. The
+# B layer is the same construction shifted by (+537, +613) so every
+# overlap is a genuine concave/hole intersection. Because every shape
+# is a signed union of axis-aligned rectangles, DuckDB oracles get
+# closed-form area (signed rectangle inclusion-exclusion over the
+# indicator identity 1_A = 1_R1 + 1_R2 - 1_hole) and perimeter
+# (per-segment interval clipping) with exact integer arithmetic —
+# while the Spark side decodes true concave-ring WKB. Coordinate
+# residues differ between layers (A multiples of 100; B ends in 37/13)
+# so the pair geometry is in generic position: no collinear shared
+# edges, no vertex-on-edge contact.
+L_BIG = 2000.0
+L_ARM = 1000.0
+L_HOLE0 = 200.0
+L_HOLE1 = 700.0
+L_B_DX = 537.0
+L_B_DY = 613.0
+
+CPOLYS_SQL = f"""
+SELECT s_suppkey AS id,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} AS ox,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} AS DOUBLE) AS oy,
+       CASE WHEN s_suppkey % 3 = 0 THEN 1 ELSE 0 END AS has_hole,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} AS x0,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} AS DOUBLE) AS y0,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} + {L_BIG} AS x1,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {L_BIG} AS DOUBLE) AS y1
+FROM supplier
+"""
+
+CPOLYS_B_SQL = f"""
+SELECT s_suppkey AS id,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} + {L_B_DX} AS ox,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {L_B_DY} AS DOUBLE) AS oy,
+       CASE WHEN s_suppkey % 4 = 0 THEN 1 ELSE 0 END AS has_hole,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL} + {L_B_DX} AS x0,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {L_B_DY} AS DOUBLE) AS y0,
+       CAST(s_suppkey % {POLY_GRID} AS DOUBLE) * {POLY_CELL}
+           + {L_B_DX + L_BIG} AS x1,
+       CAST((FLOOR(CAST(s_suppkey AS DOUBLE) / {POLY_GRID}) % {POLY_GRID})
+           * {POLY_CELL} + {L_B_DY + L_BIG} AS DOUBLE) AS y1
+FROM supplier
+"""
+
 # Document corpus with PLANTED duplicates for the dedup operator family:
 # the driver's documents are all-distinct, so exact duplicates (1 in 10)
 # and near-duplicates (1 in 17, a token appended) are derived
@@ -173,6 +226,8 @@ FROM customer
 
 _FIXTURE_SQL = {
     "corpus": CORPUS_SQL,
+    "cpolys": CPOLYS_SQL,
+    "cpolys_b": CPOLYS_B_SQL,
     "osrm_matrix": OSRM_SQL,
     "points": POINTS_SQL,
     "polys": POLYS_SQL,
@@ -253,6 +308,65 @@ def polys_b(spark: SparkSession, sf_dir: str, with_geometry: bool = True) -> Dat
     if with_geometry:
         df = df.withColumn("geometry", st_rect("x0", "y0", "x1", "y1"))
     return df
+
+
+def _lshape_wkb_udf():
+    """Pandas UDF building the L-shaped (optionally holed) Polygon WKB.
+
+    Constructed lazily (not at import) so importing fixtures stays
+    session-free; the closure captures only module constants."""
+    from pyspark.sql import functions as F
+
+    from .geometry import wkb as W
+
+    big, arm, h0, h1 = L_BIG, L_ARM, L_HOLE0, L_HOLE1
+
+    @F.pandas_udf("binary")
+    def _build(ox: pd.Series, oy: pd.Series, has_hole: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y, h in zip(ox, oy, has_hole):
+            ring = np.array(
+                [
+                    [x, y],
+                    [x + big, y],
+                    [x + big, y + arm],
+                    [x + arm, y + arm],
+                    [x + arm, y + big],
+                    [x, y + big],
+                    [x, y],
+                ],
+                dtype="<f8",
+            )
+            rings = [ring]
+            if int(h):
+                rings.append(
+                    np.array(
+                        [
+                            [x + h0, y + h0],
+                            [x + h1, y + h0],
+                            [x + h1, y + h1],
+                            [x + h0, y + h1],
+                            [x + h0, y + h0],
+                        ],
+                        dtype="<f8",
+                    )
+                )
+            out.append(W.polygon_wkb(rings))
+        return pd.Series(out)
+
+    return _build
+
+
+def cpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fixture_df(spark, sf_dir, "cpolys")
+    return df.withColumn("geometry", _lshape_wkb_udf()("ox", "oy", "has_hole"))
+
+
+def cpolys_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fixture_df(spark, sf_dir, "cpolys_b")
+    return df.withColumn("geometry", _lshape_wkb_udf()("ox", "oy", "has_hole"))
 
 
 def mpoly_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,11 +170,17 @@ def st_pair_stats(
     (utils.py:188-205) and the intersects/ftouches adjacency ops
     (core.py:233-254, utils.py:159-185).
 
-    EXACT for convex polygon parts (Sutherland-Hodgman clip of
-    mitre-offset shells; bbox prefilter short-circuits disjoint pairs);
-    holes and concave shells are approximated by their shells. The
-    native bbox-column fast path in operators/joins.py is byte-equal to
-    this kernel for axis-aligned rectangles (differential-tested).
+    Unbuffered rows (both tolerances 0 — intersects / ftouches /
+    intersection_part semantics) use the EXACT general kernel
+    (``kernels.pair_stats_exact``): arbitrary simple polygons with
+    concave shells, holes, and multiple parts, including collinear
+    shared boundaries and corner contact. Buffered rows (a nonzero
+    tolerance) mitre-offset the CONVEX shells and clip those — exact
+    for convex parts; concave shells and holes of *buffered* inputs
+    are approximated by their shells (round buffers are out of scope,
+    see st_buffer_mitre). The native bbox-column fast path in
+    operators/joins.py is byte-equal to this kernel for axis-aligned
+    rectangles (differential-tested both ways).
     """
     n = len(ga)
     isect = np.zeros(n, dtype=bool)
@@ -191,9 +197,12 @@ def st_pair_stats(
             (bb[0] - tb, bb[1] - tb, bb[2] + tb, bb[3] + tb),
         ) is None:
             continue
-        it, ar, ln = K.convex_pair_stats(
-            _shells(da), _shells(db), ta, tb
-        )
+        if ta == 0.0 and tb == 0.0:
+            it, ar, ln = K.pair_stats_exact(da, db)
+        else:
+            it, ar, ln = K.convex_pair_stats(
+                _shells(da), _shells(db), ta, tb
+            )
         isect[i] = it
         area[i] = ar
         length[i] = ln

@@ -342,6 +342,261 @@ def convex_pair_stats(
     return isect, area, length
 
 
+# ------------------------------------------------- exact general geometry
+#
+# Exact pair-intersection statistics for ARBITRARY simple polygons —
+# concave shells, holes, multi-part — via boundary tracing + Green's
+# theorem, without constructing the intersection polygon's topology
+# (the reference delegates this to shapely: core.py:158-171 buffer ∩
+# boundary, utils.py:149-157, utils.py:188-205).
+#
+# Principle: in generic position ∂(A∩B) = (∂A inside B) ∪ (∂B inside
+# A), each piece inheriting its own polygon's positive orientation
+# (shells CCW, holes CW). So
+#     area(A∩B)      = ½ ∮ x dy − y dx   over both piece families,
+#     perimeter(A∩B) = len(∂A in B) + len(∂B in A).
+# Each boundary edge is split at its crossings with the other
+# polygon's edges; every sub-segment is then wholly inside, outside,
+# or ON the other boundary, decided by its midpoint. ON sub-segments
+# (collinear shared boundary — grid mosaics, identical geometry) are
+# traversed by BOTH boundaries, so they contribute HALF their length
+# and HALF their Green term from each side: for overlapping interiors
+# the two halves add (counted once), for merely touching interiors
+# the Green halves cancel (area 0) while the length halves add to the
+# true contact length — matching shapely's intersection semantics
+# without case analysis.
+
+_GEPS = 1e-9  # absolute, after local-origin shift (pair spans ≤ ~1e5)
+
+
+def _orient_parts(parts: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """Open every ring and normalize orientation: shell CCW, holes CW."""
+    out = []
+    for rings in parts:
+        fixed = []
+        for i, r in enumerate(rings):
+            r = _open(np.asarray(r, float))
+            sa = ring_signed_area(r)
+            if (i == 0 and sa < 0) or (i > 0 and sa > 0):
+                r = r[::-1]
+            fixed.append(r)
+        out.append(fixed)
+    return out
+
+
+def _edge_arrays(parts: list[list[np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    """All directed edges of all rings: (origins (m,2), deltas (m,2))."""
+    ps, ds = [], []
+    for rings in parts:
+        for r in rings:
+            q = np.roll(r, -1, axis=0)
+            ps.append(r)
+            ds.append(q - r)
+    return np.vstack(ps), np.vstack(ds)
+
+
+def _pts_in_parts(px: np.ndarray, py: np.ndarray, parts) -> np.ndarray:
+    res = np.zeros(len(px), dtype=bool)
+    for rings in parts:
+        res |= points_in_polygon(px, py, rings)
+    return res
+
+
+def _rings_pre(parts) -> list[list[tuple]]:
+    """Precomputed per-ring edge coordinate arrays (x0, y0, x1, y1) for
+    the batched ray-cast — avoids re-deriving edges on every
+    containment call inside the trace loop."""
+    pre = []
+    for rings in parts:
+        ring_pre = []
+        for ring in rings:
+            r = _open(ring)
+            x0, y0 = r[:, 0].copy(), r[:, 1].copy()
+            x1 = np.concatenate([x0[1:], x0[:1]])
+            y1 = np.concatenate([y0[1:], y0[:1]])
+            ring_pre.append((x0, y0, x1, y1))
+        pre.append(ring_pre)
+    return pre
+
+
+def _pts_in_pre(px: np.ndarray, py: np.ndarray, pre_parts) -> np.ndarray:
+    """Containment against precomputed ring edges (_rings_pre); same
+    half-open ray-cast semantics as points_in_polygon."""
+    res = np.zeros(len(px), dtype=bool)
+    pxc = px[:, None]
+    pyc = py[:, None]
+    for ring_pre in pre_parts:
+        inside = None
+        for x0, y0, x1, y1 in ring_pre:
+            cond = (y0 > pyc) != (y1 > pyc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+            hit = (cond & (pxc < xint)).sum(axis=1) % 2 == 1
+            inside = hit if inside is None else (inside & ~hit)
+        if inside is not None:
+            res |= inside
+    return res
+
+
+def _min_dist2_to_edges(
+    pts: np.ndarray, eo: np.ndarray, ed: np.ndarray, el2: np.ndarray
+) -> np.ndarray:
+    """Squared distance from each point to the nearest edge segment."""
+    w = pts[:, None, :] - eo[None, :, :]
+    t = np.clip(
+        (w * ed[None, :, :]).sum(2) / np.maximum(el2, _GEPS * _GEPS), 0.0, 1.0
+    )
+    nearest = eo[None, :, :] + t[:, :, None] * ed[None, :, :]
+    return ((pts[:, None, :] - nearest) ** 2).sum(2).min(1)
+
+
+_TRACE_BLOCK = 1 << 20  # cap the (edges_a x edges_b) working-set size
+
+
+def _trace_boundary(
+    eo_a: np.ndarray,
+    ed_a: np.ndarray,
+    pre_b,
+    eo_b: np.ndarray,
+    ed_b: np.ndarray,
+) -> tuple[float, float, float, float]:
+    """Trace ∂A against B. Returns (green_inside, len_inside, green_on,
+    len_on): Green-theorem area and length accumulated over the
+    sub-segments of ∂A strictly inside B, and over those lying ON ∂B.
+
+    Vectorized end-to-end: the crossing/collinearity matrices are
+    computed in one shot (blocked so the working set stays bounded for
+    large rings); sub-segment splitting loops only over the edges that
+    actually interact with ∂B, and ALL midpoint classifications —
+    on-boundary and containment — run as two batched calls per block."""
+    green_in = len_in = green_on = len_on = 0.0
+    el2_b = (ed_b * ed_b).sum(1)
+    m = len(eo_b)
+    alen = np.hypot(ed_a[:, 0], ed_a[:, 1])
+    live = alen > _GEPS
+    eo_a, ed_a, alen = eo_a[live], ed_a[live], alen[live]
+    block = max(1, _TRACE_BLOCK // max(m, 1))
+    for s in range(0, len(eo_a), block):
+        bo, bd, bl = eo_a[s:s + block], ed_a[s:s + block], alen[s:s + block]
+        # pairwise crossing parameters: t along the A edge, u along B's
+        wx = eo_b[None, :, 0] - bo[:, None, 0]
+        wy = eo_b[None, :, 1] - bo[:, None, 1]
+        denom = (
+            bd[:, None, 0] * ed_b[None, :, 1]
+            - bd[:, None, 1] * ed_b[None, :, 0]
+        )
+        cwdb = wx * ed_b[None, :, 1] - wy * ed_b[None, :, 0]
+        cwd = wx * bd[:, None, 1] - wy * bd[:, None, 0]
+        nonpar = np.abs(denom) > _GEPS
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(nonpar, cwdb / denom, np.nan)
+            u = np.where(nonpar, cwd / denom, np.nan)
+        valid = nonpar & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+        # collinear edges contribute no crossings: those split at the
+        # projections of their endpoints so overlap runs become whole
+        # sub-segments
+        coll = (~nonpar) & (np.abs(cwd) / bl[:, None] < _GEPS)
+        interacting = valid.any(1) | coll.any(1)
+        # collect candidate sub-segments (p0, p1) for the whole block;
+        # only interacting-edge sub-segments can lie ON ∂B
+        p0s, p1s, can_on = [], [], []
+        simple = ~interacting
+        if simple.any():
+            so, sd = bo[simple], bd[simple]
+            p0s.append(so)
+            p1s.append(so + sd)
+            can_on.append(np.zeros(int(simple.sum()), dtype=bool))
+        for i in np.where(interacting)[0]:
+            p, d, elen = bo[i], bd[i], bl[i]
+            ts = [0.0, 1.0] + list(t[i][valid[i]])
+            for j in np.where(coll[i])[0]:
+                for end in (eo_b[j], eo_b[j] + ed_b[j]):
+                    tp = float((end - p) @ d) / (elen * elen)
+                    if 0.0 < tp < 1.0:
+                        ts.append(tp)
+            tsa = np.unique(np.clip(np.asarray(ts), 0.0, 1.0))
+            t0s, t1s = tsa[:-1], tsa[1:]
+            keep = (t1s - t0s) * elen > _GEPS
+            if not keep.any():
+                continue
+            t0s, t1s = t0s[keep], t1s[keep]
+            p0s.append(p[None, :] + d[None, :] * t0s[:, None])
+            p1s.append(p[None, :] + d[None, :] * t1s[:, None])
+            can_on.append(np.ones(len(t0s), dtype=bool))
+        if not p0s:
+            continue
+        p0 = np.vstack(p0s)
+        p1 = np.vstack(p1s)
+        maybe_on = np.concatenate(can_on)
+        mids = (p0 + p1) / 2.0
+        on = np.zeros(len(mids), dtype=bool)
+        if maybe_on.any():
+            on[maybe_on] = (
+                _min_dist2_to_edges(mids[maybe_on], eo_b, ed_b, el2_b)
+                < _GEPS * _GEPS
+            )
+        inside = np.zeros(len(mids), dtype=bool)
+        need = ~on
+        if need.any():
+            inside[need] = _pts_in_pre(mids[need, 0], mids[need, 1], pre_b)
+        g = 0.5 * (p0[:, 0] * p1[:, 1] - p1[:, 0] * p0[:, 1])
+        ln = np.hypot(p1[:, 0] - p0[:, 0], p1[:, 1] - p0[:, 1])
+        green_in += float(g[inside].sum())
+        len_in += float(ln[inside].sum())
+        green_on += float(g[on].sum())
+        len_on += float(ln[on].sum())
+    return green_in, len_in, green_on, len_on
+
+
+def _as_parts(geom) -> list[list[np.ndarray]]:
+    """Decoded polygonal geometry -> list of parts (each: rings)."""
+    t, payload = geom
+    if t == "Polygon":
+        return [payload]
+    if t == "MultiPolygon":
+        return list(payload)
+    raise ValueError(f"pair stats expects polygons, got {t}")
+
+
+def pair_stats_exact(geom_a, geom_b) -> tuple[bool, float, float]:
+    """(intersects, area, boundary length) of A∩B — EXACT for arbitrary
+    simple polygons with holes and multiple parts (see block comment
+    above). Collinear shared boundaries and vertex/corner contact are
+    handled; self-intersecting rings are undefined input."""
+    pa = _as_parts(geom_a)
+    pb = _as_parts(geom_b)
+    # local-origin shift: shoelace-style products are ill-conditioned
+    # far from the origin (same reason as ring_signed_area)
+    ox = min(float(r[:, 0].min()) for rings in pa + pb for r in rings)
+    oy = min(float(r[:, 1].min()) for rings in pa + pb for r in rings)
+    shift = np.array([ox, oy])
+    pa = _orient_parts([[r - shift for r in rings] for rings in pa])
+    pb = _orient_parts([[r - shift for r in rings] for rings in pb])
+    eo_a, ed_a = _edge_arrays(pa)
+    eo_b, ed_b = _edge_arrays(pb)
+    pre_a, pre_b = _rings_pre(pa), _rings_pre(pb)
+    ga, la, gon_a, lon_a = _trace_boundary(eo_a, ed_a, pre_b, eo_b, ed_b)
+    gb, lb, gon_b, lon_b = _trace_boundary(eo_b, ed_b, pre_a, eo_a, ed_a)
+    area = ga + gb + 0.5 * (gon_a + gon_b)
+    length = la + lb + 0.5 * (lon_a + lon_b)
+    area = 0.0 if abs(area) < _GEPS else area
+    length = 0.0 if abs(length) < _GEPS else length
+    isect = area > 0.0 or length > 0.0
+    if not isect:
+        # pure corner/point contact leaves no sub-segment on either
+        # boundary: detect via vertex-to-boundary distance (both ways)
+        el2_b = (ed_b * ed_b).sum(1)
+        if (_min_dist2_to_edges(eo_a, eo_b, ed_b, el2_b) < _GEPS * _GEPS).any():
+            isect = True
+        else:
+            el2_a = (ed_a * ed_a).sum(1)
+            isect = bool(
+                (_min_dist2_to_edges(eo_b, eo_a, ed_a, el2_a)
+                 < _GEPS * _GEPS).any()
+            )
+    return isect, max(area, 0.0), length
+
+
 # ------------------------------------------------------------- rectangles
 def rect_buffer(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Mitre-style buffer exact for axis-aligned rectangles: expand the

@@ -125,6 +125,7 @@ def make_grid_cut(
     grid: DataFrame,
     polys: DataFrame,
     cell_size: float,
+    rect_exact: bool = False,
 ) -> DataFrame:
     """The cut=True path of make_grid over a polygon layer
     (core.py:613-624): clip every cell by the union of the input
@@ -142,7 +143,7 @@ def make_grid_cut(
     j = bbox_join(
         g, polys.select("id", "x0", "y0", "x1", "y1", "geometry"), cell_size
     )
-    j = _pair_stats(j, 0.0, 0.0).filter(F.col("_ps.area") > 0)
+    j = _pair_stats(j, 0.0, 0.0, rect_exact).filter(F.col("_ps.area") > 0)
     return j.groupBy(
         F.col("l_cell_id").alias("cell_id"),
         F.col("l_x0").alias("x0"),

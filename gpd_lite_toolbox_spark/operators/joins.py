@@ -20,15 +20,32 @@ from .spatial_join import bbox_join
 
 
 def _pair_stats(
-    joined: DataFrame, tol_left: float, tol_right: float
+    joined: DataFrame,
+    tol_left: float,
+    tol_right: float,
+    rect_exact: bool = False,
 ) -> DataFrame:
-    """Pair intersection statistics. Fast path: when both sides carry
-    the engine's bbox companion columns (x0..y1), the stats are pure
-    Catalyst expressions — no Python boundary, whole-stage codegen,
-    exact for axis-aligned geometry. General geometry (no bbox columns)
-    falls back to the WKB-decoding kernel UDF."""
+    """Pair intersection statistics.
+
+    ``rect_exact=True`` is the caller's DECLARATION that both layers
+    are axis-aligned rectangles (the engine's bbox companion columns
+    x0..y1 ARE the geometry): stats become pure Catalyst interval
+    expressions — no Python boundary, whole-stage codegen. The default
+    decodes WKB in the kernel UDF, exact for arbitrary polygons with
+    holes when unbuffered (see st_pair_stats). Dispatch is explicit:
+    bbox-column presence alone never selects the rectangle math, so
+    general geometry carrying bbox index columns is not silently
+    approximated by its bounding box."""
     cols = set(joined.columns)
-    if {"l_x0", "l_y0", "l_x1", "l_y1", "r_x0", "r_y0", "r_x1", "r_y1"} <= cols:
+    if rect_exact:
+        if not (
+            {"l_x0", "l_y0", "l_x1", "l_y1", "r_x0", "r_y0", "r_x1", "r_y1"}
+            <= cols
+        ):
+            raise ValueError(
+                "rect_exact=True requires bbox columns x0,y0,x1,y1 on "
+                "both join sides"
+            )
         tl, tr = float(tol_left), float(tol_right)
         ix0 = F.greatest(F.col("l_x0") - tl, F.col("r_x0") - tr)
         iy0 = F.greatest(F.col("l_y0") - tl, F.col("r_y0") - tr)
@@ -59,32 +76,43 @@ def _pair_stats(
 
 
 def intersects_byid(
-    geoms1: DataFrame, geoms2: DataFrame, cell_size: float
+    geoms1: DataFrame,
+    geoms2: DataFrame,
+    cell_size: float,
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Spatial adjacency pairs: (left_id, right_id) for every
     intersecting pair, self-pairs included (reference core.py:233-254
     lists every intersecting index, including i itself)."""
     j = bbox_join(geoms1, geoms2, cell_size)
-    j = _pair_stats(j, 0.0, 0.0).filter(F.col("_ps.isect"))
+    j = _pair_stats(j, 0.0, 0.0, rect_exact).filter(F.col("_ps.isect"))
     return j.select(
         F.col("l_id").alias("left_id"), F.col("r_id").alias("right_id")
     )
 
 
 def ftouches_byid(
-    geoms1: DataFrame, geoms2: DataFrame, cell_size: float, tolerance: float = 0.0
+    geoms1: DataFrame,
+    geoms2: DataFrame,
+    cell_size: float,
+    tolerance: float = 0.0,
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Tolerance-buffered intersects adjacency (utils.py:159-185): the
     right side is buffered by ``tolerance`` before the intersects test."""
     j = bbox_join(geoms1, geoms2, cell_size, tol_right=tolerance)
-    j = _pair_stats(j, 0.0, tolerance).filter(F.col("_ps.isect"))
+    j = _pair_stats(j, 0.0, tolerance, rect_exact).filter(F.col("_ps.isect"))
     return j.select(
         F.col("l_id").alias("left_id"), F.col("r_id").alias("right_id")
     )
 
 
 def get_borders(
-    polys: DataFrame, cell_size: float, tol: float = 1.0, col_name: str = "code"
+    polys: DataFrame,
+    cell_size: float,
+    tol: float = 1.0,
+    col_name: str = "code",
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Border lines between polygons (reference core.py:134-172): buffer
     every polygon by ``tol``, intersect each DIRECTED pair i != j, emit
@@ -96,7 +124,7 @@ def get_borders(
     """
     j = bbox_join(polys, polys, cell_size, tol_left=tol, tol_right=tol)
     j = j.filter(F.col("l_id") != F.col("r_id"))
-    j = _pair_stats(j, tol, tol).filter(F.col("_ps.isect"))
+    j = _pair_stats(j, tol, tol, rect_exact).filter(F.col("_ps.isect"))
     return j.select(
         F.concat_ws("-", F.col(f"l_{col_name}"), F.col(f"r_{col_name}")).alias(
             col_name
@@ -113,7 +141,10 @@ def get_borders(
 
 
 def l_shared_border(
-    polys: DataFrame, cell_size: float, buf: float = 0.01
+    polys: DataFrame,
+    cell_size: float,
+    buf: float = 0.01,
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Shared-border length pairs (utils.py:149-157): for touching pairs
     i != j, length(buffer(g_i, buf) ∩ g_j). The reference materializes a
@@ -123,9 +154,9 @@ def l_shared_border(
     j = bbox_join(polys, polys, cell_size)
     j = j.filter(F.col("l_id") != F.col("r_id"))
     # touch test (unbuffered intersects) AND buffered intersection length
-    t = _pair_stats(j, 0.0, 0.0).withColumnRenamed("_ps", "_touch")
+    t = _pair_stats(j, 0.0, 0.0, rect_exact).withColumnRenamed("_ps", "_touch")
     t = t.filter(F.col("_touch.isect"))
-    t = _pair_stats(t, buf, 0.0)
+    t = _pair_stats(t, buf, 0.0, rect_exact)
     return t.select(
         F.col("l_id").alias("left_id"),
         F.col("r_id").alias("right_id"),
@@ -155,7 +186,11 @@ def adjacency_lists(
 
 
 def find_borders(
-    polys: DataFrame, cell_size: float, tol: float = 1.0, col_name: str = "code"
+    polys: DataFrame,
+    cell_size: float,
+    tol: float = 1.0,
+    col_name: str = "code",
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Exact border table (reference core.py:175-196 + Borderiz,
     utils.py:268-377): same pair geometry as get_borders but deduplicated
@@ -167,7 +202,7 @@ def find_borders(
     """
     from pyspark.sql import Window
 
-    directed = get_borders(polys, cell_size, tol, col_name)
+    directed = get_borders(polys, cell_size, tol, col_name, rect_exact)
     key_a = F.least(F.col("left_id"), F.col("right_id"))
     key_b = F.greatest(F.col("left_id"), F.col("right_id"))
     w = Window.partitionBy(key_a, key_b).orderBy("left_id")
@@ -186,14 +221,41 @@ def find_borders(
     )
 
 
+def intersection_stats_table(
+    geoms1: DataFrame,
+    geoms2: DataFrame,
+    cell_size: float,
+    rect_exact: bool = False,
+) -> DataFrame:
+    """Exact intersection geometry statistics per overlapping pair:
+    (left_id, right_id, isect_area, perimeter), keeping pairs with
+    POSITIVE intersection area. The general-geometry member of the
+    family (reference computes these via shapely intersections,
+    core.py:158-171, utils.py:188-205): with the default
+    ``rect_exact=False`` the stats come from the exact boundary-trace
+    kernel (``kernels.pair_stats_exact``) and are correct for concave
+    shells, holes, and multi-part polygons — not just rectangles."""
+    j = bbox_join(geoms1, geoms2, cell_size)
+    j = _pair_stats(j, 0.0, 0.0, rect_exact).filter(F.col("_ps.area") > 0)
+    return j.select(
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        F.round(F.col("_ps.area"), 6).alias("isect_area"),
+        F.round(F.col("_ps.length"), 6).alias("perimeter"),
+    )
+
+
 def intersection_part_table(
-    geoms1: DataFrame, geoms2: DataFrame, cell_size: float
+    geoms1: DataFrame,
+    geoms2: DataFrame,
+    cell_size: float,
+    rect_exact: bool = False,
 ) -> DataFrame:
     """Coverage fractions (utils.py:188-211): fraction of g1's area
     covered by each intersecting g2. Non-intersecting pairs are the
     reference's zeros — omitted in pair-table form."""
     j = bbox_join(geoms1, geoms2, cell_size)
-    j = _pair_stats(j, 0.0, 0.0).filter(F.col("_ps.isect"))
+    j = _pair_stats(j, 0.0, 0.0, rect_exact).filter(F.col("_ps.isect"))
     frac = F.col("_ps.area") / (
         (F.col("l_x1") - F.col("l_x0")) * (F.col("l_y1") - F.col("l_y0"))
     )

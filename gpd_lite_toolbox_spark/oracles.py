@@ -751,6 +751,118 @@ JOIN e v ON v.vec_id = c.id_b
 WHERE ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45
 """
 
+# ------------------------------------------------- concave/holed geometry
+# Oracle for intersection_stats_table over the L-shaped + holed layers.
+# Unlike most oracles in this file, this is NOT an expression mirror of
+# the Spark implementation: Spark traces polygon boundaries with the
+# Green-theorem kernel (kernels.pair_stats_exact) over decoded WKB,
+# while this SQL derives the same quantities from the fixtures' signed
+# rectangle decomposition — area by inclusion-exclusion over the
+# indicator identity 1_A = 1_R1 + 1_R2 - 1_hole, perimeter by clipping
+# each boundary segment against the other side's signed rectangles
+# (len(s ∩ B) = Σ_j sgn_j · len(s ∩ R_j)). Agreement therefore checks
+# two independent algorithms, not cross-engine reproducibility of one.
+# All arithmetic is integer-valued doubles — exact in both engines.
+
+
+def _concave_pairs_sql() -> str:
+    from .fixtures import L_ARM, L_BIG, L_HOLE0, L_HOLE1
+
+    big, arm, h0, h1 = L_BIG, L_ARM, L_HOLE0, L_HOLE1
+    rect_rows = ", ".join(
+        f"({r})"
+        for r in (
+            f"0.0, 0.0, {big}, {arm}, 1.0, 0",
+            f"0.0, {arm}, {arm}, {big}, 1.0, 0",
+            f"{h0}, {h0}, {h1}, {h1}, -1.0, 1",
+        )
+    )
+    seg_rows = ", ".join(
+        f"({r})"
+        for r in (
+            f"0.0, 0.0, {big}, 0.0, 0",
+            f"{big}, 0.0, {big}, {arm}, 0",
+            f"{big}, {arm}, {arm}, {arm}, 0",
+            f"{arm}, {arm}, {arm}, {big}, 0",
+            f"{arm}, {big}, 0.0, {big}, 0",
+            f"0.0, {big}, 0.0, 0.0, 0",
+            f"{h0}, {h0}, {h1}, {h0}, 1",
+            f"{h1}, {h0}, {h1}, {h1}, 1",
+            f"{h1}, {h1}, {h0}, {h1}, 1",
+            f"{h0}, {h1}, {h0}, {h0}, 1",
+        )
+    )
+    # DuckDB 1.0.0 workarounds: LEAST/GREATEST inside an inequality
+    # join condition, and a CASE inside SUM over that join, both trip
+    # an internal assertion ("requires a flat vector") — so segments
+    # carry precomputed bbox columns (bx0..by1), the join uses plain
+    # column comparisons, and contributions are projected row-wise in
+    # a *_raw CTE then summed separately.
+    seg_in_rects = """
+       r.sgn * CASE WHEN s.by0 = s.by1 THEN
+             CASE WHEN r.y0 < s.by0 AND s.by0 < r.y1 THEN
+               GREATEST(0.0, LEAST(s.bx1, r.x1) - GREATEST(s.bx0, r.x0))
+             ELSE 0.0 END
+           ELSE
+             CASE WHEN r.x0 < s.bx0 AND s.bx0 < r.x1 THEN
+               GREATEST(0.0, LEAST(s.by1, r.y1) - GREATEST(s.by0, r.y0))
+             ELSE 0.0 END
+           END AS contrib"""
+    seg_rect_join = """ON s.bx0 <= r.x1 AND r.x0 <= s.bx1
+          AND s.by0 <= r.y1 AND r.y0 <= s.by1"""
+    return f"""
+WITH {oracle_ctes('cpolys', 'cpolys_b')},
+lparts(dx0, dy0, dx1, dy1, sgn, need_hole) AS (VALUES {rect_rows}),
+lsegs(dx0, dy0, dx1, dy1, need_hole) AS (VALUES {seg_rows}),
+ar AS (SELECT c.id, c.ox + p.dx0 AS x0, c.oy + p.dy0 AS y0,
+              c.ox + p.dx1 AS x1, c.oy + p.dy1 AS y1, p.sgn
+       FROM cpolys c JOIN lparts p ON p.need_hole = 0 OR c.has_hole = 1),
+br AS (SELECT c.id, c.ox + p.dx0 AS x0, c.oy + p.dy0 AS y0,
+              c.ox + p.dx1 AS x1, c.oy + p.dy1 AS y1, p.sgn
+       FROM cpolys_b c JOIN lparts p ON p.need_hole = 0 OR c.has_hole = 1),
+asg AS (SELECT c.id,
+               c.ox + LEAST(s.dx0, s.dx1) AS bx0,
+               c.oy + LEAST(s.dy0, s.dy1) AS by0,
+               c.ox + GREATEST(s.dx0, s.dx1) AS bx1,
+               c.oy + GREATEST(s.dy0, s.dy1) AS by1
+        FROM cpolys c JOIN lsegs s ON s.need_hole = 0 OR c.has_hole = 1),
+bsg AS (SELECT c.id,
+               c.ox + LEAST(s.dx0, s.dx1) AS bx0,
+               c.oy + LEAST(s.dy0, s.dy1) AS by0,
+               c.ox + GREATEST(s.dx0, s.dx1) AS bx1,
+               c.oy + GREATEST(s.dy0, s.dy1) AS by1
+        FROM cpolys_b c JOIN lsegs s ON s.need_hole = 0 OR c.has_hole = 1),
+area_t AS (
+  SELECT a.id AS left_id, b.id AS right_id,
+         SUM(a.sgn * b.sgn
+             * GREATEST(0.0, LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+             * GREATEST(0.0, LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))) AS area
+  FROM ar a JOIN br b
+    ON a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
+  GROUP BY 1, 2),
+pa_raw AS (
+  SELECT s.id AS left_id, r.id AS right_id, {seg_in_rects}
+  FROM asg s JOIN br r {seg_rect_join}),
+pa AS (SELECT left_id, right_id, SUM(contrib) AS plen
+       FROM pa_raw GROUP BY 1, 2),
+pb_raw AS (
+  SELECT r.id AS left_id, s.id AS right_id, {seg_in_rects}
+  FROM bsg s JOIN ar r {seg_rect_join}),
+pb AS (SELECT left_id, right_id, SUM(contrib) AS plen
+       FROM pb_raw GROUP BY 1, 2)
+SELECT t.left_id, t.right_id,
+       ROUND(CAST(t.area AS DOUBLE), 6) AS isect_area,
+       ROUND(CAST(COALESCE(a.plen, 0) + COALESCE(b.plen, 0) AS DOUBLE), 6)
+           AS perimeter
+FROM area_t t
+LEFT JOIN pa a ON a.left_id = t.left_id AND a.right_id = t.right_id
+LEFT JOIN pb b ON b.left_id = t.left_id AND b.right_id = t.right_id
+WHERE t.area > 0
+"""
+
+
+CONCAVE_PAIRS = _concave_pairs_sql()
+
 # ------------------------------------------------------- relational demos
 # The engine is a general analytics engine; three classic OLAP shapes
 # over the driver tables prove the relational substrate (pricing

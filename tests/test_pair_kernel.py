@@ -43,6 +43,120 @@ def test_convex_pair_stats_disjoint_and_touching():
     assert abs(length - 1.0) < 1e-9
 
 
+def _rect(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+    )
+
+
+def _P(*rings):
+    return ("Polygon", list(rings))
+
+
+def test_exact_kernel_rect_cases():
+    cases = [
+        # (geom_a, geom_b, isect, area, length)
+        (_P(_rect(0, 0, 2, 1)), _P(_rect(0, 0, 2, 1)), True, 2.0, 6.0),
+        (_P(_rect(0, 0, 2, 2)), _P(_rect(1, 1, 3, 3)), True, 1.0, 4.0),
+        (_P(_rect(0, 0, 1, 1)), _P(_rect(1, 0, 2, 1)), True, 0.0, 1.0),
+        (_P(_rect(0, 0, 1, 1)), _P(_rect(1, 1, 2, 2)), True, 0.0, 0.0),
+        (_P(_rect(0, 0, 1, 1)), _P(_rect(5, 5, 6, 6)), False, 0.0, 0.0),
+        (_P(_rect(0, 0, 10, 10)), _P(_rect(2, 2, 4, 4)), True, 4.0, 8.0),
+        (_P(_rect(0, 0, 1, 1)), _P(_rect(0, 0, 2, 1)), True, 1.0, 4.0),
+    ]
+    for ga, gb, isect, area, length in cases:
+        i, a, ln = K.pair_stats_exact(ga, gb)
+        assert i == isect and abs(a - area) < 1e-9 and abs(ln - length) < 1e-9, (
+            ga, gb, (i, a, ln)
+        )
+        # symmetry
+        i2, a2, l2 = K.pair_stats_exact(gb, ga)
+        assert i2 == i and abs(a2 - a) < 1e-9 and abs(l2 - ln) < 1e-9
+
+
+def test_exact_kernel_concave_and_holes():
+    L = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float
+    )
+    # L ∩ square: L-shaped region, area 0.75, perimeter 4
+    i, a, ln = K.pair_stats_exact(_P(L), _P(_rect(0.5, 0.5, 1.5, 1.5)))
+    assert i and abs(a - 0.75) < 1e-9 and abs(ln - 4.0) < 1e-9
+    # holed square ∩ overlapping rect: hole notch carved from the
+    # intersection boundary (hand-derived ring: area 6, perimeter 14)
+    holed = _P(_rect(0, 0, 4, 4), _rect(1, 1, 3, 3))
+    i, a, ln = K.pair_stats_exact(holed, _P(_rect(2, -1, 5, 5)))
+    assert i and abs(a - 6.0) < 1e-9 and abs(ln - 14.0) < 1e-9
+    # geometry entirely inside the hole: disjoint
+    i, a, ln = K.pair_stats_exact(holed, _P(_rect(1.5, 1.5, 2.5, 2.5)))
+    assert not i and a == 0.0 and ln == 0.0
+    # far from origin: conditioning survives the 1e7 offset
+    off = 1e7
+    i, a, ln = K.pair_stats_exact(
+        _P(_rect(off, off, off + 2, off + 2)),
+        _P(_rect(off + 1, off + 1, off + 3, off + 3)),
+    )
+    assert i and abs(a - 1.0) < 1e-6 and abs(ln - 4.0) < 1e-6
+
+
+def test_exact_kernel_agrees_with_convex_kernel():
+    """On convex inputs in generic position the boundary-trace kernel
+    and the Sutherland-Hodgman clip must agree."""
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        pa = rng.uniform(0, 10, (8, 2))
+        pb = rng.uniform(5, 15, (8, 2))
+        ha, hb = K.convex_hull(pa), K.convex_hull(pb)
+        if len(ha) < 3 or len(hb) < 3:
+            continue
+        ic, ac, lc = K.convex_pair_stats([ha], [hb], 0.0, 0.0)
+        ie, ae, le = K.pair_stats_exact(_P(ha), _P(hb))
+        assert ic == ie
+        assert abs(ac - ae) < 1e-7, (ac, ae)
+        if ac > 1e-9:  # degenerate contact conventions differ; compare
+            assert abs(lc - le) < 1e-7, (lc, le)  # only proper overlaps
+
+
+def test_exact_kernel_multipolygon_parts_additive():
+    mp = ("MultiPolygon", [[_rect(0, 0, 1, 1)], [_rect(3, 0, 4, 1)]])
+    big = _P(_rect(-1, -1, 5, 2))
+    i, a, ln = K.pair_stats_exact(mp, big)
+    assert i and abs(a - 2.0) < 1e-9 and abs(ln - 8.0) < 1e-9
+
+
+def test_rect_exact_flag_matches_general_kernel_on_mosaic(spark, sf_dir):
+    """intersects_byid via the declared-rectangle fast path and via the
+    exact general kernel must produce the same pair set on the mosaic —
+    including the degenerate shared-edge and corner-touch pairs."""
+    from gpd_lite_toolbox_spark.operators.joins import intersects_byid
+
+    polys = FX.polys(spark, sf_dir)
+    fast = {
+        (r.left_id, r.right_id)
+        for r in intersects_byid(
+            polys, polys, cell_size=3125.0, rect_exact=True
+        ).collect()
+    }
+    exact = {
+        (r.left_id, r.right_id)
+        for r in intersects_byid(
+            polys, polys, cell_size=3125.0, rect_exact=False
+        ).collect()
+    }
+    assert fast == exact
+
+
+def test_rect_exact_requires_bbox_columns(spark, sf_dir):
+    import pytest as _pytest
+
+    from gpd_lite_toolbox_spark.operators.joins import _pair_stats
+    from gpd_lite_toolbox_spark.operators.spatial_join import bbox_join
+
+    polys = FX.polys(spark, sf_dir)
+    j = bbox_join(polys, polys, 3125.0).drop("l_x0")
+    with _pytest.raises(ValueError, match="rect_exact"):
+        _pair_stats(j, 0.0, 0.0, rect_exact=True)
+
+
 def test_udf_path_equals_native_path_on_fixtures(spark, sf_dir):
     """The geometry-decoding kernel and the bbox-column expressions must
     produce identical pair sets and statistics on the rectangle layers."""
