@@ -354,6 +354,28 @@ def _q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isochrone_bands(m, height=8000.0, interval_h=0.25)
 
 
+def _q_isochrone_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band polygons measured on their own geometry: area/perimeter come
+    from st_area/st_length over the dissolved MultiPolygon WKB, while
+    the oracle re-derives both from band cell arithmetic — agreement
+    proves the emitted polygons enclose exactly the band's cells."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area, st_length
+    from gpd_lite_toolbox_spark.operators.isochrone import isochrone_polygons
+
+    m = FX.fixture_df(_configure(spark), sf_dir, "osrm_matrix")
+    polys = isochrone_polygons(m, height=8000.0, interval_h=0.25)
+    return polys.select(
+        "band",
+        F.round("t_min_h", 6).alias("t_min_h"),
+        "n_cells",
+        "n_pts",
+        F.round(st_area("geometry"), 6).alias("area"),
+        F.round(st_length("geometry"), 6).alias("perimeter"),
+    )
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.streaming.grid_stream import windowed_grid_agg
 
@@ -592,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cut": _q_grid_cut,
         "grid_cut_hull": _q_grid_cut_hull,
         "isochrone_bands": _q_isochrone_bands,
+        "isochrone_polys": _q_isochrone_polys,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "dorling_radius": _q_dorling_radius,
@@ -645,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         # grid_cut_hull: convex-hull clip — geometry not SQL-expressible
         # without a spatial extension; property-tested, rows-only here.
         "isochrone_bands": OR.ISOCHRONE_BANDS,
+        "isochrone_polys": OR.ISOCHRONE_POLYS,
         "events_window": OR.EVENTS_WINDOW,
         "sessionize": OR.SESSIONIZE,
         "dorling_radius": OR.DORLING_RADIUS,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "grid_cut",
     "grid_cut_hull",
     "isochrone_bands",
+    "isochrone_polys",
     "events_window",
     "sessionize",
     "dorling_radius",

@@ -597,6 +597,82 @@ def pair_stats_exact(geom_a, geom_b) -> tuple[bool, float, float]:
     return isect, max(area, 0.0), length
 
 
+# ------------------------------------------------------- lattice dissolve
+def dissolve_lattice_cells(cells) -> list[list[tuple[int, int]]]:
+    """Boundary rings of a union of unit lattice cells.
+
+    ``cells`` is an iterable of integer (col, row) pairs; cell (c, r)
+    occupies lattice corners (c, r)..(c+1, r+1). Returns closed rings
+    (first == last vertex) of lattice vertices with collinear runs
+    compressed. Interior edges cancel (each appears in both directions
+    from the two adjacent cells), so the surviving directed edges ARE
+    the union boundary, oriented consistently per-cell; at pinch
+    corners (diagonal "checkerboard" contact) the sharpest-turn rule
+    keeps each loop a separate SIMPLE ring instead of a figure-eight.
+
+    Exact grid dissolve for cell mosaics — backs the isochrone band
+    polygons (reference core.py:839-870 builds band polygons from
+    matplotlib contour collections; here bands are cell sets)."""
+    eset: set[tuple] = set()
+    for c, r in set(map(tuple, cells)):
+        corners = ((c, r + 1), (c + 1, r + 1), (c + 1, r), (c, r))
+        for i in range(4):
+            a, b = corners[i], corners[(i + 1) % 4]
+            if (b, a) in eset:
+                eset.remove((b, a))
+            else:
+                eset.add((a, b))
+    outgoing: dict[tuple, list] = {}
+    for a, b in eset:
+        outgoing.setdefault(a, []).append(b)
+    rings = []
+    while eset:
+        a0, b0 = next(iter(eset))
+        ring = [a0]
+        cur_a, cur_b = a0, b0
+        while True:
+            eset.remove((cur_a, cur_b))
+            outgoing[cur_a].remove(cur_b)
+            ring.append(cur_b)
+            if cur_b == a0:
+                break
+            cands = outgoing[cur_b]
+            if len(cands) == 1:
+                cur_a, cur_b = cur_b, cands[0]
+                continue
+            din = (cur_b[0] - cur_a[0], cur_b[1] - cur_a[1])
+
+            def turn_rank(nxt, _b=cur_b, _d=din):
+                dout = (nxt[0] - _b[0], nxt[1] - _b[1])
+                cross = _d[0] * dout[1] - _d[1] * dout[0]
+                dot = _d[0] * dout[0] + _d[1] * dout[1]
+                # cell traversal is CW in lattice space (CCW in world
+                # coords after the y-flip), so the same-cell turn at a
+                # pinch vertex is the cross<0 branch
+                if cross < 0:
+                    return 0
+                if cross == 0 and dot > 0:
+                    return 1
+                if cross > 0:
+                    return 2
+                return 3
+            cur_a, cur_b = cur_b, min(cands, key=turn_rank)
+        # compress collinear runs (cyclic)
+        open_ring = ring[:-1]
+        n = len(open_ring)
+        keep = []
+        for i in range(n):
+            p_prev = open_ring[i - 1]
+            p = open_ring[i]
+            p_next = open_ring[(i + 1) % n]
+            d1 = (p[0] - p_prev[0], p[1] - p_prev[1])
+            d2 = (p_next[0] - p[0], p_next[1] - p[1])
+            if d1[0] * d2[1] - d1[1] * d2[0] != 0:
+                keep.append(p)
+        rings.append(keep + keep[:1])
+    return rings
+
+
 # ------------------------------------------------------------- rectangles
 def rect_buffer(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Mitre-style buffer exact for axis-aligned rectangles: expand the

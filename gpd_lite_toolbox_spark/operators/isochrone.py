@@ -117,6 +117,112 @@ def access_isocrone(
     return surface, bands
 
 
+def isochrone_polygons(
+    matrix: DataFrame,
+    height: float,
+    interval_h: float = 0.25,
+    time_col: str = "time_s",
+    cumulative: bool = False,
+) -> DataFrame:
+    """Isochrone band POLYGONS (#18/#19 user-facing geometry output,
+    reference ``core.py:839-870`` isopoly_to_gdf builds band polygons
+    from matplotlib contour collections): each band's grid cells
+    dissolve into MultiPolygon WKB — shells and holes reconstructed
+    exactly by the lattice boundary-cancellation stitcher
+    (``kernels.dissolve_lattice_cells``).
+
+    Output: (band, t_min_h, n_cells, n_pts, geometry). With
+    ``cumulative=True`` band b covers every cell reached within
+    (b+1)*interval_h — the classic nested-isochrone reading (polygons
+    nest by construction; property-tested).
+
+    Scale shape: the per-band group is bounded by GRID size (extent /
+    height)^2, never by point count — points aggregate to cells before
+    any Python boundary, and the stitcher is O(cells) per band.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..geometry import kernels as K
+    from ..geometry import wkb as W
+    from .grid import grid_dims
+
+    pts = filter_osrm_times(matrix, time_col)
+    bounds = compute_bounds(pts)
+    nrows, _ncols = grid_dims(bounds, height)
+    binned = assign_cells(pts, bounds, height).withColumn(
+        "band", F.floor(F.col("time_h") / F.lit(float(interval_h)))
+    )
+    per_cell = binned.groupBy("band", "cell_id").agg(
+        F.count("*").alias("n_pts"), F.min("time_h").alias("t_min_h")
+    )
+    if cumulative:
+        # cell joins every band >= its own: bounded fan-out (max band
+        # count), keeps the per-band dissolve shape identical
+        top = per_cell.agg(F.max("band")).collect()[0][0]
+        if top is None:
+            top = 0
+        expand = per_cell.withColumn(
+            "band",
+            F.explode(F.sequence(F.col("band"), F.lit(int(top)))),
+        )
+        per_cell = expand.groupBy("band", "cell_id").agg(
+            F.sum("n_pts").alias("n_pts"), F.min("t_min_h").alias("t_min_h")
+        )
+    h = float(height)
+    xmin = float(bounds["xmin"])
+    ymax = float(bounds["ymax"])
+    nr = int(nrows)
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(pdf["band"].iloc[0])
+        cols = (pdf["cell_id"] // nr).to_numpy()
+        rows = (pdf["cell_id"] % nr).to_numpy()
+        rings = K.dissolve_lattice_cells(zip(cols.tolist(), rows.tolist()))
+        shells, holes = [], []
+        for ring in rings:
+            arr = np.array(
+                [[xmin + c * h, ymax - r * h] for c, r in ring], dtype="<f8"
+            )
+            (shells if K.ring_signed_area(arr[:-1]) > 0 else holes).append(arr)
+        parts = [[s] for s in shells]
+        for hole in holes:
+            # cavity test point: first-edge midpoint nudged toward the
+            # cavity side (region sits LEFT of consistently-oriented
+            # boundaries, so the cavity is to the RIGHT of a hole edge)
+            v0, v1 = hole[0], hole[1]
+            d = v1 - v0
+            ln = float(np.hypot(d[0], d[1]))
+            px = (v0[0] + v1[0]) / 2.0 + (d[1] / ln) * (h / 2.0)
+            py = (v0[1] + v1[1]) / 2.0 - (d[0] / ln) * (h / 2.0)
+            for i, s in enumerate(shells):
+                if K.point_in_ring(
+                    np.array([px]), np.array([py]), s
+                )[0]:
+                    parts[i].append(hole)
+                    break
+        wkb = (
+            W.multipolygon_wkb(parts)
+            if len(parts) != 1
+            else W.polygon_wkb(parts[0])
+        )
+        return pd.DataFrame(
+            {
+                "band": [band],
+                "t_min_h": [float(pdf["t_min_h"].min())],
+                "n_cells": [len(pdf)],
+                "n_pts": [int(pdf["n_pts"].sum())],
+                "geometry": [wkb],
+            }
+        )
+
+    return per_cell.groupBy("band").applyInPandas(
+        stitch,
+        schema="band long, t_min_h double, n_cells long, n_pts long, "
+        "geometry binary",
+    )
+
+
 def isochrone_bands(
     matrix: DataFrame,
     height: float,

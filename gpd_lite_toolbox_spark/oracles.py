@@ -515,6 +515,49 @@ SELECT band,
 FROM per_cell GROUP BY band
 """
 
+# Band-polygon oracle — like CONCAVE_PAIRS, NOT a mirror: Spark
+# dissolves each band's cells into MultiPolygon WKB (lattice boundary
+# stitcher) and reports area/perimeter measured ON the geometry; this
+# SQL derives the same values from cell arithmetic — area = n_cells*h²,
+# perimeter = h*(4*n_cells - 2*rook_adjacent_pairs) (every shared edge
+# removes one unit edge from each of its two cells). Agreement proves
+# the emitted polygons enclose exactly the band's cells.
+ISOCHRONE_POLYS = f"""
+WITH {oracle_ctes('osrm_matrix')},
+pts AS (SELECT x, y, time_s / 3600.0 AS time_h
+        FROM osrm_matrix
+        WHERE time_s <> 2147483647 AND time_s <> 0),
+d AS (SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+             CAST(CEIL((MAX(y) - MIN(y)) / {_PGRID_H}) AS BIGINT) AS nrows,
+             CAST(CEIL((MAX(x) - MIN(x)) / {_PGRID_H}) AS BIGINT) AS ncols
+      FROM pts),
+b AS (SELECT CAST(FLOOR(time_h / 0.25) AS BIGINT) AS band,
+             CAST(LEAST(FLOOR((x - xmin) / {_PGRID_H}),
+                        CAST(ncols - 1 AS DOUBLE)) * nrows
+                + LEAST(FLOOR((ymax - y) / {_PGRID_H}),
+                        CAST(nrows - 1 AS DOUBLE)) AS BIGINT) AS cell_id,
+             time_h, nrows
+      FROM pts CROSS JOIN d),
+per_cell AS (SELECT band, cell_id, MAX(nrows) AS nrows,
+                    COUNT(*) AS n_pts, MIN(time_h) AS t_min
+             FROM b GROUP BY band, cell_id),
+adj AS (SELECT a.band, COUNT(*) AS n_adj
+        FROM per_cell a JOIN per_cell b ON a.band = b.band
+         AND ((b.cell_id = a.cell_id + 1
+               AND (a.cell_id % a.nrows) <> a.nrows - 1)
+              OR b.cell_id = a.cell_id + a.nrows)
+        GROUP BY a.band)
+SELECT p.band,
+       ROUND(MIN(p.t_min), 6) AS t_min_h,
+       COUNT(*) AS n_cells,
+       CAST(SUM(p.n_pts) AS BIGINT) AS n_pts,
+       ROUND(CAST(COUNT(*) * {_PGRID_H * _PGRID_H} AS DOUBLE), 6) AS area,
+       ROUND(CAST((4 * COUNT(*) - 2 * COALESCE(MAX(a.n_adj), 0))
+                  * {_PGRID_H} AS DOUBLE), 6) AS perimeter
+FROM per_cell p LEFT JOIN adj a ON p.band = a.band
+GROUP BY p.band
+"""
+
 # ------------------------------------------------------------ events ops
 EVENTS_WINDOW = """
 WITH ev AS (SELECT ts, value,
