@@ -231,6 +231,19 @@ def _q_match_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_match_lines_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-vertex-count matching: the chkl index-mapped join path
+    (3/5/7-vertex lines against differently-sampled counterparts)."""
+    from gpd_lite_toolbox_spark.operators.lines import match_lines
+
+    s = _configure(spark)
+    return match_lines(
+        FX.fixture_df(s, sf_dir, "road_ragged_verts"),
+        FX.fixture_df(s, sf_dir, "road_ragged_b_verts"),
+        limit=120.0,
+    )
+
+
 def _q_match_line_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -600,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hav_dist": _q_hav_dist,
         "bearing": _q_bearing,
         "match_lines": _q_match_lines,
+        "match_lines_ragged": _q_match_lines_ragged,
         "match_line_cluster": _q_match_line_cluster,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -651,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
         "hav_dist": OR.HAV_DIST,
         "bearing": OR.BEARING,
         "match_lines": OR.MATCH_LINES,
+        "match_lines_ragged": OR.MATCH_LINES_RAGGED,
         # match_line_cluster: KMeans blocking — not SQL-expressible,
         # rows-only check (the judge sees which).
         "exact_dedup": OR.EXACT_DEDUP,

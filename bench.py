@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "hav_dist",
     "bearing",
     "match_lines",
+    "match_lines_ragged",
     "exact_dedup",
     "minhash_pairs",
     "simhash",

@@ -48,6 +48,13 @@ J4 = (
     "SELECT 3) j4"
 )
 
+# 8-row variant for the ragged (3-7 vertex) line fixtures.
+J8 = (
+    "(SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL "
+    "SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL "
+    "SELECT 6 UNION ALL SELECT 7) j8"
+)
+
 # 32-row index table; cross-join twice for up to 1024 (grid-cell oracle).
 N32 = (
     "(SELECT "
@@ -198,6 +205,35 @@ SELECT s_suppkey AS id,
 FROM supplier
 """
 
+# RAGGED polyline vertex tables — variable vertex counts for the
+# generalized (chkl-subsampled) match_lines. A-lines carry 3/5/7
+# vertices, the B counterpart of the SAME key carries a DIFFERENT
+# count (cycles (3,5),(5,7),(7,3)), so every candidate pair exercises
+# the longer/shorter index mapping. Every line spans exactly 240 x
+# units (3/5/7 vertices -> integer steps 120/60/40, keeping the
+# integer-valued-double convention); B adds <=10-unit jitter.
+ROAD_RAGGED_SQL = f"""
+SELECT p_partkey AS id, j AS vidx,
+       CAST((p_partkey * 3266489917) % 90000
+            + j * (240.0 / (2 + 2 * (p_partkey % 3))) AS DOUBLE) AS vx,
+       CAST((p_partkey * 668265263) % 90000
+            + (p_partkey * 31 + j * 17) % 40 AS DOUBLE) AS vy
+FROM part CROSS JOIN {J8}
+WHERE p_partkey % 3 = 0 AND j < 3 + 2 * (p_partkey % 3)
+"""
+
+ROAD_RAGGED_B_SQL = f"""
+SELECT p_partkey AS id, j AS vidx,
+       CAST((p_partkey * 3266489917) % 90000
+            + j * (240.0 / (2 + 2 * ((p_partkey + 1) % 3)))
+            + (p_partkey * 7 + j * 13) % 21 - 10 AS DOUBLE) AS vx,
+       CAST((p_partkey * 668265263) % 90000
+            + (p_partkey * 31 + j * 17) % 40
+            + (p_partkey * 11 + j * 19) % 21 - 10 AS DOUBLE) AS vy
+FROM part CROSS JOIN {J8}
+WHERE p_partkey % 3 = 0 AND j < 3 + 2 * ((p_partkey + 1) % 3)
+"""
+
 # Document corpus with PLANTED duplicates for the dedup operator family:
 # the driver's documents are all-distinct, so exact duplicates (1 in 10)
 # and near-duplicates (1 in 17, a token appended) are derived
@@ -235,6 +271,8 @@ _FIXTURE_SQL = {
     "mpoly_parts": MPOLY_PARTS_SQL,
     "road_verts": ROAD_VERTS_SQL,
     "road_b_verts": ROAD_B_VERTS_SQL,
+    "road_ragged_verts": ROAD_RAGGED_SQL,
+    "road_ragged_b_verts": ROAD_RAGGED_B_SQL,
 }
 
 

@@ -35,6 +35,7 @@ def _line_bboxes(verts: DataFrame) -> DataFrame:
         F.min("vy").alias("y0"),
         F.max("vx").alias("x1"),
         F.max("vy").alias("y1"),
+        F.count("*").alias("nv"),
     )
 
 
@@ -44,12 +45,26 @@ def match_lines(
     limit: float,
     cell_size: float | None = None,
 ) -> DataFrame:
-    """For each line of A, the closest line(s) of B by aligned-max
-    distance, strictly under ``limit``; ties kept (reference keeps every
-    argmin, core.py:56).
+    """For each line of A, the closest line(s) of B by the reference's
+    "cheap hausdorff" subsampled-aligned distance, strictly under
+    ``limit``; ties kept (reference keeps every argmin, core.py:56).
 
-    Inputs are vertex tables (id, vidx, vx, vy) with equal per-line
-    vertex counts. Output: (id_a, id_b, fh_dist).
+    Vertex counts may DIFFER per line (core.py:104-131 fh_dist_lines):
+    with L = longer count, S = shorter, chkl = round(L/S), vertex i of
+    the longer line aligns to vertex i // chkl of the shorter, for
+    i < min(L, chkl*S); the distance is the max over aligned pairs.
+    Equal counts reduce to chkl=1, the plain aligned-vertex max. Two
+    documented deviations from the reference, both bug fixes: the
+    longer/shorter normalization is actually applied (core.py:122's
+    swap compares len(coord_li2) with itself and never fires), and
+    chkl rounds half-UP via floor((2L+S)/(2S)) — cross-engine-stable,
+    where Python's round() banker-rounds ties.
+
+    Inputs are vertex tables (id, vidx, vx, vy). Output:
+    (id_a, id_b, fh_dist) — fully native: bbox-join candidates (the
+    prune is lossless: fh < limit forces expanded-bbox overlap), two
+    index-mapped equi-join branches (A-longer / B-longer), one
+    max-aggregate, a rank-1 window. No Python boundary.
     """
     ba = _line_bboxes(verts_a)
     bb = _line_bboxes(verts_b)
@@ -67,20 +82,52 @@ def match_lines(
         )
         cell_size = max(float(limit), float(row.mx or 1.0), float(row.my or 1.0), 1.0)
     cs = float(cell_size)
-    cand = bbox_join(ba, bb, cs, tol_left=limit).select(
-        F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b")
+    big = F.greatest(F.col("na"), F.col("nb"))
+    small = F.least(F.col("na"), F.col("nb"))
+    cand = (
+        bbox_join(ba, bb, cs, tol_left=limit)
+        .select(
+            F.col("l_id").alias("id_a"),
+            F.col("r_id").alias("id_b"),
+            F.col("l_nv").alias("na"),
+            F.col("r_nv").alias("nb"),
+        )
+        .withColumn(
+            "chkl", F.floor((2 * big + small) / (2.0 * small)).cast("long")
+        )
     )
     a = verts_a.select(
-        F.col("id").alias("id_a"), "vidx",
+        F.col("id").alias("id_a"), F.col("vidx").alias("avidx"),
         F.col("vx").alias("ax"), F.col("vy").alias("ay"),
     )
     b = verts_b.select(
-        F.col("id").alias("id_b"), "vidx",
+        F.col("id").alias("id_b"), F.col("vidx").alias("bvidx"),
         F.col("vx").alias("bx"), F.col("vy").alias("by"),
     )
+    # branch 1: A is the longer (or equal) side — its vertices drive
+    p1 = (
+        cand.filter(F.col("na") >= F.col("nb"))
+        .join(a, "id_a")
+        .filter(F.col("avidx") < F.col("chkl") * F.col("nb"))
+        .withColumn(
+            "bvidx", F.floor(F.col("avidx") / F.col("chkl")).cast("long")
+        )
+        .join(b, ["id_b", "bvidx"])
+    )
+    # branch 2: B is strictly longer
+    p2 = (
+        cand.filter(F.col("nb") > F.col("na"))
+        .join(b, "id_b")
+        .filter(F.col("bvidx") < F.col("chkl") * F.col("na"))
+        .withColumn(
+            "avidx", F.floor(F.col("bvidx") / F.col("chkl")).cast("long")
+        )
+        .join(a, ["id_a", "avidx"])
+    )
+    sel = ["id_a", "id_b", "ax", "ay", "bx", "by"]
     d = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "vidx"])
+        p1.select(*sel)
+        .unionByName(p2.select(*sel))
         .groupBy("id_a", "id_b")
         .agg(
             F.max(

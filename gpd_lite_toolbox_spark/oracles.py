@@ -252,6 +252,46 @@ f AS (SELECT id_a, id_b, fh,
 SELECT id_a, id_b, ROUND(fh, 6) AS fh_dist FROM f WHERE rk = 1
 """
 
+# Generalized chkl-subsampled match over the ragged vertex tables:
+# mirrors operators/lines.py match_lines — chkl = floor((2L+S)/(2S))
+# (half-up round of L/S), longer-side vertex i pairs with shorter-side
+# i // chkl for i < chkl*S. No candidate pruning here: the Spark bbox
+# prune is lossless (fh < limit forces expanded-bbox overlap), so the
+# full pair space filtered on fh < limit is the same relation.
+MATCH_LINES_RAGGED = f"""
+WITH {oracle_ctes('road_ragged_verts', 'road_ragged_b_verts')},
+ca AS (SELECT id, COUNT(*) AS nv FROM road_ragged_verts GROUP BY id),
+cb AS (SELECT id, COUNT(*) AS nv FROM road_ragged_b_verts GROUP BY id),
+av AS (SELECT v.id, v.vidx, v.vx, v.vy, c.nv
+       FROM road_ragged_verts v JOIN ca c ON v.id = c.id),
+bv AS (SELECT v.id, v.vidx, v.vx, v.vy, c.nv
+       FROM road_ragged_b_verts v JOIN cb c ON v.id = c.id),
+p1 AS (SELECT a.id AS id_a, b.id AS id_b,
+              a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by
+       FROM av a JOIN bv b
+         ON a.nv >= b.nv
+        AND a.vidx < CAST(FLOOR((2 * a.nv + b.nv) / (2.0 * b.nv))
+                          AS BIGINT) * b.nv
+        AND b.vidx = CAST(FLOOR(a.vidx
+                / FLOOR((2 * a.nv + b.nv) / (2.0 * b.nv))) AS BIGINT)),
+p2 AS (SELECT a.id AS id_a, b.id AS id_b,
+              a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by
+       FROM bv b JOIN av a
+         ON b.nv > a.nv
+        AND b.vidx < CAST(FLOOR((2 * b.nv + a.nv) / (2.0 * a.nv))
+                          AS BIGINT) * a.nv
+        AND a.vidx = CAST(FLOOR(b.vidx
+                / FLOOR((2 * b.nv + a.nv) / (2.0 * a.nv))) AS BIGINT)),
+d AS (SELECT id_a, id_b,
+             MAX(SQRT((ax - bx) * (ax - bx) + (ay - by) * (ay - by))) AS fh
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      GROUP BY id_a, id_b),
+f AS (SELECT id_a, id_b, fh,
+             RANK() OVER (PARTITION BY id_a ORDER BY fh) AS rk
+      FROM d WHERE fh < 120.0)
+SELECT id_a, id_b, ROUND(fh, 6) AS fh_dist FROM f WHERE rk = 1
+"""
+
 BEARING = f"""
 WITH {oracle_ctes('road_verts')},
 ends AS (

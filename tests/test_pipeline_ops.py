@@ -135,6 +135,21 @@ def test_find_borders_codes_containing_separator(spark, sf_dir):
         assert r.front_r == f"{rc}-{lc}"
 
 
+def test_ragged_match_lines_matches_resampled_counterpart(spark, sf_dir):
+    """Variable-vertex-count path: the B layer is the SAME road sampled
+    with a different vertex count (3/5/7 cycle) plus jitter — the chkl
+    index mapping must still recover the counterpart as the argmin."""
+    import __spark_entry__ as E
+
+    m = E.queries()["match_lines_ragged"](spark, sf_dir).collect()
+    by_a = {}
+    for r in m:
+        by_a.setdefault(r.id_a, []).append(r.id_b)
+    assert by_a, "no ragged matches at all"
+    correct = sum(1 for a, bs in by_a.items() if a in bs)
+    assert correct / len(by_a) > 0.95, f"{correct}/{len(by_a)}"
+
+
 def test_match_lines_matches_jittered_counterpart(spark, sf_dir):
     import __spark_entry__ as E
 
