@@ -161,6 +161,18 @@ def _q_random_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("id", "k", "px", "py")
 
 
+def _q_random_pts_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection sampling inside CONCAVE + HOLED polygons: hashed bbox
+    draws filtered by the WKB ray-cast, first-3 accepted per feature.
+    The oracle replays the draws with exact half-open interval math."""
+    from gpd_lite_toolbox_spark.operators.points import random_pts_in_polygons
+
+    s = _configure(spark)
+    return random_pts_in_polygons(FX.cpolys(s, sf_dir), coef=3).select(
+        "id", "k", "px", "py"
+    )
+
+
 def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.points import snap_to_nearest
 
@@ -609,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dumb_multi_to_single": _q_dumb_multi_to_single,
         "dissolve_country": _q_dissolve_country,
         "random_pts": _q_random_pts,
+        "random_pts_poly": _q_random_pts_poly,
         "snap_points": _q_snap_points,
         "hav_dist": _q_hav_dist,
         "bearing": _q_bearing,
@@ -661,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "dumb_multi_to_single": OR.DUMB_MULTI_TO_SINGLE,
         "dissolve_country": OR.DISSOLVE_COUNTRY,
         "random_pts": OR.RANDOM_PTS,
+        "random_pts_poly": OR.RANDOM_PTS_POLY,
         "snap_points": OR.SNAP_POINTS,
         "hav_dist": OR.HAV_DIST,
         "bearing": OR.BEARING,

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "multi_to_single",
     "dissolve_country",
     "random_pts",
+    "random_pts_poly",
     "snap_points",
     "hav_dist",
     "bearing",

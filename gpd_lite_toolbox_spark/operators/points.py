@@ -93,6 +93,57 @@ def random_pts_on_surface(
     )
 
 
+def random_pts_in_polygons(
+    polys: DataFrame,
+    coef: int = 1,
+    nb_field: str | None = None,
+    id_col: str = "id",
+    geom_col: str = "geometry",
+    mult: int = 8,
+    pad: int = 32,
+) -> DataFrame:
+    """N deterministic pseudo-uniform points inside each ARBITRARY
+    polygon — the general-geometry form of random_pts_on_surface
+    (reference rejection-samples the bbox until n hits, core.py:546-561).
+
+    Distributed rejection with bounded tries: ``mult*n + pad`` hashed
+    candidate draws per feature land in the bbox, the in-polygon
+    ray-cast (st_contains_xy over the WKB geometry) accepts, and the
+    first n accepted (ordered by draw index — deterministic under
+    re-execution and repartitioning) are kept. The try budget makes a
+    shortfall astronomically unlikely for bbox fill fractions >= ~0.3
+    (P(Bin(8n+32, frac) < n) — e.g. < 1e-12 at frac 0.5, n 1); a
+    degenerate sliver polygon can emit fewer than n, mirroring a
+    max-tries rejection loop.
+
+    Expects bbox columns x0..y1 alongside the geometry (the engine's
+    layer convention). Output: input columns + (k, px, py).
+    """
+    n = (
+        F.round(F.col(nb_field) * F.lit(float(coef))).cast("bigint")
+        if nb_field
+        else F.lit(int(coef)).cast("bigint")
+    )
+    from ..geometry.functions import st_contains_xy
+
+    df = polys.withColumn("n_pts", n).filter(F.col("n_pts") > 0)
+    m = F.col("n_pts") * int(mult) + int(pad)
+    df = df.withColumn("k", F.explode(F.sequence(F.lit(0), m - 1)))
+    fx = ((F.col(id_col) * 2654435761 + F.col("k") * 97561) % 1000003) / 1000003.0
+    fy = ((F.col(id_col) * 2246822519 + F.col("k") * 40503) % 1000003) / 1000003.0
+    df = (
+        df.withColumn("px", F.round(F.col("x0") + fx * (F.col("x1") - F.col("x0")), 6))
+        .withColumn("py", F.round(F.col("y0") + fy * (F.col("y1") - F.col("y0")), 6))
+        .filter(st_contains_xy(F.col(geom_col), F.col("px"), F.col("py")))
+    )
+    w = Window.partitionBy(id_col).orderBy("k")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("n_pts"))
+        .drop("_rn", "n_pts")
+    )
+
+
 def snap_to_nearest(
     pts: DataFrame,
     target_verts: DataFrame,

@@ -946,6 +946,36 @@ WHERE t.area > 0
 
 CONCAVE_PAIRS = _concave_pairs_sql()
 
+# General-polygon random points over the L-shaped + holed layer: the
+# hashed bbox draws are shared arithmetic, and the ray-cast acceptance
+# reduces, for axis-aligned boundaries, to EXACT half-open interval
+# tests ([x0,x1) x [y0,y1) per decomposition rect, hole subtracted) —
+# the same outcomes as the kernel's (y0>py)!=(y1>py) & px<xint
+# crossing rule, including points that land exactly on a boundary.
+_RPP_K = ", ".join(f"({i})" for i in range(56))  # 3 pts -> 8*3+32 draws
+
+RANDOM_PTS_POLY = f"""
+WITH {oracle_ctes('cpolys')},
+k56(k) AS (VALUES {_RPP_K}),
+draws AS (
+  SELECT c.id, c.ox, c.oy, c.has_hole, k.k,
+         ROUND(c.ox + ((c.id * 2654435761 + k.k * 97561) % 1000003)
+               / 1000003.0 * 2000.0, 6) AS px,
+         ROUND(c.oy + ((c.id * 2246822519 + k.k * 40503) % 1000003)
+               / 1000003.0 * 2000.0, 6) AS py
+  FROM cpolys c CROSS JOIN k56 k),
+acc AS (
+  SELECT id, k, px, py,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY k) AS rn
+  FROM draws
+  WHERE ((px >= ox AND px < ox + 2000 AND py >= oy AND py < oy + 1000)
+      OR (px >= ox AND px < ox + 1000
+          AND py >= oy + 1000 AND py < oy + 2000))
+    AND NOT (has_hole = 1 AND px >= ox + 200 AND px < ox + 700
+             AND py >= oy + 200 AND py < oy + 700))
+SELECT id, k, px, py FROM acc WHERE rn <= 3
+"""
+
 # ------------------------------------------------------- relational demos
 # The engine is a general analytics engine; three classic OLAP shapes
 # over the driver tables prove the relational substrate (pricing

@@ -118,6 +118,31 @@ def test_embedding_lsh_subset_of_exact_with_recall_floor(spark, sf_dir):
         assert recall >= 0.25, f"LSH recall {recall:.2f}"
 
 
+def test_random_pts_in_polygons_inside_and_exact_count(spark, sf_dir):
+    """Every sampled point lies strictly inside its concave/holed
+    polygon and every feature gets exactly coef points."""
+    import numpy as np
+
+    from gpd_lite_toolbox_spark.geometry import kernels as K
+    from gpd_lite_toolbox_spark.geometry import wkb as W
+    from gpd_lite_toolbox_spark.operators.points import random_pts_in_polygons
+
+    polys = FX.cpolys(spark, sf_dir)
+    pts = random_pts_in_polygons(polys, coef=3).select(
+        "id", "px", "py", "geometry"
+    ).collect()
+    n_features = polys.count()
+    assert len(pts) == 3 * n_features
+    per = {}
+    for r in pts:
+        per[r.id] = per.get(r.id, 0) + 1
+        geom = W.decode(bytes(r.geometry))
+        assert K.points_in_geom(
+            np.array([r.px]), np.array([r.py]), geom
+        )[0], (r.id, r.px, r.py)
+    assert all(v == 3 for v in per.values())
+
+
 def test_find_borders_codes_containing_separator(spark, sf_dir):
     # regression: front_r must come from the raw side codes, not a
     # re-split of the concatenated key — codes like 'FR-75' would mangle
