@@ -153,6 +153,29 @@ def _q_dissolve_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dissolve_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-union dissolve over an OVERLAPPING layer (polys + the
+    half-shifted polys_b, by country): overlap counted once. Spark
+    measures area on the stitched union rings; the oracle uses slab
+    decomposition — independent algorithms."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.dissolve import dissolve_union
+
+    s = _configure(spark)
+    a = FX.polys(s, sf_dir, with_geometry=False).select(
+        "country", "x0", "y0", "x1", "y1"
+    )
+    b = FX.polys_b(s, sf_dir, with_geometry=False).select(
+        F.concat(F.lit("CTY"), (F.col("id") % 8).cast("string")).alias(
+            "country"
+        ),
+        "x0", "y0", "x1", "y1",
+    )
+    u = dissolve_union(a.unionByName(b), "country")
+    return u.select("country", F.round("area", 6).alias("area"))
+
+
 def _q_random_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.points import random_pts_on_surface
 
@@ -620,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_to_single": _q_multi_to_single,
         "dumb_multi_to_single": _q_dumb_multi_to_single,
         "dissolve_country": _q_dissolve_country,
+        "dissolve_union": _q_dissolve_union,
         "random_pts": _q_random_pts,
         "random_pts_poly": _q_random_pts_poly,
         "snap_points": _q_snap_points,
@@ -673,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_to_single": OR.MULTI_TO_SINGLE,
         "dumb_multi_to_single": OR.DUMB_MULTI_TO_SINGLE,
         "dissolve_country": OR.DISSOLVE_COUNTRY,
+        "dissolve_union": OR.DISSOLVE_UNION,
         "random_pts": OR.RANDOM_PTS,
         "random_pts_poly": OR.RANDOM_PTS_POLY,
         "snap_points": OR.SNAP_POINTS,

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "concave_pairs",
     "multi_to_single",
     "dissolve_country",
+    "dissolve_union",
     "random_pts",
     "random_pts_poly",
     "snap_points",

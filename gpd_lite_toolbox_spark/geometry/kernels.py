@@ -673,6 +673,72 @@ def dissolve_lattice_cells(cells) -> list[list[tuple[int, int]]]:
     return rings
 
 
+def lattice_parts(rings: list[list[tuple[int, int]]]):
+    """Group stitched lattice rings (dissolve_lattice_cells output) into
+    parts: [(shell, [holes...])], all in lattice coords with the
+    stitcher's orientation kept. Covered region lies on the (dy, -dx)
+    side of every consistently-oriented boundary edge, so a hole's
+    cavity test point is its first-edge midpoint nudged the other way —
+    robust even when hole and shell share a pinch vertex."""
+    shells, holes = [], []
+    for ring in rings:
+        arr = np.array(ring[:-1], dtype=float)
+        (shells if ring_signed_area(arr) < 0 else holes).append(ring)
+    parts = [(s, []) for s in shells]
+    for hole in holes:
+        (x0, y0), (x1, y1) = hole[0], hole[1]
+        d = (x1 - x0, y1 - y0)
+        ln = math.hypot(d[0], d[1])
+        px = (x0 + x1) / 2.0 - d[1] / ln * 0.5
+        py = (y0 + y1) / 2.0 + d[0] / ln * 0.5
+        for i, (s, hs) in enumerate(parts):
+            if point_in_ring(
+                np.array([px]), np.array([py]), np.array(s[:-1], dtype=float)
+            )[0]:
+                hs.append(hole)
+                break
+    return parts
+
+
+def union_rects(rects) -> list[list[np.ndarray]]:
+    """EXACT geometric union of axis-aligned rectangles — overlapping,
+    nested, or disjoint (the reference's unary_union, core.py:276, for
+    the rectangle-decomposable case). Coordinate compression maps the
+    rects onto a slab lattice, covered slabs dissolve via the boundary
+    stitcher, and rings map back through the slab coordinates.
+
+    ``rects``: iterable of (x0, y0, x1, y1). Returns MultiPolygon-style
+    parts [[shell, holes...]] as closed world-coordinate rings, shells
+    CCW and holes CW."""
+    arr = np.asarray(list(rects), dtype=float).reshape(-1, 4)
+    arr = arr[(arr[:, 2] > arr[:, 0]) & (arr[:, 3] > arr[:, 1])]
+    if len(arr) == 0:
+        return []
+    xs = np.unique(np.concatenate([arr[:, 0], arr[:, 2]]))
+    ys = np.unique(np.concatenate([arr[:, 1], arr[:, 3]]))
+    grid = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    ix0 = np.searchsorted(xs, arr[:, 0])
+    ix1 = np.searchsorted(xs, arr[:, 2])
+    iy0 = np.searchsorted(ys, arr[:, 1])
+    iy1 = np.searchsorted(ys, arr[:, 3])
+    for a, b, c, d in zip(ix0, ix1, iy0, iy1):
+        grid[a:b, c:d] = True
+    cells = [tuple(t) for t in np.argwhere(grid)]
+    parts = []
+    for shell, holes in lattice_parts(dissolve_lattice_cells(cells)):
+        def to_world(ring, reverse):
+            seq = ring[::-1] if reverse else ring
+            return np.array([[xs[c], ys[r]] for c, r in seq], dtype="<f8")
+
+        # lattice outer rings are negative-signed; the slab mapping is
+        # orientation-preserving, so reverse shells to world-CCW and
+        # holes to world-CW
+        parts.append(
+            [to_world(shell, True)] + [to_world(h, True) for h in holes]
+        )
+    return parts
+
+
 # ------------------------------------------------------------- rectangles
 def rect_buffer(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
     """Mitre-style buffer exact for axis-aligned rectangles: expand the

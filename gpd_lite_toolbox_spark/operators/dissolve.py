@@ -57,3 +57,47 @@ def dissolve(
         return first
 
     return gdf.groupBy(colname).applyInPandas(merge, schema=out_schema)
+
+
+def dissolve_union(gdf: DataFrame, colname: str) -> DataFrame:
+    """TRUE geometric union per group — the reference's unary_union
+    dissolve semantics (core.py:276) — exact for RECTANGLE layers
+    (x0..y1 columns), overlapping/nested/duplicated inputs included:
+    per group, the rects compress onto a slab lattice, covered slabs
+    dissolve through the boundary stitcher, and the output is genuine
+    MultiPolygon WKB (shells CCW, holes CW) whose area is measured on
+    the stitched rings, not on the inputs — overlaps count once.
+
+    Scale shape: one grouped-map pass; per-group cost is O(k^2) slabs
+    for k member rects, bounded by the dissolve-key cardinality of the
+    layer (country-sized groups), never by total table size. General
+    overlapping CONCAVE unions stay out of scope — ``dissolve`` keeps
+    the documented collection semantics for those.
+
+    Output: (colname, n_parts, n_holes, area, geometry).
+    """
+    from ..geometry import kernels as K
+
+    key_type = dict(gdf.dtypes)[colname]
+    out_schema = (
+        f"`{colname}` {key_type}, n_parts int, n_holes int, "
+        "area double, geometry binary"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = K.union_rects(
+            pdf[["x0", "y0", "x1", "y1"]].to_numpy(dtype=float)
+        )
+        area = float(sum(K.polygon_area(p) for p in parts))
+        n_holes = sum(len(p) - 1 for p in parts)
+        return pd.DataFrame(
+            {
+                colname: [pdf[colname].iloc[0]],
+                "n_parts": [np.int32(len(parts))],
+                "n_holes": [np.int32(n_holes)],
+                "area": [area],
+                "geometry": [W.multipolygon_wkb(parts)],
+            }
+        )
+
+    return gdf.groupBy(colname).applyInPandas(merge, schema=out_schema)

@@ -528,6 +528,42 @@ FROM pair WHERE w > 0 AND h > 0
 GROUP BY cell_id, x0, y0, x1, y1
 """
 
+# True-union dissolve over the OVERLAPPING combined mosaic (polys +
+# half-shifted polys_b, grouped by country): Spark measures the area on
+# the stitched union rings; this oracle computes it independently by
+# slab decomposition — per country, distinct x/y breakpoints form slabs
+# and a slab counts iff SOME member rect covers it. Overlap counted
+# once on both sides, by different algorithms.
+DISSOLVE_UNION = f"""
+WITH {oracle_ctes('polys', 'polys_b')},
+rects AS (
+  SELECT country, x0, y0, x1, y1 FROM polys
+  UNION ALL
+  SELECT 'CTY' || CAST(id % 8 AS STRING) AS country, x0, y0, x1, y1
+  FROM polys_b),
+xs AS (SELECT DISTINCT country, x0 AS x FROM rects
+       UNION SELECT DISTINCT country, x1 FROM rects),
+xsl AS (SELECT country, x AS x_lo,
+               LEAD(x) OVER (PARTITION BY country ORDER BY x) AS x_hi
+        FROM xs),
+ys AS (SELECT DISTINCT country, y0 AS y FROM rects
+       UNION SELECT DISTINCT country, y1 FROM rects),
+ysl AS (SELECT country, y AS y_lo,
+               LEAD(y) OVER (PARTITION BY country ORDER BY y) AS y_hi
+        FROM ys),
+slabs AS (SELECT a.country, a.x_lo, a.x_hi, b.y_lo, b.y_hi
+          FROM xsl a JOIN ysl b ON a.country = b.country
+          WHERE a.x_hi IS NOT NULL AND b.y_hi IS NOT NULL),
+cov AS (SELECT s.country, (s.x_hi - s.x_lo) * (s.y_hi - s.y_lo) AS sl_area
+        FROM slabs s
+        WHERE EXISTS (SELECT 1 FROM rects r
+                      WHERE r.country = s.country
+                        AND r.x0 <= s.x_lo AND r.x1 >= s.x_hi
+                        AND r.y0 <= s.y_lo AND r.y1 >= s.y_hi))
+SELECT country, ROUND(CAST(SUM(sl_area) AS DOUBLE), 6) AS area
+FROM cov GROUP BY country
+"""
+
 # ------------------------------------------------------------- isochrone
 ISOCHRONE_BANDS = f"""
 WITH {oracle_ctes('osrm_matrix')},

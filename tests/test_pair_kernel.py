@@ -123,6 +123,60 @@ def test_exact_kernel_multipolygon_parts_additive():
     assert i and abs(a - 2.0) < 1e-9 and abs(ln - 8.0) < 1e-9
 
 
+def test_union_rects_cases():
+    def area(parts):
+        return sum(K.polygon_area(p) for p in parts)
+
+    assert area(K.union_rects([(0, 0, 2, 2), (1, 1, 3, 3)])) == 7.0
+    assert area(K.union_rects([(0, 0, 2, 2), (0, 0, 2, 2)])) == 4.0
+    assert area(K.union_rects([(0, 0, 10, 10), (2, 2, 4, 4)])) == 100.0
+    # frame of 4 rects: one part, shell + hole, area 9-1
+    frame = K.union_rects(
+        [(0, 0, 3, 1), (0, 2, 3, 3), (0, 0, 1, 3), (2, 0, 3, 3)]
+    )
+    assert len(frame) == 1 and len(frame[0]) == 2 and area(frame) == 8.0
+    # shell CCW, hole CW in world coords
+    assert K.ring_signed_area(K._open(frame[0][0])) > 0
+    assert K.ring_signed_area(K._open(frame[0][1])) < 0
+    disjoint = K.union_rects([(0, 0, 1, 1), (5, 5, 6, 6)])
+    assert len(disjoint) == 2 and area(disjoint) == 2.0
+
+
+def test_dissolve_union_counts_overlap_once(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    from gpd_lite_toolbox_spark.operators.dissolve import dissolve_union
+
+    a = FX.polys(spark, sf_dir, with_geometry=False).select(
+        "country", "x0", "y0", "x1", "y1"
+    )
+    b = FX.polys_b(spark, sf_dir, with_geometry=False).select(
+        FF.concat(FF.lit("CTY"), (FF.col("id") % 8).cast("string")).alias(
+            "country"
+        ),
+        "x0", "y0", "x1", "y1",
+    )
+    layer = a.unionByName(b)
+    naive = {
+        r.country: r.s
+        for r in layer.groupBy("country")
+        .agg(
+            FF.sum(
+                (FF.col("x1") - FF.col("x0")) * (FF.col("y1") - FF.col("y0"))
+            ).alias("s")
+        )
+        .collect()
+    }
+    for r in dissolve_union(layer, "country").collect():
+        # the shifted copies overlap their originals: the true union is
+        # strictly smaller than the summed input areas
+        assert r.area < naive[r.country]
+        # and the WKB geometry itself measures to the reported area
+        from gpd_lite_toolbox_spark.geometry import wkb as W
+
+        assert abs(K.geom_area(W.decode(bytes(r.geometry))) - r.area) < 1e-6
+
+
 def test_rect_exact_flag_matches_general_kernel_on_mosaic(spark, sf_dir):
     """intersects_byid via the declared-rectangle fast path and via the
     exact general kernel must produce the same pair set on the mosaic —
