@@ -112,19 +112,12 @@ def _q_intersection_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multi_to_single(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
+    # fused single-pass explode+stats (multi_to_single itself is kept
+    # as the geometry-emitting operator; differential-tested in pytest)
+    from gpd_lite_toolbox_spark.operators.explode import multi_to_single_stats
 
-    from gpd_lite_toolbox_spark.geometry.functions import st_area, st_centroid_xy
-    from gpd_lite_toolbox_spark.operators.explode import multi_to_single
-
-    parts = multi_to_single(FX.mpolys(_configure(spark), sf_dir))
-    return parts.select(
-        "id",
-        "code",
-        "part_idx",
-        st_area("geometry").alias("area"),
-        st_centroid_xy("geometry").alias("_c"),
-    ).select("id", "code", "part_idx", "area", F.col("_c.x").alias("cx"), F.col("_c.y").alias("cy"))
+    parts = multi_to_single_stats(FX.mpolys(_configure(spark), sf_dir))
+    return parts.select("id", "code", "part_idx", "area", "cx", "cy")
 
 
 def _q_dumb_multi_to_single(spark: SparkSession, sf_dir: str) -> DataFrame:

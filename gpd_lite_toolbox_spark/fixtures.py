@@ -416,21 +416,20 @@ def mpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
     MultiPolygon WKB geometry built from its rectangle parts (exercises
     the decode->explode path end-to-end).
 
-    nation is a FIXED 25-row dimension at every scale factor, so the
-    assembly is a driver-side build (a grouped-map job for 25 rows was
-    pure overhead)."""
+    Assembled DISTRIBUTEDLY via a grouped-map: the previous driver-side
+    ``createDataFrame(pandas)`` build became a pickled python-RDD scan
+    that re-spawned Python workers and cost ~5 s on EVERY downstream
+    action — the Arrow grouped-map path stays warm. ``coalesce(1)``
+    afterwards: 25-49 rows across 32 partitions would cost 32 Python
+    workers per downstream UDF stage."""
     import numpy as np
-    import pandas as pd
 
     from .geometry import wkb as W
 
-    parts = (
-        mpoly_parts(spark, sf_dir)
-        .orderBy("id", "part_idx")
-        .toPandas()
-    )
-    rows = []
-    for fid, grp in parts.groupby("id", sort=True):
+    parts = mpoly_parts(spark, sf_dir)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("part_idx")
         rings = [
             [
                 np.array(
@@ -444,18 +443,26 @@ def mpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype="<f8",
                 )
             ]
-            for r in grp.itertuples()
+            for r in pdf.itertuples()
         ]
-        first = grp.iloc[0]
-        rows.append(
-            (int(fid), str(first.code), int(first.n_parts),
-             W.multipolygon_wkb(rings))
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "id": [int(first.id)],
+                "code": [str(first.code)],
+                "n_parts": [int(first.n_parts)],
+                "geometry": [W.multipolygon_wkb(rings)],
+            }
         )
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["id", "code", "n_parts", "geometry"]),
-        schema="id bigint, code string, n_parts int, geometry binary",
-    ).coalesce(1)  # 25-49 rows across 32 partitions costs 32 Python
-    # workers per downstream UDF stage — one partition is the right size
+
+    return (
+        parts.groupBy("id")
+        .applyInPandas(
+            assemble,
+            schema="id bigint, code string, n_parts int, geometry binary",
+        )
+        .coalesce(1)
+    )
 
 
 def road_verts(spark: SparkSession, sf_dir: str) -> DataFrame:

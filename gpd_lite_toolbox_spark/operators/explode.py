@@ -27,6 +27,55 @@ def multi_to_single(gdf: DataFrame, geometry: str = "geometry") -> DataFrame:
     )
 
 
+def multi_to_single_stats(gdf: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Fused explode + per-part statistics for POLYGONAL layers: ONE
+    Arrow pass decodes each multi-part WKB once and emits
+    (attrs..., part_idx, area, cx, cy) — replacing the three-stage
+    st_parts -> posexplode -> st_area + st_centroid_xy chain, where
+    every stage is a separate Python runner over the same decoded
+    geometry (round-1 bench flagged the chain at 7 s for 50 rows)."""
+    import pandas as pd
+
+    from ..geometry import kernels as K
+    from ..geometry import wkb as W
+
+    others = [c for c in gdf.columns if c != geometry]
+    attr_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in gdf.schema.fields
+        if f.name != geometry
+    )
+    out_schema = f"{attr_schema}, part_idx int, area double, cx double, cy double"
+
+    def gen(batches):
+        for pdf in batches:
+            out = {c: [] for c in others}
+            part_idx, area, cx, cy = [], [], [], []
+            for i in range(len(pdf)):
+                t, payload = W.decode(bytes(pdf[geometry].iloc[i]))
+                if t == "Polygon":
+                    parts = [payload]
+                elif t == "MultiPolygon":
+                    parts = payload
+                else:
+                    raise ValueError(f"polygon stats undefined for {t}")
+                for k, rings in enumerate(parts):
+                    for c in others:
+                        out[c].append(pdf[c].iloc[i])
+                    part_idx.append(k)
+                    area.append(K.polygon_area(rings))
+                    x, y = K.polygon_centroid(rings)
+                    cx.append(x)
+                    cy.append(y)
+            out["part_idx"] = part_idx
+            out["area"] = area
+            out["cx"] = cx
+            out["cy"] = cy
+            yield pd.DataFrame(out)
+
+    return gdf.mapInPandas(gen, schema=out_schema)
+
+
 def dumb_multi_to_single(gdf: DataFrame, geometry: str = "geometry") -> DataFrame:
     """Replace each geometry by its first part (core.py:389-420)."""
     others = [c for c in gdf.columns if c != geometry]

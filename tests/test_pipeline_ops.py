@@ -118,6 +118,34 @@ def test_embedding_lsh_subset_of_exact_with_recall_floor(spark, sf_dir):
         assert recall >= 0.25, f"LSH recall {recall:.2f}"
 
 
+def test_multi_to_single_stats_matches_chained_path(spark, sf_dir):
+    """The fused single-pass explode+stats must equal the three-stage
+    st_parts -> posexplode -> st_area/st_centroid_xy chain."""
+    from gpd_lite_toolbox_spark.geometry.functions import st_area, st_centroid_xy
+    from gpd_lite_toolbox_spark.operators.explode import (
+        multi_to_single,
+        multi_to_single_stats,
+    )
+
+    m = FX.mpolys(spark, sf_dir)
+    fused = {
+        (r.id, r.part_idx): (r.area, r.cx, r.cy)
+        for r in multi_to_single_stats(m).collect()
+    }
+    chained = {
+        (r.id, r.part_idx): (r.area, r.x, r.y)
+        for r in multi_to_single(m)
+        .select(
+            "id", "part_idx",
+            st_area("geometry").alias("area"),
+            st_centroid_xy("geometry").alias("c"),
+        )
+        .select("id", "part_idx", "area", "c.x", "c.y")
+        .collect()
+    }
+    assert fused == chained
+
+
 def test_random_pts_in_polygons_inside_and_exact_count(spark, sf_dir):
     """Every sampled point lies strictly inside its concave/holed
     polygon and every feature gets exactly coef points."""
