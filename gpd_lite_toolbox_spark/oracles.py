@@ -317,6 +317,12 @@ _SIG_COLS = ", ".join(
     f"MIN(({_dd.MH_A[i]} * hv + {_dd.MH_B[i]}) % {_dd.MH_PRIME}) AS h{i}"
     for i in range(_dd.N_HASHES)
 )
+
+_SIG_EST = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+    for i in range(_dd.N_HASHES)
+)
+_SIG_MIN_EQ = -(-_dd.N_HASHES // 2)  # ceil(0.5 * N_HASHES), threshold 0.5
 _ROWS = _dd.N_HASHES // _dd.N_BANDS
 _BAND_SELECTS = " UNION ALL ".join(
     "SELECT id, {b} AS band, md5({key}) AS band_key FROM sig".format(
@@ -352,8 +358,16 @@ cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key
          WHERE a.id < b.id),
-inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+-- signature prefilter (mirrors minhash_lsh_pairs): estimated Jaccard
+-- = matching-minhash fraction must reach the threshold before the
+-- shingle verify join
+fcand AS (SELECT c.id_a, c.id_b
           FROM cand c
+          JOIN sig sa ON sa.id = c.id_a
+          JOIN sig sb ON sb.id = c.id_b
+          WHERE ({_SIG_EST}) >= {_SIG_MIN_EQ}),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM fcand c
           JOIN sh sa ON sa.id = c.id_a
           JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
           GROUP BY c.id_a, c.id_b),
