@@ -200,6 +200,28 @@ def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crs_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:3857 reprojection as native Catalyst trig
+    expressions (geometry/crs.py); lon/lat derived from the planar
+    points fixture."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.crs import transform_xy_expr
+
+    pts = FX.points(_configure(spark), sf_dir, with_geometry=False)
+    ll = pts.select(
+        "id",
+        (F.col("x") / 100000.0 * 360.0 - 180.0).alias("lon"),
+        (F.col("y") / 100000.0 * 170.0 - 85.0).alias("lat"),
+    )
+    mx, my = transform_xy_expr(
+        F.col("lon"), F.col("lat"), "EPSG:4326", "EPSG:3857"
+    )
+    return ll.select(
+        "id", F.round(mx, 3).alias("mx"), F.round(my, 3).alias("my")
+    )
+
+
 def _q_hav_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -640,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_pts": _q_random_pts,
         "random_pts_poly": _q_random_pts_poly,
         "snap_points": _q_snap_points,
+        "crs_mercator": _q_crs_mercator,
         "hav_dist": _q_hav_dist,
         "bearing": _q_bearing,
         "match_lines": _q_match_lines,
@@ -694,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "random_pts": OR.RANDOM_PTS,
         "random_pts_poly": OR.RANDOM_PTS_POLY,
         "snap_points": OR.SNAP_POINTS,
+        "crs_mercator": OR.CRS_MERCATOR,
         "hav_dist": OR.HAV_DIST,
         "bearing": OR.BEARING,
         "match_lines": OR.MATCH_LINES,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "random_pts",
     "random_pts_poly",
     "snap_points",
+    "crs_mercator",
     "hav_dist",
     "bearing",
     "match_lines",

@@ -14,10 +14,12 @@ from .operators.cartogram import (  # noqa: F401
     non_contiguous_cartogram,
     transform_cartogram,
 )
-from .operators.dissolve import dissolve  # noqa: F401
+from .geometry.crs import get_crs, set_crs, st_transform, to_crs  # noqa: F401
+from .operators.dissolve import dissolve, dissolve_union  # noqa: F401
 from .operators.explode import (  # noqa: F401
     dumb_multi_to_single,
     multi_to_single,
+    multi_to_single_stats,
 )
 from .operators.grid import (  # noqa: F401
     gridify_data,
@@ -25,19 +27,25 @@ from .operators.grid import (  # noqa: F401
     make_grid_cut,
     make_grid_cut_hull,
 )
-from .operators.isochrone import access_isocrone, isochrone_bands  # noqa: F401
+from .operators.isochrone import (  # noqa: F401
+    access_isocrone,
+    isochrone_bands,
+    isochrone_polygons,
+)
 from .operators.joins import (  # noqa: F401
     adjacency_lists,
     find_borders,
     ftouches_byid,
     get_borders,
     intersection_part_table,
+    intersection_stats_table,
     intersects_byid,
     l_shared_border,
 )
 from .operators.lines import match_line_cluster, match_lines  # noqa: F401
 from .operators.points import (  # noqa: F401
     mean_coordinates,
+    random_pts_in_polygons,
     random_pts_on_surface,
     snap_to_nearest,
 )
@@ -69,6 +77,16 @@ __all__ = [
     "random_pts_on_surface",
     "access_isocrone",
     "isochrone_bands",
+    "isochrone_polygons",
+    "random_pts_in_polygons",
+    "dissolve_union",
+    "multi_to_single_stats",
+    "intersection_stats_table",
+    # CRS (SURVEY.md §1.4)
+    "set_crs",
+    "get_crs",
+    "to_crs",
+    "st_transform",
     # spatial-join substrate
     "bbox_join",
     "adjacency_lists",

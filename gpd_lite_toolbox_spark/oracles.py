@@ -578,6 +578,22 @@ SELECT country, ROUND(CAST(SUM(sl_area) AS DOUBLE), 6) AS area
 FROM cov GROUP BY country
 """
 
+# CRS reprojection: spherical Web Mercator (EPSG:4326 -> EPSG:3857)
+# over lon/lat derived from the points fixture. Rounded to 3 (mm on
+# ~2e7-meter values): cross-engine libm tan/ln agree to ~1e-8 here,
+# far inside the rounding margin.
+CRS_MERCATOR = f"""
+WITH {oracle_ctes('points')},
+ll AS (SELECT id,
+              x / 100000.0 * 360.0 - 180.0 AS lon,
+              y / 100000.0 * 170.0 - 85.0 AS lat
+       FROM points)
+SELECT id,
+       ROUND(6378137.0 * RADIANS(lon), 3) AS mx,
+       ROUND(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS(lat) / 2.0)), 3) AS my
+FROM ll
+"""
+
 # ------------------------------------------------------------- isochrone
 ISOCHRONE_BANDS = f"""
 WITH {oracle_ctes('osrm_matrix')},
