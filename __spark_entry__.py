@@ -470,6 +470,20 @@ def _dorling_base(polys: DataFrame) -> DataFrame:
     )
 
 
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE streaming session_window driven over the bounded events
+    source — must equal batch sessionize minus the ordinal session id
+    (full DuckDB oracle, not rows-only: the streaming operator is held
+    to the same hash gate as the batch twin)."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_session_window,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return run_streaming_session_window(s, f"{sf_dir}/events.parquet")
+
+
 def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius
 
@@ -684,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_polys": _q_isochrone_polys,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
+        "session_window": _q_session_window,
         "dorling_radius": _q_dorling_radius,
         "cartogram": _q_cartogram,
         "dorling_cartogram": _q_dorling_cartogram,
@@ -742,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "isochrone_polys": OR.ISOCHRONE_POLYS,
         "events_window": OR.EVENTS_WINDOW,
         "sessionize": OR.SESSIONIZE,
+        "session_window": OR.SESSION_WINDOW,
         "dorling_radius": OR.DORLING_RADIUS,
         # cartogram / dorling_cartogram: iterative geometry transforms,
         # property-tested (area-error contraction, overlap-free circles).

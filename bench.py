@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "isochrone_polys",
     "events_window",
     "sessionize",
+    "session_window",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

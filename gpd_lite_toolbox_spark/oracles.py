@@ -698,6 +698,26 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM cs GROUP BY user_id, session_id
 """
 
+# Streaming session_window query: same session semantics as SESSIONIZE
+# without the batch numbering (the native operator keys sessions by
+# merged window, not ordinal).
+SESSION_WINDOW = """
+WITH s AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS prev
+      FROM s),
+b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM l),
+cs AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+       FROM b)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(us) AS t_start_us, MAX(us) AS t_end_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM cs GROUP BY user_id, session_id
+"""
+
 # ------------------------------------------------------------- cartogram
 DORLING_RADIUS = f"""
 WITH {oracle_ctes('polys')},

@@ -188,6 +188,63 @@ def run_stateful_session_count(
     )
 
 
+def run_streaming_session_window(
+    spark, parquet_dir: str, gap_s: int = 1800
+) -> DataFrame:
+    """NATIVE ``session_window`` aggregation on a stream — the built-in
+    twin of ``sessionize``'s batch lag+cumsum state machine (and the
+    north-star closure: batch window function == streaming session
+    state). Output: (user_id, n_events, t_start_us, t_end_us,
+    sum_value), one row per finalized session.
+
+    Driven with an availableNow trigger in complete mode (this Spark
+    build rejects update mode for session-window aggregations, and
+    append mode would hold back every session newer than the
+    watermark horizon on a bounded source): the memory sink then holds
+    exactly the final merged session rows. Cross-micro-batch state
+    evolution is exercised by run_stateful_session_count; the
+    stream==batch equivalence test pins this operator's semantics."""
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix="sess_win_")
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("t_start_us"),
+            F.max(F.unix_micros("ts")).alias("t_end_us"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("user_id", "n_events", "t_start_us", "t_end_us", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table("sess_win_out")
+
+
 SESSION_GAP_S = 1800
 
 

@@ -34,6 +34,31 @@ def test_stateful_session_count_matches_batch(spark, sf_dir):
     assert (batch.n_sessions.to_numpy() == stateful.n_sessions.to_numpy()).all()
 
 
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
+    """Native streaming session_window == batch lag+cumsum sessionize:
+    identical session sets (per-user start/end/count/sum), session ids
+    aside (the batch numbering is an implementation detail)."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_session_window,
+        sessionize,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    batch = {
+        (r.user_id, r.t_start_us, r.t_end_us, r.n_events, r.sum_value)
+        for r in sessionize(spark.table("events")).collect()
+    }
+    stream = {
+        (r.user_id, r.t_start_us, r.t_end_us, r.n_events, r.sum_value)
+        for r in run_streaming_session_window(
+            spark, f"{sf_dir}/events.parquet"
+        ).collect()
+    }
+    assert batch == stream, (
+        f"{len(batch - stream)} batch-only, {len(stream - batch)} stream-only"
+    )
+
+
 def test_isochrone_auto_levels_matches_reference_rule(spark, sf_dir):
     from gpd_lite_toolbox_spark.operators.isochrone import (
         filter_osrm_times,
