@@ -237,7 +237,15 @@ def bearing_expr(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
 
 
 def bearing_180_expr(b: Column) -> Column:
-    """Fold a 0..360 bearing into (-180, 180] (``utils.py:94-104``)."""
+    """Fold a 0..360 bearing into (-180, 180].
+
+    DELIBERATE bug fix vs the reference (``utils.py:94-104`` returns
+    ``180 - b`` for b > 180 — a reflection that sends 190° to -10°
+    instead of -170°, flipping the compass direction; values differ
+    everywhere except 270°). The engine folds ``b - 360``, the standard
+    wrap that preserves direction. Registered in SURVEY.md §5's
+    documented-fix list; the DuckDB oracle mirrors THIS fold, so the
+    gate checks the fixed semantics."""
     return F.when(b > 180.0, b - 360.0).otherwise(b)
 
 

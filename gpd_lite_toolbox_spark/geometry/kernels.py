@@ -107,12 +107,27 @@ def geom_length(geom) -> float:
     return 0.0
 
 
+def line_centroid(coords: np.ndarray) -> tuple[float, float]:
+    """Length-weighted LineString centroid (shapely semantics): segment
+    midpoints weighted by segment length; vertex mean when degenerate."""
+    d = np.diff(coords, axis=0)
+    seg = np.hypot(d[:, 0], d[:, 1])
+    total = float(seg.sum())
+    if total == 0.0:
+        return float(coords[:, 0].mean()), float(coords[:, 1].mean())
+    mx = (coords[:-1, 0] + coords[1:, 0]) / 2.0
+    my = (coords[:-1, 1] + coords[1:, 1]) / 2.0
+    return float((mx * seg).sum() / total), float((my * seg).sum() / total)
+
+
 def geom_centroid(geom) -> tuple[float, float]:
     t, payload = geom
     if t == "Point":
         return float(payload[0]), float(payload[1])
-    if t in ("LineString", "MultiPoint"):
+    if t == "MultiPoint":
         return float(payload[:, 0].mean()), float(payload[:, 1].mean())
+    if t == "LineString":
+        return line_centroid(payload)
     if t == "Polygon":
         return polygon_centroid(payload)
     if t == "MultiPolygon":
@@ -127,8 +142,17 @@ def geom_centroid(geom) -> tuple[float, float]:
             return polygon_centroid(payload[0])
         return num_x / den, num_y / den
     if t == "MultiLineString":
-        flat = np.vstack(payload)
-        return float(flat[:, 0].mean()), float(flat[:, 1].mean())
+        num_x = num_y = den = 0.0
+        for coords in payload:
+            cx, cy = line_centroid(coords)
+            ln = line_length(coords)
+            num_x += cx * ln
+            num_y += cy * ln
+            den += ln
+        if den == 0.0:
+            flat = np.vstack(payload)
+            return float(flat[:, 0].mean()), float(flat[:, 1].mean())
+        return num_x / den, num_y / den
     raise ValueError(t)
 
 
@@ -243,7 +267,14 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
 
 def clip_poly_convex(subject: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
     """Sutherland-Hodgman: clip an open subject ring by a convex CCW
-    ring. Returns the clipped open ring (possibly empty)."""
+    ring. Returns the clipped open ring (possibly empty).
+
+    A degenerate clip ring (< 3 vertices: all-identical or collinear
+    input points) has zero area and clips everything away — without
+    the guard, a 1-point "ring" would keep the whole subject (its
+    zero-length edges reject nothing)."""
+    if len(clip_ccw) < 3:
+        return np.empty((0, 2))
     output = list(np.asarray(subject, float))
     n = len(clip_ccw)
     for i in range(n):

@@ -144,23 +144,26 @@ def match_lines(
 
 
 def line_params(verts: DataFrame) -> DataFrame:
-    """Per-line descriptor (utils.py:60-74 mparams): centroid x/y of the
-    vertex set, total length, bearing of the end-to-end chord."""
+    """Per-line descriptor (utils.py:60-74 mparams): LENGTH-WEIGHTED
+    centroid — shapely's LineString centroid semantics, which the
+    reference inherits: sum of segment midpoints weighted by segment
+    length — plus total length and the bearing of the end-to-end
+    chord. Degenerate lines (all vertices coincident, zero length)
+    fall back to the plain vertex mean."""
     ends = verts.groupBy("id").agg(
-        F.avg("vx").alias("cx"),
-        F.avg("vy").alias("cy"),
-        F.min("vidx").alias("_v0"),
-        F.max("vidx").alias("_v1"),
+        F.avg("vx").alias("_vmx"),
+        F.avg("vy").alias("_vmy"),
     )
     seg = verts.select(
         "id", "vidx", "vx", "vy",
         F.lead("vx").over(Window.partitionBy("id").orderBy("vidx")).alias("nx"),
         F.lead("vy").over(Window.partitionBy("id").orderBy("vidx")).alias("ny"),
     )
+    seg_len = euclid_expr(F.col("vx"), F.col("vy"), F.col("nx"), F.col("ny"))
     length = seg.filter(F.col("nx").isNotNull()).groupBy("id").agg(
-        F.sum(
-            euclid_expr(F.col("vx"), F.col("vy"), F.col("nx"), F.col("ny"))
-        ).alias("length")
+        F.sum(seg_len).alias("length"),
+        F.sum(seg_len * (F.col("vx") + F.col("nx")) / 2.0).alias("_wx"),
+        F.sum(seg_len * (F.col("vy") + F.col("ny")) / 2.0).alias("_wy"),
     )
     first = verts.filter(F.col("vidx") == 0).select(
         "id", F.col("vx").alias("fx"), F.col("vy").alias("fy")
@@ -176,7 +179,14 @@ def line_params(verts: DataFrame) -> DataFrame:
         .join(first, "id")
         .join(last, "id")
         .select(
-            "id", "cx", "cy", "length",
+            "id",
+            F.when(F.col("length") > 0, F.col("_wx") / F.col("length"))
+            .otherwise(F.col("_vmx"))
+            .alias("cx"),
+            F.when(F.col("length") > 0, F.col("_wy") / F.col("length"))
+            .otherwise(F.col("_vmy"))
+            .alias("cy"),
+            "length",
             bearing_expr(
                 F.col("fx"), F.col("fy"), F.col("lx"), F.col("ly")
             ).alias("bearing"),

@@ -1,0 +1,127 @@
+"""Independent semantics checks for oracle-MIRROR families.
+
+Most DuckDB oracles are expression-by-expression mirrors of the Spark
+implementations, so the gate proves cross-engine reproducibility, not
+correctness against ground truth (ADVICE r1). These tests pin a few
+operators to FIXED expected values computed by hand / closed form /
+pure-Python re-derivation — sourced from neither engine's SQL."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from gpd_lite_toolbox_spark.geometry.functions import (
+    bearing_180_expr,
+    bearing_expr,
+    hav_dist_expr,
+)
+
+
+def test_haversine_closed_form_quarter_meridian(spark):
+    # pole-to-equator along a meridian = r * pi/2 for ANY sphere radius
+    df = spark.createDataFrame([(0.0, 0.0, 0.0, 90.0)], "a double, b double, c double, d double")
+    got = df.select(
+        hav_dist_expr(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0].km
+    assert abs(got - 6367.0 * math.pi / 2.0) < 1e-6
+    # equator quarter-circumference: (0,0) -> (90,0)
+    got = df.select(
+        hav_dist_expr(F.lit(0.0), F.lit(0.0), F.lit(90.0), F.lit(0.0)).alias("km")
+    ).collect()[0].km
+    assert abs(got - 6367.0 * math.pi / 2.0) < 1e-6
+
+
+def test_bearing_cardinal_directions(spark):
+    cases = [  # (dx, dy, expected bearing from north, expected folded)
+        (0.0, 1.0, 0.0, 0.0),
+        (1.0, 0.0, 90.0, 90.0),
+        (0.0, -1.0, 180.0, 180.0),
+        (-1.0, 0.0, 270.0, -90.0),
+        (1.0, 1.0, 45.0, 45.0),
+    ]
+    df = spark.createDataFrame(
+        [(dx, dy) for dx, dy, _, _ in cases], "dx double, dy double"
+    )
+    b = bearing_expr(F.lit(0.0), F.lit(0.0), F.col("dx"), F.col("dy"))
+    rows = df.select(
+        b.alias("b"), bearing_180_expr(b).alias("b180")
+    ).collect()
+    for (dx, dy, eb, eb180), r in zip(cases, rows):
+        assert abs(r.b - eb) < 1e-9, (dx, dy)
+        assert abs(r.b180 - eb180) < 1e-9, (dx, dy)
+
+
+def test_weighted_mean_center_by_hand(spark):
+    from gpd_lite_toolbox_spark.operators.points import mean_coordinates
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0), (2, 10.0, 0.0, 3.0), (3, 0.0, 8.0, 4.0)],
+        "id int, x double, y double, w double",
+    )
+    r = mean_coordinates(df, weight_field="w").collect()[0]
+    # hand: x = (0*1 + 10*3 + 0*4)/8 = 3.75 ; y = (0+0+32)/8 = 4.0
+    assert r.x == 3.75 and r.y == 4.0 and r.weight == 8.0
+
+
+def test_minhash_jaccard_matches_pure_python_sets(spark):
+    """Exact Jaccard emitted by the pipeline == set arithmetic over a
+    pure-Python re-derivation of the documented shingling."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        SHINGLE_K,
+        SHINGLE_STRIDE,
+        minhash_lsh_pairs,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy cat again and again"
+
+    def pyshingles(t):
+        n = max(len(t) - (SHINGLE_K - 1), 1)
+        return {t[i:i + SHINGLE_K] for i in range(0, n, SHINGLE_STRIDE)}
+
+    s1, s2 = pyshingles(t1), pyshingles(t2)
+    expected = round(len(s1 & s2) / len(s1 | s2), 6)
+    assert expected >= 0.5, "fixture docs must be near-dups for the test"
+    df = spark.createDataFrame([(1, t1), (2, t2)], "id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == expected
+
+
+def test_line_params_length_weighted_centroid(spark):
+    """Uneven vertex spacing: the centroid must be length-weighted
+    (shapely LineString semantics), not the vertex mean."""
+    from gpd_lite_toolbox_spark.operators.lines import line_params
+
+    # L-path (0,0)->(8,0)->(8,2): midpoints (4,0) w8, (8,1) w2
+    verts = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (1, 1, 8.0, 0.0), (1, 2, 8.0, 2.0)],
+        "id long, vidx int, vx double, vy double",
+    )
+    r = line_params(verts).collect()[0]
+    assert abs(r.cx - (4.0 * 8 + 8.0 * 2) / 10) < 1e-9
+    assert abs(r.cy - (0.0 * 8 + 1.0 * 2) / 10) < 1e-9
+    assert abs(r.length - 10.0) < 1e-9
+    # kernel convention matches
+    import numpy as np
+
+    from gpd_lite_toolbox_spark.geometry import kernels as K
+
+    cx, cy = K.line_centroid(
+        np.array([[0.0, 0.0], [8.0, 0.0], [8.0, 2.0]])
+    )
+    assert abs(cx - r.cx) < 1e-9 and abs(cy - r.cy) < 1e-9
+
+
+def test_clip_by_degenerate_hull_is_empty():
+    import numpy as np
+
+    from gpd_lite_toolbox_spark.geometry import kernels as K
+
+    cell = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    # 1-point and 2-point (collinear) "hulls" have zero area: nothing
+    # survives the clip (regression: a 1-point hull kept the whole cell)
+    assert len(K.clip_poly_convex(cell, np.array([[1.0, 1.0]]))) == 0
+    assert len(
+        K.clip_poly_convex(cell, np.array([[1.0, 1.0], [2.0, 2.0]]))
+    ) == 0
