@@ -114,13 +114,20 @@ def st_parts(geom: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.BooleanType())
 def st_contains_xy(geom: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-    out = np.empty(len(geom), dtype=bool)
+    """Point-in-geometry per row. Rows sharing a WKB blob (the common
+    shape: many candidate points tested against one feature, e.g.
+    random_pts_in_polygons' 8n+32 draws per feature) are grouped so
+    each distinct geometry decodes ONCE per Arrow batch and its points
+    ray-cast as one vectorized call."""
+    out = np.zeros(len(geom), dtype=bool)
+    xs = x.to_numpy(dtype=float)
+    ys = y.to_numpy(dtype=float)
+    groups: dict[bytes, list[int]] = {}
     for i, g in enumerate(geom):
-        out[i] = bool(
-            K.points_in_geom(
-                np.array([x.iloc[i]]), np.array([y.iloc[i]]), W.decode(g)
-            )[0]
-        )
+        groups.setdefault(bytes(g), []).append(i)
+    for g, idxs in groups.items():
+        ii = np.asarray(idxs)
+        out[ii] = K.points_in_geom(xs[ii], ys[ii], W.decode(g))
     return pd.Series(out)
 
 
@@ -138,6 +145,46 @@ def st_buffer_mitre(geom: pd.Series, tol: pd.Series) -> pd.Series:
         x0, y0, x1, y1 = K.geom_bounds(W.decode(g))
         out.append(W.rect_wkb(x0 - t, y0 - t, x1 + t, y1 + t))
     return pd.Series(out)
+
+
+def st_buffer_round(dist: float, quad_segs: int = 8, concave: str = "raise"):
+    """TRUE round buffer (reference core.py:158 ``buffer(tol)``
+    semantics) as an Arrow UDF factory: Points grow inscribed circles,
+    convex polygon shells grow offset edges joined by vertex arcs —
+    shapely's join style with the same inscribed-arc approximation.
+
+    Concave shells are where general offsetting needs a full overlay;
+    per the engine's no-silent-approximation rule the default RAISES
+    for them. ``concave="hull"`` opts into buffering the convex hull
+    (a documented over-approximation); st_buffer_mitre remains the
+    bbox-style pairing tolerance."""
+    from . import kernels as K
+
+    @F.pandas_udf(T.BinaryType())
+    def _buffer(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in geom:
+            t, payload = W.decode(bytes(g))
+            if t == "Point":
+                ring = K.circle_ring(
+                    float(payload[0]), float(payload[1]), dist, quad_segs
+                )
+            elif t == "Polygon":
+                shell = K.ensure_ccw(payload[0])
+                try:
+                    ring = K.round_buffer_convex(shell, dist, quad_segs)
+                except ValueError:
+                    if concave != "hull":
+                        raise
+                    ring = K.round_buffer_convex(
+                        K.convex_hull(shell), dist, quad_segs
+                    )
+            else:
+                raise ValueError(f"st_buffer_round unsupported for {t}")
+            out.append(W.polygon_wkb([np.vstack([ring, ring[:1]])]))
+        return pd.Series(out)
+
+    return _buffer
 
 
 PAIR_STATS_SCHEMA = T.StructType(

@@ -339,6 +339,56 @@ def convex_offset(ring: np.ndarray, tol: float) -> np.ndarray:
     return np.array(pts)
 
 
+def round_buffer_convex(
+    ring: np.ndarray, dist: float, quad_segs: int = 8
+) -> np.ndarray:
+    """Shapely-style ROUND buffer of a convex CCW ring: edges shift
+    along their outward normals and vertices grow inscribed circular
+    arcs stepped at <= (pi/2)/quad_segs — the reference's
+    ``buffer(tol)`` join style (core.py:158), vs the mitre join of
+    convex_offset. Exact offset edges; arcs are the same inscribed
+    approximation shapely uses. Returns an open CCW ring."""
+    r = ensure_ccw(np.asarray(ring, float))
+    n = len(r)
+    if dist <= 0.0 or n == 0:
+        return r
+    if n == 1:
+        return circle_ring(r[0, 0], r[0, 1], dist, quad_segs)
+    step = (math.pi / 2.0) / quad_segs
+    out = []
+    for i in range(n):
+        p = r[i]
+        e_prev = p - r[i - 1]
+        e_next = r[(i + 1) % n] - p
+        # outward normal of a CCW edge e is (e.y, -e.x)
+        a0 = math.atan2(-e_prev[0], e_prev[1])
+        a1 = math.atan2(-e_next[0], e_next[1])
+        sweep = (a1 - a0) % (2.0 * math.pi)
+        if sweep >= math.pi - 1e-12:
+            raise ValueError(
+                "round_buffer_convex: reflex vertex — ring is not convex"
+            )
+        steps = max(1, math.ceil(sweep / step))
+        for k in range(steps + 1):
+            ang = a0 + sweep * k / steps
+            out.append(
+                [p[0] + dist * math.cos(ang), p[1] + dist * math.sin(ang)]
+            )
+    return np.array(out)
+
+
+def circle_ring(
+    cx: float, cy: float, radius: float, quad_segs: int = 8
+) -> np.ndarray:
+    """Inscribed-polygon circle (4*quad_segs segments), open CCW ring —
+    the round buffer of a point."""
+    n = 4 * quad_segs
+    ang = np.arange(n) * (2.0 * math.pi / n)
+    return np.column_stack(
+        [cx + radius * np.cos(ang), cy + radius * np.sin(ang)]
+    )
+
+
 def convex_pair_stats(
     shells_a: list[np.ndarray],
     shells_b: list[np.ndarray],

@@ -113,6 +113,59 @@ def test_line_params_length_weighted_centroid(spark):
     assert abs(cx - r.cx) < 1e-9 and abs(cy - r.cy) < 1e-9
 
 
+def test_round_buffer_geometry(spark):
+    """Round buffer: circle area follows the inscribed-polygon closed
+    form; a buffered square's area is a^2 + 4ad + (inscribed circle of
+    radius d) exactly — arcs at the four corners sum to one full
+    circle with the same segmentation."""
+    import numpy as np
+
+    from gpd_lite_toolbox_spark.geometry import kernels as K
+    from gpd_lite_toolbox_spark.geometry import wkb as W
+    from gpd_lite_toolbox_spark.geometry.functions import st_buffer_round
+
+    qs, d, a = 8, 2.0, 10.0
+    n = 4 * qs
+    inscribed_circle = 0.5 * n * d * d * math.sin(2.0 * math.pi / n)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(W.point_wkb(5.0, 5.0))),
+            (2, bytearray(W.rect_wkb(0.0, 0.0, a, a))),
+        ],
+        "id int, geometry binary",
+    )
+    rows = {
+        r.id: W.decode(bytes(r.g))
+        for r in df.select(
+            "id", st_buffer_round(d, qs)("geometry").alias("g")
+        ).collect()
+    }
+    assert abs(K.geom_area(rows[1]) - inscribed_circle) < 1e-9
+    assert abs(
+        K.geom_area(rows[2]) - (a * a + 4 * a * d + inscribed_circle)
+    ) < 1e-9
+    # buffered square strictly contains the original corners
+    shell = rows[2][1][0]
+    assert K.points_in_polygon(
+        np.array([0.0, a, a, 0.0]), np.array([0.0, 0.0, a, a]), [shell]
+    ).all()
+    # concave input raises by default, hull mode over-approximates
+    L = np.array(
+        [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]], float
+    )
+    ldf = spark.createDataFrame(
+        [(1, bytearray(W.polygon_wkb([L])))], "id int, geometry binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not convex"):
+        ldf.select(st_buffer_round(1.0)("geometry").alias("g")).collect()
+    hull_buf = ldf.select(
+        st_buffer_round(1.0, concave="hull")("geometry").alias("g")
+    ).collect()[0]
+    assert K.geom_area(W.decode(bytes(hull_buf.g))) > 16.0
+
+
 def test_clip_by_degenerate_hull_is_empty():
     import numpy as np
 
