@@ -256,6 +256,15 @@ def st_pair_stats(
     return pd.DataFrame({"isect": isect, "area": area, "length": length})
 
 
+# The kernel is pure, but declaring it nondeterministic stops Catalyst
+# from duplicating the call when a filter on one struct field sits
+# under a projection of the others (CollapseProject + predicate
+# pushdown re-evaluated the WHOLE pair kernel once for the filter and
+# once for the output — observed as two ArrowEvalPython nodes in the
+# concave_pairs plan, i.e. 2x the geometry work).
+st_pair_stats = st_pair_stats.asNondeterministic()
+
+
 # ---------------------------------------------------------- native exprs
 def hav_dist_expr(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column, radius: float = 6367.0

@@ -177,6 +177,33 @@ def test_dissolve_union_counts_overlap_once(spark, sf_dir):
         assert abs(K.geom_area(W.decode(bytes(r.geometry))) - r.area) < 1e-6
 
 
+def test_union_and_intersection_kernels_cross_validate():
+    """Inclusion-exclusion ties the two independent kernels together:
+    area(A ∪ B) from the slab-lattice union must equal
+    area(A) + area(B) - area(A ∩ B) from the boundary-trace kernel,
+    for random rectangle pairs (overlapping, touching, nested,
+    disjoint)."""
+    rng = np.random.RandomState(11)
+    for _ in range(100):
+        a = np.sort(rng.randint(0, 20, 2))
+        b = np.sort(rng.randint(0, 20, 2))
+        c = np.sort(rng.randint(0, 20, 2))
+        d = np.sort(rng.randint(0, 20, 2))
+        if a[0] == a[1] or b[0] == b[1] or c[0] == c[1] or d[0] == d[1]:
+            continue
+        r1 = (float(a[0]), float(b[0]), float(a[1]), float(b[1]))
+        r2 = (float(c[0]), float(d[0]), float(c[1]), float(d[1]))
+        union_area = sum(
+            K.polygon_area(p) for p in K.union_rects([r1, r2])
+        )
+        ga = ("Polygon", [_rect(*r1)])
+        gb = ("Polygon", [_rect(*r2)])
+        _, inter, _ = K.pair_stats_exact(ga, gb)
+        area_a = (r1[2] - r1[0]) * (r1[3] - r1[1])
+        area_b = (r2[2] - r2[0]) * (r2[3] - r2[1])
+        assert abs(union_area - (area_a + area_b - inter)) < 1e-9, (r1, r2)
+
+
 def test_rect_exact_flag_matches_general_kernel_on_mosaic(spark, sf_dir):
     """intersects_byid via the declared-rectangle fast path and via the
     exact general kernel must produce the same pair set on the mosaic —
