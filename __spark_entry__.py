@@ -375,6 +375,20 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10, dims=64)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + n_probe nearest
+    cells per query. Iterative clustering is not SQL-expressible —
+    rows-only check here; recall vs brute force is pytest-pinned."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.ann import ann_ivf_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return ann_ivf_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
+
+
 def _q_find_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.joins import find_borders
 
@@ -691,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "find_borders": _q_find_borders,
         "grid_cut": _q_grid_cut,
         "grid_cut_hull": _q_grid_cut_hull,
@@ -747,8 +762,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": OR.LANG_ID,
         "fingerprint": OR.FINGERPRINT,
         "ann_topk": OR.ANN_TOPK,
-        # ann_lsh_topk: same scoring as ann_topk but bucket-pruned;
-        # rows-only check (approximate op by design).
+        # ann_lsh_topk / ann_ivf_topk: same scoring as ann_topk but
+        # bucket/cell-pruned; rows-only checks (approximate by design,
+        # IVF additionally iterative KMeans) — recall pytest-pinned.
         "find_borders": OR.FIND_BORDERS,
         "grid_cut": OR.GRID_CUT,
         # grid_cut_hull: convex-hull clip — geometry not SQL-expressible

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "find_borders",
     "grid_cut",
     "grid_cut_hull",

@@ -51,6 +51,7 @@ from .operators.points import (  # noqa: F401
 )
 from .operators.spatial_join import bbox_join  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .vector.ann import ann_ivf_topk, ann_lsh_topk, cosine_topk  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
 __all__ = [
@@ -87,6 +88,7 @@ __all__ = [
     "get_crs",
     "to_crs",
     "st_transform",
+    "ann_ivf_topk",
     # spatial-join substrate
     "bbox_join",
     "adjacency_lists",

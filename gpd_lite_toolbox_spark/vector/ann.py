@@ -82,6 +82,85 @@ def cosine_topk(
     )
 
 
+def ann_ivf_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_centroids`` cells; each query scores
+    only the vectors in its ``n_probe`` nearest cells. Output schema
+    matches cosine_topk (rank within scored candidates).
+
+    The 100 TB shape: the centroid table is tiny (broadcast to both
+    sides), the corpus is shuffled ONCE by cell id — in a warehouse this
+    is the persisted/bucketed inverted file, amortized across query
+    batches — and per-query scoring cost is ~|corpus| * n_probe /
+    n_centroids instead of |corpus|. Recall is tunable by n_probe
+    (n_probe = n_centroids degenerates to exact brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    feat = v.withColumn("features", array_to_vector("nv"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feat)
+    inverted = (
+        model.transform(feat)
+        .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
+        .withColumn("nn", _norm(F.col("nv")))
+    )
+    spark = vectors.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    # route each query to its n_probe nearest centroids (centers tiny)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    scored = probes.join(inverted, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 N_PLANES = 16
 N_BANDS_V = 4  # 4 bands x 4 planes: candidate if ANY band's bits match
 _PLANE_PRIME = 10007

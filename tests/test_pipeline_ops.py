@@ -66,6 +66,26 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_brute(spark, sf_dir):
+    import __spark_entry__ as E
+
+    brute = E.queries()["ann_topk"](spark, sf_dir).filter(F.col("rank") <= 5)
+    ivf = E.queries()["ann_ivf_topk"](spark, sf_dir)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    i = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(b & i) / len(b)
+    # the embeddings fixture is clustered: probing 4/16 cells must keep
+    # a solid majority of the true top-5 (and the self-hit always lands
+    # in the probed home cell)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    r1 = {
+        r.query_id: r.neighbor_id
+        for r in ivf.collect()
+        if r.rank == 1
+    }
+    assert all(q == n for q, n in r1.items()), "self-hit must be rank 1"
+
+
 def test_embedding_lsh_finds_planted_scaled_copies(spark, sf_dir):
     from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
 
