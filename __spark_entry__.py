@@ -353,6 +353,15 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_corpus(spark, sf_dir))
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline: dedup survivors -> quality gate ->
+    language routing -> per-language accounting, one Catalyst plan."""
+    from gpd_lite_toolbox_spark.text.pipeline import clean_corpus_summary
+
+    s = _configure(spark)
+    return clean_corpus_summary(FX.fixture_df(s, sf_dir, "corpus"))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -703,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "clean_corpus": _q_clean_corpus,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -761,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": OR.QUALITY,
         "lang_id": OR.LANG_ID,
         "fingerprint": OR.FINGERPRINT,
+        "clean_corpus": OR.CLEAN_CORPUS,
         "ann_topk": OR.ANN_TOPK,
         # ann_lsh_topk / ann_ivf_topk: same scoring as ann_topk but
         # bucket/cell-pruned; rows-only checks (approximate by design,

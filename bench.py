@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "quality",
     "lang_id",
     "fingerprint",
+    "clean_corpus",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -51,6 +51,7 @@ from .operators.points import (  # noqa: F401
 )
 from .operators.spatial_join import bbox_join  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .text.pipeline import clean_corpus_summary  # noqa: F401
 from .vector.ann import ann_ivf_topk, ann_lsh_topk, cosine_topk  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
@@ -89,6 +90,7 @@ __all__ = [
     "to_crs",
     "st_transform",
     "ann_ivf_topk",
+    "clean_corpus_summary",
     # spatial-join substrate
     "bbox_join",
     "adjacency_lists",

@@ -455,6 +455,45 @@ SELECT id,
 FROM c
 """
 
+# Composed cleaning pipeline: dedup survivors -> quality gate ->
+# language routing -> per-language accounting (mirrors text/pipeline.py
+# stage for stage).
+CLEAN_CORPUS = f"""
+WITH {oracle_ctes('corpus')},
+h AS (SELECT id, text, md5(text) AS ch FROM corpus),
+sv AS (SELECT id, text FROM (
+         SELECT id, text,
+                ROW_NUMBER() OVER (PARTITION BY ch ORDER BY id) AS rn
+         FROM h) WHERE rn = 1),
+st AS (SELECT id, text, LENGTH(text) AS n_chars, {_NTOK} AS n_tokens,
+              {_NSTOP} AS n_stop,
+              (LENGTH(text) - ({_NTOK} - 1)) / CAST({_NTOK} AS DOUBLE) AS atl
+       FROM sv),
+q AS (SELECT id, n_tokens,
+             ROUND(((CASE WHEN n_chars >= 100 AND n_chars <= 20000
+                          THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6)
+                               >= 0.01 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN ROUND(atl, 6) >= 2.0 AND ROUND(atl, 6) <= 12.0
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+      FROM st),
+l AS (SELECT id,
+             CASE WHEN GREATEST(c_en, c_es, c_zh) = 0 THEN 'und'
+                  WHEN c_en = GREATEST(c_en, c_es, c_zh) THEN 'en'
+                  WHEN c_es = GREATEST(c_en, c_es, c_zh) THEN 'es'
+                  WHEN c_zh = GREATEST(c_en, c_es, c_zh) THEN 'zh'
+                  ELSE 'und' END AS pred_lang
+      FROM (SELECT id, {_occ(' the ')} AS c_en, {_occ(' data ')} AS c_es,
+                   {_occ(' spark ')} AS c_zh
+            FROM sv))
+SELECT l.pred_lang, COUNT(*) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(q.quality), 6) AS sum_quality
+FROM q JOIN l ON q.id = l.id
+WHERE q.quality >= 0.666667
+GROUP BY l.pred_lang
+"""
+
 FINGERPRINT = f"""
 WITH {oracle_ctes('corpus')}
 SELECT id, md5(LOWER(TRIM(text))) AS fingerprint FROM corpus
