@@ -179,7 +179,11 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
     )
     hull = K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
     bounds = compute_bounds(points)
-    grid = make_grid(spark, bounds, height)
+    # the grid is bounded by (extent/height)^2 — default parallelism
+    # (32 here) spreads a few hundred rows over 32 Python tasks whose
+    # per-task overhead dwarfs the clip work; a handful of partitions
+    # is the right grain for the UDF stage
+    grid = make_grid(spark, bounds, height).coalesce(4)
 
     @F.pandas_udf("double")
     def clip_area(
