@@ -204,6 +204,76 @@ def test_union_and_intersection_kernels_cross_validate():
         assert abs(union_area - (area_a + area_b - inter)) < 1e-9, (r1, r2)
 
 
+def test_exact_kernel_on_random_rect_unions_vs_slab_ground_truth():
+    """Randomized concave/holed geometry: build polygons as unions of
+    random rects (union_rects emits genuine concave rings with holes),
+    then check pair_stats_exact's intersection AREA against a slab
+    ground truth marked directly from the source rects — three
+    independent code paths must agree."""
+    rng = np.random.RandomState(23)
+
+    def rand_rects(n):
+        out = []
+        for _ in range(n):
+            x = np.sort(rng.randint(0, 12, 2))
+            y = np.sort(rng.randint(0, 12, 2))
+            if x[0] < x[1] and y[0] < y[1]:
+                out.append((float(x[0]), float(y[0]), float(x[1]), float(y[1])))
+        return out
+
+    def slab_intersection_area(ra, rb):
+        xs = np.unique([v for r in ra + rb for v in (r[0], r[2])])
+        ys = np.unique([v for r in ra + rb for v in (r[1], r[3])])
+        area = 0.0
+        for i in range(len(xs) - 1):
+            for j in range(len(ys) - 1):
+                cx = (xs[i] + xs[i + 1]) / 2.0
+                cy = (ys[j] + ys[j + 1]) / 2.0
+                in_a = any(
+                    r[0] < cx < r[2] and r[1] < cy < r[3] for r in ra
+                )
+                in_b = any(
+                    r[0] < cx < r[2] and r[1] < cy < r[3] for r in rb
+                )
+                if in_a and in_b:
+                    area += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+        return area
+
+    checked = 0
+    for _ in range(40):
+        ra, rb = rand_rects(3), rand_rects(3)
+        pa, pb = K.union_rects(ra), K.union_rects(rb)
+        if not pa or not pb:
+            continue
+        ga = ("MultiPolygon", pa)
+        gb = ("MultiPolygon", pb)
+        _, inter, _ = K.pair_stats_exact(ga, gb)
+        expect = slab_intersection_area(ra, rb)
+        assert abs(inter - expect) < 1e-9, (ra, rb, inter, expect)
+        checked += 1
+    assert checked >= 20
+
+
+def test_bbox_join_salting_is_result_identical(spark, sf_dir):
+    """salt>1 only changes the shuffle layout: the candidate pair set
+    must be byte-identical to the unsalted join."""
+    from gpd_lite_toolbox_spark.operators.joins import intersects_byid
+    from gpd_lite_toolbox_spark.operators.spatial_join import bbox_join
+
+    polys = FX.polys(spark, sf_dir)
+    plain = {
+        (r.l_id, r.r_id)
+        for r in bbox_join(polys, polys, 3125.0).select("l_id", "r_id").collect()
+    }
+    salted = {
+        (r.l_id, r.r_id)
+        for r in bbox_join(polys, polys, 3125.0, salt=4)
+        .select("l_id", "r_id")
+        .collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
 def test_rect_exact_flag_matches_general_kernel_on_mosaic(spark, sf_dir):
     """intersects_byid via the declared-rectangle fast path and via the
     exact general kernel must produce the same pair set on the mosaic —
