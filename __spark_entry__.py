@@ -773,9 +773,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": OR.FINGERPRINT,
         "clean_corpus": OR.CLEAN_CORPUS,
         "ann_topk": OR.ANN_TOPK,
-        # ann_lsh_topk / ann_ivf_topk: same scoring as ann_topk but
-        # bucket/cell-pruned; rows-only checks (approximate by design,
-        # IVF additionally iterative KMeans) — recall pytest-pinned.
+        # deterministic md5-derived hyperplanes make the LSH top-k
+        # exactly checkable; ann_ivf_topk stays rows-only (iterative
+        # KMeans is not SQL-expressible) with recall pytest-pinned.
+        "ann_lsh_topk": OR.ANN_LSH_TOPK,
         "find_borders": OR.FIND_BORDERS,
         "grid_cut": OR.GRID_CUT,
         # grid_cut_hull: convex-hull clip — geometry not SQL-expressible

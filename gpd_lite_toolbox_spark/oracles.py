@@ -527,6 +527,39 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
+def _ann_lsh_sql() -> str:
+    """Full oracle for the LSH top-k: the hyperplane bucketing is
+    deterministic (same md5-derived plane literals, same left-to-right
+    float folds), so the 'approximate' operator is exactly checkable —
+    candidate generation, scoring, and ranking all mirrored."""
+    proj, bands = _lsh_oracle_parts()
+    return f"""
+WITH e AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+           FROM embeddings),
+proj AS (SELECT vec_id, {proj} FROM embeddings),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.vec_id % 50 = 0),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e v ON v.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# (assigned below, after _lsh_oracle_parts is defined)
+
 # ----------------------------------------------- borders dedup / grid cut
 FIND_BORDERS = f"""
 WITH {oracle_ctes('polys')},
@@ -1070,6 +1103,7 @@ WHERE t.area > 0
 
 
 CONCAVE_PAIRS = _concave_pairs_sql()
+ANN_LSH_TOPK = _ann_lsh_sql()
 
 # General-polygon random points over the L-shaped + holed layer: the
 # hashed bbox draws are shared arithmetic, and the ray-cast acceptance
