@@ -209,7 +209,9 @@ FROM supplier
 # generalized (chkl-subsampled) match_lines. A-lines carry 3/5/7
 # vertices, the B counterpart of the SAME key carries a DIFFERENT
 # count (cycles (3,5),(5,7),(7,3)), so every candidate pair exercises
-# the longer/shorter index mapping. Every line spans exactly 240 x
+# the longer/shorter index mapping. The subsample filter modulus (4)
+# is COPRIME with the count modulus (3): a %3-based subsample would
+# freeze the counts at (3,5) and leave the A-longer branch untested. Every line spans exactly 240 x
 # units (3/5/7 vertices -> integer steps 120/60/40, keeping the
 # integer-valued-double convention); B adds <=10-unit jitter.
 ROAD_RAGGED_SQL = f"""
@@ -219,7 +221,7 @@ SELECT p_partkey AS id, j AS vidx,
        CAST((p_partkey * 668265263) % 90000
             + (p_partkey * 31 + j * 17) % 40 AS DOUBLE) AS vy
 FROM part CROSS JOIN {J8}
-WHERE p_partkey % 3 = 0 AND j < 3 + 2 * (p_partkey % 3)
+WHERE p_partkey % 4 = 1 AND j < 3 + 2 * (p_partkey % 3)
 """
 
 ROAD_RAGGED_B_SQL = f"""
@@ -231,7 +233,7 @@ SELECT p_partkey AS id, j AS vidx,
             + (p_partkey * 31 + j * 17) % 40
             + (p_partkey * 11 + j * 19) % 21 - 10 AS DOUBLE) AS vy
 FROM part CROSS JOIN {J8}
-WHERE p_partkey % 3 = 0 AND j < 3 + 2 * ((p_partkey + 1) % 3)
+WHERE p_partkey % 4 = 1 AND j < 3 + 2 * ((p_partkey + 1) % 3)
 """
 
 # Document corpus with PLANTED duplicates for the dedup operator family:

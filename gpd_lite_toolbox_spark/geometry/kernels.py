@@ -760,11 +760,24 @@ def lattice_parts(rings: list[list[tuple[int, int]]]):
     stitcher's orientation kept. Covered region lies on the (dy, -dx)
     side of every consistently-oriented boundary edge, so a hole's
     cavity test point is its first-edge midpoint nudged the other way —
-    robust even when hole and shell share a pinch vertex."""
+    robust even when hole and shell share a pinch vertex.
+
+    A hole belongs to the SMALLEST containing shell: for nested
+    components (island inside a lake inside an outer shell) every
+    enclosing shell contains the cavity point, and first-match
+    assignment would hang the island's hole on the outer shell —
+    topologically wrong geometry whose area coincidentally still sums
+    correctly (which is why only point-in-polygon probes catch it)."""
     shells, holes = [], []
+    shell_areas = []
     for ring in rings:
         arr = np.array(ring[:-1], dtype=float)
-        (shells if ring_signed_area(arr) < 0 else holes).append(ring)
+        a = ring_signed_area(arr)
+        if a < 0:
+            shells.append(ring)
+            shell_areas.append(abs(a))
+        else:
+            holes.append(ring)
     parts = [(s, []) for s in shells]
     for hole in holes:
         (x0, y0), (x1, y1) = hole[0], hole[1]
@@ -772,12 +785,15 @@ def lattice_parts(rings: list[list[tuple[int, int]]]):
         ln = math.hypot(d[0], d[1])
         px = (x0 + x1) / 2.0 - d[1] / ln * 0.5
         py = (y0 + y1) / 2.0 + d[0] / ln * 0.5
-        for i, (s, hs) in enumerate(parts):
+        best = None
+        for i, (s, _hs) in enumerate(parts):
             if point_in_ring(
                 np.array([px]), np.array([py]), np.array(s[:-1], dtype=float)
             )[0]:
-                hs.append(hole)
-                break
+                if best is None or shell_areas[i] < shell_areas[best]:
+                    best = i
+        if best is not None:
+            parts[best][1].append(hole)
     return parts
 
 

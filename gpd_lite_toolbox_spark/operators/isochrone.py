@@ -179,28 +179,20 @@ def isochrone_polygons(
         cols = (pdf["cell_id"] // nr).to_numpy()
         rows = (pdf["cell_id"] % nr).to_numpy()
         rings = K.dissolve_lattice_cells(zip(cols.tolist(), rows.tolist()))
-        shells, holes = [], []
-        for ring in rings:
-            arr = np.array(
+
+        # shell/hole grouping in LATTICE space (kernels.lattice_parts:
+        # smallest-containing-shell rule handles nested band
+        # topologies); the y-flip world mapping turns lattice-CW
+        # shells into world-CCW without reversal
+        def to_world(ring):
+            return np.array(
                 [[xmin + c * h, ymax - r * h] for c, r in ring], dtype="<f8"
             )
-            (shells if K.ring_signed_area(arr[:-1]) > 0 else holes).append(arr)
-        parts = [[s] for s in shells]
-        for hole in holes:
-            # cavity test point: first-edge midpoint nudged toward the
-            # cavity side (region sits LEFT of consistently-oriented
-            # boundaries, so the cavity is to the RIGHT of a hole edge)
-            v0, v1 = hole[0], hole[1]
-            d = v1 - v0
-            ln = float(np.hypot(d[0], d[1]))
-            px = (v0[0] + v1[0]) / 2.0 + (d[1] / ln) * (h / 2.0)
-            py = (v0[1] + v1[1]) / 2.0 - (d[0] / ln) * (h / 2.0)
-            for i, s in enumerate(shells):
-                if K.point_in_ring(
-                    np.array([px]), np.array([py]), s
-                )[0]:
-                    parts[i].append(hole)
-                    break
+
+        parts = [
+            [to_world(shell)] + [to_world(hole) for hole in holes]
+            for shell, holes in K.lattice_parts(rings)
+        ]
         wkb = (
             W.multipolygon_wkb(parts)
             if len(parts) != 1

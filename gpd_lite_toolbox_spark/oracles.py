@@ -757,7 +757,7 @@ WITH s AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
 l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
               AS prev
       FROM s),
-b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev >= 1800000000
                      THEN 1 ELSE 0 END AS brk
       FROM l),
 cs AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
@@ -778,7 +778,7 @@ WITH s AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
 l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
               AS prev
       FROM s),
-b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev >= 1800000000
                      THEN 1 ELSE 0 END AS brk
       FROM l),
 cs AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id

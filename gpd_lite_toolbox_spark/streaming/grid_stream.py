@@ -148,7 +148,7 @@ def run_stateful_session_count(
         for pdf in pdfs:
             all_us.extend(pdf["us"].tolist())
         for us in sorted(all_us):
-            if last_us < 0 or us - last_us > gap_us:
+            if last_us < 0 or us - last_us >= gap_us:
                 sessions += 1
             last_us = us
             events += 1
@@ -249,18 +249,22 @@ SESSION_GAP_S = 1800
 
 
 def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
-    """Per-user sessions: a session breaks after ``gap_s`` of silence.
-    lag + cumulative break-sum — the batch twin of streaming
-    ``session_window(ts, gap)``.
+    """Per-user sessions: a session breaks at ``gap_s`` or more of
+    silence (the half-open-window convention of native
+    ``session_window``, whose batch twin this lag + cumulative
+    break-sum is).
 
     Output: (user_id, session_id, n_events, t_start_us, t_end_us,
     sum_value).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
+    # >= (not >): native session windows are half-open [t, t+gap) merged
+    # on overlap, so an event at EXACTLY prev+gap starts a new session —
+    # the batch rule matches that boundary convention
     gap_break = (
         F.when(
-            (us - F.lag(us).over(w)) > gap_s * 1_000_000, 1
+            (us - F.lag(us).over(w)) >= gap_s * 1_000_000, 1
         )
         .otherwise(0)
     )

@@ -23,6 +23,20 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert_parity(df, sql, sf_dir)
 
 
+def test_exact_embedding_dups_matches_allpairs_oracle(spark, sf_dir):
+    """The exact=True baseline path (not declared/benched — the LSH
+    path is) stays pinned against the all-pairs DuckDB SQL."""
+    from gpd_lite_toolbox_spark import fixtures as FX
+    from gpd_lite_toolbox_spark import oracles as OR
+    from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
+
+    FX.register_base_tables(spark, sf_dir)
+    df = embedding_near_dups(
+        spark.table("embeddings"), threshold=0.45, exact=True
+    )
+    assert_parity(df, OR.EMBEDDING_DUPS_EXACT, sf_dir)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0

@@ -142,6 +142,31 @@ def test_union_rects_cases():
     assert len(disjoint) == 2 and area(disjoint) == 2.0
 
 
+def test_union_rects_nested_island_topology():
+    """Island-in-lake nesting: a frame containing a 3x3 island that has
+    its own 1-cell cavity. The island's hole must attach to the ISLAND
+    shell, not the outer one (regression: first-containing-shell
+    assignment produced area-correct but topologically wrong WKB)."""
+    rects = [
+        (0, 0, 7, 1), (0, 6, 7, 7), (0, 0, 1, 7), (6, 0, 7, 7),
+        (2, 2, 5, 3), (2, 4, 5, 5), (2, 2, 3, 5), (4, 2, 5, 5),
+    ]
+    parts = K.union_rects(rects)
+    assert len(parts) == 2
+    assert sum(K.polygon_area(p) for p in parts) == 32.0
+    # every part has exactly one hole, attached to its own shell
+    assert sorted(len(p) for p in parts) == [2, 2]
+    # the island's cavity center is NOT covered; the island ring is
+    cov = lambda x, y: any(
+        K.points_in_polygon(np.array([x]), np.array([y]), p)[0]
+        for p in parts
+    )
+    assert not cov(3.5, 3.5)
+    assert cov(3.5, 2.5)
+    assert not cov(1.5, 1.5)  # the lake itself
+    assert cov(0.5, 0.5)      # the frame
+
+
 def test_dissolve_union_counts_overlap_once(spark, sf_dir):
     import pyspark.sql.functions as FF
 
