@@ -91,12 +91,16 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 5,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``n_centroids`` cells; each query scores
     only the vectors in its ``n_probe`` nearest cells. Output schema
     matches cosine_topk (rank within scored candidates).
+
+    ``max_iter`` defaults low: a COARSE quantizer needs rough cluster
+    structure, not convergence — measured recall@5 was flat from 5 to
+    10 iterations on the clustered fixture while fit time halved.
 
     The 100 TB shape: the centroid table is tiny (broadcast to both
     sides), the corpus is shuffled ONCE by cell id — in a warehouse this
