@@ -27,6 +27,12 @@ def _configure(spark: SparkSession) -> SparkSession:
 
     ship_package(spark)  # workers can't import the package otherwise
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Local test files are single small parquets, so a default-config
+    # scan is ONE partition and per-row compute (Arrow kernels,
+    # interpreted folds) serializes on one core. On a real deployment
+    # the inputs split into many partitions by size; a 1 MB split
+    # target reproduces that scan parallelism at test scale.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -321,6 +327,14 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), threshold=0.5, max_df=OR.NGRAM_MAX_DF
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_line_cluster": _q_match_line_cluster,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -766,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check (the judge sees which).
         "exact_dedup": OR.EXACT_DEDUP,
         "minhash_pairs": OR.MINHASH_PAIRS,
+        "ngram_jaccard": OR.NGRAM_JACCARD,
         "simhash": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,
         "quality": OR.QUALITY,

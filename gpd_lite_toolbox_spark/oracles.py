@@ -382,6 +382,35 @@ WHERE ROUND(CAST(i.n_inter AS DOUBLE)
             / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= 0.5
 """
 
+# n-gram Jaccard: document-frequency cap for candidate generation —
+# shared constant so the Spark query and this oracle prune identically
+NGRAM_MAX_DF = 40
+
+NGRAM_JACCARD = f"""
+WITH {oracle_ctes('corpus')}, {_SHINGLE_CTE},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+gen AS (SELECT s.id, s.shingle FROM sh s
+        JOIN dfreq d ON d.shingle = s.shingle
+        WHERE d.df <= {NGRAM_MAX_DF}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM gen a JOIN gen b ON a.shingle = b.shingle
+         WHERE a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.id = i.id_a
+JOIN sizes nb ON nb.id = i.id_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+            / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= 0.5
+"""
+
 _SIM_SUMS = ", ".join(
     f"SUM(CAST(FLOOR(th / {1 << b}.0) AS BIGINT) % 2 * 2 - 1) AS s{b}"
     for b in range(_dd.SIMHASH_BITS)

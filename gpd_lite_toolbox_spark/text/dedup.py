@@ -93,22 +93,23 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
 
 def minhash_band_keys(sig: DataFrame) -> DataFrame:
     """(id, band, band_key): band_key is the md5 of the band's hash
-    concat — a fixed-width join key that cannot overflow."""
+    concat — a fixed-width join key that cannot overflow. Emitted by a
+    single explode rather than a B-way union: the union form
+    re-evaluated the signature subtree once per branch (and per join
+    side), turning one shingle aggregation into up to 2B of them."""
     rows = N_HASHES // N_BANDS
-    out = []
+    structs = []
     for b in range(N_BANDS):
         cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        out.append(
-            sig.select(
-                "id",
+        structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("_", *cols)).alias("band_key"),
             )
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+    return sig.select(
+        "id", F.explode(F.array(*structs)).alias("_bb")
+    ).select("id", "_bb.band", "_bb.band_key")
 
 
 def minhash_lsh_pairs(
@@ -136,7 +137,10 @@ def minhash_lsh_pairs(
     # the scan+explode per consumer. At warehouse scale this would be a
     # materialized intermediate table.
     sh = shingles(corpus).persist()
-    sig = minhash_signatures(corpus)
+    # sig feeds the band join (both sides) and the prefilter (both
+    # sides): persist the doc-sized table instead of re-running the
+    # 8-min-agg shuffle per consumer.
+    sig = minhash_signatures(corpus).persist()
     bands = minhash_band_keys(sig)
     a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
     b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
@@ -217,42 +221,183 @@ def embedding_near_dups(
     the LSH candidate generation exactly (deterministic md5-derived
     planes), so the gate checks cross-engine equivalence of THIS
     algorithm, and the exact-path cross-check pins its recall.
+
+    The LSH path scores BUCKET-LOCALLY: vectors group by (band,
+    bucket) and one Arrow kernel per bucket computes the Gram matrix
+    with a dims-sequential rank-1-update loop — the exact accumulation
+    order of the scoring fold the oracle mirrors, so values are
+    bit-identical — and emits only near-threshold pairs; the exact
+    rounded-threshold filter and the cross-band pair dedup then run
+    natively on the (tiny) survivor set. This ships each vector B
+    times instead of once per candidate pair (the join-then-score
+    form moved ~30x more bytes into Python and paid a |candidates|
+    distinct shuffle first). Per-bucket work is O(|bucket|^2): at
+    scale, a skew cap / salting on degenerate buckets is the standard
+    guard (bucket sizes are one groupBy away to audit).
     """
-    from ..vector.ann import _as_double, _dot, _norm, lsh_bands
+    from ..vector.ann import _cosine_col, _norm_col, lsh_bands
     from pyspark.sql import functions as FF
 
-    v = vectors.select(
-        FF.col(id_col).alias("id"), _as_double(FF.col(vec_col)).alias("v")
-    ).withColumn("n", _norm(FF.col("v")))
-    a = v.select(
-        FF.col("id").alias("id_a"), FF.col("v").alias("va"), FF.col("n").alias("na")
-    )
-    b = v.select(
-        FF.col("id").alias("id_b"), FF.col("v").alias("vb"), FF.col("n").alias("nb")
-    )
     if exact:
-        cand = a.crossJoin(b).filter(FF.col("id_a") < FF.col("id_b"))
-    else:
-        bands = lsh_bands(vectors, id_col, vec_col, dims=dims)
-        ba = bands.withColumnRenamed("id", "id_a")
-        bb = bands.withColumnRenamed("id", "id_b")
-        pairs = (
-            ba.join(bb, ["band", "bucket"])
-            .filter(FF.col("id_a") < FF.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+        v = vectors.select(
+            FF.col(id_col).alias("id"), FF.col(vec_col).alias("v")
+        ).withColumn("n", _norm_col(FF.col("v"), dims))
+        a = v.select(
+            FF.col("id").alias("id_a"),
+            FF.col("v").alias("va"),
+            FF.col("n").alias("na"),
         )
-        cand = pairs.join(a, "id_a").join(b, "id_b")
+        b = v.select(
+            FF.col("id").alias("id_b"),
+            FF.col("v").alias("vb"),
+            FF.col("n").alias("nb"),
+        )
+        cand = a.crossJoin(b).filter(FF.col("id_a") < FF.col("id_b"))
+        return (
+            cand.select(
+                "id_a",
+                "id_b",
+                _cosine_col(
+                    FF.col("va"), FF.col("vb"), FF.col("na"), FF.col("nb"), dims
+                ).alias("cosine"),
+            )
+            .filter(FF.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    if dims is None:
+        first = vectors.select(vec_col).first()
+        dims = 1 if first is None else len(first[0])
+    n_dims = dims
+    # raw >= threshold - 1e-6 inside the kernel is a SUPERSET of the
+    # exact native filter round(cos, 6) >= threshold (any pair passing
+    # the rounded filter has raw >= threshold - 5e-7), so the margin
+    # never drops a row the oracle keeps.
+    raw_cut = threshold - 1e-6
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "dot": pd.Series(dtype="float64"),
+                 "na": pd.Series(dtype="float64"),
+                 "nb": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        G = np.zeros((n, n), dtype=np.float64)
+        for d in range(n_dims):  # sequential over dims == the fold order
+            col = V[:, d : d + 1]
+            G += col * col.T
+        norms = np.sqrt(np.diag(G))  # diag accumulates exactly like _norm
+        iu, ju = np.triu_indices(n, k=1)
+        dots = G[iu, ju]
+        na_, nb_ = norms[iu], norms[ju]
+        keep = dots / (na_ * nb_) >= raw_cut
+        return pd.DataFrame(
+            {"id_a": ids[iu][keep], "id_b": ids[ju][keep],
+             "dot": dots[keep], "na": na_[keep], "nb": nb_[keep]}
+        )
+
+    bands = lsh_bands(vectors, id_col, vec_col, dims=dims)
+    with_vec = bands.join(
+        vectors.select(
+            FF.col(id_col).alias("id"), FF.col(vec_col).alias("v")
+        ),
+        "id",
+    )
+    scored = with_vec.groupBy("band", "bucket").applyInPandas(
+        _score_bucket,
+        "id_a bigint, id_b bigint, dot double, na double, nb double",
+    )
     return (
-        cand.select(
+        scored.select(
             "id_a",
             "id_b",
             FF.round(
-                _dot(FF.col("va"), FF.col("vb")) / (FF.col("na") * FF.col("nb")),
-                6,
+                FF.col("dot") / (FF.col("na") * FF.col("nb")), 6
             ).alias("cosine"),
         )
         .filter(FF.col("cosine") >= threshold)
+        .distinct()  # the same pair can surface from several bands
+    )
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs: (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard >= threshold — the deterministic
+    sibling of minhash_lsh_pairs (same shingle space, no probabilistic
+    candidate loss).
+
+    Two phases, both plain shuffles:
+    1. candidates — pairs sharing >= 1 shingle, generated by the
+       shingle inverted-index self-join. ``max_df`` drops shingles
+       whose document frequency exceeds it from THIS phase only (the
+       scale lever: one stop-shingle shared by 1M docs is a 10^12-row
+       join blowup; a true near-dup pair at any useful threshold
+       shares many shingles, so losing the ubiquitous ones leaves the
+       pair reachable through its rare ones).
+    2. verify — exact Jaccard over the FULL shingle sets of the
+       candidates (the intersection join is keyed by candidate pair,
+       so Python-free work scales with candidates, not |corpus|^2).
+
+    With max_df=None the output is exhaustively exact. Reference
+    scope: an extension beyond gpd_lite_toolbox (BASELINE.json north
+    star: LLM-pipeline dedup family).
+    """
+    sh = shingles(corpus, id_col, text_col).persist()
+    gen = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        gen = sh.join(dfreq.filter(F.col("df") <= max_df), "shingle").select(
+            "id", "shingle"
+        )
+    cand = (
+        gen.select(F.col("id").alias("id_a"), "shingle")
+        .join(gen.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -45,6 +45,61 @@ def test_minhash_finds_planted_near_duplicates(spark, sf_dir, corpus):
             assert j == 1.0
 
 
+def test_ngram_jaccard_exact_superset_of_minhash(spark, sf_dir, corpus):
+    """The exact n-gram measure must (a) recover every planted family
+    with the right score and (b) contain every minhash-emitted pair —
+    minhash verifies the SAME measure on a probabilistic candidate
+    subset, so with the df-cap disabled containment is an identity."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    # planted exact duplicates score 1.0
+    for pid in [
+        r.id
+        for r in corpus.filter(
+            (F.col("id") >= 1000000) & (F.col("id") < 2000000)
+        ).select("id").collect()
+    ]:
+        assert exact.get((pid - 1000000, pid)) == 1.0
+    # planted near-duplicates (one appended token) are found
+    for pid in [
+        r.id
+        for r in corpus.filter(F.col("id") >= 2000000).select("id").collect()
+    ]:
+        assert (pid - 2000000, pid) in exact
+    mh = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert set(mh) <= set(exact), f"minhash invented {set(mh) - set(exact)}"
+    for k, j in mh.items():
+        assert exact[k] == j  # identical exact-verify arithmetic
+
+
+def test_ngram_jaccard_df_cap_only_prunes(spark, sf_dir, corpus):
+    """max_df only removes candidate pairs — surviving pairs keep the
+    full-set exact score."""
+    from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_pairs
+
+    full = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    capped = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(corpus, threshold=0.5, max_df=40).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, j in capped.items():
+        assert full[k] == j
+
+
 def test_ann_self_is_rank_one(spark, sf_dir):
     import __spark_entry__ as E
 
