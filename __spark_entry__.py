@@ -521,6 +521,20 @@ def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_session_window(s, f"{sf_dir}/events.parquet")
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over the
+    bounded events source: first event per (user, hour). The emitted
+    key set is deterministic and equals batch SELECT DISTINCT, so the
+    streaming operator gets the full hash gate."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_dedup,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return run_streaming_dedup(s, f"{sf_dir}/events.parquet")
+
+
 def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.cartogram import dorling_radius
 
@@ -739,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "session_window": _q_session_window,
+        "stream_dedup": _q_stream_dedup,
         "dorling_radius": _q_dorling_radius,
         "cartogram": _q_cartogram,
         "dorling_cartogram": _q_dorling_cartogram,
@@ -802,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": OR.EVENTS_WINDOW,
         "sessionize": OR.SESSIONIZE,
         "session_window": OR.SESSION_WINDOW,
+        "stream_dedup": OR.STREAM_DEDUP,
         "dorling_radius": OR.DORLING_RADIUS,
         # cartogram / dorling_cartogram: iterative geometry transforms,
         # property-tested (area-error contraction, overlap-free circles).

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_window",
     "sessionize",
     "session_window",
+    "stream_dedup",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

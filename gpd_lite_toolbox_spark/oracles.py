@@ -819,6 +819,12 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM cs GROUP BY user_id, session_id
 """
 
+STREAM_DEDUP = """
+SELECT DISTINCT user_id,
+       epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+FROM events
+"""
+
 # ------------------------------------------------------------- cartogram
 DORLING_RADIUS = f"""
 WITH {oracle_ctes('polys')},

@@ -245,6 +245,58 @@ def run_streaming_session_window(
     return spark.table("sess_win_out")
 
 
+def run_streaming_dedup(
+    spark, parquet_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keyed
+    by (user_id, hour bucket) — each user's FIRST event per hour
+    passes, replays/retries within the hour are dropped, and the
+    dedup state expires at the watermark horizon. That bounded-state
+    guarantee is the streaming-ingest shape of ``exact_dedup``: an
+    unbounded stream never accumulates unbounded key state.
+
+    Output projects only the deterministic KEY SET (user_id, hour_us):
+    which payload row arrives first is racy across partitions, the key
+    set is not — on a bounded availableNow source it equals batch
+    ``SELECT DISTINCT``, which is the driver-oracle form.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix="dedup_stream_")
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    keyed = stream.withColumn(
+        "hour_us",
+        (F.unix_micros("ts") - F.unix_micros("ts") % F.lit(3600000000))
+        .cast("bigint"),
+    )
+    dedup = (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "hour_us"])
+        .select("user_id", "hour_us")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table("dedup_stream_out")
+
+
 SESSION_GAP_S = 1800
 
 

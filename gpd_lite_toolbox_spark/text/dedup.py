@@ -349,56 +349,129 @@ def ngram_jaccard_pairs(
        shares many shingles, so losing the ubiquitous ones leaves the
        pair reachable through its rare ones).
     2. verify — exact Jaccard over the FULL shingle sets of the
-       candidates (the intersection join is keyed by candidate pair,
-       so Python-free work scales with candidates, not |corpus|^2).
+       candidates: the rare-shingle intersection falls out of phase
+       1's group count for free, and only the common-shingle remainder
+       (a small per-doc set by definition of the cap) pays an expand
+       join keyed by candidate pair. Work scales with candidates and
+       common-shingle instances, never |corpus|^2 or full-set
+       re-expansion.
 
     With max_df=None the output is exhaustively exact. Reference
     scope: an extension beyond gpd_lite_toolbox (BASELINE.json north
     star: LLM-pipeline dedup family).
     """
     sh = shingles(corpus, id_col, text_col).persist()
-    gen = sh
-    if max_df is not None:
+    if max_df is None:
+        # uncapped: the self-join group count IS the exact intersection
+        gen = sh
+        common = None
+    else:
+        # annotate every instance with its shingle's document
+        # frequency ONCE and persist: gen / common / sizes then read
+        # the same cached table through cheap filters instead of each
+        # re-running a |instances|-row join (measured 3x on this path)
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        gen = sh.join(dfreq.filter(F.col("df") <= max_df), "shingle").select(
-            "id", "shingle"
-        )
-    cand = (
+        shf = sh.join(dfreq, "shingle").persist()
+        gen = shf.filter(F.col("df") <= max_df).select("id", "shingle")
+        common = shf.filter(F.col("df") > max_df).select("id", "shingle")
+        sh = shf
+    # candidate generation AND rare-shingle intersection in one pass:
+    # each self-join row is one shared rare shingle, so the per-pair
+    # count is |A∩B| restricted to rare shingles — no re-expansion of
+    # the full shingle sets (which cost |cand| x avg-set-size rows).
+    inter_rare = (
         gen.select(F.col("id").alias("id_a"), "shingle")
         .join(gen.select(F.col("id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n_rare"))
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")),
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+
+    def _finish(inter):
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (
+                        F.col("na") + F.col("nb") - F.col("n_inter")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if common is None:
+        inter = (
+            inter_rare.withColumnRenamed("n_rare", "n_inter")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+        )
+        return _finish(inter)
+
+    # rare/common partition the shingle space disjointly, so the exact
+    # intersection is n_rare + n_common. Jaccard is increasing in the
+    # intersection and n_common <= min(|common(A)|, |common(B)|), so
+    # pairs whose UPPER BOUND misses the threshold (the vast majority:
+    # a handful of shared rare shingles cannot be lifted over it by
+    # any amount of boilerplate) skip the common-side expand join —
+    # a lossless prune, same trick as the minhash signature prefilter
+    # but deterministic.
+    csizes = common.groupBy("id").agg(F.count("*").alias("n_c"))
+    base = (
+        inter_rare.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(
+            csizes.select(F.col("id").alias("id_a"), F.col("n_c").alias("nca")),
             "id_a",
+            "left",
         )
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")),
+            csizes.select(F.col("id").alias("id_b"), F.col("n_c").alias("ncb")),
             "id_b",
+            "left",
         )
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
-                6,
+            "_m",
+            F.least(
+                F.coalesce(F.col("nca"), F.lit(0)),
+                F.coalesce(F.col("ncb"), F.lit(0)),
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # raw-bound margin covers round-to-6 edge rows (see the cosine
+        # kernel's identical guard)
+        .filter(
+            (F.col("n_rare") + F.col("_m"))
+            / (
+                F.col("na") + F.col("nb") - F.col("n_rare") - F.col("_m")
+            ).cast("double")
+            >= threshold - 1e-6
+        )
+        .persist()
     )
+    ca = common.select(F.col("id").alias("id_a"), "shingle")
+    cb = common.select(F.col("id").alias("id_b"), "shingle")
+    inter_common = (
+        base.select("id_a", "id_b")
+        .join(ca, "id_a")
+        .join(cb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    inter = (
+        base.join(inter_common, ["id_a", "id_b"], "left")
+        .withColumn(
+            "n_inter",
+            F.col("n_rare") + F.coalesce(F.col("n_common"), F.lit(0)),
+        )
+        .select("id_a", "id_b", "na", "nb", "n_inter")
+    )
+    return _finish(inter)
 
 
 SIMHASH_BITS = 32

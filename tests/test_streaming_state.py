@@ -59,6 +59,38 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
     )
 
 
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark's emitted key set on a bounded
+    stream == batch SELECT DISTINCT on (user, hour)."""
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_dedup,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    # register_base_tables exposes ts as a TIMESTAMP column
+    ev = spark.table("events").withColumn("us", F.unix_micros("ts"))
+    batch = {
+        (r.user_id, r.hour_us)
+        for r in ev.select(
+            "user_id",
+            (F.col("us") - F.col("us") % F.lit(3600000000)).alias("hour_us"),
+        )
+        .distinct()
+        .collect()
+    }
+    stream = {
+        (r.user_id, r.hour_us)
+        for r in run_streaming_dedup(
+            spark, f"{sf_dir}/events.parquet"
+        ).collect()
+    }
+    assert batch == stream, (
+        f"{len(batch - stream)} batch-only, {len(stream - batch)} stream-only"
+    )
+
+
 def test_isochrone_auto_levels_matches_reference_rule(spark, sf_dir):
     from gpd_lite_toolbox_spark.operators.isochrone import (
         filter_osrm_times,
