@@ -337,6 +337,12 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.dedup import dup_groups
+
+    return dup_groups(_corpus(spark, sf_dir))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.dedup import simhash
 
@@ -347,6 +353,12 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.analysis import token_stats
 
     return token_stats(_corpus(spark, sf_dir))
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.analysis import repetition_stats
+
+    return repetition_stats(_corpus(spark, sf_dir))
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,9 +747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_line_cluster": _q_match_line_cluster,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "dup_groups": _q_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -796,9 +810,11 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check (the judge sees which).
         "exact_dedup": OR.EXACT_DEDUP,
         "minhash_pairs": OR.MINHASH_PAIRS,
+        "dup_groups": OR.DUP_GROUPS,
         "ngram_jaccard": OR.NGRAM_JACCARD,
         "simhash": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,
+        "repetition_stats": OR.REPETITION_STATS,
         "quality": OR.QUALITY,
         "lang_id": OR.LANG_ID,
         "fingerprint": OR.FINGERPRINT,

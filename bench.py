@@ -44,9 +44,11 @@ BENCH_QUERIES = [
     "match_lines_ragged",
     "exact_dedup",
     "minhash_pairs",
+    "dup_groups",
     "ngram_jaccard",
     "simhash",
     "token_stats",
+    "repetition_stats",
     "quality",
     "lang_id",
     "fingerprint",

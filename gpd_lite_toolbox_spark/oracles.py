@@ -347,8 +347,9 @@ SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(id) AS keep_id
 FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
-MINHASH_PAIRS = f"""
-WITH {oracle_ctes('corpus')}, {_SHINGLE_CTE},
+# CTE chain shared by MINHASH_PAIRS and DUP_GROUPS (which wraps the
+# final pair select as one more CTE and closes components over it)
+_MINHASH_CTES = f"""{oracle_ctes('corpus')}, {_SHINGLE_CTE},
 hv AS (SELECT id, shingle,
               CAST(('0x' || substr(md5(shingle), 1, 8))::UBIGINT AS BIGINT) AS hv
        FROM sh),
@@ -371,7 +372,9 @@ inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
           JOIN sh sa ON sa.id = c.id_a
           JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
           GROUP BY c.id_a, c.id_b),
-sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)"""
+
+_MINHASH_FINAL = """
 SELECT i.id_a, i.id_b,
        ROUND(CAST(i.n_inter AS DOUBLE)
              / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
@@ -380,6 +383,30 @@ JOIN sizes na ON na.id = i.id_a
 JOIN sizes nb ON nb.id = i.id_b
 WHERE ROUND(CAST(i.n_inter AS DOUBLE)
             / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= 0.5
+"""
+
+MINHASH_PAIRS = f"""
+WITH {_MINHASH_CTES}
+{_MINHASH_FINAL}
+"""
+
+# Duplicate CLUSTERS: the oracle derives components INDEPENDENTLY of
+# the Spark implementation — a recursive-CTE reachability closure
+# (min reachable id) instead of iterative label propagation.
+DUP_GROUPS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS ({_MINHASH_FINAL}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM corpus
+    UNION
+    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id, MIN(lbl) AS group_id,
+       CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT) AS group_size
+FROM walk GROUP BY id
 """
 
 # n-gram Jaccard: document-frequency cap for candidate generation —
@@ -458,6 +485,26 @@ SELECT id,
             + (CASE WHEN ROUND(atl, 6) >= 2.0 AND ROUND(atl, 6) <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0,
            6) AS quality
 FROM st
+"""
+
+REPETITION_STATS = f"""
+WITH {oracle_ctes('corpus')},
+tk AS (SELECT id, STRING_SPLIT(text, ' ') AS t FROM corpus),
+bg AS (SELECT id,
+              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                    i -> t[i] || ' ' || t[i + 1])) AS bg
+       FROM tk),
+cnt AS (SELECT id, bg, COUNT(*) AS c FROM bg GROUP BY id, bg),
+top AS (SELECT id, MAX(c) AS top_bigram_n FROM cnt GROUP BY id)
+SELECT tk.id,
+       CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+       ROUND(CAST(LEN(LIST_DISTINCT(tk.t)) AS DOUBLE) / LEN(tk.t), 6) AS ttr,
+       COALESCE(top.top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN LEN(tk.t) > 1
+            THEN ROUND(CAST(COALESCE(top.top_bigram_n, 0) AS DOUBLE)
+                       / (LEN(tk.t) - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM tk LEFT JOIN top ON top.id = tk.id
 """
 
 def _occ(needle: str) -> str:

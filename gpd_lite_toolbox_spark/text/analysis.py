@@ -104,3 +104,65 @@ def fingerprint(
         F.col(id_col).alias("id"),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: ``n_tokens``,
+    type-token ratio ``ttr`` (distinct tokens / tokens), and the
+    most-frequent-bigram load ``top_bigram_n`` / ``top_bigram_frac``
+    (count of the modal adjacent token pair and the share of bigram
+    slots it occupies). High bigram load or a collapsed ttr flags the
+    looping/boilerplate documents an LLM-ingest filter drops.
+
+    Scale shape: the token array never leaves its row (no explode) for
+    ttr; only bigrams explode, and the (id, bigram) count partial-
+    aggregates map-side before the single hash shuffle on id. No
+    Python anywhere — whole-stage codegen end to end.
+
+    Extension beyond the reference (BASELINE.json north star:
+    LLM-pipeline quality family; rule family per Gopher/C4).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        toks.alias("t"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    # sequence(0, -1) would produce a DESCENDING ramp, so pin bigram
+    # extraction to docs with >= 2 tokens
+    bigrams = F.when(
+        F.col("n_tokens") >= 2,
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        base.select("id", F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.size(F.array_distinct(F.col("t")))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+            F.when(F.col("n_tokens") > 1,
+                F.round(
+                    F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                    / (F.col("n_tokens") - 1).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

@@ -497,3 +497,91 @@ def simhash(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -> Da
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def dup_groups(
+    corpus: DataFrame,
+    id_col: str = "id",
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-duplicate pairs: connected
+    components of the pair graph, labeled by the component's minimum
+    id. Pairs are only the intermediate product of dedup — a real
+    ingest pipeline keeps ``id == group_id`` (one representative per
+    cluster) and drops the rest; ``group_size`` feeds repetition-rate
+    accounting. Every document appears (singletons included).
+
+    Components are closed by iterative min-label propagation: each
+    round every node takes the min of its own label and its
+    neighbors'; convergence needs diameter(G) rounds. Near-dup
+    clusters are dense (a hub duplicate links its variants), so the
+    diameter is small — 2-3 rounds in practice, ``max_iter`` bounds
+    pathological chains. At 100 TB each round is one groupBy shuffle
+    on the edge table plus a label join; the per-round convergence
+    count is a cheap required action (same pattern as GraphFrames'
+    connected components, which alternates the same join). The label
+    frame is re-persisted per round and lineage stays flat (each round
+    reads the previous materialized labels, not a growing plan).
+
+    Oracle independence: the DuckDB gate closes components with a
+    recursive-CTE reachability walk, not label propagation — the two
+    derivations only agree if the component semantics are right.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(corpus, threshold=threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    # eager localCheckpoint per round: the label frame restarts from a
+    # materialized partition set each iteration, so the logical plan
+    # (and driver heap) stays flat no matter how many rounds a long
+    # chain needs — the GraphFrames connected-components discipline
+    labels = (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("group_id").alias("lbl")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_min"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("group_id")),
+                ).alias("group_id"),
+                (F.col("nbr_min") < F.col("group_id")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter("_chg").count()
+        labels = stepped.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("group_id").agg(
+        F.count("*").alias("group_size")
+    )
+    return labels.join(sizes, "group_id").select(
+        "id", "group_id", F.col("group_size").cast("bigint").alias("group_size")
+    )

@@ -53,3 +53,85 @@ def test_fingerprint_matches_hashlib(_spark, doc):
     )
     got = fingerprint(df).collect()[0].fingerprint
     assert got == hashlib.md5(doc.lower().strip().encode()).hexdigest()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_repetition_stats_matches_python(_spark, docs):
+    from collections import Counter
+
+    from gpd_lite_toolbox_spark.text.analysis import repetition_stats
+
+    df = _spark.createDataFrame(
+        pd.DataFrame({"id": range(len(docs)), "text": docs}),
+        schema="id bigint, text string",
+    )
+    out = {r.id: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(docs):
+        toks = t.split(" ")
+        r = out[i]
+        assert r.n_tokens == len(toks)
+        assert r.ttr == pytest.approx(len(set(toks)) / len(toks), abs=1e-6)
+        bigrams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        top = max(bigrams.values()) if bigrams else 0
+        assert r.top_bigram_n == top
+        if len(toks) > 1:
+            assert r.top_bigram_frac == pytest.approx(
+                top / (len(toks) - 1), abs=1e-6
+            )
+        else:
+            assert r.top_bigram_frac == 0.0
+
+
+def test_dup_groups_transitive_closure(_spark):
+    """Chain A~B, B~C with A!~C directly must still collapse to ONE
+    cluster (transitivity is the component semantics, not pairwise
+    similarity), and unrelated docs stay singletons."""
+    import pandas as pd
+
+    from gpd_lite_toolbox_spark.text.dedup import dup_groups
+
+    corpus = _spark.createDataFrame(
+        pd.DataFrame({"id": [10, 20, 30, 99]}),
+        schema="id bigint",
+    )
+    pairs = _spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20], "id_b": [20, 30],
+                      "jaccard": [0.9, 0.9]}),
+        schema="id_a bigint, id_b bigint, jaccard double",
+    )
+    got = {
+        r.id: (r.group_id, r.group_size)
+        for r in dup_groups(corpus, pairs=pairs).collect()
+    }
+    assert got == {
+        10: (10, 3),
+        20: (10, 3),
+        30: (10, 3),
+        99: (99, 1),
+    }
+
+
+def test_dup_groups_long_chain_converges(_spark):
+    """A 12-hop path graph needs many propagation rounds — exercises
+    the iteration/convergence logic well past the dense-cluster case."""
+    import pandas as pd
+
+    from gpd_lite_toolbox_spark.text.dedup import dup_groups
+
+    ids = list(range(13))
+    corpus = _spark.createDataFrame(
+        pd.DataFrame({"id": ids}), schema="id bigint"
+    )
+    # chain 12-11-...-1-0 written high-to-low so min labels must flow
+    # the full length
+    pairs = _spark.createDataFrame(
+        pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:],
+                      "jaccard": [0.9] * 12}),
+        schema="id_a bigint, id_b bigint, jaccard double",
+    )
+    rows = dup_groups(corpus, pairs=pairs).collect()
+    assert {r.group_id for r in rows} == {0}
+    assert all(r.group_size == 13 for r in rows)
