@@ -337,6 +337,35 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON codec round-trip over the L-shaped/holed layer: WKB ->
+    Feature string (geometry via Arrow UDF, properties native to_json)
+    -> parse back (native from_json properties) -> exact area. The
+    oracle is the closed-form L-shape area — independent of both codec
+    directions, so a coordinate lost anywhere breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area
+    from gpd_lite_toolbox_spark.sources.geojson import (
+        from_geojson_features,
+        to_geojson_features,
+    )
+
+    s = _configure(spark)
+    src = FX.cpolys(s, sf_dir)
+    feats = to_geojson_features(src, "geometry", ["id", "has_hole"]).select(
+        "feature"
+    )
+    back = from_geojson_features(
+        feats, "feature", "id bigint, has_hole int"
+    )
+    return back.select(
+        "id",
+        "has_hole",
+        F.round(st_area("geometry"), 6).alias("area"),
+    )
+
+
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.dedup import dup_groups
 
@@ -748,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "dup_groups": _q_dup_groups,
+        "geojson_roundtrip": _q_geojson_roundtrip,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
@@ -811,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": OR.EXACT_DEDUP,
         "minhash_pairs": OR.MINHASH_PAIRS,
         "dup_groups": OR.DUP_GROUPS,
+        "geojson_roundtrip": OR.GEOJSON_ROUNDTRIP,
         "ngram_jaccard": OR.NGRAM_JACCARD,
         "simhash": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,

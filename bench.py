@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_pairs",
     "dup_groups",
+    "geojson_roundtrip",
     "ngram_jaccard",
     "simhash",
     "token_stats",

@@ -1257,3 +1257,13 @@ ranked AS (
   FROM spend)
 SELECT segment, c_custkey, total_spend, rank FROM ranked WHERE rank <= 5
 """
+
+# GeoJSON round-trip: closed-form L-shape area (big x arm + arm x
+# (big - arm), hole subtracted) — independent of the codec AND of the
+# Spark area kernel, see fixtures.L_BIG/L_ARM/L_HOLE0/L_HOLE1
+GEOJSON_ROUNDTRIP = f"""
+WITH {oracle_ctes('cpolys')}
+SELECT id, has_hole,
+       ROUND(3000000.0 - has_hole * 250000.0, 6) AS area
+FROM cpolys
+"""
