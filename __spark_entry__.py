@@ -366,6 +366,38 @@ def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpatiaLite file round-trip over the L-shaped/holed layer: WKB ->
+    GAIA-blob SQLite file (driver-side export sink) -> rowid-range
+    partitioned parallel read -> exact area. Oracle is the closed-form
+    L-shape area, independent of both codec directions and of the
+    SQLite layer entirely."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area
+    from gpd_lite_toolbox_spark.sources.spatialite import (
+        read_spatialite,
+        write_spatialite,
+    )
+
+    s = _configure(spark)
+    src = FX.cpolys(s, sf_dir).select("id", "has_hole", "geometry")
+    db = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_spatialite_{os.path.basename(os.path.normpath(sf_dir))}.sqlite",
+    )
+    write_spatialite(src, db, "cpolys", geom_col="geometry", srid=3857)
+    back = read_spatialite(s, db, "cpolys", num_partitions=4)
+    return back.select(
+        "id",
+        "has_hole",
+        F.round(st_area("geometry"), 6).alias("area"),
+    )
+
+
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.dedup import dup_groups
 
@@ -778,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "dup_groups": _q_dup_groups,
         "geojson_roundtrip": _q_geojson_roundtrip,
+        "spatialite_roundtrip": _q_spatialite_roundtrip,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
@@ -842,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": OR.MINHASH_PAIRS,
         "dup_groups": OR.DUP_GROUPS,
         "geojson_roundtrip": OR.GEOJSON_ROUNDTRIP,
+        "spatialite_roundtrip": OR.SPATIALITE_ROUNDTRIP,
         "ngram_jaccard": OR.NGRAM_JACCARD,
         "simhash": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "dup_groups",
     "geojson_roundtrip",
+    "spatialite_roundtrip",
     "ngram_jaccard",
     "simhash",
     "token_stats",

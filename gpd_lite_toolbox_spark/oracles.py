@@ -1264,6 +1264,16 @@ SELECT segment, c_custkey, total_spend, rank FROM ranked WHERE rank <= 5
 GEOJSON_ROUNDTRIP = f"""
 WITH {oracle_ctes('cpolys')}
 SELECT id, has_hole,
-       ROUND(3000000.0 - has_hole * 250000.0, 6) AS area
+       ROUND(CAST(3000000.0 - has_hole * 250000.0 AS DOUBLE), 6) AS area
+FROM cpolys
+"""
+
+# SpatiaLite round-trip: same closed-form L-shape area truth — the
+# GAIA blob codec, the SQLite write, and the partitioned read must all
+# preserve every coordinate for the hash to hold
+SPATIALITE_ROUNDTRIP = f"""
+WITH {oracle_ctes('cpolys')}
+SELECT id, has_hole,
+       ROUND(CAST(3000000.0 - has_hole * 250000.0 AS DOUBLE), 6) AS area
 FROM cpolys
 """
