@@ -314,10 +314,20 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
         pass
     for name in TPCH_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # integer div, not /1000 via double: ~1.7e18 ns exceeds double
-            # precision and would round microseconds off by ±1
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                # integer div, not /1000 via double: ~1.7e18 ns exceeds
+                # double precision and would round microseconds off by ±1
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # parquet timestamp[us] without tz reads as TIMESTAMP_NTZ
+                # on Spark 4; unix_micros/watermarks need TIMESTAMP. The
+                # session tz is pinned to UTC, so the cast preserves the
+                # wall-clock value and matches DuckDB's epoch_us.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
     # mark AFTER all views registered so a mid-loop failure retries
     _last_registered[key] = sf_dir

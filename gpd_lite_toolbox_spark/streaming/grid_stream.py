@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ): driver
+    parquet has shipped it as int64 nanos and as timestamp[us]-no-tz
+    (TIMESTAMP_NTZ on Spark 4); watermarks and unix_micros require
+    TIMESTAMP. Session tz is pinned to UTC by the session builders, so
+    the NTZ cast preserves the wall-clock value."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # integer div, not /1000 via double: ~1.7e18 ns exceeds double
+        # precision and would round microseconds off by ±1
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def event_cells(events: DataFrame, height: float) -> DataFrame:
     """Derive a deterministic spatial cell for each event (events carry
     no coordinates; production pipelines would join a location table —
@@ -73,15 +89,11 @@ def run_streaming_grid_agg(
         parquet_dir = d
     batch_df = spark.read.parquet(parquet_dir)
     schema = batch_df.schema
-    stream = (
+    stream = _normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
     agg = windowed_grid_agg(stream.withWatermark("ts", "1 day"), height, window)
     q = (
         agg.writeStream.outputMode("complete")
@@ -122,11 +134,7 @@ def run_stateful_session_count(
         os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
         parquet_dir = d
     schema = spark.read.parquet(parquet_dir).schema
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
     ev = stream.select(
         "user_id", F.unix_micros("ts").alias("us")
     )
@@ -212,11 +220,7 @@ def run_streaming_session_window(
         os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
         parquet_dir = d
     schema = spark.read.parquet(parquet_dir).schema
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy(
@@ -268,11 +272,7 @@ def run_streaming_dedup(
         os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
         parquet_dir = d
     schema = spark.read.parquet(parquet_dir).schema
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
     keyed = stream.withColumn(
         "hour_us",
         (F.unix_micros("ts") - F.unix_micros("ts") % F.lit(3600000000))

@@ -129,11 +129,9 @@ def test_streaming_append_mode_with_watermark(spark, sf_dir):
     os.symlink(
         f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet")
     )
-    stream = spark.readStream.schema(schema).parquet(d)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    from gpd_lite_toolbox_spark.streaming.grid_stream import _normalize_ts
+
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(d))
     agg = windowed_grid_agg(stream.withWatermark("ts", "1 hour"))
     q = (
         agg.writeStream.outputMode("append")
