@@ -775,6 +775,70 @@ def _q_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the most recent non-error
+    event of the same user at-or-before it (union + running-last
+    window — one exchange, no inequality join). Extension beyond the
+    reference: point-in-time feature lookup for event pipelines."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import asof_join
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us"
+    )
+    right = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("us").alias("r_us"), "event_id", "event_type", "value"
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="us", right_ts="r_us",
+        payload=["event_id", "r_us", "event_type", "value"],
+    )
+    return out.select(
+        "event_id", "user_id", "us", "prev_event_id", "prev_event_type",
+        F.round("prev_value", 6).alias("prev_value"),
+        (F.col("us") - F.col("prev_r_us")).alias("gap_us"),
+    )
+
+
+def _q_range_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: per error event, count + value-sum of all
+    same-user events within +-10 minutes (self included). Constant 3x
+    bucket fan-out replaces the inequality join."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import range_join_binned
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us"
+    )
+    cand = ev.select(
+        "user_id", F.col("us").alias("c_us"), "value",
+        F.col("event_id").alias("c_eid"),
+    )
+    return range_join_binned(
+        probe, cand, key="user_id", probe_us="us", cand_us="c_us",
+        half_width_us=600_000_000,
+        aggs=[
+            F.count("*").alias("n_near"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+        probe_id="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -827,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cut_hull": _q_grid_cut_hull,
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
+        "asof_prev_event": _q_asof_prev_event,
+        "range_neighborhood": _q_range_neighborhood,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "session_window": _q_session_window,
@@ -895,6 +961,8 @@ def oracle_sql() -> dict[str, str]:
         # without a spatial extension; property-tested, rows-only here.
         "isochrone_bands": OR.ISOCHRONE_BANDS,
         "isochrone_polys": OR.ISOCHRONE_POLYS,
+        "asof_prev_event": OR.ASOF_PREV_EVENT,
+        "range_neighborhood": OR.RANGE_NEIGHBORHOOD,
         "events_window": OR.EVENTS_WINDOW,
         "sessionize": OR.SESSIONIZE,
         "session_window": OR.SESSION_WINDOW,

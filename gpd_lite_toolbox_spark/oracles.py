@@ -1277,3 +1277,39 @@ SELECT id, has_hole,
        ROUND(CAST(3000000.0 - has_hole * 250000.0 AS DOUBLE), 6) AS area
 FROM cpolys
 """
+
+# As-of join (operators/temporal.py asof_join): for each error event the
+# most recent non-error event of the same user at-or-before it. The
+# oracle is the naive inequality join + per-probe argmax — quadratic,
+# fine at sf0.01; the Spark plan is the union+window merge (one
+# exchange, no theta join).
+ASOF_PREV_EVENT = """
+WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+            FROM events),
+err AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'error'),
+oth AS (SELECT user_id, event_id, event_type, value, us FROM ev
+        WHERE event_type <> 'error'),
+j AS (SELECT e.event_id, e.user_id, e.us,
+             o.event_id AS prev_event_id, o.event_type AS prev_event_type,
+             o.value AS prev_value, o.us AS prev_us,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.us DESC, o.event_id DESC) AS rn
+      FROM err e JOIN oth o ON o.user_id = e.user_id AND o.us <= e.us)
+SELECT event_id, user_id, us, prev_event_id, prev_event_type,
+       ROUND(prev_value, 6) AS prev_value, us - prev_us AS gap_us
+FROM j WHERE rn = 1
+"""
+
+# Binned range join (operators/temporal.py range_join_binned): per error
+# event, count + value-sum of ALL same-user events within +-10 min
+# (inclusive, self included). Oracle is the plain inequality join.
+RANGE_NEIGHBORHOOD = """
+WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+            FROM events),
+err AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, e.us, COUNT(*) AS n_near,
+       ROUND(SUM(o.value), 6) AS sum_value
+FROM err e JOIN ev o ON o.user_id = e.user_id
+                    AND ABS(o.us - e.us) <= 600000000
+GROUP BY e.event_id, e.user_id, e.us
+"""

@@ -1,0 +1,83 @@
+"""as-of join + binned range join: tie/boundary semantics on closed-form
+inputs, plus plan shape (no cartesian/theta join anywhere)."""
+
+import pyspark.sql.functions as F
+
+from gpd_lite_toolbox_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _asof(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "lid long, k long, us long")
+    right = spark.createDataFrame(right_rows, "k long, r_us long, rid long, v double")
+    return asof_join(
+        left, right, key="k", left_ts="us", right_ts="r_us",
+        payload=["rid", "r_us", "v"],
+    )
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    out = _asof(
+        spark,
+        [(1, 7, 100), (2, 7, 250), (3, 7, 50)],
+        [(7, 60, 10, 1.0), (7, 100, 11, 2.0), (7, 200, 12, 3.0)],
+    ).toPandas().set_index("lid")
+    # lid=1 at t=100: rid 11 (equal timestamp is visible — at-or-before)
+    assert out.loc[1, "prev_rid"] == 11
+    # lid=2 at t=250: rid 12
+    assert out.loc[2, "prev_rid"] == 12
+    # lid=3 at t=50: no right row at-or-before -> dropped
+    assert 3 not in out.index
+
+
+def test_asof_equal_right_timestamps_pick_max_first_payload(spark):
+    out = _asof(
+        spark,
+        [(1, 7, 100)],
+        [(7, 90, 10, 1.0), (7, 90, 13, 2.0), (7, 90, 11, 3.0)],
+    ).toPandas()
+    assert out.loc[0, "prev_rid"] == 13  # max rid wins the tie
+
+
+def test_asof_keys_do_not_leak(spark):
+    out = _asof(
+        spark,
+        [(1, 7, 100)],
+        [(8, 50, 10, 1.0)],  # other key only
+    )
+    assert out.count() == 0
+
+
+def test_asof_plan_has_no_inequality_join(spark):
+    df = _asof(spark, [(1, 7, 100)], [(7, 50, 10, 1.0)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_inclusive_bounds_and_bins(spark):
+    # candidates at exactly +-w must be included; beyond excluded.
+    probe = spark.createDataFrame([(1, 7, 1000)], "pid long, k long, us long")
+    cand = spark.createDataFrame(
+        [(7, 900, 0.5), (7, 1010, 1.5), (7, 1011, 9.0), (7, 990, 2.0),
+         (8, 1000, 99.0)],
+        "k long, c_us long, v double",
+    )
+    out = range_join_binned(
+        probe, cand, key="k", probe_us="us", cand_us="c_us",
+        half_width_us=10,
+        aggs=[F.count("*").alias("n"), F.sum("v").alias("sv")],
+        probe_id="pid",
+    ).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "n"] == 2  # 1010 (=+w) and 990 (=-w); 900/1011 out
+    assert abs(out.loc[0, "sv"] - 3.5) < 1e-12
+
+
+def test_range_join_probe_without_candidates_absent(spark):
+    probe = spark.createDataFrame([(1, 7, 1000)], "pid long, k long, us long")
+    cand = spark.createDataFrame([(7, 5000, 1.0)], "k long, c_us long, v double")
+    out = range_join_binned(
+        probe, cand, key="k", probe_us="us", cand_us="c_us",
+        half_width_us=10, aggs=[F.count("*").alias("n")], probe_id="pid",
+    )
+    assert out.count() == 0
