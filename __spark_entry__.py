@@ -775,6 +775,57 @@ def _q_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: concatenate the corpus token
+    stream in id order, cut every PACK_BUDGET tokens; per doc emit the
+    shard span + offset. Two-level distributed prefix sum (see
+    text/corpus.py)."""
+    from gpd_lite_toolbox_spark.text.corpus import pack_sequences
+
+    return pack_sequences(_corpus(spark, sf_dir), budget=OR.PACK_BUDGET)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling of the documents table
+    (multiplicative-hash threshold — shuffle-free, retry-stable)."""
+    from gpd_lite_toolbox_spark.text.corpus import stratified_sample
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return stratified_sample(
+        s.table("documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+        rates=OR.SAMPLE_RATES,
+        id_col="doc_id",
+    )
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document over the raw documents table."""
+    from gpd_lite_toolbox_spark.text.corpus import tfidf_topk
+
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return tfidf_topk(
+        s.table("documents").select(
+            F.col("doc_id").alias("id"), "text"
+        ),
+        k=3,
+    )
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus fixture (query-side
+    complement of the dedup family — text/search.py)."""
+    from gpd_lite_toolbox_spark.text.search import bm25_topk
+
+    return bm25_topk(
+        _corpus(spark, sf_dir), query_terms=OR.BM25_TERMS, k=OR.BM25_K
+    )
+
+
 def _q_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each error event, the most recent non-error
     event of the same user at-or-before it (union + running-last
@@ -883,6 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "clean_corpus": _q_clean_corpus,
+        "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25_topk,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -950,6 +1005,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": OR.LANG_ID,
         "fingerprint": OR.FINGERPRINT,
         "clean_corpus": OR.CLEAN_CORPUS,
+        "pack_sequences": OR.PACK_SEQUENCES,
+        "stratified_sample": OR.STRATIFIED_SAMPLE,
+        "tfidf_topk": OR.TFIDF_TOPK,
+        "bm25_topk": OR.BM25_TOPK,
         "ann_topk": OR.ANN_TOPK,
         # deterministic md5-derived hyperplanes make the LSH top-k
         # exactly checkable; ann_ivf_topk stays rows-only (iterative

@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "lang_id",
     "fingerprint",
     "clean_corpus",
+    "pack_sequences",
+    "stratified_sample",
+    "tfidf_topk",
+    "bm25_topk",
+    "asof_prev_event",
+    "range_neighborhood",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -1313,3 +1313,86 @@ FROM err e JOIN ev o ON o.user_id = e.user_id
                     AND ABS(o.us - e.us) <= 600000000
 GROUP BY e.event_id, e.user_id, e.us
 """
+
+# --- corpus-pipeline operators (text/corpus.py, text/search.py) ---
+
+PACK_BUDGET = 512  # tokens per shard, shared Spark/oracle
+
+PACK_SEQUENCES = f"""
+WITH {oracle_ctes('corpus')},
+t AS (SELECT id, {_NTOK} AS n FROM corpus),
+c AS (SELECT id, n,
+             COALESCE(CAST(SUM(n) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS cb
+      FROM t)
+SELECT id, n AS n_tokens,
+       cb // {PACK_BUDGET} AS shard_start,
+       (cb + n - 1) // {PACK_BUDGET} AS shard_end,
+       cb % {PACK_BUDGET} AS offset_in_shard
+FROM c
+"""
+
+# per-language sampling rates (downsample the over-represented 'en'
+# stratum, keep the tails): shared Spark/oracle
+SAMPLE_RATES = {"en": 0.25, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 0.5}
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+) + " ELSE 0.0 END"
+
+STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 100000 <
+      CAST(({_RATE_CASE}) * 100000 AS BIGINT)
+"""
+
+TFIDF_TOPK = """
+WITH tok AS (SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM tok WHERE term <> ''
+       GROUP BY id, term),
+dfr AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT id) AS nd FROM tf),
+sc AS (SELECT tf.id, tf.term, tf.tf, dfr.df_t,
+              ROUND(tf.tf * LN(CAST(nd AS DOUBLE) / df_t), 6) AS score
+       FROM tf JOIN dfr USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
+          ORDER BY score DESC, term) AS INT) AS rank
+      FROM sc)
+SELECT id, term, tf, df_t, score, rank FROM r WHERE rank <= 3
+"""
+
+BM25_TERMS = ["spark", "window", "merge"]
+BM25_K = 10
+
+_BM25_TF = "\n".join(
+    f", len(list_filter(toks, t -> t = '{term}')) AS tf{i}"
+    for i, term in enumerate(BM25_TERMS)
+)
+_BM25_DF = "".join(
+    f", SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(BM25_TERMS))
+)
+_BM25_SCORE = " + ".join(
+    f"LN((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+    f" * (tf{i} * 2.5)"
+    f" / (tf{i} + 1.5 * (0.25 + 0.75"
+    f" * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+    for i in range(len(BM25_TERMS))
+)
+_BM25_ANY = " OR ".join(f"tf{i} > 0" for i in range(len(BM25_TERMS)))
+
+BM25_TOPK = f"""
+WITH {oracle_ctes('corpus')},
+d AS (SELECT id, string_split(text, ' ') AS toks FROM corpus),
+m AS (SELECT id, len(toks) AS dl{_BM25_TF} FROM d),
+st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl{_BM25_DF} FROM m),
+sc AS (SELECT id, {_BM25_SCORE} AS score, ({_BM25_ANY}) AS anym
+       FROM m CROSS JOIN st),
+r AS (SELECT id, ROUND(score, 6) AS score FROM sc WHERE anym
+      ORDER BY score DESC, id LIMIT {BM25_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rank,
+       id, score
+FROM r
+"""

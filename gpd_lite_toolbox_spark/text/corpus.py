@@ -1,0 +1,168 @@
+"""Corpus-level training-data operators: sequence packing, stratified
+sampling, TF-IDF term extraction.
+
+Extensions beyond gpd_lite_toolbox (BASELINE.json north star: the
+LLM-pipeline family). Each is expressed so the 100 TB plan is the same
+plan the local test runs:
+
+- ``pack_sequences`` needs a GLOBAL running token count (documents are
+  packed in id order into fixed token-budget shards). A single
+  unpartitioned window would serialize the corpus through one task, so
+  the prefix sum is two-level: per-block sums (one partial-aggregated
+  shuffle over |corpus|/block rows), a window over the tiny block
+  table, then a block-partitioned window adds local offsets. The only
+  unpartitioned sort touches |blocks| rows, not |corpus|.
+- ``stratified_sample`` is a pure filter (multiplicative-hash
+  threshold per stratum) — no shuffle at all, deterministic, and
+  exactly reproducible in any engine with 64-bit integer arithmetic.
+- ``tfidf_topk`` is two partial-aggregated shuffles (term frequency by
+  (doc, term), document frequency by term via a window on the tf
+  table) and a WindowGroupLimit top-k per doc — no joins against the
+  raw token table after the first aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# multiplicative hash constants shared with the fixture family
+# (fixtures.py): Knuth 2^32 / phi and xxhash PRIME32_2
+_HASH_A = 2654435761
+_HASH_MOD = 100000
+
+
+def pack_sequences(
+    corpus: DataFrame,
+    budget: int,
+    id_col: str = "id",
+    text_col: str = "text",
+    block: int = 1024,
+) -> DataFrame:
+    """Pack documents (in ``id_col`` order) into fixed ``budget``-token
+    shards, pretraining style: the token stream is concatenated and
+    cut every ``budget`` tokens, so a document may span shards.
+
+    Output per doc: ``(id, n_tokens, shard_start, shard_end,
+    offset_in_shard)`` where shard_start/end are the first/last shard
+    the document touches and offset_in_shard its position inside
+    shard_start.
+
+    Token counts use the engine's corpus convention (single-spaced
+    text: separators + 1 — see text/analysis.py token_stats).
+    """
+    n = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    t = corpus.select(
+        F.col(id_col).alias("id"),
+        n.alias("n"),
+        F.expr(f"CAST({id_col} AS BIGINT) div {int(block)}").alias("_blk"),
+    )
+    # per-block totals: |corpus|/block rows, one combinable shuffle
+    totals = t.groupBy("_blk").agg(F.sum("n").alias("_bn"))
+    wb = (
+        Window.orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_blk", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff")
+    )
+    ww = (
+        Window.partitionBy("_blk")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = int(budget)
+    packed = (
+        t.join(F.broadcast(offsets), "_blk")
+        .withColumn(
+            "_cb",
+            F.col("_boff") + F.coalesce(F.sum("n").over(ww), F.lit(0)),
+        )
+        .select(
+            "id",
+            F.col("n").alias("n_tokens"),
+            F.expr(f"_cb div {b}").alias("shard_start"),
+            F.expr(f"(_cb + n - 1) div {b}").alias("shard_end"),
+            (F.col("_cb") % b).alias("offset_in_shard"),
+        )
+    )
+    return packed
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: a row survives iff
+    ``(id * 2654435761) % 100000 < rate(stratum) * 100000``.
+
+    The multiplicative hash makes the decision a property of the row,
+    not of execution order — re-runs, retries, and different partition
+    layouts all keep exactly the same rows (the property a resumable
+    100 TB pipeline needs; rand()-based sampling loses it). No
+    shuffle: the filter fuses into the scan."""
+    rate = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(strata_col) == F.lit(s)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    h = (F.col(id_col).cast("long") * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
+    return df.filter(h < (rate * _HASH_MOD).cast("long"))
+
+
+def tfidf_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``(id, term, tf, df_t,
+    score, rank)`` with score = tf * ln(N / df) rounded to 6 decimals
+    and ties broken by ascending term.
+
+    Plan: explode -> tf aggregation (partial, one shuffle by
+    (id, term)) -> df via a window by term over the ALREADY-aggregated
+    tf table (one shuffle over doc-term pairs, never raw tokens) ->
+    N broadcast from a single-row aggregate -> per-doc top-k through
+    WindowGroupLimit (rank filter becomes a partial k-heap)."""
+    tok = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    wdf = Window.partitionBy("term")
+    scored = tf.withColumn("df_t", F.count("*").over(wdf))
+    n_docs = corpus.select(
+        F.countDistinct(id_col).alias("_n")
+    )
+    scored = scored.join(F.broadcast(n_docs)).withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * F.ln(F.col("_n").cast("double") / F.col("df_t")),
+            6,
+        ),
+    )
+    wr = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df_t", "score", "rank")
+    )

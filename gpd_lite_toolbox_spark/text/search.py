@@ -55,11 +55,14 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = F.split(F.col(text_col), " ")
+
+    def _tf(term: str):
+        # single-parameter lambda: a second parameter would make
+        # pyspark pass the ELEMENT INDEX as that argument
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
     tf_cols = [
-        F.size(F.filter(toks, lambda t, term=term: t == F.lit(term))).alias(
-            f"tf_{i}"
-        )
-        for i, term in enumerate(query_terms)
+        _tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)
     ]
     docs = corpus.select(
         F.col(id_col).alias("id"), F.size(toks).alias("dl"), *tf_cols

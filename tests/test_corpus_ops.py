@@ -1,0 +1,86 @@
+"""Corpus-pipeline operators: packing invariants, sampling
+determinism, TF-IDF ranking, BM25 retrieval."""
+
+import pyspark.sql.functions as F
+
+from gpd_lite_toolbox_spark.text.corpus import (
+    pack_sequences,
+    stratified_sample,
+    tfidf_topk,
+)
+from gpd_lite_toolbox_spark.text.search import bm25_topk
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_pack_sequences_is_contiguous_token_stream(spark):
+    # 4 docs x 3 tokens, budget 5: stream cuts at 5/10 tokens
+    rows = [(i, "a b c") for i in range(4)]
+    out = (
+        pack_sequences(_df(spark, rows), budget=5)
+        .orderBy("id")
+        .toPandas()
+    )
+    assert out["n_tokens"].tolist() == [3, 3, 3, 3]
+    # cum_before: 0, 3, 6, 9 -> starts 0,0,1,1; ends (cb+2): 0,1,1,2
+    assert out["shard_start"].tolist() == [0, 0, 1, 1]
+    assert out["shard_end"].tolist() == [0, 1, 1, 2]
+    assert out["offset_in_shard"].tolist() == [0, 3, 1, 4]
+
+
+def test_pack_sequences_block_boundaries_match_global_cumsum(spark):
+    # tiny block size forces the two-level prefix path across blocks
+    rows = [(i * 7, "x " * (i % 5 + 1) + "x") for i in range(50)]
+    a = pack_sequences(_df(spark, rows), budget=16, block=4).toPandas()
+    b = pack_sequences(_df(spark, rows), budget=16, block=100000).toPandas()
+    a = a.sort_values("id", ignore_index=True)
+    b = b.sort_values("id", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "id long, lang string",
+    )
+    s1 = stratified_sample(df, "lang", {"en": 0.25, "fr": 1.0}).toPandas()
+    s2 = stratified_sample(df, "lang", {"en": 0.25, "fr": 1.0}).toPandas()
+    assert sorted(s1["id"]) == sorted(s2["id"])  # retry-stable
+    n_en = (s1["lang"] == "en").sum()
+    assert (s1["lang"] == "fr").sum() == 1000  # rate 1.0 keeps all
+    assert 150 <= n_en <= 350  # ~250 expected
+    # default rate drops unknown strata entirely
+    s3 = stratified_sample(df, "lang", {"en": 0.25}).toPandas()
+    assert (s3["lang"] == "fr").sum() == 0
+
+
+def test_tfidf_ubiquitous_terms_score_zero(spark):
+    rows = [
+        (1, "common rare1 common"),
+        (2, "common rare2"),
+        (3, "common rare3"),
+    ]
+    out = tfidf_topk(_df(spark, rows), k=2).toPandas()
+    by_doc = out[out["rank"] == 1].set_index("id")
+    # the doc-unique term wins rank 1 everywhere; 'common' (df=N) = 0
+    assert by_doc.loc[1, "term"] == "rare1"
+    common = out[out["term"] == "common"]
+    assert (common["score"] == 0.0).all()
+    assert (out.groupby("id")["rank"].max() <= 2).all()
+
+
+def test_bm25_ranks_matching_docs_and_is_deterministic(spark):
+    rows = [
+        (1, "spark window merge spark"),
+        (2, "spark table scan"),
+        (3, "row group batch"),  # no query term -> excluded
+        (4, "window window window"),
+    ]
+    out = bm25_topk(_df(spark, rows), ["spark", "window"], k=10).toPandas()
+    assert set(out["id"]) == {1, 2, 4}
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert out.loc[0, "id"] == 1  # two distinct terms beats one
+    again = bm25_topk(_df(spark, rows), ["spark", "window"], k=10).toPandas()
+    assert out.equals(again)
