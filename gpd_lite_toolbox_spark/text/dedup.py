@@ -369,9 +369,17 @@ def ngram_jaccard_pairs(
         # annotate every instance with its shingle's document
         # frequency ONCE and persist: gen / common / sizes then read
         # the same cached table through cheap filters instead of each
-        # re-running a |instances|-row join (measured 3x on this path)
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        shf = sh.join(dfreq, "shingle").persist()
+        # re-running a |instances|-row join (measured 3x on this path).
+        # The df count is a WINDOW over shingle, not an aggregate +
+        # self-join: one exchange of the instance table instead of two
+        # (agg shuffle + join re-shuffle), and the cached result comes
+        # out hash-partitioned by shingle — exactly the layout the
+        # candidate self-join consumes, so it adds no exchange either.
+        from pyspark.sql import Window
+
+        shf = sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        ).persist()
         gen = shf.filter(F.col("df") <= max_df).select("id", "shingle")
         common = shf.filter(F.col("df") > max_df).select("id", "shingle")
         sh = shf
@@ -415,59 +423,43 @@ def ngram_jaccard_pairs(
         return _finish(inter)
 
     # rare/common partition the shingle space disjointly, so the exact
-    # intersection is n_rare + n_common. Jaccard is increasing in the
-    # intersection and n_common <= min(|common(A)|, |common(B)|), so
-    # pairs whose UPPER BOUND misses the threshold (the vast majority:
-    # a handful of shared rare shingles cannot be lifted over it by
-    # any amount of boilerplate) skip the common-side expand join —
-    # a lossless prune, same trick as the minhash signature prefilter
-    # but deterministic.
-    csizes = common.groupBy("id").agg(F.count("*").alias("n_c"))
-    base = (
+    # intersection is n_rare + n_common. The common side is a SMALL
+    # dictionary by construction (every member occurs in > max_df
+    # docs, so there are < |instances| / max_df distinct ones) and a
+    # doc holds at most its own shingle count of them — so each doc's
+    # common-shingle set is collected into one sorted array (a
+    # doc-sized table) and the per-pair common intersection is a
+    # native array_intersect over the candidate pairs. This replaces
+    # the earlier pair-keyed expand join + re-aggregation (which paid
+    # |pairs| x avg-common-set shuffle rows — measured 60% of query
+    # wall at sf0.1) with a joined-in map-side expression: no extra
+    # shuffle, no persist, work linear in candidate count.
+    empty = F.array().cast("array<string>")
+    csets = common.groupBy("id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("_cs")
+    )
+    inter = (
         inter_rare.join(sa, "id_a")
         .join(sb, "id_b")
         .join(
-            csizes.select(F.col("id").alias("id_a"), F.col("n_c").alias("nca")),
+            csets.select(F.col("id").alias("id_a"), F.col("_cs").alias("_ca")),
             "id_a",
             "left",
         )
         .join(
-            csizes.select(F.col("id").alias("id_b"), F.col("n_c").alias("ncb")),
+            csets.select(F.col("id").alias("id_b"), F.col("_cs").alias("_cb")),
             "id_b",
             "left",
         )
         .withColumn(
-            "_m",
-            F.least(
-                F.coalesce(F.col("nca"), F.lit(0)),
-                F.coalesce(F.col("ncb"), F.lit(0)),
-            ),
-        )
-        # raw-bound margin covers round-to-6 edge rows (see the cosine
-        # kernel's identical guard)
-        .filter(
-            (F.col("n_rare") + F.col("_m"))
-            / (
-                F.col("na") + F.col("nb") - F.col("n_rare") - F.col("_m")
-            ).cast("double")
-            >= threshold - 1e-6
-        )
-        .persist()
-    )
-    ca = common.select(F.col("id").alias("id_a"), "shingle")
-    cb = common.select(F.col("id").alias("id_b"), "shingle")
-    inter_common = (
-        base.select("id_a", "id_b")
-        .join(ca, "id_a")
-        .join(cb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    inter = (
-        base.join(inter_common, ["id_a", "id_b"], "left")
-        .withColumn(
             "n_inter",
-            F.col("n_rare") + F.coalesce(F.col("n_common"), F.lit(0)),
+            F.col("n_rare")
+            + F.size(
+                F.array_intersect(
+                    F.coalesce(F.col("_ca"), empty),
+                    F.coalesce(F.col("_cb"), empty),
+                )
+            ).cast("long"),
         )
         .select("id_a", "id_b", "na", "nb", "n_inter")
     )
