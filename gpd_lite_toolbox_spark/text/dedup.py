@@ -169,23 +169,35 @@ def minhash_lsh_pairs(
         .filter(est >= F.lit(min_eq))
         .select("id_a", "id_b")
     )
-    sa = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # exact verify WITHOUT re-expanding shingle sets per pair: each
+    # doc's (already-distinct) shingle set is collected once into a
+    # sorted array — a doc-sized table — and the intersection is a
+    # native array_intersect on the surviving candidates. The earlier
+    # expand join paid |cand| x avg-set-size shuffle rows plus a pair
+    # -keyed re-aggregation; this is two doc-sized joins and a
+    # map-side expression (same rewrite as ngram_jaccard_pairs).
+    sets_ = sh.groupBy("id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("_ss")
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        cand.join(
+            sets_.select(F.col("id").alias("id_a"), F.col("_ss").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col("id").alias("id_b"), F.col("_ss").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                / (
+                    F.size("_sa") + F.size("_sb") - F.col("n_inter")
+                ).cast("double"),
                 6,
             ),
         )
