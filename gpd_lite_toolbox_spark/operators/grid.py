@@ -178,7 +178,15 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
         .collect()
     )
     hull = K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
-    bounds = compute_bounds(points)
+    # the hull vertices include every coordinate extreme, so the grid
+    # bounds fall out of the (driver-sized) hull for free — no second
+    # scan of the point table for a bounds aggregate
+    bounds = dict(
+        xmin=float(hull[:, 0].min()),
+        ymin=float(hull[:, 1].min()),
+        xmax=float(hull[:, 0].max()),
+        ymax=float(hull[:, 1].max()),
+    )
     # the grid is bounded by (extent/height)^2 — default parallelism
     # (32 here) spreads a few hundred rows over 32 Python tasks whose
     # per-task overhead dwarfs the clip work; a handful of partitions
