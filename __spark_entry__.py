@@ -890,6 +890,66 @@ def _q_range_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile with exact linear-interpolation
+    percentiles — Spark's `percentile` matches DuckDB quantile_cont
+    value-for-value. Partial-aggregated single shuffle by stratum."""
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return s.table("documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+    )
+
+
+def _q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity accounting in ONE pass: GROUP BY ROLLUP emits
+    (lang, source), per-lang, and grand-total rows from a single
+    partial-aggregated shuffle (grouping-set expansion is map-side).
+    Null grouping keys are COALESCEd to '(all)' so cross-engine row
+    identity never rides null-ordering."""
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return (
+        s.table("documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user journey."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import event_transitions
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    return event_transitions(
+        ev, key="user_id", ts="us", state="event_type",
+        order_tiebreak="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -948,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_polys": _q_isochrone_polys,
         "asof_prev_event": _q_asof_prev_event,
         "range_neighborhood": _q_range_neighborhood,
+        "event_transitions": _q_event_transitions,
+        "doc_profile": _q_doc_profile,
+        "docs_rollup": _q_docs_rollup,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "session_window": _q_session_window,
@@ -1022,6 +1085,9 @@ def oracle_sql() -> dict[str, str]:
         "isochrone_polys": OR.ISOCHRONE_POLYS,
         "asof_prev_event": OR.ASOF_PREV_EVENT,
         "range_neighborhood": OR.RANGE_NEIGHBORHOOD,
+        "event_transitions": OR.EVENT_TRANSITIONS,
+        "doc_profile": OR.DOC_PROFILE,
+        "docs_rollup": OR.DOCS_ROLLUP,
         "events_window": OR.EVENTS_WINDOW,
         "sessionize": OR.SESSIONIZE,
         "session_window": OR.SESSION_WINDOW,

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "bm25_topk",
     "asof_prev_event",
     "range_neighborhood",
+    "event_transitions",
+    "doc_profile",
+    "docs_rollup",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -88,6 +88,27 @@ def asof_join(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    state: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """First-order transition counts of a per-key event sequence:
+    ``(prev_state, state, n)`` over consecutive pairs ordered by
+    ``(ts, tiebreak)`` within each key (the Markov-matrix shape of
+    user-journey / telemetry analysis). One exchange for the lag
+    window, one partial-aggregated exchange for the count."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
+    return (
+        events.withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias(f"prev_{state}"), F.col(state))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def range_join_binned(
     probe: DataFrame,
     candidates: DataFrame,

@@ -1396,3 +1396,33 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rank,
        id, score
 FROM r
 """
+
+# --- profiling / OLAP-shape additions (round 3) ---
+
+DOC_PROFILE = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+FROM documents GROUP BY lang
+"""
+
+DOCS_ROLLUP = """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+EVENT_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+l AS (SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_event_type
+      FROM s)
+SELECT prev_event_type, event_type, COUNT(*) AS n
+FROM l WHERE prev_event_type IS NOT NULL
+GROUP BY prev_event_type, event_type
+"""
