@@ -413,8 +413,19 @@ FROM walk GROUP BY id
 # shared constant so the Spark query and this oracle prune identically
 NGRAM_MAX_DF = 40
 
+# hashed-shingle variant of _SHINGLE_CTE (mirrors shingles(hashed=True):
+# 60-bit md5-prefix computed BEFORE the distinct, op-for-op)
+_SHINGLE_HASHED_CTE = f"""
+shh AS (SELECT DISTINCT id,
+        CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT), {_dd.SHINGLE_K})), 1, 15))::UBIGINT
+             AS BIGINT) AS shingle
+        FROM corpus,
+             UNNEST(range(1, GREATEST(length(text) - {_dd.SHINGLE_K - 1}, 1) + 1,
+                          {_dd.SHINGLE_STRIDE})) AS u(pos))
+"""
+
 NGRAM_JACCARD = f"""
-WITH {oracle_ctes('corpus')}, {_SHINGLE_CTE},
+WITH {oracle_ctes('corpus')}, {_SHINGLE_HASHED_CTE}, sh AS (SELECT * FROM shh),
 dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
 gen AS (SELECT s.id, s.shingle FROM sh s
         JOIN dfreq d ON d.shingle = s.shingle

@@ -59,10 +59,23 @@ def exact_dedup(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -
     )
 
 
-def shingles(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+def shingles(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
     """Distinct character shingles per doc: (id, shingle). Native
     sequence+explode+substring; docs shorter than K yield the whole
-    text as a single shingle."""
+    text as a single shingle.
+
+    ``hashed=True`` maps each shingle to a 60-bit integer (first 15
+    hex chars of its md5) BEFORE the distinct, so every downstream
+    exchange/join/array carries 8-byte longs instead of strings. Both
+    engines compute the identical digest, so cross-engine agreement is
+    exact even in the (astronomically unlikely) event of a prefix
+    collision — the collision merges the same two shingles on both
+    sides."""
     pos = F.explode(
         F.sequence(
             F.lit(1),
@@ -70,12 +83,12 @@ def shingles(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -> D
             F.lit(SHINGLE_STRIDE),
         )
     ).alias("pos")
+    sh = F.expr(f"substring({text_col}, pos, {SHINGLE_K})")
+    if hashed:
+        sh = F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("bigint")
     return (
         corpus.select(F.col(id_col).alias("id"), F.col(text_col), pos)
-        .select(
-            "id",
-            F.expr(f"substring({text_col}, pos, {SHINGLE_K})").alias("shingle"),
-        )
+        .select("id", sh.alias("shingle"))
         .distinct()
     )
 
@@ -372,7 +385,9 @@ def ngram_jaccard_pairs(
     scope: an extension beyond gpd_lite_toolbox (BASELINE.json north
     star: LLM-pipeline dedup family).
     """
-    sh = shingles(corpus, id_col, text_col).persist()
+    # hashed shingles: every exchange/join/array below carries longs
+    # (see shingles docstring for the cross-engine exactness argument)
+    sh = shingles(corpus, id_col, text_col, hashed=True).persist()
     if max_df is None:
         # uncapped: the self-join group count IS the exact intersection
         gen = sh
@@ -446,7 +461,7 @@ def ngram_jaccard_pairs(
     # |pairs| x avg-common-set shuffle rows — measured 60% of query
     # wall at sf0.1) with a joined-in map-side expression: no extra
     # shuffle, no persist, work linear in candidate count.
-    empty = F.array().cast("array<string>")
+    empty = F.array().cast("array<bigint>")
     csets = common.groupBy("id").agg(
         F.array_sort(F.collect_set("shingle")).alias("_cs")
     )
