@@ -18,6 +18,8 @@ spatial joins can prune without decoding.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,13 +27,23 @@ from ..geometry.functions import st_bounds
 
 
 def rewrite_select_inject_geom(sql: str, geom_col: str = "geometry") -> str:
-    """The reference's query rewrite (core.py:444-458), kept
-    semantically identical: reject ``*`` projections, require a
-    SELECT-shaped statement, inject the hex-WKB geometry expression."""
-    if "*" in sql:
-        raise ValueError("Column names have to be specified")
+    """The reference's query rewrite (core.py:444-458) with its
+    documented bug FIXED (SURVEY §5 fixed-bugs policy): the reference
+    rejects any ``*`` anywhere (core.py:444-445), which also kills
+    legitimate aggregate stars like ``COUNT(*)``. Here only bare star
+    PROJECTIONS (``SELECT *``, ``t.*``) are rejected — a star inside a
+    function call survives. SELECT-shaped statement still required;
+    the hex-WKB geometry expression is injected as before."""
     if not (sql.lower().find("select") == 0 and sql.find(" ") == 6):
         raise ValueError("Unable to understand the query")
+    # erase parenthesized argument lists (innermost-out), then look for
+    # a star in the projection clause only
+    head = sql
+    while re.search(r"\([^()]*\)", head):
+        head = re.sub(r"\([^()]*\)", "", head)
+    head = re.split(r"(?i)\sfrom\s", head)[0]
+    if "*" in head:
+        raise ValueError("Column names have to be specified")
     return (
         sql[:7] + f"HEX(ST_AsBinary({geom_col})) as {geom_col}, " + sql[7:]
     )

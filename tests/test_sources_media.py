@@ -15,8 +15,16 @@ def test_select_rewrite_matches_reference_semantics():
     assert out == "SELECT HEX(ST_AsBinary(geom)) as geom, a, b FROM t"
     with pytest.raises(ValueError, match="specified"):
         rewrite_select_inject_geom("SELECT * FROM t")
+    with pytest.raises(ValueError, match="specified"):
+        rewrite_select_inject_geom("SELECT a, t.* FROM t")
     with pytest.raises(ValueError, match="understand"):
         rewrite_select_inject_geom("WITH x AS (SELECT 1) SELECT 1 FROM x")
+    # reference bug FIXED (core.py:444-445 rejects ANY '*'): a star
+    # inside a function call is a legitimate projection
+    out = rewrite_select_inject_geom(
+        "SELECT a, COUNT(*) FROM t GROUP BY a", "geom"
+    )
+    assert out.startswith("SELECT HEX(ST_AsBinary(geom)) as geom, a, COUNT(*)")
 
 
 def test_hex_wkb_roundtrip(spark, sf_dir):
