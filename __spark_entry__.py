@@ -337,6 +337,25 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT codec round-trip over the L-shaped/holed layer: WKB -> WKT
+    text -> parse back -> exact area, against the closed-form L-shape
+    area oracle (independent of both codec directions)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.geometry.functions import st_area
+    from gpd_lite_toolbox_spark.sources.wkt import st_aswkt, st_fromwkt
+
+    s = _configure(spark)
+    src = FX.cpolys(s, sf_dir)
+    back = src.select(
+        "id", "has_hole", st_fromwkt(st_aswkt(F.col("geometry"))).alias("geometry")
+    )
+    return back.select(
+        "id", "has_hole", F.round(st_area("geometry"), 6).alias("area")
+    )
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON codec round-trip over the L-shaped/holed layer: WKB ->
     Feature string (geometry via Arrow UDF, properties native to_json)
@@ -986,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": _q_dup_groups,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "spatialite_roundtrip": _q_spatialite_roundtrip,
+        "wkt_roundtrip": _q_wkt_roundtrip,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "token_stats": _q_token_stats,
@@ -1060,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_groups": OR.DUP_GROUPS,
         "geojson_roundtrip": OR.GEOJSON_ROUNDTRIP,
         "spatialite_roundtrip": OR.SPATIALITE_ROUNDTRIP,
+        "wkt_roundtrip": OR.WKT_ROUNDTRIP,
         "ngram_jaccard": OR.NGRAM_JACCARD,
         "simhash": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dup_groups",
     "geojson_roundtrip",
     "spatialite_roundtrip",
+    "wkt_roundtrip",
     "ngram_jaccard",
     "simhash",
     "token_stats",

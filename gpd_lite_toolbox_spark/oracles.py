@@ -1437,3 +1437,13 @@ SELECT prev_event_type, event_type, COUNT(*) AS n
 FROM l WHERE prev_event_type IS NOT NULL
 GROUP BY prev_event_type, event_type
 """
+
+# WKT round-trip: same closed-form L-shape area truth as the GeoJSON /
+# SpatiaLite round-trips — a coordinate lost in either codec direction
+# breaks the hash
+WKT_ROUNDTRIP = f"""
+WITH {oracle_ctes('cpolys')}
+SELECT id, has_hole,
+       ROUND(CAST(3000000.0 - has_hole * 250000.0 AS DOUBLE), 6) AS area
+FROM cpolys
+"""

@@ -132,3 +132,53 @@ def test_geojson_roundtrip_bit_exact(spark, sf_dir):
     assert len(rows) == len(orig)
     for r in rows:
         assert bytes(r.geometry) == orig[r.id]
+
+
+def test_wkt_roundtrip_all_geometry_types(spark):
+    """Every supported geometry type survives WKB -> WKT -> WKB
+    bit-exactly (repr floats are shortest-round-trip)."""
+    import numpy as np
+
+    from gpd_lite_toolbox_spark.geometry import wkb as W
+    from gpd_lite_toolbox_spark.sources.wkt import _from_wkt, _to_wkt
+
+    ring = np.array(
+        [[0.0, 0.0], [4.5, 0.0], [4.5, 3.25], [0.0, 3.25], [0.0, 0.0]]
+    )
+    hole = np.array(
+        [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]
+    )
+    line = np.array([[0.0, 0.0], [1.5, 2.25], [-3.0, 4.125]])
+    cases = [
+        W.point_wkb(1.25, -2.5),
+        W.linestring_wkb(line),
+        W.polygon_wkb([ring]),
+        W.polygon_wkb([ring, hole]),
+        W.multipolygon_wkb([[ring], [ring + 10.0, hole + 10.0]]),
+    ]
+    for wkb in cases:
+        txt = _to_wkt(wkb)
+        assert bytes(_from_wkt(txt)) == bytes(wkb), txt
+    # multipoint + multilinestring via their own writers
+    mp = _from_wkt("MULTIPOINT ((1.5 2.5), (3.0 -4.0))")
+    assert _to_wkt(mp) == "MULTIPOINT ((1.5 2.5), (3.0 -4.0))"
+    ml = _from_wkt("MULTILINESTRING ((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 4.0))")
+    assert (
+        _to_wkt(ml)
+        == "MULTILINESTRING ((0.0 0.0, 1.0 1.0), (2.0 2.0, 3.0 4.0))"
+    )
+
+
+def test_wkt_udf_roundtrip_on_fixture(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.sources.wkt import st_aswkt, st_fromwkt
+
+    src = FX.cpolys(spark, sf_dir).limit(20)
+    back = src.select(
+        "id",
+        F.col("geometry").alias("orig"),
+        st_fromwkt(st_aswkt(F.col("geometry"))).alias("rt"),
+    ).collect()
+    for r in back:
+        assert bytes(r.rt) == bytes(r.orig)
