@@ -171,3 +171,57 @@ def test_partitioned_geoparquet_roundtrip(spark, sf_dir, tmp_path):
         & (F.col("y") >= 0) & (F.col("y") < 25000)
     )
     assert 0 < one.count() < pts.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static join: the streaming micro-batches join a static
+    dimension (event_type -> weight) executor-side with no state
+    store; the weighted windowed aggregate must equal the batch plan.
+    This is the enrichment shape of a production pipeline (stream
+    joins a broadcastable dim on every trigger)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import _normalize_ts
+
+    FX.register_base_tables(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+
+    def weighted(ev):
+        return (
+            ev.join(F.broadcast(dim), "event_type")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.round(F.sum(F.col("value") * F.col("weight")), 6)
+                 .alias("wsum"))
+            .select(F.unix_micros(F.col("w.start")).alias("us"), "wsum")
+        )
+
+    batch = {
+        r.us: r.wsum for r in weighted(spark.table("events")).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="enrich_stream_")
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet")
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _normalize_ts(spark.readStream.schema(schema).parquet(d))
+    q = (
+        weighted(stream.withWatermark("ts", "1 day"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.us: r.wsum for r in spark.table("enrich_out").collect()}
+    assert got == batch and len(got) > 0
