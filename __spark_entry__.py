@@ -206,6 +206,44 @@ def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join (k=3): the snap operator generalized to ranked
+    neighbor lists — same cell-neighborhood equi-join substrate."""
+    from gpd_lite_toolbox_spark.operators.points import knn_to_vertices
+
+    s = _configure(spark)
+    return knn_to_vertices(
+        FX.points(s, sf_dir, with_geometry=False),
+        FX.road_verts(s, sf_dir),
+        k=3,
+        max_searchframe=500.0,
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of events.value: the global range is
+    one tiny all-to-one reduce broadcast back as literals; binning is a
+    scan projection and the count is one combinable shuffle."""
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        ev.join(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 20.0)).cast("long"),
+                F.lit(19),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_crs_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG:4326 -> EPSG:3857 reprojection as native Catalyst trig
     expressions (geometry/crs.py); lon/lat derived from the planar
@@ -994,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_pts": _q_random_pts,
         "random_pts_poly": _q_random_pts_poly,
         "snap_points": _q_snap_points,
+        "knn_points": _q_knn_points,
+        "value_histogram": _q_value_histogram,
         "crs_mercator": _q_crs_mercator,
         "hav_dist": _q_hav_dist,
         "bearing": _q_bearing,
@@ -1068,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         "random_pts": OR.RANDOM_PTS,
         "random_pts_poly": OR.RANDOM_PTS_POLY,
         "snap_points": OR.SNAP_POINTS,
+        "knn_points": OR.KNN_POINTS,
+        "value_histogram": OR.VALUE_HISTOGRAM,
         "crs_mercator": OR.CRS_MERCATOR,
         "hav_dist": OR.HAV_DIST,
         "bearing": OR.BEARING,

@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "random_pts",
     "random_pts_poly",
     "snap_points",
+    "knn_points",
+    "value_histogram",
     "crs_mercator",
     "hav_dist",
     "bearing",

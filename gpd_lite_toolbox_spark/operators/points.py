@@ -207,3 +207,64 @@ def snap_to_nearest(
             F.round("snap_dist", 6).alias("snap_dist"),
         )
     )
+
+
+def knn_to_vertices(
+    pts: DataFrame,
+    target_verts: DataFrame,
+    k: int = 3,
+    max_searchframe: float = 500.0,
+    pt_id: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """k-nearest-neighbor join: the k nearest target vertices within
+    ``max_searchframe`` of each point, ranked — the k>1 generalization
+    of ``snap_to_nearest`` (reference core.py:320-386 is the k=1
+    case). Same scale shape: 3x3-cell-neighborhood equi-join, partial
+    top-k (WindowGroupLimit) before the rank filter; the 9x
+    replication rides the vertex side. Ties break (dist, id, vidx).
+
+    Output: id, x, y, nn_rank (1-based), snapped_id, snapped_vidx,
+    snap_x, snap_y, snap_dist.
+    """
+    cell = float(max_searchframe)
+    p = pts.select(
+        F.col(pt_id).alias("pid"),
+        F.col(x_col).alias("px"),
+        F.col(y_col).alias("py"),
+        F.floor(F.col(x_col) / cell).alias("cx"),
+        F.floor(F.col(y_col) / cell).alias("cy"),
+    )
+    v = (
+        target_verts.select(
+            F.col("id").alias("vid"), "vidx", "vx", "vy",
+            F.floor(F.col("vx") / cell).alias("vcx"),
+            F.floor(F.col("vy") / cell).alias("vcy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("cx", F.col("vcx") + F.col("dx"))
+        .withColumn("cy", F.col("vcy") + F.col("dy"))
+        .drop("vcx", "vcy", "dx", "dy")
+    )
+    joined = p.join(v, ["cx", "cy"]).withColumn(
+        "snap_dist",
+        euclid_expr(F.col("px"), F.col("py"), F.col("vx"), F.col("vy")),
+    ).filter(F.col("snap_dist") <= cell)
+    w = Window.partitionBy("pid").orderBy("snap_dist", "vid", "vidx")
+    return (
+        joined.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            F.col("pid").alias("id"),
+            F.col("px").alias("x"),
+            F.col("py").alias("y"),
+            "nn_rank",
+            F.col("vid").alias("snapped_id"),
+            F.col("vidx").alias("snapped_vidx"),
+            F.col("vx").alias("snap_x"),
+            F.col("vy").alias("snap_y"),
+            F.round("snap_dist", 6).alias("snap_dist"),
+        )
+    )

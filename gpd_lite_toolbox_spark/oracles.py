@@ -1447,3 +1447,34 @@ SELECT id, has_hole,
        ROUND(CAST(3000000.0 - has_hole * 250000.0 AS DOUBLE), 6) AS area
 FROM cpolys
 """
+
+# k-NN join (k=3 generalization of SNAP_POINTS, same frame + ties)
+KNN_POINTS = f"""
+WITH {oracle_ctes('points', 'road_verts')},
+cand AS (
+  SELECT p.id, p.x, p.y,
+         v.id AS snapped_id, v.vidx AS snapped_vidx,
+         v.vx AS snap_x, v.vy AS snap_y,
+         SQRT((p.x - v.vx) * (p.x - v.vx)
+              + (p.y - v.vy) * (p.y - v.vy)) AS d
+  FROM points p, road_verts v
+  WHERE v.vx BETWEEN p.x - 500.0 AND p.x + 500.0
+    AND v.vy BETWEEN p.y - 500.0 AND p.y + 500.0),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY d, snapped_id, snapped_vidx) AS INT) AS rn
+  FROM cand WHERE d <= 500.0)
+SELECT id, x, y, rn AS nn_rank, snapped_id, snapped_vidx, snap_x, snap_y,
+       ROUND(d, 6) AS snap_dist
+FROM ranked WHERE rn <= 3
+"""
+
+# equi-width histogram of events.value: closed-form bin edges from the
+# global min/max (one tiny reduce), one combinable count shuffle
+VALUE_HISTOGRAM = """
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+h AS (SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+                   19) AS bin
+      FROM events CROSS JOIN b)
+SELECT bin, COUNT(*) AS n FROM h GROUP BY bin
+"""
