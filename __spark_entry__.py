@@ -947,6 +947,38 @@ def _q_range_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over orders/customer: row
+    predicates (one fused scan+aggregate), FK integrity (left-anti
+    join), key uniqueness (count vs count-distinct) — a tiny
+    (rule, n_violations) report."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.audit import (
+        fk_violations,
+        predicate_violations,
+        quality_report,
+        uniqueness_violations,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    orders = s.table("orders")
+    customer = s.table("customer")
+    preds = predicate_violations(
+        orders,
+        {
+            "nonpositive_price": ~(F.col("o_totalprice") > 0),
+            "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "null_custkey": F.col("o_custkey").isNull(),
+        },
+    )
+    fk = fk_violations(orders, customer, "o_custkey", "c_custkey",
+                       rule="orphan_custkey")
+    uq = uniqueness_violations(orders, ["o_orderkey"], rule="dup_orderkey")
+    return quality_report([preds, fk, uq])
+
+
 def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile with exact linear-interpolation
     percentiles — Spark's `percentile` matches DuckDB quantile_cont
@@ -1071,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "doc_profile": _q_doc_profile,
         "docs_rollup": _q_docs_rollup,
+        "dq_audit": _q_dq_audit,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "session_window": _q_session_window,
@@ -1151,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": OR.EVENT_TRANSITIONS,
         "doc_profile": OR.DOC_PROFILE,
         "docs_rollup": OR.DOCS_ROLLUP,
+        "dq_audit": OR.DQ_AUDIT,
         "events_window": OR.EVENTS_WINDOW,
         "sessionize": OR.SESSIONIZE,
         "session_window": OR.SESSION_WINDOW,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "doc_profile",
     "docs_rollup",
+    "dq_audit",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

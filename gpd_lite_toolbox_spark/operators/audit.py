@@ -1,0 +1,95 @@
+"""Data-quality audit operators: declarative constraint checking.
+
+The pipeline-maintenance shape every 100 TB ingest needs (an
+"expectations" pass): count violations of row-level predicates,
+referential integrity, and key uniqueness — each as ONE
+partial-aggregated pass, unioned into a tiny (rule, n_violations)
+report. Extension beyond the reference (BASELINE.json north star:
+pipeline operators around the core engine).
+
+Scale notes: row predicates fuse into a single scan+aggregate (no
+shuffle beyond the 1-row reduces); FK checks are a broadcast or
+shuffled left-anti join keyed on the FK; uniqueness is one combinable
+count-distinct-vs-count aggregate, never a self-join.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def predicate_violations(
+    df: DataFrame, checks: Mapping[str, Column]
+) -> DataFrame:
+    """(rule, n_violations) for named row-level predicates. Predicate
+    TRUE (null-safe: null counts as a violation unless the predicate
+    says otherwise) means the row VIOLATES the rule. All rules ride
+    one scan + one single-row aggregate."""
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, pred in checks.items()
+    ]
+    row = df.agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(name).cast("long").alias("n_violations"),
+                )
+                for name in checks
+            ]
+        )
+    ).alias("_p")
+    return row.select(pairs).select("_p.rule", "_p.n_violations")
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    rule: str,
+) -> DataFrame:
+    """(rule, n_violations): child rows whose non-null FK has no match
+    in the parent — a left-anti join (broadcast when the parent key
+    set is small, shuffled otherwise; AQE decides)."""
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_violations"))
+    )
+    return orphans.select(
+        F.lit(rule).alias("rule"), F.col("n_violations").cast("long")
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, cols: list[str], rule: str
+) -> DataFrame:
+    """(rule, n_violations): rows in excess of one per key — computed
+    as count(*) - count(distinct key), one combinable aggregate (no
+    self-join)."""
+    dup = df.agg(
+        (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+        .cast("long")
+        .alias("n_violations")
+    )
+    return dup.select(F.lit(rule).alias("rule"), "n_violations")
+
+
+def quality_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the audit parts into one (rule, n_violations) report."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1478,3 +1478,33 @@ h AS (SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
       FROM events CROSS JOIN b)
 SELECT bin, COUNT(*) AS n FROM h GROUP BY bin
 """
+
+# data-quality audit over orders/customer: row predicates + FK + key
+# uniqueness, one (rule, n_violations) row each
+DQ_AUDIT = """
+SELECT 'nonpositive_price' AS rule,
+       CAST(SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'bad_status',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       OR o_orderstatus IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'null_custkey',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orphan_custkey',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'dup_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+"""

@@ -84,3 +84,32 @@ def test_bm25_ranks_matching_docs_and_is_deterministic(spark):
     assert out.loc[0, "id"] == 1  # two distinct terms beats one
     again = bm25_topk(_df(spark, rows), ["spark", "window"], k=10).toPandas()
     assert out.equals(again)
+
+
+def test_quality_audit_counts_planted_violations(spark):
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.operators.audit import (
+        fk_violations,
+        predicate_violations,
+        quality_report,
+        uniqueness_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (3, 99, None), (3, None, 2.0)],
+        "k long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    rep = quality_report([
+        predicate_violations(child, {
+            "nonpositive_v": ~(F.col("v") > 0),   # -1.0 and NULL violate
+            "null_fk": F.col("fk").isNull(),
+        }),
+        fk_violations(child, parent, "fk", "pk", rule="orphan_fk"),
+        uniqueness_violations(child, ["k"], rule="dup_k"),
+    ]).toPandas().set_index("rule")["n_violations"]
+    assert rep["nonpositive_v"] == 2
+    assert rep["null_fk"] == 1
+    assert rep["orphan_fk"] == 1   # fk=99
+    assert rep["dup_k"] == 1       # k=3 twice

@@ -85,3 +85,25 @@ def test_clip_by_containing_square_is_identity(cx, cy, half):
     )
     out = K.clip_poly_convex(subject, clip)
     assert abs(abs(K.ring_signed_area(out)) - 4.0) < 1e-6
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=3, max_size=20))
+@settings(max_examples=60)
+def test_wkt_polygon_roundtrip_bit_exact(coords):
+    """WKB -> WKT -> WKB is byte-identical for arbitrary (closed) rings:
+    repr floats are shortest-round-trip, the parser must restore every
+    bit pattern."""
+    from gpd_lite_toolbox_spark.sources.wkt import _from_wkt, _to_wkt
+
+    ring = np.array(coords + [coords[0]], dtype=float)
+    wkb = W.polygon_wkb([ring])
+    assert bytes(_from_wkt(_to_wkt(wkb))) == bytes(wkb)
+
+
+@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=30))
+@settings(max_examples=60)
+def test_wkt_linestring_roundtrip_bit_exact(coords):
+    from gpd_lite_toolbox_spark.sources.wkt import _from_wkt, _to_wkt
+
+    wkb = W.linestring_wkb(np.array(coords, dtype=float))
+    assert bytes(_from_wkt(_to_wkt(wkb))) == bytes(wkb)
