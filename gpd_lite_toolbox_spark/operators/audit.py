@@ -29,8 +29,9 @@ def predicate_violations(
     says otherwise) means the row VIOLATES the rule. All rules ride
     one scan + one single-row aggregate."""
     aggs = [
-        F.sum(
-            F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)
+        F.coalesce(  # sum over ZERO rows is null; an empty table has 0
+            F.sum(F.when(F.coalesce(pred, F.lit(True)), 1).otherwise(0)),
+            F.lit(0),
         ).alias(name)
         for name, pred in checks.items()
     ]

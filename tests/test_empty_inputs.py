@@ -1,0 +1,90 @@
+"""Empty-input robustness: operators must return empty results with
+the right schema, not crash — the behavior a scheduled 100 TB pipeline
+needs when a partition of the world is legitimately empty."""
+
+import pyspark.sql.functions as F
+
+
+def _empty(spark, ddl):
+    return spark.createDataFrame([], ddl)
+
+
+def test_text_family_on_empty_corpus(spark):
+    from gpd_lite_toolbox_spark.text.analysis import quality_score, token_stats
+    from gpd_lite_toolbox_spark.text.corpus import (
+        pack_sequences,
+        stratified_sample,
+        tfidf_topk,
+    )
+    from gpd_lite_toolbox_spark.text.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+
+    corpus = _empty(spark, "id long, text string")
+    assert exact_dedup(corpus).count() == 0
+    assert simhash(corpus).count() == 0
+    assert minhash_lsh_pairs(corpus).count() == 0
+    assert ngram_jaccard_pairs(corpus, max_df=40).count() == 0
+    assert token_stats(corpus).count() == 0
+    assert quality_score(corpus).count() == 0
+    assert pack_sequences(corpus, budget=64).count() == 0
+    assert tfidf_topk(corpus).count() == 0
+    assert stratified_sample(
+        corpus.withColumnRenamed("text", "lang"), "lang", {"en": 1.0}
+    ).count() == 0
+
+
+def test_temporal_family_on_empty_events(spark):
+    from gpd_lite_toolbox_spark.operators.temporal import (
+        asof_join,
+        event_transitions,
+        range_join_binned,
+    )
+
+    left = _empty(spark, "lid long, k long, us long")
+    right = _empty(spark, "k long, r_us long, rid long, v double")
+    assert asof_join(
+        left, right, key="k", left_ts="us", right_ts="r_us",
+        payload=["rid", "v"],
+    ).count() == 0
+    assert range_join_binned(
+        left, right.withColumnRenamed("r_us", "c_us"),
+        key="k", probe_us="us", cand_us="c_us", half_width_us=10,
+        aggs=[F.count("*").alias("n")], probe_id="lid",
+    ).count() == 0
+    ev = _empty(spark, "k long, us long, s string, tb long")
+    assert event_transitions(
+        ev, key="k", ts="us", state="s", order_tiebreak="tb"
+    ).count() == 0
+
+
+def test_vector_and_snap_on_empty_inputs(spark):
+    from gpd_lite_toolbox_spark.operators.points import (
+        knn_to_vertices,
+        snap_to_nearest,
+    )
+    from gpd_lite_toolbox_spark.vector.ann import cosine_topk
+
+    pts = _empty(spark, "id long, x double, y double")
+    verts = _empty(spark, "id long, vidx long, vx double, vy double")
+    assert snap_to_nearest(pts, verts).count() == 0
+    assert knn_to_vertices(pts, verts, k=3).count() == 0
+    emb = _empty(spark, "vec_id long, embedding array<float>, label int")
+    assert cosine_topk(emb, emb, k=5).count() == 0
+
+
+def test_audit_on_empty_table_reports_zero(spark):
+    from gpd_lite_toolbox_spark.operators.audit import (
+        predicate_violations,
+        uniqueness_violations,
+    )
+
+    t = _empty(spark, "k long, v double")
+    rep = predicate_violations(t, {"neg_v": F.col("v") < 0}).collect()
+    # an aggregate over zero rows still yields the report row
+    assert len(rep) == 1 and rep[0].n_violations == 0
+    uq = uniqueness_violations(t, ["k"], rule="dup").collect()
+    assert len(uq) == 1 and uq[0].n_violations == 0

@@ -225,3 +225,61 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
         q.stop()
     got = {r.us: r.wsum for r in spark.table("enrich_out").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink: each micro-batch appends its windowed delta
+    to a partitioned parquet table; after the stream drains, the table
+    re-aggregates to exactly the batch answer. This is the incremental
+    materialization shape (stream -> bronze parquet -> rollup)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import _normalize_ts
+
+    FX.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    batch = {
+        (r.hour_us, r.n)
+        for r in ev.groupBy(
+            (F.unix_micros("ts") - F.unix_micros("ts") % F.lit(3600000000))
+            .alias("hour_us")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="febatch_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sink = str(tmp_path / "bronze")
+
+    def write_delta(bdf, epoch_id):
+        (
+            bdf.withColumn(
+                "hour_us",
+                F.unix_micros("ts") - F.unix_micros("ts") % F.lit(3600000000),
+            )
+            .write.mode("append")
+            .partitionBy("hour_us")
+            .parquet(sink)
+        )
+
+    q = stream.writeStream.foreachBatch(write_delta).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.hour_us, r.n)
+        for r in spark.read.parquet(sink)
+        .groupBy("hour_us")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
