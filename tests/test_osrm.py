@@ -96,3 +96,26 @@ def test_distributed_output_feeds_isochrone(spark, mock_osrm):
     kept = filter_osrm_times(m).toPandas()
     # unreachable (pt 2) and zero-duration (pt 3) sentinels both drop
     assert sorted(kept["pt_id"]) == [1]
+
+
+def test_osrm_to_isochrone_end_to_end(spark, mock_osrm):
+    """The reference's #17 pipeline with a LIVE (mocked) OSRM service:
+    grid points -> distributed /table fetch -> sentinel filter ->
+    banded isochrone aggregation. Closes the loop the fixture-matrix
+    queries mock at the data layer."""
+    from gpd_lite_toolbox_spark.operators.isochrone import isochrone_bands
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 13), float(i % 11)) for i in range(200)],
+        "pt_id long, x double, y double",
+    )
+    matrix = osrm_times_distributed(
+        pts, mock_osrm, origin=(0.0, 0.0), batch_size=50
+    )
+    bands = isochrone_bands(matrix, height=4.0, interval_h=0.005).toPandas()
+    assert len(bands) > 1               # multiple travel-time bands
+    kept = bands.n_pts.sum()
+    # mock: time 10*round(x)+round(y); zero-duration (0,0)-ish points
+    # are sentinel-dropped, everything else lands in exactly one band
+    assert 0 < kept < 200
+    assert (bands.n_pts > 0).all()
