@@ -206,6 +206,21 @@ def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout keys for the points layer — the data-
+    layout primitive behind file-level bbox pruning at 100 TB (pure
+    unrolled shift/mask interleave, whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.zorder import zorder_key_expr
+
+    pts = FX.points(_configure(spark), sf_dir, with_geometry=False)
+    return pts.select(
+        "id",
+        zorder_key_expr(F.col("x"), F.col("y"), OR.ZORDER_BOUNDS).alias("zkey"),
+    )
+
+
 def _q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join (k=3): the snap operator generalized to ranked
     neighbor lists — same cell-neighborhood equi-join substrate."""
@@ -1066,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points": _q_snap_points,
         "knn_points": _q_knn_points,
         "value_histogram": _q_value_histogram,
+        "zorder_keys": _q_zorder_keys,
         "crs_mercator": _q_crs_mercator,
         "hav_dist": _q_hav_dist,
         "bearing": _q_bearing,
@@ -1143,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_points": OR.SNAP_POINTS,
         "knn_points": OR.KNN_POINTS,
         "value_histogram": OR.VALUE_HISTOGRAM,
+        "zorder_keys": OR.ZORDER_KEYS,
         "crs_mercator": OR.CRS_MERCATOR,
         "hav_dist": OR.HAV_DIST,
         "bearing": OR.BEARING,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "snap_points",
     "knn_points",
     "value_histogram",
+    "zorder_keys",
     "crs_mercator",
     "hav_dist",
     "bearing",

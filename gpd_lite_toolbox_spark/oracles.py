@@ -1508,3 +1508,16 @@ SELECT 'dup_orderkey',
        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
 FROM orders
 """
+
+# Z-order layout key over the points layer: the oracle SQL is built by
+# the same term generator the Spark expression unrolls, so both engines
+# compute the identical interleave arithmetic
+from .operators.zorder import zorder_key_sql as _zsql  # noqa: E402
+
+ZORDER_BOUNDS = dict(xmin=0.0, ymin=0.0, xmax=100000.0, ymax=100000.0)
+
+ZORDER_KEYS = f"""
+WITH {oracle_ctes('points')}
+SELECT id, {_zsql('x', 'y', ZORDER_BOUNDS)} AS zkey
+FROM points
+"""
