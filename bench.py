@@ -141,44 +141,49 @@ def main() -> None:
 
     qs = E.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        df = qs[name](spark, SF_DIR)
-        # steady-state timing: the first execution charges one-time
-        # per-plan costs (Janino codegen compile, JIT, scan-footer
-        # caches) that a long-lived engine amortizes across runs —
-        # measured up to 3 s on queries whose steady state is 0.1 s.
-        # Run once to warm, then time a second execution with the
-        # DataFrame cache cleared so operators that persist()
-        # intermediates (minhash, LSH bands) still pay their real
-        # work — only compile state stays warm, not data.
-        df.write.mode("overwrite").format("noop").save()
-        # min of two timed executions: the container shares a noisy
-        # host (identical code has measured 2 s and 19 s within one
-        # minute); the min is the honest steady-state figure a quiet
-        # machine reproduces, not a lucky cache (cache is cleared).
-        best = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
+        # one failing query must not zero out the whole bench run
+        # (round 2: a TIMESTAMP_NTZ regression in one query crashed
+        # the harness and recorded NO numbers) — record and continue.
+        try:
+            df = qs[name](spark, SF_DIR)
+            # steady-state timing: the first execution charges one-time
+            # per-plan costs (Janino codegen compile, JIT, scan-footer
+            # caches) that a long-lived engine amortizes across runs —
+            # measured up to 3 s on queries whose steady state is 0.1 s.
+            # Run once to warm, then time with the DataFrame cache
+            # cleared so operators that persist() intermediates still
+            # pay their real work — only compile state stays warm.
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            # min of two timed executions: the container shares a noisy
+            # host (identical code has measured 2 s and 19 s within one
+            # minute); the min is the honest steady-state figure a
+            # quiet machine reproduces, not a lucky cache.
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 - harness must survive
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
