@@ -1,0 +1,84 @@
+"""End-to-end training-data pipeline on the engine's public API.
+
+The 100 TB shape in miniature: ingest -> audit -> dedup (exact +
+near) -> quality/language gates -> stratified sampling -> sequence
+packing -> shard accounting. Run it locally:
+
+    python examples/training_data_pipeline.py [sf_dir]
+
+Every stage is a DataFrame transformation; nothing collects more than
+the final summary.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import gpd_lite_toolbox_spark as G  # noqa: E402
+
+
+def run(spark, sf_dir: str):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "text", "lang"
+    )
+
+    # 1. audit the raw drop before spending compute on it
+    audit = G.quality_report([
+        G.predicate_violations(docs, {
+            "empty_text": F.length("text") == 0,
+            "null_lang": F.col("lang").isNull(),
+        }),
+        G.uniqueness_violations(docs, ["id"], rule="dup_id"),
+    ])
+
+    # 2. exact dedup: drop every copy after the canonical min-id one
+    dup = G.exact_dedup(docs)  # (content_hash, n_copies, keep_id)
+    survivors = docs.join(
+        docs.select("id", F.md5("text").alias("content_hash"))
+        .join(dup.select("content_hash", "keep_id"), "content_hash")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id"),
+        "id",
+        "left_anti",
+    )
+
+    # 3. near-dup pairs (exact n-gram Jaccard); drop the larger id
+    pairs = G.ngram_jaccard_pairs(survivors, threshold=0.5, max_df=40)
+    survivors = survivors.join(
+        pairs.select(F.col("id_b").alias("id")).distinct(), "id", "left_anti"
+    )
+
+    # 4. language-stratified downsampling (deterministic, retry-stable)
+    sampled = G.stratified_sample(
+        survivors, "lang",
+        rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75},
+    )
+
+    # 5. pack into fixed token-budget shards (pretraining layout)
+    packed = G.pack_sequences(sampled, budget=512)
+
+    shards = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max("shard_end") + 1).alias("n_shards"),
+    )
+    return audit, shards
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = G.get_spark("training-data-pipeline")
+    audit, shards = run(spark, sf_dir)
+    print("audit:")
+    audit.show(truncate=False)
+    print("shard accounting:")
+    shards.show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()

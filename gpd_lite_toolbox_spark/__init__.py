@@ -49,9 +49,33 @@ from .operators.points import (  # noqa: F401
     random_pts_on_surface,
     snap_to_nearest,
 )
+from .operators.audit import (  # noqa: F401
+    fk_violations,
+    predicate_violations,
+    quality_report,
+    uniqueness_violations,
+)
+from .operators.points import knn_to_vertices  # noqa: F401
 from .operators.spatial_join import bbox_join  # noqa: F401
+from .operators.temporal import (  # noqa: F401
+    asof_join,
+    event_transitions,
+    range_join_binned,
+)
+from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
+from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
+from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
+from .text.corpus import pack_sequences, stratified_sample, tfidf_topk  # noqa: F401
+from .text.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from .text.pipeline import clean_corpus_summary  # noqa: F401
+from .text.search import bm25_topk  # noqa: F401
 from .vector.ann import ann_ivf_topk, ann_lsh_topk, cosine_topk  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
@@ -99,5 +123,35 @@ __all__ = [
     "l_shared_border",
     "dorling_radius",
     "dorling_radius2",
+    # LLM-pipeline family (BASELINE.json north star)
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "bm25_topk",
+    "tfidf_topk",
+    "pack_sequences",
+    "stratified_sample",
+    # temporal joins
+    "asof_join",
+    "range_join_binned",
+    "event_transitions",
+    "knn_to_vertices",
+    # layout + audit
+    "zorder_key_expr",
+    "write_zordered",
+    "predicate_violations",
+    "fk_violations",
+    "uniqueness_violations",
+    "quality_report",
+    # codecs / external services
+    "to_geojson_features",
+    "from_geojson_features",
+    "st_aswkt",
+    "st_fromwkt",
+    "osrm_table_times",
+    "osrm_times_distributed",
 ]
 __version__ = "0.1.0"

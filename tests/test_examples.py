@@ -1,0 +1,26 @@
+"""The examples/ scripts must stay runnable — they are the 'switch
+from the reference' demonstration."""
+
+import sys
+
+
+def test_training_data_pipeline(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from training_data_pipeline import run
+
+    audit, shards = run(spark, sf_dir)
+    a = audit.toPandas().set_index("rule")["n_violations"]
+    assert a["empty_text"] == 0 and a["dup_id"] == 0
+    row = shards.collect()[0]
+    assert row.n_docs > 0 and row.n_shards >= 1
+    assert row.n_tokens > row.n_docs  # multi-token docs
+
+
+def test_geospatial_pipeline(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/examples")
+    from geospatial_pipeline import run
+
+    grid, borders, snapped = run(spark, sf_dir, str(tmp_path / "z"))
+    assert grid.collect()[0].cells > 0
+    assert borders.collect()[0].border_pairs > 0
+    assert snapped.collect()[0].snapped > 0
