@@ -81,3 +81,47 @@ def test_range_join_probe_without_candidates_absent(spark):
         half_width_us=10, aggs=[F.count("*").alias("n")], probe_id="pid",
     )
     assert out.count() == 0
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Independent-reference check: the union+window as-of must agree
+    with pandas.merge_asof (direction='backward', inclusive) on a
+    seeded random workload with duplicate timestamps across keys."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 600
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 8, n_l),
+        "us": rng.integers(0, 500, n_l),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "r_us": rng.integers(0, 500, n_r),
+        "rid": np.arange(n_r),
+        "v": rng.random(n_r).round(3),
+    })
+    out = asof_join(
+        spark.createDataFrame(left.astype("int64")),
+        spark.createDataFrame(
+            right.astype({"k": "int64", "r_us": "int64", "rid": "int64"})
+        ),
+        key="k", left_ts="us", right_ts="r_us", payload=["rid", "v"],
+    ).toPandas().sort_values("lid", ignore_index=True)
+
+    # pandas reference: stable-sort right by (r_us, rid) so the LAST
+    # match at equal timestamps is the max-rid row — the operator's
+    # documented tie-break
+    ref = pd.merge_asof(
+        left.sort_values(["us", "lid"], kind="stable"),
+        right.sort_values(["r_us", "rid"], kind="stable"),
+        left_on="us", right_on="r_us", by="k",
+        direction="backward", allow_exact_matches=True,
+    ).dropna(subset=["rid"]).sort_values("lid", ignore_index=True)
+
+    assert len(out) == len(ref)
+    merged = out.merge(ref, on="lid", suffixes=("_s", "_p"))
+    assert (merged["prev_rid"] == merged["rid"]).all()
+    assert (merged["prev_v"] == merged["v"]).all()
