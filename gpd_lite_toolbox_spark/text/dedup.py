@@ -604,3 +604,34 @@ def dup_groups(
     return labels.join(sizes, "group_id").select(
         "id", "group_id", F.col("group_size").cast("bigint").alias("group_size")
     )
+
+
+def simhash_expr(text_col: str) -> "F.Column":
+    """Row-LOCAL SimHash: the same 32-bit fingerprint as ``simhash()``
+    computed entirely inside one projection via higher-order array
+    functions — no explode, no shuffle, no state.
+
+    This is the streaming form: a stateless sketch projection feeding
+    ``dropDuplicatesWithinWatermark`` gives near-dup suppression on an
+    unbounded stream, where the batch operator's explode+groupBy would
+    be a second stateful aggregation (disallowed before a stateful
+    dedup). Arithmetic is term-for-term the batch operator's
+    (hash32 = md5-prefix, bit b sign = (th div 2^b) % 2 * 2 - 1), so
+    batch and stream fingerprints are identical — pytest-pinned.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+            IF(aggregate(
+                 transform(split({text_col}, ' '),
+                           t -> CAST(conv(substr(md5(t), 1, 8), 16, 10)
+                                     AS BIGINT)),
+                 CAST(0 AS BIGINT),
+                 (acc, th) -> acc + (th div CAST(pow(2, b) AS BIGINT)) % 2
+                              * 2 - 1
+               ) > 0,
+               CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )

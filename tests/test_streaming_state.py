@@ -283,3 +283,67 @@ def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_near_dedup_via_rowlocal_simhash(spark, sf_dir):
+    """Streaming near-dup suppression: the row-LOCAL simhash expression
+    (stateless projection — no explode/groupBy, so it can legally
+    precede a stateful dedup) + dropDuplicatesWithinWatermark on the
+    fingerprint. The emitted fingerprint set must equal the batch
+    distinct; row-local and batch-aggregated simhash must agree
+    value-for-value."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import simhash, simhash_expr
+
+    FX.register_base_tables(spark, sf_dir)
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+
+    # 1. row-local == batch-aggregated fingerprints
+    batch_fp = simhash(corpus).toPandas().set_index("id")["simhash"]
+    local_fp = (
+        corpus.select("id", simhash_expr("text").alias("simhash"))
+        .toPandas()
+        .set_index("id")["simhash"]
+    )
+    assert batch_fp.sort_index().equals(local_fp.sort_index())
+
+    # 2. streaming dedup on the sketch
+    docs = spark.table("documents")
+    d = tempfile.mkdtemp(prefix="neardedup_stream_")
+    os.symlink(f"{sf_dir}/documents.parquet", os.path.join(d, "d.parquet"))
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("sh", simhash_expr("text"))
+        # offset event times away from epoch 0: a row AT the initial
+        # watermark (epoch 0) is discarded as late
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.col("doc_id") * 1000000 + F.lit(10_000_000_000_000)
+            ),
+        )
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["sh"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.sh for r in spark.table("neardedup_out").collect()}
+    expect = {
+        r.sh
+        for r in docs.select(simhash_expr("text").alias("sh")).distinct().collect()
+    }
+    assert got == expect and len(got) > 0
