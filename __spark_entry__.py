@@ -476,6 +476,19 @@ def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_groups(_corpus(spark, sf_dir))
 
 
+def _q_simhash_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-LOCAL SimHash (higher-order array aggregates, zero
+    shuffles — the streaming-legal form): must reproduce the batch
+    operator's fingerprints, so it shares the same oracle."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import simhash_expr
+
+    return _corpus(spark, sf_dir).select(
+        "id", simhash_expr("text").cast("bigint").alias("simhash")
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.dedup import simhash
 
@@ -1095,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_roundtrip": _q_wkt_roundtrip,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_local": _q_simhash_local,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
         "quality": _q_quality,
@@ -1178,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         "wkt_roundtrip": OR.WKT_ROUNDTRIP,
         "ngram_jaccard": OR.NGRAM_JACCARD,
         "simhash": OR.SIMHASH,
+        "simhash_local": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,
         "repetition_stats": OR.REPETITION_STATS,
         "quality": OR.QUALITY,

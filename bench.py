@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "wkt_roundtrip",
     "ngram_jaccard",
     "simhash",
+    "simhash_local",
     "token_stats",
     "repetition_stats",
     "quality",
