@@ -184,3 +184,46 @@ def media_feature_hash(
         for i in range(n_features)
     ]
     return df.select("*", *cols)
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_s: float = 1.0,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Audio chunking as a table-generating op (the audio sibling of
+    ``sample_frames``): one row per fixed-duration chunk, with
+    ``chunk_idx``, ``start_sample`` and ``n_samples`` derived from the
+    sample-rate/byte-count metadata (16-bit mono by default). Native
+    sequence+explode — the per-chunk decode/feature stage downstream
+    runs partition-parallel over an already-exploded table; the final
+    partial chunk is emitted with its true (shorter) length."""
+    total = (F.col("meta_n_bytes") / F.lit(int(bytes_per_sample))).cast(
+        "long"
+    )
+    step = (F.col("meta_sample_rate") * F.lit(float(chunk_s))).cast("long")
+    out = df.withColumn("_total_samples", total).withColumn(
+        "start_sample",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("_total_samples") - 1, F.lit(0)),
+                F.greatest(step, F.lit(1)),
+            )
+        ),
+    )
+    return (
+        out.withColumn(
+            "chunk_idx",
+            (F.col("start_sample") / F.greatest(step, F.lit(1)))
+            .cast("long"),
+        )
+        .withColumn(
+            "n_samples",
+            F.least(
+                F.greatest(step, F.lit(1)),
+                F.col("_total_samples") - F.col("start_sample"),
+            ),
+        )
+        .drop("_total_samples")
+    )

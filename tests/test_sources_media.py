@@ -182,3 +182,29 @@ def test_wkt_udf_roundtrip_on_fixture(spark, sf_dir):
     ).collect()
     for r in back:
         assert bytes(r.rt) == bytes(r.orig)
+
+
+def test_audio_chunking_covers_stream_exactly(spark, sf_dir):
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        chunk_audio,
+        decode_image_meta,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id").limit(30)
+    meta = decode_image_meta(attach_fake_media(docs)).filter(
+        F.col("meta_sample_rate").isNotNull()
+    )
+    chunks = chunk_audio(meta, chunk_s=1.0)
+    pdf = chunks.groupBy("doc_id", "meta_n_bytes", "meta_sample_rate").agg(
+        F.sum("n_samples").alias("covered"),
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"),
+    ).toPandas()
+    assert len(pdf) > 0
+    for r in pdf.itertuples():
+        total = r.meta_n_bytes // 2
+        # chunks tile the stream exactly, no overlap, no gap
+        assert r.covered == total
+        assert r.max_idx == r.n_chunks - 1
