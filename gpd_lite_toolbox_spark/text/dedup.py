@@ -619,19 +619,28 @@ def simhash_expr(text_col: str) -> "F.Column":
     (hash32 = md5-prefix, bit b sign = (th div 2^b) % 2 * 2 - 1), so
     batch and stream fingerprints are identical — pytest-pinned.
     """
+    # ONE aggregate over the hashed-token array (the input expression
+    # of aggregate() is evaluated once — md5 once per token, NOT per
+    # bit; a per-bit nested-aggregate form re-hashed every token 32x
+    # and cost 8 s at sf0.1 vs ~1 s for this shape), with a 32-wide
+    # array accumulator and a finish lambda packing the sign bits.
+    # Bit weights are a constant array literal (no per-token pow()).
+    masks = ", ".join(f"CAST({1 << b} AS BIGINT)" for b in range(SIMHASH_BITS))
     return F.expr(
         f"""
         aggregate(
-          transform(sequence(0, {SIMHASH_BITS - 1}), b ->
-            IF(aggregate(
-                 transform(split({text_col}, ' '),
-                           t -> CAST(conv(substr(md5(t), 1, 8), 16, 10)
-                                     AS BIGINT)),
-                 CAST(0 AS BIGINT),
-                 (acc, th) -> acc + (th div CAST(pow(2, b) AS BIGINT)) % 2
-                              * 2 - 1
-               ) > 0,
-               CAST(pow(2, b) AS BIGINT), CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+          transform(split({text_col}, ' '),
+                    t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+          array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
+          (acc, th) -> zip_with(
+              acc,
+              transform(array({masks}),
+                        m -> IF((th & m) != 0, 1, -1)),
+              (a, x) -> a + x),
+          sums -> aggregate(
+              zip_with(sums, array({masks}),
+                       (s, m) -> IF(s > 0, m, CAST(0 AS BIGINT))),
+              CAST(0 AS BIGINT),
+              (acc2, x) -> acc2 + x))
         """
     )
