@@ -249,8 +249,14 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(b))
         .select(
             F.least(
-                F.floor((F.col("value") - F.col("lo"))
-                        / ((F.col("hi") - F.col("lo")) / 20.0)).cast("long"),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    # width guard: hi==lo (all-equal values) would divide
+                    # by zero (ANSI error) — degenerate input lands in bin 0
+                    / F.greatest(
+                        (F.col("hi") - F.col("lo")) / 20.0, F.lit(1e-300)
+                    )
+                ).cast("long"),
                 F.lit(19),
             ).alias("bin")
         )

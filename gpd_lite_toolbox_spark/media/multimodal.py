@@ -202,7 +202,12 @@ def chunk_audio(
         "long"
     )
     step = (F.col("meta_sample_rate") * F.lit(float(chunk_s))).cast("long")
-    out = df.withColumn("_total_samples", total).withColumn(
+    # a zero-byte payload must yield ZERO chunk rows, not one empty
+    # chunk (sequence(0, greatest(-1,0)) = [0] would emit a spurious
+    # n_samples=0 row into the downstream per-chunk decode)
+    out = df.withColumn("_total_samples", total).filter(
+        F.col("_total_samples") > 0
+    ).withColumn(
         "start_sample",
         F.explode(
             F.sequence(

@@ -46,6 +46,13 @@ def asof_join(
     with identical timestamps the one latest in ``payload[0]`` order
     wins — a deterministic total order.
 
+    The whole payload is carried as ONE struct (a single
+    ``last(struct, ignorenulls=True)``), so every output column comes
+    from the same matched right row even when individual payload
+    values are NULL — per-column carries would silently backfill a
+    NULL column from an older right row. Match existence is the
+    struct's own nullity, not any payload value.
+
     Scale: one hash exchange by ``key`` + one within-partition sort.
     No inequality join, no per-key cross product; skewed keys are
     AQE-splittable like any other exchange.
@@ -56,35 +63,40 @@ def asof_join(
         F.col(key).alias(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_p"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols],
     )
     l = left.select(
         F.col(key).alias(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(t).alias(f"{prefix}{c}")
-          for c, t in zip(payload, [dict(right.dtypes)[c] for c in payload])],
+        F.lit(None).alias("_p"),  # union promotes NullType -> struct
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     # right-row tiebreak: payload[0] ascending, so last() picks the max
-    tie = F.col(f"{prefix}{payload[0]}")
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), tie.asc_nulls_first())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            F.col("_p")[payload[0]].asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in payload
-    ]
     return (
         r.unionByName(l)
-        .select(key, "_ts", "_side", *carried,
-                *[F.col(f"_l_{c}").alias(c) for c in lcols if c != key])
+        .select(
+            key, "_side",
+            F.last("_p", ignorenulls=True).over(w).alias("_p"),
+            *[F.col(f"_l_{c}").alias(c) for c in lcols if c != key],
+        )
         .filter(F.col("_side") == 1)
-        .filter(F.col(f"{prefix}{payload[0]}").isNotNull())
-        .drop("_side", "_ts")
+        .filter(F.col("_p").isNotNull())
+        .select(
+            key,
+            *[F.col("_p")[c].alias(f"{prefix}{c}") for c in payload],
+            *[c for c in lcols if c != key],
+        )
     )
 
 

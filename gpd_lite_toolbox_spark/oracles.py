@@ -1473,7 +1473,9 @@ FROM ranked WHERE rn <= 3
 # global min/max (one tiny reduce), one combinable count shuffle
 VALUE_HISTOGRAM = """
 WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
-h AS (SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+h AS (SELECT LEAST(CAST(FLOOR((value - lo)
+                              / GREATEST((hi - lo) / 20.0, 1e-300))
+                        AS BIGINT),
                    19) AS bin
       FROM events CROSS JOIN b)
 SELECT bin, COUNT(*) AS n FROM h GROUP BY bin

@@ -147,8 +147,11 @@ def tfidf_topk(
     tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
     wdf = Window.partitionBy("term")
     scored = tf.withColumn("df_t", F.count("*").over(wdf))
-    n_docs = corpus.select(
-        F.countDistinct(id_col).alias("_n")
+    # N = docs with >= 1 non-empty term (counted from the tf table, not
+    # the raw corpus) — mirrors the oracle's COUNT(DISTINCT id) FROM tf
+    # so an empty/whitespace-only document cannot shift every idf.
+    n_docs = tf.select(
+        F.countDistinct("id").alias("_n")
     )
     scored = scored.join(F.broadcast(n_docs)).withColumn(
         "score",

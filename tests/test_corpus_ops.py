@@ -71,6 +71,17 @@ def test_tfidf_ubiquitous_terms_score_zero(spark):
     assert (out.groupby("id")["rank"].max() <= 2).all()
 
 
+def test_tfidf_empty_doc_does_not_shift_idf(spark):
+    """N counts docs with >= 1 non-empty term (from the tf table) — an
+    empty/whitespace-only doc must not inflate N and shift every idf."""
+    rows = [(1, "common rare1"), (2, "common rare2"), (3, "  ")]
+    out = tfidf_topk(_df(spark, rows), k=2).toPandas()
+    # 'common' has df = N = 2 -> idf 0, unaffected by the empty doc 3
+    common = out[out["term"] == "common"]
+    assert (common["score"] == 0.0).all()
+    assert 3 not in set(out["id"])
+
+
 def test_bm25_ranks_matching_docs_and_is_deterministic(spark):
     rows = [
         (1, "spark window merge spark"),

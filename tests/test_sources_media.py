@@ -208,3 +208,16 @@ def test_audio_chunking_covers_stream_exactly(spark, sf_dir):
         # chunks tile the stream exactly, no overlap, no gap
         assert r.covered == total
         assert r.max_idx == r.n_chunks - 1
+
+
+def test_audio_chunking_zero_byte_stream_emits_no_chunks(spark):
+    from gpd_lite_toolbox_spark.media.multimodal import chunk_audio
+
+    meta = spark.createDataFrame(
+        [(1, 0, 16000), (2, 32000, 16000)],
+        "doc_id long, meta_n_bytes long, meta_sample_rate long",
+    )
+    pdf = chunk_audio(meta, chunk_s=1.0).toPandas()
+    # doc 1 (zero bytes) contributes nothing — no spurious empty chunk
+    assert set(pdf["doc_id"]) == {2}
+    assert (pdf["n_samples"] > 0).all()

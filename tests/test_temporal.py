@@ -38,6 +38,46 @@ def test_asof_equal_right_timestamps_pick_max_first_payload(spark):
     assert out.loc[0, "prev_rid"] == 13  # max rid wins the tie
 
 
+def test_asof_null_payload_column_not_backfilled(spark):
+    """A NULL in one payload column of the matched right row must stay
+    NULL — never be filled from an OLDER right row (the whole payload
+    comes from exactly one right row)."""
+    left = spark.createDataFrame([(1, 7, 100)], "lid long, k long, us long")
+    right = spark.createDataFrame(
+        [(7, 50, 10, 1.0), (7, 90, 11, None)],
+        "k long, r_us long, rid long, v double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="us", right_ts="r_us",
+        payload=["rid", "r_us", "v"],
+    ).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "prev_rid"] == 11
+    assert out.loc[0, "prev_r_us"] == 90
+    import pandas as pd
+    assert pd.isna(out.loc[0, "prev_v"])  # NOT 1.0 from the older row
+
+
+def test_asof_null_first_payload_keeps_match(spark):
+    """A NULL in payload[0] of the matched right row must neither drop
+    the match nor skip to an older row (existence is tracked by a
+    dedicated marker, not payload[0])."""
+    left = spark.createDataFrame([(1, 7, 100)], "lid long, k long, us long")
+    right = spark.createDataFrame(
+        [(7, 50, 10, 1.0), (7, 90, None, 5.0)],
+        "k long, r_us long, rid long, v double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="us", right_ts="r_us",
+        payload=["rid", "r_us", "v"],
+    ).toPandas()
+    assert len(out) == 1
+    import pandas as pd
+    assert pd.isna(out.loc[0, "prev_rid"])
+    assert out.loc[0, "prev_r_us"] == 90
+    assert out.loc[0, "prev_v"] == 5.0
+
+
 def test_asof_keys_do_not_leak(spark):
     out = _asof(
         spark,
