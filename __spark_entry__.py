@@ -1080,7 +1080,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract (round-4 VERDICT item 1): the driver's
+    # correctness runner truncates at 50 queries, so the queries with
+    # the weakest driver evidence come FIRST — the 19 oracled queries
+    # that never (or only in stale rounds) received a driver
+    # CORRECTNESS row (streaming, temporal/profiling, embedding_dups,
+    # media, dorling pair, interpolation, TPC-H trio), then the
+    # round-4 additions, then the r3-green rotation; rows-only
+    # (no_oracle) entries stay LAST — they record the least
+    # information if the runner truncates.
     return {
+        # --- never/stale driver-checked (VERDICT r3 §missing 1) ---
+        "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
+        "session_window": _q_session_window,
+        "stream_dedup": _q_stream_dedup,
+        "asof_prev_event": _q_asof_prev_event,
+        "range_neighborhood": _q_range_neighborhood,
+        "event_transitions": _q_event_transitions,
+        "doc_profile": _q_doc_profile,
+        "docs_rollup": _q_docs_rollup,
+        "dq_audit": _q_dq_audit,
+        "embedding_dups": _q_embedding_dups,
+        "media_pipeline": _q_media_pipeline,
+        "dorling_radius": _q_dorling_radius,
+        "dorling_radius2": _q_dorling_radius2,
+        "idw_interpolation": _q_idw_interpolation,
+        "isochrone_surface": _q_isochrone_surface,
+        "tpch_pricing": _q_tpch_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
         "mean_coords_global": _q_mean_coords_global,
@@ -1131,28 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cut": _q_grid_cut,
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
-        "asof_prev_event": _q_asof_prev_event,
-        "range_neighborhood": _q_range_neighborhood,
-        "event_transitions": _q_event_transitions,
-        "doc_profile": _q_doc_profile,
-        "docs_rollup": _q_docs_rollup,
-        "dq_audit": _q_dq_audit,
-        "events_window": _q_events_window,
-        "sessionize": _q_sessionize,
-        "session_window": _q_session_window,
-        "stream_dedup": _q_stream_dedup,
-        "dorling_radius": _q_dorling_radius,
-        "media_pipeline": _q_media_pipeline,
-        "dorling_radius2": _q_dorling_radius2,
-        "idw_interpolation": _q_idw_interpolation,
-        "isochrone_surface": _q_isochrone_surface,
-        "embedding_dups": _q_embedding_dups,
-        "tpch_pricing": _q_tpch_pricing,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        # rows-only (no_oracle) queries LAST: if the driver's runner
-        # truncates (round 2 stopped at 48 of 59), the entries that
-        # record the least information are the ones lost
+        # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
         "grid_cut_hull": _q_grid_cut_hull,
