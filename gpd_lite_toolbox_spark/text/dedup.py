@@ -227,6 +227,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     exact: bool = False,
     dims: int | None = None,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -256,9 +257,18 @@ def embedding_near_dups(
     natively on the (tiny) survivor set. This ships each vector B
     times instead of once per candidate pair (the join-then-score
     form moved ~30x more bytes into Python and paid a |candidates|
-    distinct shuffle first). Per-bucket work is O(|bucket|^2): at
-    scale, a skew cap / salting on degenerate buckets is the standard
-    guard (bucket sizes are one groupBy away to audit).
+    distinct shuffle first). Per-bucket work is O(|bucket|^2), so a
+    degenerate bucket (zero vectors, template embeddings) is guarded
+    by ``bucket_cap``: any bucket with n > cap is hash-split into
+    B = ceil(n/cap) blocks and its pair work decomposed into the
+    B(B+1)/2 block-pair tasks — every unordered pair lands in exactly
+    one task ((blk_x, blk_y) sorted), each task sees <= 2*cap rows,
+    and the O(n^2) work parallelizes instead of serializing one
+    executor. Rows replicate B times, i.e. only hot buckets pay; for
+    n <= cap the single task (0, 0) is byte-identical to the uncapped
+    plan. The block Gram kernel accumulates dims-sequentially like
+    the fold, so capped and uncapped values are bit-identical
+    (planted-hot-bucket parity is pytest-pinned).
     """
     from ..vector.ann import _cosine_col, _norm_col, lsh_bands
     from pyspark.sql import functions as FF
@@ -302,42 +312,108 @@ def embedding_near_dups(
     # never drops a row the oracle keeps.
     raw_cut = threshold - 1e-6
 
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "dot": pd.Series(dtype="float64"),
-                 "na": pd.Series(dtype="float64"),
-                 "nb": pd.Series(dtype="float64")}
-            )
+    _empty = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "dot": pd.Series(dtype="float64"),
+        "na": pd.Series(dtype="float64"),
+        "nb": pd.Series(dtype="float64"),
+    }
+
+    def _sorted_side(pdf: pd.DataFrame):
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
-        G = np.zeros((n, n), dtype=np.float64)
-        for d in range(n_dims):  # sequential over dims == the fold order
-            col = V[:, d : d + 1]
-            G += col * col.T
-        norms = np.sqrt(np.diag(G))  # diag accumulates exactly like _norm
-        iu, ju = np.triu_indices(n, k=1)
-        dots = G[iu, ju]
-        na_, nb_ = norms[iu], norms[ju]
+        # per-row self-dot accumulated dim-sequentially: the same
+        # operations, in the same order, as the diag of the rank-1
+        # Gram updates and as the _norm fold — bit-identical norms.
+        s = np.zeros(len(ids), dtype=np.float64)
+        for d in range(n_dims):
+            s += V[:, d] * V[:, d]
+        return ids, V, np.sqrt(s)
+
+    def _score_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        ta = int(pdf["_ta"].iloc[0])
+        tb = int(pdf["_tb"].iloc[0])
+        if ta == tb:  # within-block pairs (the only task when B == 1)
+            if len(pdf) < 2:
+                return pd.DataFrame(_empty)
+            ids, V, norms = _sorted_side(pdf)
+            n = len(ids)
+            G = np.zeros((n, n), dtype=np.float64)
+            for d in range(n_dims):  # sequential over dims == the fold
+                col = V[:, d : d + 1]
+                G += col * col.T
+            iu, ju = np.triu_indices(n, k=1)
+            dots = G[iu, ju]
+            na_, nb_ = norms[iu], norms[ju]
+            ia, ib = ids[iu], ids[ju]
+        else:  # cross-block pairs of a capped (hot) bucket
+            pa = pdf[pdf["_blk"] == ta]
+            pb = pdf[pdf["_blk"] == tb]
+            if len(pa) == 0 or len(pb) == 0:
+                return pd.DataFrame(_empty)
+            ids_a, VA, norms_a = _sorted_side(pa)
+            ids_b, VB, norms_b = _sorted_side(pb)
+            G = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+            for d in range(n_dims):
+                G += VA[:, d : d + 1] * VB[:, d : d + 1].T
+            dots = G.ravel()
+            ia = np.repeat(ids_a, len(ids_b))
+            ib = np.tile(ids_b, len(ids_a))
+            na_ = np.repeat(norms_a, len(ids_b))
+            nb_ = np.tile(norms_b, len(ids_a))
+            swap = ia > ib  # emit id_a < id_b (dot/norm product symmetric)
+            ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+            na_, nb_ = (
+                np.where(swap, nb_, na_),
+                np.where(swap, na_, nb_),
+            )
         keep = dots / (na_ * nb_) >= raw_cut
         return pd.DataFrame(
-            {"id_a": ids[iu][keep], "id_b": ids[ju][keep],
+            {"id_a": ia[keep], "id_b": ib[keep],
              "dot": dots[keep], "na": na_[keep], "nb": nb_[keep]}
         )
 
+    cap = max(2, int(bucket_cap))
     bands = lsh_bands(vectors, id_col, vec_col, dims=dims)
-    with_vec = bands.join(
-        vectors.select(
-            FF.col(id_col).alias("id"), FF.col(vec_col).alias("v")
-        ),
-        "id",
+    # bucket sizes from the vector-free band table: one row per
+    # (band, bucket), broadcast back — the hot bucket never funnels
+    # its vectors through a single counting partition.
+    sizes = bands.groupBy("band", "bucket").agg(FF.count("*").alias("_n"))
+    with_vec = (
+        bands.join(
+            vectors.select(
+                FF.col(id_col).alias("id"), FF.col(vec_col).alias("v")
+            ),
+            "id",
+        )
+        .join(FF.broadcast(sizes), ["band", "bucket"])
+        .withColumn(
+            "_B", FF.ceil(FF.col("_n") / FF.lit(cap)).cast("int")
+        )
+        .withColumn("_blk", FF.pmod(FF.xxhash64("id"), FF.col("_B")).cast("int"))
+        # a row in block b joins task (min(i,b), max(i,b)) for every
+        # block i: task (ta, tb) then holds exactly blocks ta and tb,
+        # and each unordered pair appears in exactly one task.
+        .withColumn(
+            "_task",
+            FF.explode(
+                FF.expr(
+                    "transform(sequence(0, _B - 1),"
+                    " i -> struct(least(i, _blk) AS ta,"
+                    "             greatest(i, _blk) AS tb))"
+                )
+            ),
+        )
+        .select(
+            "band", "bucket", "id", "v", "_blk",
+            FF.col("_task.ta").alias("_ta"),
+            FF.col("_task.tb").alias("_tb"),
+        )
     )
-    scored = with_vec.groupBy("band", "bucket").applyInPandas(
-        _score_bucket,
+    scored = with_vec.groupBy("band", "bucket", "_ta", "_tb").applyInPandas(
+        _score_task,
         "id_a bigint, id_b bigint, dot double, na double, nb double",
     )
     return (

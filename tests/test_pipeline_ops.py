@@ -193,6 +193,56 @@ def test_embedding_lsh_subset_of_exact_with_recall_floor(spark, sf_dir):
         assert recall >= 0.25, f"LSH recall {recall:.2f}"
 
 
+def test_embedding_hot_bucket_cap_is_bit_identical(spark, sf_dir):
+    """Skew guard: a planted degenerate LSH bucket (40 same-direction
+    vectors collide in every band) is split into block-pair tasks by
+    ``bucket_cap`` — the capped plan must emit exactly the same pairs
+    with bit-identical cosine values as the uncapped plan, and must
+    retrieve all C(40,2) planted pairs."""
+    from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
+
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = emb.filter(F.col("vec_id") == 0).select("embedding")
+    # positive scalings keep every hyperplane sign: one bucket per band
+    hot = (
+        spark.range(40)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(base)
+        .select(
+            (F.col("vec_id") + 2000000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (
+                    x.cast("double") * (1.0 + F.col("vec_id") / 100.0)
+                ).cast("float"),
+            ).alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+    )
+    aug = emb.limit(50).select("vec_id", "embedding", "label").unionByName(hot)
+
+    def run(cap):
+        return {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dups(
+                aug, threshold=0.999, bucket_cap=cap
+            ).collect()
+        }
+
+    capped = run(8)        # 40 > 8 -> B = 5 blocks, 15 block-pair tasks
+    uncapped = run(10**9)  # single task per bucket (the r3 plan)
+    assert capped == uncapped, "capped plan diverged from uncapped"
+    planted = {
+        (a + 2000000, b + 2000000)
+        for a in range(40)
+        for b in range(a + 1, 40)
+    }
+    assert planted <= set(capped), (
+        f"missed {len(planted - set(capped))} hot-bucket pairs"
+    )
+
+
 def test_multi_to_single_stats_matches_chained_path(spark, sf_dir):
     """The fused single-pass explode+stats must equal the three-stage
     st_parts -> posexplode -> st_area/st_centroid_xy chain."""
