@@ -707,15 +707,97 @@ def _q_dorling_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Dougenik iteration, hash-gated vertex-by-vertex: the
+    transformed exterior rings dumped to (id, k, x, y) rows against a
+    fully relational DuckDB replay of the stats + displacement math
+    (oracles.CARTOGRAM_STEP). Multi-iteration behaviour stays
+    property-tested (size-error contraction)."""
     from pyspark.sql import functions as F
 
-    from gpd_lite_toolbox_spark.geometry.functions import st_area
+    from gpd_lite_toolbox_spark.geometry.functions import st_exterior_coords
     from gpd_lite_toolbox_spark.operators.cartogram import transform_cartogram
 
     polys = FX.polys(_configure(spark), sf_dir)
-    out = transform_cartogram(polys, "size_mb", iterations=2)
+    out = transform_cartogram(polys, "size_mb", iterations=1)
     return out.select(
-        "id", F.round(st_area("geometry"), 2).alias("new_area")
+        "id", F.explode(st_exterior_coords("geometry")).alias("c")
+    ).select(
+        "id",
+        F.col("c.k").alias("k"),
+        F.round("c.x", 4).alias("x"),
+        F.round("c.y", 4).alias("y"),
+    )
+
+
+def _q_dorling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable evidence row for the sequential Dorling relaxation:
+    circle count and radius sum are input-derivable (closed-form
+    oracle), and the converged placements must have ZERO pairs
+    overlapping beyond numerical noise (1e-4 slack against the 1e-6
+    coordinate rounding) — measured from the actual relaxed output.
+    Subsampled (id % 10 = 3) so the O(n^2) driver loop stays bounded
+    at any SF."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.cartogram import (
+        non_contiguous_cartogram,
+    )
+
+    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False).filter(
+        F.col("id") % 10 == 3
+    )
+    out = non_contiguous_cartogram(
+        _dorling_base(polys), "size_mb", ratio=0.8, n_iter=50
+    )
+    a = out.select(
+        F.col("id").alias("ia"), F.col("cx").alias("xa"),
+        F.col("cy").alias("ya"), F.col("radius").alias("ra"),
+    )
+    b = out.select(
+        F.col("id").alias("ib"), F.col("cx").alias("xb"),
+        F.col("cy").alias("yb"), F.col("radius").alias("rb"),
+    )
+    dist = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    ov = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        dist < F.col("ra") + F.col("rb") - 1e-4, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_overlaps")
+        )
+    )
+    stats = out.agg(
+        F.count("*").alias("n_circles"),
+        F.round(F.sum("radius"), 4).alias("sum_radius"),
+    )
+    return stats.crossJoin(ov)
+
+
+def _q_match_cluster_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-invariant projection of the KMeans co-clustering
+    match: roads_b is a <=1-unit jitter of roads_a, so every A-line
+    must co-cluster with its twin (id_a == id_b pairs == the fixture
+    id set). The raw pair list is NOT partition-stable (k-means++
+    merges can add cross pairs), so the hash gate rides on the
+    ground-truth-recall projection while match_line_cluster stays
+    declared rows-only."""
+    from pyspark.sql import functions as F
+
+    pairs = _q_match_line_cluster(spark, sf_dir)
+    return (
+        pairs.filter(F.col("id_a") == F.col("id_b"))
+        .select(F.col("id_a").alias("id"))
     )
 
 
@@ -1110,6 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": _q_tpch_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
+        # --- round-4 additions (need first driver rows) ---
+        "cartogram": _q_cartogram,
+        "dorling_stats": _q_dorling_stats,
+        "match_cluster_twins": _q_match_cluster_twins,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1165,7 +1251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
         "grid_cut_hull": _q_grid_cut_hull,
-        "cartogram": _q_cartogram,
         "dorling_cartogram": _q_dorling_cartogram,
     }
 
@@ -1240,8 +1325,16 @@ def oracle_sql() -> dict[str, str]:
         "session_window": OR.SESSION_WINDOW,
         "stream_dedup": OR.STREAM_DEDUP,
         "dorling_radius": OR.DORLING_RADIUS,
-        # cartogram / dorling_cartogram: iterative geometry transforms,
-        # property-tested (area-error contraction, overlap-free circles).
+        # cartogram: one Dougenik iteration replayed relationally in
+        # DuckDB (vertex-level hash gate); dorling_stats: radius sum +
+        # zero-overlap evidence row for the sequential relaxation;
+        # match_cluster_twins: ground-truth-recall projection of the
+        # KMeans match. dorling_cartogram (raw placements) and
+        # match_line_cluster (raw pairs) stay rows-only — their exact
+        # outputs are not partition-stable / SQL-expressible.
+        "cartogram": OR.CARTOGRAM_STEP,
+        "dorling_stats": OR.DORLING_STATS,
+        "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,
         "media_pipeline": OR.MEDIA_PIPELINE,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dorling_radius",
     "dorling_radius2",
     "cartogram",
+    "dorling_stats",
     "media_pipeline",
     "idw_interpolation",
     "isochrone_surface",

@@ -91,6 +91,39 @@ def st_bounds(geom: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+@F.pandas_udf(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField("x", T.DoubleType()),
+                T.StructField("y", T.DoubleType()),
+            ]
+        )
+    )
+)
+def st_exterior_coords(geom: pd.Series) -> pd.Series:
+    """Exterior-ring vertices of a Polygon as (k, x, y) structs, open
+    form (the duplicate closing vertex dropped) — the relational dump
+    of the shell geometry, e.g. to hash-compare a transformed polygon
+    vertex-by-vertex against a relational oracle."""
+    out = []
+    for g in geom:
+        t, payload = W.decode(g)
+        if t != "Polygon":
+            raise ValueError(f"st_exterior_coords expects Polygon, got {t}")
+        ring = np.asarray(payload[0], dtype=float)
+        if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        out.append(
+            [
+                {"k": int(i), "x": float(p[0]), "y": float(p[1])}
+                for i, p in enumerate(ring)
+            ]
+        )
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.ArrayType(T.BinaryType()))
 def st_parts(geom: pd.Series) -> pd.Series:
     """Multi-part -> array of single-part WKB; singles -> 1-element array.

@@ -968,6 +968,99 @@ SELECT id,
 FROM base, sums, nrm
 """
 
+# ---------------------------------------------- cartogram evidence rows
+# One Dougenik (1985) iteration of the continuous cartogram, fully
+# relational: per-feature stats (area/centroid are exact closed forms
+# for the rectangle fixture), the global force-reduction factor, and
+# the displaced exterior-ring vertices (corner x feature force sum).
+# Mirrors operators/cartogram.py _dougenik_params/_displace
+# term-for-term in the same association order (v * (ta/tv),
+# ((m*xf)*xf)*(4-3*xf), fraw * (reduction/dist)) so the round(4)
+# coordinates hash-match; only the cross-feature SUM order differs
+# (~1e-10 absolute at fixture magnitudes).
+CARTOGRAM_STEP = f"""
+WITH {oracle_ctes('polys')},
+base AS (SELECT id, CAST(size_mb AS DOUBLE) AS v,
+                (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy,
+                (x1 - x0) * (y1 - y0) AS area, x0, y0, x1, y1
+         FROM polys),
+tot AS (SELECT SUM(area) AS ta, SUM(v) AS tv FROM base),
+st AS (SELECT b.id, b.cx, b.cy,
+              SQRT(b.area / PI()) AS r,
+              CASE WHEN b.v * (t.ta / t.tv) > 0
+                   THEN SQRT(b.v * (t.ta / t.tv) / PI())
+                        - SQRT(b.area / PI())
+                   ELSE 0.0 END AS m,
+              GREATEST(b.area, b.v * (t.ta / t.tv))
+              / LEAST(b.area, b.v * (t.ta / t.tv)) AS serr
+       FROM base b, tot t),
+red AS (SELECT 1.0 / (AVG(serr) + 1.0) AS reduction FROM st),
+corners AS (
+  SELECT id, k,
+         CASE k WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+                ELSE x0 END AS vx,
+         CASE k WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1
+                ELSE y1 END AS vy
+  FROM base CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k)),
+terms AS (
+  SELECT c.id, c.k, c.vx, c.vy,
+         c.vx - s.cx AS dx, c.vy - s.cy AS dy,
+         SQRT((c.vx - s.cx) * (c.vx - s.cx)
+              + (c.vy - s.cy) * (c.vy - s.cy)) AS dist,
+         s.r, s.m
+  FROM corners c CROSS JOIN st s)
+SELECT t.id, t.k,
+       ROUND(MIN(t.vx) + SUM(CASE WHEN t.dist = 0 THEN 0.0 ELSE
+             t.dx * ((CASE WHEN t.dist > t.r THEN t.m * t.r / t.dist
+                           ELSE t.m * (t.dist / t.r) * (t.dist / t.r)
+                                * (4.0 - 3.0 * (t.dist / t.r)) END)
+                     * (red.reduction / t.dist)) END), 4) AS x,
+       ROUND(MIN(t.vy) + SUM(CASE WHEN t.dist = 0 THEN 0.0 ELSE
+             t.dy * ((CASE WHEN t.dist > t.r THEN t.m * t.r / t.dist
+                           ELSE t.m * (t.dist / t.r) * (t.dist / t.r)
+                                * (4.0 - 3.0 * (t.dist / t.r)) END)
+                     * (red.reduction / t.dist)) END), 4) AS y
+FROM terms t, red
+GROUP BY t.id, t.k
+"""
+
+# Dorling relaxation summary: the radii are input-derivable (the
+# dorling_radius closed form over the id % 10 = 3 subsample) and the
+# converged relaxation must leave zero overlapping pairs — a hashable
+# row for the otherwise sequential driver-side algorithm. The Spark
+# side measures n_overlaps from the ACTUAL relaxed placements.
+DORLING_STATS = f"""
+WITH {oracle_ctes('polys')},
+base AS (SELECT id, CAST(size_mb AS DOUBLE) AS v,
+                (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy,
+                (x1 - x0) * (y1 - y0) AS area
+         FROM polys WHERE id % 10 = 3),
+sums AS (SELECT SUM(SQRT((a.cx - b.cx) * (a.cx - b.cx)
+                         + (a.cy - b.cy) * (a.cy - b.cy))) AS cum_dist,
+                SUM(SQRT(a.v / PI()) + SQRT(b.v / PI())) AS cum_rad
+         FROM base a, base b WHERE a.id <> b.id),
+nrm AS (SELECT SQRT(SUM(area * area)) AS area_l2 FROM base),
+rad AS (SELECT id,
+               ROUND(SQRT(v / PI()) * (cum_dist / cum_rad) * 0.8
+                     * (area / area_l2), 6) AS radius
+        FROM base, sums, nrm)
+SELECT COUNT(*) AS n_circles,
+       ROUND(SUM(radius), 4) AS sum_radius,
+       CAST(0 AS BIGINT) AS n_overlaps
+FROM rad
+"""
+
+# KMeans co-membership ground truth: roads_b is a <=1-unit jitter of
+# roads_a (twins ~1e0 apart vs ~1e4 inter-line spacing), so every
+# A-line's twin must share its cluster no matter how k-means++ seeds
+# split or merge the remaining clusters — the partition-invariant
+# projection of the matching (raw pair lists are NOT partition-stable;
+# measured: merged clusters add cross pairs under other parallelism).
+MATCH_CLUSTER_TWINS = f"""
+WITH {oracle_ctes('road_verts')}
+SELECT DISTINCT id FROM road_verts WHERE id % 20 = 7
+"""
+
 _IDW_N = 32
 _IDW_R = 8000.0
 IDW_INTERPOLATION = f"""

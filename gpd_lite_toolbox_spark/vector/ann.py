@@ -113,6 +113,8 @@ def cosine_topk(
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
     dims: int | None = None,
+    max_pairs: int = 100_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors by cosine similarity for each query vector.
 
@@ -125,7 +127,23 @@ def cosine_topk(
     The QUERY side is broadcast by default (the bounded side in a
     brute-force scan); the corpus streams partition-parallel with no
     shuffle.
+
+    This is the EXACT baseline, deliberately O(|queries| x |corpus|):
+    calls whose pair count exceeds ``max_pairs`` raise unless
+    ``force=True``, steering large-scale callers to ``ann_lsh_topk``
+    (same output contract, banded candidates) or ``ann_ivf_topk``
+    (probe-limited). The guard costs two column-pruned counts — noise
+    next to the cross join it prevents.
     """
+    if not force:
+        n_q, n_v = queries.count(), vectors.count()
+        if n_q * n_v > max_pairs:
+            raise ValueError(
+                f"cosine_topk is the exact brute-force baseline: "
+                f"{n_q} queries x {n_v} corpus rows = {n_q * n_v} pairs "
+                f"exceeds max_pairs={max_pairs}. Use ann_lsh_topk / "
+                f"ann_ivf_topk at this scale, or pass force=True."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("qn", _norm_col(F.col("qv"), dims))

@@ -193,6 +193,21 @@ def test_embedding_lsh_subset_of_exact_with_recall_floor(spark, sf_dir):
         assert recall >= 0.25, f"LSH recall {recall:.2f}"
 
 
+def test_cosine_topk_guardrail_blocks_oversized_cross_join(spark, sf_dir):
+    """The exact brute-force path refuses pair counts above max_pairs
+    unless force=True — the guard that keeps the O(Q x N) baseline from
+    being picked by accident at corpus scale."""
+    import pytest
+    from gpd_lite_toolbox_spark.vector.ann import cosine_topk
+
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings").limit(20)
+    with pytest.raises(ValueError, match="max_pairs"):
+        cosine_topk(emb, emb, k=3, max_pairs=100)
+    forced = cosine_topk(emb, emb, k=3, max_pairs=100, force=True)
+    assert forced.count() == 20 * 3
+
+
 def test_embedding_hot_bucket_cap_is_bit_identical(spark, sf_dir):
     """Skew guard: a planted degenerate LSH bucket (40 same-direction
     vectors collide in every band) is split into block-pair tasks by
