@@ -935,6 +935,46 @@ def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming banded near-dedup over the bounded documents source:
+    row-local SimHash -> LSH band keys -> dropDuplicatesWithinWatermark.
+    The emitted key set is deterministic and equals the batch distinct
+    band keys (DuckDB recomputes the sketch + banding), so the
+    streaming near-dup operator gets the full hash gate."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_near_dedup,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return run_streaming_near_dedup(s, f"{sf_dir}/documents.parquet")
+
+
+def _q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk tiling over the fake-media audio rows: the REAL
+    binary payload round-trips through attach/decode (mapInPandas) and
+    the chunk table is pure sequence+explode arithmetic the oracle
+    mirrors closed-form (chunk_s=0.001 so every sample-rate tier tiles
+    the 40-sample payload into a different chunk count, exercising the
+    partial-final-chunk path)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        chunk_audio,
+        decode_image_meta,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select("doc_id")
+    media = decode_image_meta(attach_fake_media(docs))
+    aud = media.filter(F.col("meta_kind") == "audio")
+    return chunk_audio(aud, chunk_s=0.001).select(
+        "doc_id", "chunk_idx", "start_sample", "n_samples"
+    )
+
+
 def _q_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact intersection area + perimeter over the CONCAVE + HOLED
     L-shape layers — the non-rectangle geometry path (boundary-trace
@@ -1196,6 +1236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
+        "audio_chunks": _q_audio_chunks,
+        "stream_near_dedup": _q_stream_near_dedup,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1336,6 +1378,8 @@ def oracle_sql() -> dict[str, str]:
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,
         "media_pipeline": OR.MEDIA_PIPELINE,
+        "audio_chunks": OR.AUDIO_CHUNKS,
+        "stream_near_dedup": OR.STREAM_NEAR_DEDUP,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

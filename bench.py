@@ -82,11 +82,13 @@ BENCH_QUERIES = [
     "sessionize",
     "session_window",
     "stream_dedup",
+    "stream_near_dedup",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",
     "dorling_stats",
     "media_pipeline",
+    "audio_chunks",
     "idw_interpolation",
     "isochrone_surface",
     "embedding_dups",

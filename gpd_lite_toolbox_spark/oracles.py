@@ -466,6 +466,22 @@ sums AS (SELECT id, {_SIM_SUMS} FROM toks GROUP BY id)
 SELECT id, CAST({_SIM_FP} AS BIGINT) AS simhash FROM sums
 """
 
+# Streaming banded near-dedup: the emitted key set equals the batch
+# distinct LSH band keys of the per-document SimHash (2 x 16-bit
+# bands over the 32-bit sketch), computed here over raw documents
+# (the streaming source reads documents.parquet directly).
+STREAM_NEAR_DEDUP = f"""
+WITH toks AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(t.tok), 1, 8))::UBIGINT
+                          AS BIGINT) AS th
+              FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
+sums AS (SELECT doc_id AS id, {_SIM_SUMS} FROM toks GROUP BY doc_id),
+fp AS (SELECT CAST({_SIM_FP} AS BIGINT) AS sh FROM sums)
+SELECT DISTINCT CAST(b.band AS INT) AS band,
+       (f.sh >> (b.band * 16)) & 65535 AS band_key
+FROM fp f CROSS JOIN (SELECT UNNEST([0, 1]) AS band) b
+"""
+
 _NTOK = "CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / 1 AS BIGINT) + 1"
 _NSTOP = (
     "CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' the ', ''))) / 5 AS BIGINT)"
@@ -924,6 +940,25 @@ SELECT doc_id,
                     512.0 / (16 + (doc_id * 104729) % 2032),
                     1.0)) AS INT) AS target_height
 FROM documents
+"""
+
+# Audio chunk tiling (chunk_audio, chunk_s=0.001, 16-bit mono): the
+# fake payload is always 80 bytes -> 40 samples; step = sample_rate
+# samples per millisecond, exactly sr/1000 for the five fixture tiers.
+AUDIO_CHUNKS = """
+WITH aud AS (
+  SELECT doc_id,
+         CAST(40 AS BIGINT) AS total,
+         CAST((8000 + (doc_id % 5) * 8000) // 1000 AS BIGINT) AS step
+  FROM documents WHERE doc_id % 3 = 1),
+ex AS (SELECT doc_id, total, step,
+              UNNEST(generate_series(0, total - 1, step)) AS s
+       FROM aud)
+SELECT doc_id,
+       s // step AS chunk_idx,
+       s AS start_sample,
+       LEAST(step, total - s) AS n_samples
+FROM ex
 """
 
 # ----------------------------------------- dorling2 / IDW interpolation

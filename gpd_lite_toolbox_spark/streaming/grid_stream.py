@@ -297,6 +297,70 @@ def run_streaming_dedup(
     return spark.table("dedup_stream_out")
 
 
+def run_streaming_near_dedup(
+    spark,
+    parquet_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 2,
+    band_bits: int = 16,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming NEAR-dup suppression index: each document's row-local
+    SimHash (``simhash_expr`` — a stateless projection, legal before a
+    stateful operator) is split into LSH band keys, and
+    ``dropDuplicatesWithinWatermark`` on (band, band_key) emits each
+    key exactly once. That emitted set IS the first-seen index an
+    ingest pipeline consults: a document whose every band key was
+    already emitted is a near-dup candidate and gets dropped; the
+    watermark expires band-key state so an unbounded stream holds
+    bounded state (the near-dup sibling of ``run_streaming_dedup``).
+
+    Output projects only the deterministic KEY SET (band, band_key):
+    which document first claims a key is racy across partitions, the
+    key set is not — on a bounded availableNow source it equals the
+    batch distinct band keys, the driver-oracle form. Event time is
+    derived from the id column (documents carry no timestamp;
+    offset away from epoch 0 so no row sits at the initial watermark).
+    """
+    import os
+    import tempfile
+
+    from ..text.dedup import simhash_band_keys
+
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix="neardedup_stream_")
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    keyed = simhash_band_keys(
+        stream, text_col, n_bands=n_bands, band_bits=band_bits
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.col(id_col) * 1_000_000 + F.lit(10_000_000_000_000)
+        ),
+    )
+    dedup = (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["band", "band_key"])
+        .select("band", "band_key")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardedup_band_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table("neardedup_band_out")
+
+
 SESSION_GAP_S = 1800
 
 

@@ -682,6 +682,44 @@ def dup_groups(
     )
 
 
+def simhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 2,
+    band_bits: int = 16,
+) -> DataFrame:
+    """LSH banding of the row-local SimHash: one row per (band,
+    band_key) sub-fingerprint — the index keys a near-dup ingest
+    pipeline consults (any band collision with a previously admitted
+    document flags a near-dup candidate).
+
+    Stateless projection + explode over ``simhash_expr``, so it is
+    streaming-legal ahead of a stateful dedup; batch and stream
+    derive byte-identical keys from the same expression."""
+    mask = (1 << band_bits) - 1
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned(F.col("_sh"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint")
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        df.withColumn("_sh", simhash_expr(text_col))
+        .withColumn("_b", F.explode(entries))
+        .select(
+            *[c for c in df.columns],
+            F.col("_b.band").alias("band"),
+            F.col("_b.band_key").alias("band_key"),
+        )
+    )
+
+
 def simhash_expr(text_col: str) -> "F.Column":
     """Row-LOCAL SimHash: the same 32-bit fingerprint as ``simhash()``
     computed entirely inside one projection via higher-order array

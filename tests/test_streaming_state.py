@@ -285,6 +285,57 @@ def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_streaming_banded_near_dedup_planted_dups(spark, tmp_path):
+    """Banded streaming near-dedup (run_streaming_near_dedup): the
+    emitted (band, band_key) set equals the batch distinct LSH band
+    keys; a planted EXACT copy claims no new keys (it would be
+    suppressed by a first-wins ingest), and a lightly perturbed copy
+    still collides with its original in at least one band — the
+    near-dup recall banding exists for."""
+    import pandas as pd
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_near_dedup,
+    )
+    from gpd_lite_toolbox_spark.text.dedup import simhash_band_keys
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = {
+        i: f"document {i} " + " ".join([base] * 3) + f" tail {i % 7}"
+        for i in range(20)
+    }
+    texts[20] = texts[3]  # exact copy
+    # one-token edit: flips sketch bits only in the LOW band (verified
+    # against the reference simhash arithmetic), so the high band still
+    # collides — the partial-band near-dup regime banding exists for
+    texts[21] = texts[5].replace("river", "creek", 1)
+    pdf = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    got = {
+        (r.band, r.band_key)
+        for r in run_streaming_near_dedup(spark, src).collect()
+    }
+    keys = simhash_band_keys(spark.read.parquet(src))
+    expect = {
+        (r.band, r.band_key)
+        for r in keys.select("band", "band_key").distinct().collect()
+    }
+    assert got == expect and len(got) > 0
+
+    per_doc: dict[int, set] = {}
+    for r in keys.select("doc_id", "band", "band_key").collect():
+        per_doc.setdefault(r.doc_id, set()).add((r.band, r.band_key))
+    # exact copy: every key already claimed by its original
+    assert per_doc[20] == per_doc[3]
+    # near copy: the sketch changed but one band survives the edit
+    assert per_doc[21] != per_doc[5], "edit should alter the low band"
+    assert per_doc[21] & per_doc[5], "perturbed copy lost every band"
+
+
 def test_streaming_near_dedup_via_rowlocal_simhash(spark, sf_dir):
     """Streaming near-dup suppression: the row-LOCAL simhash expression
     (stateless projection — no explode/groupBy, so it can legally
