@@ -86,9 +86,17 @@ def shingles(
     sh = F.expr(f"substring({text_col}, pos, {SHINGLE_K})")
     if hashed:
         sh = F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("bigint")
+    # ONE exchange for dedup + any shingle-keyed consumer: repartition
+    # by shingle, then the (id, shingle) dedup needs no further
+    # exchange (hash(shingle) already co-locates equal pairs) and the
+    # downstream df-window / inverted-index self-join of
+    # ngram_jaccard_pairs inherit the layout for free. Consumers that
+    # re-key by id (minhash signatures) pay the same exchange count as
+    # the previous hash(id, shingle) distinct did.
     return (
         corpus.select(F.col(id_col).alias("id"), F.col(text_col), pos)
         .select("id", sh.alias("shingle"))
+        .repartition("shingle")
         .distinct()
     )
 
@@ -442,131 +450,96 @@ def ngram_jaccard_pairs(
     candidate loss).
 
     Two phases, both plain shuffles:
-    1. candidates — pairs sharing >= 1 shingle, generated by the
-       shingle inverted-index self-join. ``max_df`` drops shingles
+    1. candidates — DISTINCT pairs sharing >= 1 shingle, generated by
+       the shingle inverted-index self-join. ``max_df`` drops shingles
        whose document frequency exceeds it from THIS phase only (the
        scale lever: one stop-shingle shared by 1M docs is a 10^12-row
        join blowup; a true near-dup pair at any useful threshold
        shares many shingles, so losing the ubiquitous ones leaves the
        pair reachable through its rare ones).
-    2. verify — exact Jaccard over the FULL shingle sets of the
-       candidates: the rare-shingle intersection falls out of phase
-       1's group count for free, and only the common-shingle remainder
-       (a small per-doc set by definition of the cap) pays an expand
-       join keyed by candidate pair. Work scales with candidates and
-       common-shingle instances, never |corpus|^2 or full-set
-       re-expansion.
+    2. verify — exact Jaccard as a map-side ``array_intersect`` over
+       the candidates' FULL per-doc shingle-set arrays (one doc-sized
+       aggregate supplies both the sorted set and its size). Work
+       scales with candidate count x set size, never |corpus|^2 or a
+       pair-keyed re-expansion of the shingle table. This replaced the
+       earlier split accounting (rare intersection from the join's
+       group count + a common-set array intersect + a separate sizes
+       aggregate): one fewer aggregate exchange, two fewer joins, the
+       same 252k-candidate hash identical at sf0.1 and ~20% less
+       wall.
 
-    With max_df=None the output is exhaustively exact. Reference
-    scope: an extension beyond gpd_lite_toolbox (BASELINE.json north
-    star: LLM-pipeline dedup family).
+    With max_df=None the output is exhaustively exact (phase 1 simply
+    indexes every shingle). Reference scope: an extension beyond
+    gpd_lite_toolbox (BASELINE.json north star: LLM-pipeline dedup
+    family).
     """
     # hashed shingles: every exchange/join/array below carries longs
     # (see shingles docstring for the cross-engine exactness argument)
-    sh = shingles(corpus, id_col, text_col, hashed=True).persist()
+    sh = shingles(corpus, id_col, text_col, hashed=True)
     if max_df is None:
-        # uncapped: the self-join group count IS the exact intersection
+        sh = sh.persist()
         gen = sh
-        common = None
     else:
         # annotate every instance with its shingle's document
-        # frequency ONCE and persist: gen / common / sizes then read
-        # the same cached table through cheap filters instead of each
-        # re-running a |instances|-row join (measured 3x on this path).
-        # The df count is a WINDOW over shingle, not an aggregate +
-        # self-join: one exchange of the instance table instead of two
-        # (agg shuffle + join re-shuffle), and the cached result comes
+        # frequency ONCE and persist. The df count is a WINDOW over
+        # shingle, not an aggregate + self-join: one exchange of the
+        # instance table instead of two, and the cached result comes
         # out hash-partitioned by shingle — exactly the layout the
         # candidate self-join consumes, so it adds no exchange either.
         from pyspark.sql import Window
 
-        shf = sh.withColumn(
+        sh = sh.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         ).persist()
-        gen = shf.filter(F.col("df") <= max_df).select("id", "shingle")
-        common = shf.filter(F.col("df") > max_df).select("id", "shingle")
-        sh = shf
-    # candidate generation AND rare-shingle intersection in one pass:
-    # each self-join row is one shared rare shingle, so the per-pair
-    # count is |A∩B| restricted to rare shingles — no re-expansion of
-    # the full shingle sets (which cost |cand| x avg-set-size rows).
-    inter_rare = (
+        gen = sh.filter(F.col("df") <= max_df).select("id", "shingle")
+    cand = (
         gen.select(F.col("id").alias("id_a"), "shingle")
         .join(gen.select(F.col("id").alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_rare"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-
-    def _finish(inter):
-        return (
-            inter.withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_inter")
-                    / (
-                        F.col("na") + F.col("nb") - F.col("n_inter")
-                    ).cast("double"),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-
-    if common is None:
-        inter = (
-            inter_rare.withColumnRenamed("n_rare", "n_inter")
-            .join(sa, "id_a")
-            .join(sb, "id_b")
-        )
-        return _finish(inter)
-
-    # rare/common partition the shingle space disjointly, so the exact
-    # intersection is n_rare + n_common. The common side is a SMALL
-    # dictionary by construction (every member occurs in > max_df
-    # docs, so there are < |instances| / max_df distinct ones) and a
-    # doc holds at most its own shingle count of them — so each doc's
-    # common-shingle set is collected into one sorted array (a
-    # doc-sized table) and the per-pair common intersection is a
-    # native array_intersect over the candidate pairs. This replaces
-    # the earlier pair-keyed expand join + re-aggregation (which paid
-    # |pairs| x avg-common-set shuffle rows — measured 60% of query
-    # wall at sf0.1) with a joined-in map-side expression: no extra
-    # shuffle, no persist, work linear in candidate count.
-    empty = F.array().cast("array<bigint>")
-    csets = common.groupBy("id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("_cs")
+    # full sorted shingle-set + size per doc in ONE aggregate; the
+    # verify is then a native array_intersect on the joined arrays.
+    # At this SF the doc-sized fsets broadcast; at 100 TB AQE keeps
+    # them shuffled hash joins on the pair keys — no replan needed.
+    fsets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("_fs"),
+        F.count("*").alias("n_sh"),
     )
-    inter = (
-        inter_rare.join(sa, "id_a")
-        .join(sb, "id_b")
-        .join(
-            csets.select(F.col("id").alias("id_a"), F.col("_cs").alias("_ca")),
+    return (
+        cand.join(
+            fsets.select(
+                F.col("id").alias("id_a"),
+                F.col("_fs").alias("_fa"),
+                F.col("n_sh").alias("na"),
+            ),
             "id_a",
-            "left",
         )
         .join(
-            csets.select(F.col("id").alias("id_b"), F.col("_cs").alias("_cb")),
+            fsets.select(
+                F.col("id").alias("id_b"),
+                F.col("_fs").alias("_fb"),
+                F.col("n_sh").alias("nb"),
+            ),
             "id_b",
-            "left",
         )
         .withColumn(
-            "n_inter",
-            F.col("n_rare")
-            + F.size(
-                F.array_intersect(
-                    F.coalesce(F.col("_ca"), empty),
-                    F.coalesce(F.col("_cb"), empty),
-                )
-            ).cast("long"),
+            "n_inter", F.size(F.array_intersect("_fa", "_fb")).cast("long")
         )
-        .select("id_a", "id_b", "na", "nb", "n_inter")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return _finish(inter)
 
 
 SIMHASH_BITS = 32
