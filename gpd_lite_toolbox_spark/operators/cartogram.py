@@ -348,4 +348,12 @@ def non_contiguous_cartogram(
         {"id": pdf.id, "cx": xs.round(6), "cy": ys.round(6), "radius": rs}
     )
     spark = gdf.sparkSession
-    return spark.createDataFrame(out)
+    # ONE partition: the placement table is cartogram-sized by contract
+    # and createDataFrame parallelizes to defaultParallelism otherwise —
+    # a downstream self-join then runs |p|^2 cartesian TASKS (measured
+    # 1024 tasks / ~10 s at sf0.1 for a 100-row table). repartition,
+    # NOT coalesce: coalesce(1) makes one task pull every pickled
+    # parent slice through sequential Python-runner roundtrips
+    # (measured 3.7 s/action); repartition keeps the 32 slice
+    # evaluations parallel ahead of the 1-partition exchange (0.05 s).
+    return spark.createDataFrame(out).repartition(1)
