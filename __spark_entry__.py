@@ -388,6 +388,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: the corpus split by id % 13
+    into train / benchmark; flagged train docs carry the count of
+    their shingles found in the benchmark dictionary."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import decontaminate
+
+    corpus = _corpus(spark, sf_dir)
+    return decontaminate(
+        corpus.filter(F.col("id") % 13 != 0),
+        corpus.filter(F.col("id") % 13 == 0),
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_pairs
 
@@ -1238,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_cluster_twins": _q_match_cluster_twins,
         "audio_chunks": _q_audio_chunks,
         "stream_near_dedup": _q_stream_near_dedup,
+        "decontaminate": _q_decontaminate,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1380,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "media_pipeline": OR.MEDIA_PIPELINE,
         "audio_chunks": OR.AUDIO_CHUNKS,
         "stream_near_dedup": OR.STREAM_NEAR_DEDUP,
+        "decontaminate": OR.DECONTAMINATE,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "session_window",
     "stream_dedup",
     "stream_near_dedup",
+    "decontaminate",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

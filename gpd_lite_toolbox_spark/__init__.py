@@ -69,10 +69,12 @@ from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
 from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
 from .text.corpus import pack_sequences, stratified_sample, tfidf_topk  # noqa: F401
 from .text.dedup import (  # noqa: F401
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_band_keys,
 )
 from .text.pipeline import clean_corpus_summary  # noqa: F401
 from .text.search import bm25_topk  # noqa: F401
@@ -127,6 +129,8 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "decontaminate",
+    "simhash_band_keys",
     "simhash",
     "cosine_topk",
     "ann_lsh_topk",

@@ -424,6 +424,18 @@ shh AS (SELECT DISTINCT id,
                           {_dd.SHINGLE_STRIDE})) AS u(pos))
 """
 
+# Decontamination: train/benchmark split of the corpus fixture by
+# id % 13; a train doc is flagged with the count of its distinct
+# shingles that occur anywhere in the benchmark shingle dictionary.
+DECONTAMINATE = f"""
+WITH {oracle_ctes('corpus')}, {_SHINGLE_HASHED_CTE}
+SELECT t.id, COUNT(*) AS n_hits
+FROM (SELECT * FROM shh WHERE id % 13 <> 0) t
+JOIN (SELECT DISTINCT shingle FROM shh WHERE id % 13 = 0) b
+  ON b.shingle = t.shingle
+GROUP BY t.id
+"""
+
 NGRAM_JACCARD = f"""
 WITH {oracle_ctes('corpus')}, {_SHINGLE_HASHED_CTE}, sh AS (SELECT * FROM shh),
 dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),

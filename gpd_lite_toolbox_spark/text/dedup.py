@@ -655,6 +655,45 @@ def dup_groups(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_hits`` K-character shingles with ANY benchmark
+    document — the n-gram-overlap contamination check a pretraining
+    pipeline runs before a corpus ships (the standard published
+    practice: drop or audit training examples overlapping an eval
+    set's n-grams).
+
+    Output: (id, n_hits) for flagged docs, where n_hits counts the
+    doc's DISTINCT shingles that occur anywhere in the benchmark —
+    an audit score (1 = borderline, ~|doc shingles| = verbatim copy).
+
+    Scale: the benchmark shingle DICTIONARY (distinct shingles) is
+    orders of magnitude smaller than the corpus; the corpus side pays
+    one equi-join on the shingle key (AQE broadcasts the dictionary
+    when it fits, else both sides are already shingle-partitioned by
+    ``shingles()``) plus a partial-aggregated per-doc count. No
+    corpus self-join, nothing quadratic.
+    """
+    c_sh = shingles(corpus, id_col, text_col, hashed=True)
+    b_sh = (
+        shingles(benchmark, id_col, text_col, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= int(min_hits))
+    )
+
+
 def simhash_band_keys(
     df: DataFrame,
     text_col: str = "text",

@@ -45,6 +45,33 @@ def test_minhash_finds_planted_near_duplicates(spark, sf_dir, corpus):
             assert j == 1.0
 
 
+def test_decontaminate_flags_planted_benchmark_overlap(spark):
+    """A train doc that verbatim-copies a benchmark doc is flagged
+    with n_hits == its full shingle-set size; a train doc embedding
+    one benchmark sentence is flagged with 0 < n_hits < full; a
+    disjoint doc is not flagged at all."""
+    from gpd_lite_toolbox_spark.text.dedup import decontaminate, shingles
+
+    bench_text = (
+        "the held out evaluation question asks about the capital of "
+        "france and the answer is paris obviously"
+    )
+    rows = [
+        (1, bench_text),  # verbatim copy of benchmark doc
+        (2, "training prose with " + bench_text + " quoted in the middle"),
+        (3, "completely unrelated zebra xylophone quantum marmalade"),
+    ]
+    train = spark.createDataFrame(rows, "id bigint, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "id bigint, text string")
+    got = {r.id: r.n_hits for r in decontaminate(train, bench).collect()}
+    full = shingles(
+        spark.createDataFrame([(1, bench_text)], "id bigint, text string")
+    ).count()
+    assert got[1] == full
+    assert 0 < got[2] < shingles(train.filter("id = 2")).count()
+    assert 3 not in got
+
+
 def test_ngram_jaccard_exact_superset_of_minhash(spark, sf_dir, corpus):
     """The exact n-gram measure must (a) recover every planted family
     with the right score and (b) contain every minhash-emitted pair —
