@@ -78,7 +78,13 @@ from .text.dedup import (  # noqa: F401
 )
 from .text.pipeline import clean_corpus_summary  # noqa: F401
 from .text.search import bm25_topk  # noqa: F401
-from .vector.ann import ann_ivf_topk, ann_lsh_topk, cosine_topk  # noqa: F401
+from .vector.ann import (  # noqa: F401
+    ann_ivf_topk,
+    ann_ivf_topk_indexed,
+    ann_lsh_topk,
+    cosine_topk,
+    write_ivf_index,
+)
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
 __all__ = [
@@ -116,6 +122,8 @@ __all__ = [
     "to_crs",
     "st_transform",
     "ann_ivf_topk",
+    "ann_ivf_topk_indexed",
+    "write_ivf_index",
     "clean_corpus_summary",
     # spatial-join substrate
     "bbox_join",

@@ -259,6 +259,119 @@ def ann_ivf_topk(
     )
 
 
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+    dims: int | None = None,
+) -> None:
+    """Persist the IVF inverted file: the cell-assigned corpus written
+    as parquet PARTITIONED BY cell (plus the centroid table alongside),
+    so the quantizer fit and the corpus shuffle are paid ONCE and every
+    later query batch reads only its probed cells via partition pruning
+    — the disk-layout analogue of the in-memory inverted list, and the
+    amortization a real 100 TB serving path needs (the per-batch
+    KMeans refit in ``ann_ivf_topk`` is the exploratory form).
+
+    Layout: ``<path>/cells/cell=<i>/...`` with (neighbor_id, nv, nn)
+    and ``<path>/centroids`` with (cell, cv).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    feat = v.withColumn("features", array_to_vector("nv"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feat)
+    inverted = (
+        model.transform(feat)
+        .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
+        .withColumn("nn", _norm_col(F.col("nv"), dims))
+    )
+    inverted.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    spark = vectors.sparkSession
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, cv array<double>",
+    )
+    centers.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Top-k search against a persisted IVF index (``write_ivf_index``):
+    routes each query to its ``n_probe`` nearest stored centroids, then
+    restricts the cells scan to the probed cell set with a STATIC
+    partition filter — the probed set is collected (bounded by
+    n_centroids, never by query count) so the parquet scan shows
+    ``PartitionFilters`` and reads ~n_probe/n_centroids of the data;
+    a join-driven dynamic filter would depend on DPP kicking in.
+    Output schema matches cosine_topk; results are identical to
+    ``ann_ivf_topk`` run with the same quantizer."""
+    centers = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm_col(F.col("qv"), dims))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    ).persist()
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    inverted = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = probes.join(inverted, "cell").select(
+        "query_id",
+        "neighbor_id",
+        _cosine_col(
+            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"), dims
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 N_PLANES = 16
 N_BANDS_V = 4  # 4 bands x 4 planes: candidate if ANY band's bits match
 _PLANE_PRIME = 10007
