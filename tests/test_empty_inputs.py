@@ -37,6 +37,28 @@ def test_text_family_on_empty_corpus(spark):
     ).count() == 0
 
 
+def test_round4_ops_on_empty_inputs(spark):
+    from gpd_lite_toolbox_spark.media.multimodal import chunk_audio
+    from gpd_lite_toolbox_spark.text.dedup import (
+        decontaminate,
+        embedding_near_dups,
+        simhash_band_keys,
+    )
+
+    corpus = _empty(spark, "id long, text string")
+    assert decontaminate(corpus, corpus).count() == 0
+    # empty benchmark flags nothing even for a non-empty corpus
+    docs = spark.createDataFrame([(1, "some training text")], "id long, text string")
+    assert decontaminate(docs, corpus).count() == 0
+    assert simhash_band_keys(corpus).count() == 0
+    emb = _empty(spark, "vec_id long, embedding array<float>, label int")
+    assert embedding_near_dups(emb, dims=4).count() == 0
+    media = _empty(
+        spark, "doc_id long, meta_n_bytes long, meta_sample_rate int"
+    )
+    assert chunk_audio(media).count() == 0
+
+
 def test_temporal_family_on_empty_events(spark):
     from gpd_lite_toolbox_spark.operators.temporal import (
         asof_join,

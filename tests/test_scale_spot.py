@@ -1,0 +1,52 @@
+"""sf0.1 oracle spot-check: a small set of scale-sensitive queries
+re-verified against DuckDB at 10x the default test SF — the guard
+against bugs that only appear with more data (float drift in
+cross-feature sums, prefix-sum blocking, candidate-join fan-out,
+relaxation convergence). Skips when the sf0.1 fixtures are absent.
+
+Queries are chosen for scale-coupled failure modes, not coverage (the
+full per-query gate runs at the driver's sf0.01):
+
+- cartogram: displacement sums over 10x the features (float drift
+  against the relational replay).
+- dorling_stats: relaxation convergence + overlap audit at a denser
+  packing.
+- pack_sequences: the two-level distributed prefix sum crosses more
+  blocks.
+- ngram_jaccard / minhash_pairs: candidate-join fan-out and the
+  one-exchange shingle layout under real volume.
+- decontaminate / stream_near_dedup / audio_chunks: round-4 additions
+  whose only other scale evidence is manual.
+- value_histogram: global bounds reduce + binning over 10x rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as E
+from tests.util import assert_parity
+
+SF01 = "/root/testdata/sf0.1"
+
+_SPOT = [
+    "cartogram",
+    "dorling_stats",
+    "pack_sequences",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "decontaminate",
+    "stream_near_dedup",
+    "audio_chunks",
+    "value_histogram",
+]
+
+
+@pytest.mark.parametrize("name", _SPOT)
+def test_query_matches_oracle_at_sf01(spark, name):
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 fixtures not present")
+    df = E.queries()[name](spark, SF01)
+    assert_parity(df, E.oracle_sql()[name], SF01)
