@@ -626,6 +626,22 @@ def _q_grid_cut_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell_id", "row", "col", "clip_area")
 
 
+def _q_hull_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-hull evidence row: the distributed hull-of-hulls reduce
+    vs a DuckDB gift-wrapping recursive CTE (an independent
+    algorithm). Brings the hull machinery behind grid_cut_hull under
+    the hash gate; the id % 7 subsample bounds the oracle's
+    O(h * n^2) walk."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.grid import convex_hull_stats
+
+    pts = FX.points(_configure(spark), sf_dir, with_geometry=False).filter(
+        F.col("id") % 7 == 0
+    )
+    return convex_hull_stats(pts)
+
+
 def _q_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpd_lite_toolbox_spark.operators.isochrone import isochrone_bands
 
@@ -1254,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": _q_audio_chunks,
         "stream_near_dedup": _q_stream_near_dedup,
         "decontaminate": _q_decontaminate,
+        "hull_stats": _q_hull_stats,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1397,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": OR.AUDIO_CHUNKS,
         "stream_near_dedup": OR.STREAM_NEAR_DEDUP,
         "decontaminate": OR.DECONTAMINATE,
+        "hull_stats": OR.HULL_STATS,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "stream_dedup",
     "stream_near_dedup",
     "decontaminate",
+    "hull_stats",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

@@ -217,6 +217,40 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
     ).filter(F.col("clip_area") > 0)
 
 
+def convex_hull_stats(points: DataFrame) -> DataFrame:
+    """Evidence row for the distributed convex hull: (n_vertices,
+    hull_area, hull_perimeter) of the hull-of-hulls reduce that backs
+    ``make_grid_cut_hull`` — each partition shrinks to its local hull
+    vertices (mapInPandas), the driver hulls the tiny candidate union;
+    the full point table is never collected. The DuckDB oracle
+    recomputes the hull with an INDEPENDENT algorithm (gift-wrapping
+    as a recursive CTE vs the monotone chain here); integer fixture
+    coordinates keep every cross-product sign exact in both engines,
+    so the strict-vertex count matches exactly.
+    """
+    from ..geometry import kernels as K
+
+    spark = points.sparkSession
+
+    def local_hull(batches):
+        for pdf in batches:
+            h = K.convex_hull(pdf[["x", "y"]].to_numpy(dtype=float))
+            yield pd.DataFrame({"x": h[:, 0], "y": h[:, 1]})
+
+    cand = (
+        points.select("x", "y")
+        .mapInPandas(local_hull, schema="x double, y double")
+        .collect()
+    )
+    hull = K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
+    area = abs(K.ring_signed_area(hull))
+    perim = K.line_length(np.vstack([hull, hull[:1]]))
+    return spark.createDataFrame(
+        [(len(hull), round(float(area), 6), round(float(perim), 6))],
+        "n_vertices bigint, hull_area double, hull_perimeter double",
+    )
+
+
 # Aggregates written in exact-arithmetic form: for integer-typed value
 # columns every SUM stays an exact integer regardless of partial-agg
 # merge order, so results are reproducible bit-for-bit across engines

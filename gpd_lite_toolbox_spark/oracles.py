@@ -697,6 +697,48 @@ SELECT front, front_r, left_id, right_id,
 FROM ok WHERE rn = 1
 """
 
+# Convex-hull evidence row: the oracle recomputes the hull with an
+# INDEPENDENT algorithm — gift-wrapping as a recursive CTE (next hull
+# vertex = the point no other point is left of, farthest on collinear
+# ties) vs the engine's monotone chain. Integer fixture coordinates
+# keep every cross-product sign exact in both engines. The id % 7
+# subsample bounds the O(h * n^2) NOT EXISTS walk (full sf0.1 measured
+# 123 s in DuckDB; the subsample is 2.6 s and the hull is equally
+# real).
+HULL_STATS = f"""
+WITH RECURSIVE {oracle_ctes('points')},
+pts AS (SELECT DISTINCT x, y FROM points WHERE id % 7 = 0),
+walk(step, cx, cy, sx, sy) AS (
+  SELECT 0, x, y, x, y FROM (SELECT x, y FROM pts ORDER BY y, x LIMIT 1)
+  UNION ALL
+  SELECT w.step + 1, q.x, q.y, w.sx, w.sy
+  FROM walk w JOIN pts q ON (q.x <> w.cx OR q.y <> w.cy)
+  WHERE (w.step = 0 OR w.cx <> w.sx OR w.cy <> w.sy)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts r
+      WHERE (r.x <> w.cx OR r.y <> w.cy) AND (r.x <> q.x OR r.y <> q.y)
+        AND ( (q.x - w.cx) * (r.y - w.cy)
+              - (q.y - w.cy) * (r.x - w.cx) > 0
+              OR ( (q.x - w.cx) * (r.y - w.cy)
+                   - (q.y - w.cy) * (r.x - w.cx) = 0
+                   AND (r.x - w.cx) * (q.x - w.cx)
+                       + (r.y - w.cy) * (q.y - w.cy) > 0
+                   AND (r.x - w.cx) * (r.x - w.cx)
+                       + (r.y - w.cy) * (r.y - w.cy)
+                     > (q.x - w.cx) * (q.x - w.cx)
+                       + (q.y - w.cy) * (q.y - w.cy) ) )
+    )
+),
+closed AS (SELECT step, cx, cy FROM walk),
+edges AS (SELECT a.cx AS x1, a.cy AS y1, b.cx AS x2, b.cy AS y2
+          FROM closed a JOIN closed b ON b.step = a.step + 1)
+SELECT (SELECT COUNT(*) - 1 FROM closed) AS n_vertices,
+       ROUND(ABS(SUM(x1 * y2 - x2 * y1)) / 2.0, 6) AS hull_area,
+       ROUND(SUM(SQRT((x2 - x1) * (x2 - x1)
+                      + (y2 - y1) * (y2 - y1))), 6) AS hull_perimeter
+FROM edges
+"""
+
 _PGRID_H = GRID_H
 GRID_CUT = f"""
 WITH {oracle_ctes('polys')},

@@ -41,6 +41,7 @@ _SPOT = [
     "stream_near_dedup",
     "audio_chunks",
     "value_histogram",
+    "hull_stats",
 ]
 
 
