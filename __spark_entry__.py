@@ -1029,6 +1029,22 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_corpus(spark, sf_dir), budget=OR.PACK_BUDGET)
 
 
+def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: the largest deterministic sample of documents with
+    the target language mixture 50% en / 25% fr / 25% de (water-filled
+    rates from per-stratum counts, hash-threshold selection)."""
+    from gpd_lite_toolbox_spark.text.corpus import sample_to_mixture
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return sample_to_mixture(
+        s.table("documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+        targets={"en": 0.5, "fr": 0.25, "de": 0.25},
+        id_col="doc_id",
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsampling of the documents table
     (multiplicative-hash threshold — shuffle-free, retry-stable)."""
@@ -1271,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dedup": _q_stream_near_dedup,
         "decontaminate": _q_decontaminate,
         "hull_stats": _q_hull_stats,
+        "domain_mixture": _q_domain_mixture,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1415,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_near_dedup": OR.STREAM_NEAR_DEDUP,
         "decontaminate": OR.DECONTAMINATE,
         "hull_stats": OR.HULL_STATS,
+        "domain_mixture": OR.DOMAIN_MIXTURE,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

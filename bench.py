@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "stream_near_dedup",
     "decontaminate",
     "hull_stats",
+    "domain_mixture",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

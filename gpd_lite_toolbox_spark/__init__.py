@@ -67,7 +67,12 @@ from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
 from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
 from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
-from .text.corpus import pack_sequences, stratified_sample, tfidf_topk  # noqa: F401
+from .text.corpus import (  # noqa: F401
+    pack_sequences,
+    sample_to_mixture,
+    stratified_sample,
+    tfidf_topk,
+)
 from .text.dedup import (  # noqa: F401
     decontaminate,
     exact_dedup,
@@ -146,6 +151,7 @@ __all__ = [
     "tfidf_topk",
     "pack_sequences",
     "stratified_sample",
+    "sample_to_mixture",
     # temporal joins
     "asof_join",
     "range_join_binned",

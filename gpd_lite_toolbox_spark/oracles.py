@@ -1540,6 +1540,25 @@ WHERE (doc_id * 2654435761) % 100000 <
       CAST(({_RATE_CASE}) * 100000 AS BIGINT)
 """
 
+# Mixture sampling (sample_to_mixture, targets en 0.5 / fr 0.25 /
+# de 0.25): rates derive from per-stratum counts by water-filling,
+# mirrored operation-for-operation ((scale * p) / n; FLOOR matches
+# Spark's positive-double truncate-cast); the binary-fraction targets
+# make every p exact in both engines.
+DOMAIN_MIXTURE = """
+WITH cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+             WHERE lang IN ('en', 'fr', 'de') GROUP BY lang),
+p AS (SELECT lang, n,
+             CASE lang WHEN 'en' THEN 0.5 ELSE 0.25 END AS p
+      FROM cnt),
+sc AS (SELECT MIN(n / p) AS scale FROM p),
+rt AS (SELECT p.lang, (sc.scale * p.p) / p.n AS rate FROM p, sc)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN rt ON rt.lang = d.lang
+WHERE (d.doc_id * 2654435761) % 100000
+      < CAST(FLOOR(rate * 100000) AS BIGINT)
+"""
+
 TFIDF_TOPK = """
 WITH tok AS (SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS term
              FROM documents),

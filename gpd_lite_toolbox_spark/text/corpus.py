@@ -125,6 +125,43 @@ def stratified_sample(
     return df.filter(h < (rate * _HASH_MOD).cast("long"))
 
 
+def sample_to_mixture(
+    df: DataFrame,
+    strata_col: str,
+    targets: Mapping[str, float],
+    id_col: str = "id",
+) -> DataFrame:
+    """Sample down to a target domain MIXTURE — the data-mixing step
+    of a pretraining pipeline (e.g. "50% en, 25% fr, 25% de"): keeps
+    the LARGEST dataset whose expected per-stratum proportions equal
+    ``targets``, by water-filling — the binding stratum is the one
+    with the smallest available/target ratio (it is kept ~whole) and
+    every other stratum is down-sampled to match.
+
+    rate_s = (min_j(n_j / p_j) * p_s) / n_s, with p the normalized
+    targets. Strata not in ``targets`` are dropped. Selection reuses
+    ``stratified_sample``'s multiplicative-hash threshold: shuffle-free
+    (the filter fuses into the scan), retry/partition-deterministic,
+    and cross-engine exact — the only distributed step is a
+    #domains-row count collect. Raises if a targeted stratum has no
+    rows (the mixture is unsatisfiable)."""
+    tot = float(sum(targets.values()))
+    if tot <= 0:
+        raise ValueError("targets must have positive total weight")
+    p = {s: float(t) / tot for s, t in targets.items() if t > 0}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        if r[0] in p
+    }
+    missing = [s for s in p if s not in counts]
+    if missing:
+        raise ValueError(f"targeted strata have no rows: {missing}")
+    scale = min(counts[s] / p[s] for s in p)
+    rates = {s: (scale * p[s]) / counts[s] for s in p}
+    return stratified_sample(df, strata_col, rates, default_rate=0.0, id_col=id_col)
+
+
 def tfidf_topk(
     corpus: DataFrame,
     k: int = 3,

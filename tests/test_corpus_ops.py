@@ -56,6 +56,35 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     assert (s3["lang"] == "fr").sum() == 0
 
 
+def test_sample_to_mixture_hits_target_proportions(spark):
+    """Water-filling: the scarcest targeted stratum is kept ~whole,
+    abundant strata are down-sampled toward the target mixture, and
+    untargeted strata are dropped entirely."""
+    import pytest
+
+    from gpd_lite_toolbox_spark.text.corpus import sample_to_mixture
+
+    rows = (
+        [(i, "en") for i in range(6000)]
+        + [(10000 + i, "fr") for i in range(1000)]
+        + [(20000 + i, "de") for i in range(1500)]
+        + [(30000 + i, "zh") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = sample_to_mixture(
+        df, "lang", {"en": 0.5, "fr": 0.25, "de": 0.25}
+    ).toPandas()
+    n = out["lang"].value_counts()
+    # binding stratum is fr (1000 / 0.25 = 4000 total): kept ~whole
+    assert n["fr"] >= 990
+    # en targets 2000 of 6000, de 1000 of 1500 — hash variance allowed
+    assert 1800 <= n["en"] <= 2200
+    assert 900 <= n["de"] <= 1100
+    assert "zh" not in n  # untargeted stratum dropped
+    with pytest.raises(ValueError, match="no rows"):
+        sample_to_mixture(df, "lang", {"en": 0.5, "ja": 0.5})
+
+
 def test_tfidf_ubiquitous_terms_score_zero(spark):
     rows = [
         (1, "common rare1 common"),

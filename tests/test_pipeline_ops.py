@@ -45,6 +45,24 @@ def test_minhash_finds_planted_near_duplicates(spark, sf_dir, corpus):
             assert j == 1.0
 
 
+def test_shingle_layout_is_one_exchange(spark, sf_dir, corpus):
+    """The shingle table's dedup + df-window ride ONE exchange: the
+    repartition by shingle satisfies both the (id, shingle) dedup's
+    clustering requirement and the window's, so no further
+    hashpartitioning exchange appears below the window (the round-4
+    perf contract for ngram_jaccard's substrate)."""
+    from pyspark.sql import Window
+
+    from gpd_lite_toolbox_spark.text.dedup import shingles
+
+    shf = shingles(corpus, hashed=True).withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    plan = shf._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
+
+
 def test_decontaminate_flags_planted_benchmark_overlap(spark):
     """A train doc that verbatim-copies a benchmark doc is flagged
     with n_hits == its full shingle-set size; a train doc embedding
