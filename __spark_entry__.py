@@ -459,6 +459,36 @@ def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus source round-trip: documents -> newline-delimited
+    JSON files -> pinned-schema parallel read. text integrity is
+    gated through md5 (JSON string escaping must be byte-exact both
+    ways); the oracle reads the same rows straight from parquet."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    cols = "doc_id bigint, lang string, source string, n_chars bigint, text string"
+    src = s.table("documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_jsonl(src, path)
+    back = read_jsonl(s, path, cols)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def _q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpatiaLite file round-trip over the L-shaped/holed layer: WKB ->
     GAIA-blob SQLite file (driver-side export sink) -> rowid-range
@@ -1288,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "hull_stats": _q_hull_stats,
         "domain_mixture": _q_domain_mixture,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1433,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": OR.DECONTAMINATE,
         "hull_stats": OR.HULL_STATS,
         "domain_mixture": OR.DOMAIN_MIXTURE,
+        "jsonl_roundtrip": OR.JSONL_ROUNDTRIP,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

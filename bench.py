@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "hull_stats",
     "domain_mixture",
+    "jsonl_roundtrip",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

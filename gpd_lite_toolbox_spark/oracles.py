@@ -1454,6 +1454,13 @@ SELECT segment, c_custkey, total_spend, rank FROM ranked WHERE rank <= 5
 # GeoJSON round-trip: closed-form L-shape area (big x arm + arm x
 # (big - arm), hole subtracted) — independent of the codec AND of the
 # Spark area kernel, see fixtures.L_BIG/L_ARM/L_HOLE0/L_HOLE1
+# JSONL round-trip: the oracle reads the same projection straight from
+# parquet — equality proves the JSON escape/parse path byte-exact.
+JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents
+"""
+
 GEOJSON_ROUNDTRIP = f"""
 WITH {oracle_ctes('cpolys')}
 SELECT id, has_hole,
