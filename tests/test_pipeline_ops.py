@@ -45,17 +45,24 @@ def test_minhash_finds_planted_near_duplicates(spark, sf_dir, corpus):
             assert j == 1.0
 
 
-def test_shingle_layout_is_one_exchange(spark, sf_dir, corpus):
+def test_shingle_layout_is_one_exchange(spark):
     """The shingle table's dedup + df-window ride ONE exchange: the
     repartition by shingle satisfies both the (id, shingle) dedup's
     clustering requirement and the window's, so no further
     hashpartitioning exchange appears below the window (the round-4
-    perf contract for ngram_jaccard's substrate)."""
+    perf contract for ngram_jaccard's substrate). Uses a synthetic
+    corpus so another test's persisted shingle cache (plan-equality
+    cache lookup would swap in an InMemoryTableScan and hide the
+    exchanges) cannot match."""
     from pyspark.sql import Window
 
     from gpd_lite_toolbox_spark.text.dedup import shingles
 
-    shf = shingles(corpus, hashed=True).withColumn(
+    corp = spark.createDataFrame(
+        [(i, f"plan audit document number {i} with enough text") for i in range(50)],
+        "id long, text string",
+    )
+    shf = shingles(corp, hashed=True).withColumn(
         "df", F.count("*").over(Window.partitionBy("shingle"))
     )
     plan = shf._jdf.queryExecution().executedPlan().toString()
