@@ -1,8 +1,8 @@
 """End-to-end training-data pipeline on the engine's public API.
 
 The 100 TB shape in miniature: ingest -> audit -> dedup (exact +
-near) -> quality/language gates -> stratified sampling -> sequence
-packing -> shard accounting. Run it locally:
+near) -> benchmark decontamination -> domain-mixture sampling ->
+sequence packing -> shard accounting. Run it locally:
 
     python examples/training_data_pipeline.py [sf_dir]
 
@@ -53,13 +53,20 @@ def run(spark, sf_dir: str):
         pairs.select(F.col("id_b").alias("id")).distinct(), "id", "left_anti"
     )
 
-    # 4. language-stratified downsampling (deterministic, retry-stable)
+    # 4. benchmark decontamination: drop any doc sharing n-grams with
+    # the held-out eval slice (mocked here as an id-sliced subset)
+    bench = docs.filter(F.col("id") % 101 == 0)
+    train = survivors.filter(F.col("id") % 101 != 0)
+    flagged = G.decontaminate(train, bench)
+    train = train.join(flagged.select("id"), "id", "left_anti")
+
+    # 5. language-stratified downsampling (deterministic, retry-stable)
     sampled = G.stratified_sample(
-        survivors, "lang",
+        train, "lang",
         rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75},
     )
 
-    # 5. pack into fixed token-budget shards (pretraining layout)
+    # 6. pack into fixed token-budget shards (pretraining layout)
     packed = G.pack_sequences(sampled, budget=512)
 
     shards = packed.agg(
