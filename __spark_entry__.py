@@ -1011,6 +1011,20 @@ def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_near_dedup(s, f"{sf_dir}/documents.parquet")
 
 
+def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination over the bounded documents source:
+    row-local shingle arrays -> stream-static join with the benchmark
+    dictionary -> update-mode per-doc hit counts. Output equals the
+    batch operator and a DuckDB mirror row-for-row."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_decontaminate,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return run_streaming_decontaminate(s, f"{sf_dir}/documents.parquet")
+
+
 def _q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio chunk tiling over the fake-media audio rows: the REAL
     binary payload round-trips through attach/decode (mapInPandas) and
@@ -1319,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_stats": _q_hull_stats,
         "domain_mixture": _q_domain_mixture,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "stream_decontaminate": _q_stream_decontaminate,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1465,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_stats": OR.HULL_STATS,
         "domain_mixture": OR.DOMAIN_MIXTURE,
         "jsonl_roundtrip": OR.JSONL_ROUNDTRIP,
+        "stream_decontaminate": OR.STREAM_DECONTAMINATE,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

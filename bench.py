@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "hull_stats",
     "domain_mixture",
     "jsonl_roundtrip",
+    "stream_decontaminate",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

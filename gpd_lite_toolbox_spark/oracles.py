@@ -436,6 +436,26 @@ JOIN (SELECT DISTINCT shingle FROM shh WHERE id % 13 = 0) b
 GROUP BY t.id
 """
 
+# Streaming decontamination over raw documents (the streaming source
+# reads documents.parquet directly): same train/benchmark split and
+# per-doc distinct-hit count as the stream-static + update-mode-agg
+# pipeline emits.
+STREAM_DECONTAMINATE = f"""
+WITH dsh AS (SELECT DISTINCT doc_id,
+        CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT),
+                                        {_dd.SHINGLE_K})), 1, 15))::UBIGINT
+             AS BIGINT) AS shingle
+        FROM documents,
+             UNNEST(range(1, GREATEST(length(text)
+                                      - {_dd.SHINGLE_K - 1}, 1) + 1,
+                          {_dd.SHINGLE_STRIDE})) AS u(pos))
+SELECT t.doc_id, COUNT(*) AS n_hits
+FROM (SELECT * FROM dsh WHERE doc_id % 13 <> 0) t
+JOIN (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 13 = 0) b
+  ON b.shingle = t.shingle
+GROUP BY t.doc_id
+"""
+
 NGRAM_JACCARD = f"""
 WITH {oracle_ctes('corpus')}, {_SHINGLE_HASHED_CTE}, sh AS (SELECT * FROM shh),
 dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),

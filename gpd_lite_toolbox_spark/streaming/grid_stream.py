@@ -361,6 +361,69 @@ def run_streaming_near_dedup(
     return spark.table("neardedup_band_out")
 
 
+def run_streaming_decontaminate(
+    spark,
+    parquet_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 13,
+) -> DataFrame:
+    """Streaming benchmark decontamination: documents stream in, each
+    row projects its DISTINCT hashed shingles ROW-LOCALLY
+    (``shingle_array_expr`` — stateless, so it legally precedes the
+    stateful aggregation), explodes, inner-joins the STATIC benchmark
+    shingle dictionary (a stream-static join, broadcast at this size),
+    and a per-doc update-mode aggregation accumulates the
+    contamination hit count across micro-batches. The final count per
+    doc is deterministic on a bounded availableNow source (update mode
+    appends a row per doc per batch; the max is the completed total).
+
+    The benchmark split mirrors the batch ``decontaminate`` query
+    (``id % bench_mod == 0`` = held-out slice); output (doc_id,
+    n_hits) equals the batch operator row-for-row — the stream==batch
+    test and the DuckDB hash gate both pin it.
+    """
+    import os
+    import tempfile
+
+    from ..text.dedup import shingle_array_expr, shingles
+
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix="decontam_stream_")
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        parquet_dir = d
+    batch = spark.read.parquet(parquet_dir)
+    bench = batch.filter(F.col(id_col) % bench_mod == 0).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    dictionary = shingles(bench, hashed=True).select("shingle").distinct()
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(parquet_dir)
+        .filter(F.col(id_col) % bench_mod != 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingle_array_expr(text_col)).alias("shingle"),
+        )
+        .join(F.broadcast(dictionary), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decontam_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    res = spark.table("decontam_stream_out")
+    return res.groupBy("doc_id").agg(F.max("n_hits").alias("n_hits"))
+
+
 SESSION_GAP_S = 1800
 
 

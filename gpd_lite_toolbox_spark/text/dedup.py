@@ -655,6 +655,27 @@ def dup_groups(
     )
 
 
+def shingle_array_expr(text_col: str) -> "F.Column":
+    """Row-LOCAL distinct hashed-shingle array: the same 60-bit
+    md5-prefix shingles as ``shingles(hashed=True)`` computed entirely
+    inside one projection (transform over the position sequence +
+    array_distinct) — no explode, no shuffle, no state. This is the
+    streaming-legal form: a stateless sketch projection can precede a
+    stateful operator where the batch table's repartition+distinct
+    could not (a second stateful aggregation). Arithmetic is
+    term-for-term the batch operator's, so per-doc sets are
+    identical — the stream==batch decontamination test pins it."""
+    return F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(length({text_col}) - {SHINGLE_K - 1}, 1),
+                   {SHINGLE_STRIDE}),
+          p -> CAST(conv(substr(md5(substring({text_col}, p, {SHINGLE_K})),
+                         1, 15), 16, 10) AS BIGINT)))
+        """
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -285,6 +285,38 @@ def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_streaming_decontaminate_equals_batch(spark, sf_dir):
+    """Streaming decontamination (row-local shingle arrays ->
+    stream-static dictionary join -> update-mode per-doc counts) must
+    equal the batch decontaminate operator row-for-row on the same
+    train/benchmark split."""
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_decontaminate,
+    )
+    from gpd_lite_toolbox_spark.text.dedup import decontaminate
+
+    FX.register_base_tables(spark, sf_dir)
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in run_streaming_decontaminate(
+            spark, f"{sf_dir}/documents.parquet"
+        ).collect()
+    }
+    docs = spark.table("documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    batch = {
+        (r.id, r.n_hits)
+        for r in decontaminate(
+            docs.filter(F.col("id") % 13 != 0),
+            docs.filter(F.col("id") % 13 == 0),
+        ).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_streaming_banded_near_dedup_planted_dups(spark, tmp_path):
     """Banded streaming near-dedup (run_streaming_near_dedup): the
     emitted (band, band_key) set equals the batch distinct LSH band
