@@ -656,6 +656,28 @@ def _q_grid_cut_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cell_id", "row", "col", "clip_area")
 
 
+def _q_classify_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choropleth classification schemes (reference
+    utils_carto.py:113-117 defers to mapclassify) as data ops:
+    quantile (ntile over a deterministic total order) and
+    equal-interval classes of the polys value field, side by side."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.classify import (
+        classify_equal_interval,
+        classify_quantiles,
+    )
+
+    polys = FX.polys(_configure(spark), sf_dir, with_geometry=False)
+    q = classify_quantiles(polys, "size_mb", k=5).withColumnRenamed(
+        "cls", "q_cls"
+    )
+    e = classify_equal_interval(polys, "size_mb", k=5).select(
+        "id", F.col("cls").alias("e_cls")
+    )
+    return q.join(e, "id").select("id", "value", "q_cls", "e_cls")
+
+
 def _q_hull_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convex-hull evidence row: the distributed hull-of-hulls reduce
     vs a DuckDB gift-wrapping recursive CTE (an independent
@@ -1334,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _q_domain_mixture,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "stream_decontaminate": _q_stream_decontaminate,
+        "classify_values": _q_classify_values,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1481,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": OR.DOMAIN_MIXTURE,
         "jsonl_roundtrip": OR.JSONL_ROUNDTRIP,
         "stream_decontaminate": OR.STREAM_DECONTAMINATE,
+        "classify_values": OR.CLASSIFY_VALUES,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "domain_mixture",
     "jsonl_roundtrip",
     "stream_decontaminate",
+    "classify_values",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

@@ -62,6 +62,10 @@ from .operators.temporal import (  # noqa: F401
     event_transitions,
     range_join_binned,
 )
+from .operators.classify import (  # noqa: F401
+    classify_equal_interval,
+    classify_quantiles,
+)
 from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
@@ -163,6 +167,8 @@ __all__ = [
     # layout + audit
     "zorder_key_expr",
     "write_zordered",
+    "classify_quantiles",
+    "classify_equal_interval",
     "predicate_violations",
     "fk_violations",
     "uniqueness_violations",

@@ -1077,6 +1077,23 @@ SELECT id,
 FROM base, sums, nrm
 """
 
+# Choropleth classification (operators/classify.py): quantile classes
+# via NTILE over the deterministic (value, id) order and equal-width
+# classes over the global span — both mirrored operation-for-operation.
+CLASSIFY_VALUES = f"""
+WITH {oracle_ctes('polys')},
+b AS (SELECT MIN(CAST(size_mb AS DOUBLE)) AS lo,
+             MAX(CAST(size_mb AS DOUBLE)) AS hi
+      FROM polys)
+SELECT id, CAST(size_mb AS DOUBLE) AS value,
+       NTILE(5) OVER (ORDER BY CAST(size_mb AS DOUBLE), id) AS q_cls,
+       CAST(CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(CAST(FLOOR((CAST(size_mb AS DOUBLE) - lo)
+                                       / ((hi - lo) / 5.0)) AS INT), 4)
+            END AS INT) AS e_cls
+FROM polys, b
+"""
+
 # ---------------------------------------------- cartogram evidence rows
 # One Dougenik (1985) iteration of the continuous cartogram, fully
 # relational: per-feature stats (area/centroid are exact closed forms
