@@ -285,6 +285,59 @@ def test_foreachbatch_incremental_parquet_sink(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed restart: a SECOND query started with the same
+    checkpointLocation resumes from the recorded source offsets —
+    files processed before the stop are not re-emitted, files that
+    arrived while the stream was down are, and the append-mode parquet
+    sink ends with every row exactly once (the recovery contract a
+    scheduled ingest pipeline leans on)."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    FX.register_base_tables(spark, sf_dir)
+    staging = str(tmp_path / "staging")
+    spark.table("documents").select("doc_id").repartition(2).write.parquet(
+        staging
+    )
+    parts = sorted(glob.glob(f"{staging}/part-*.parquet"))
+    assert len(parts) == 2
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id bigint"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    shutil.copy(parts[0], src / "a.parquet")
+    drain()  # first run: file A only
+    n_first = spark.read.parquet(sink).count()
+    shutil.copy(parts[1], src / "b.parquet")
+    drain()  # restart from the same checkpoint: file B only
+    got = spark.read.parquet(sink).groupBy("doc_id").count()
+    total = spark.table("documents").count()
+    assert n_first > 0 and n_first < total
+    assert got.count() == total  # every doc present
+    assert got.filter(F.col("count") > 1).count() == 0  # exactly once
+
+
 def test_streaming_decontaminate_equals_batch(spark, sf_dir):
     """Streaming decontamination (row-local shingle arrays ->
     stream-static dictionary join -> update-mode per-doc counts) must
