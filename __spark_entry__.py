@@ -477,10 +477,9 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = s.table("documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    # per-invocation dir: a fixed shared path would let two concurrent
+    # runs at the same SF overwrite each other's part files mid-read
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_jsonl_"), "docs")
     write_jsonl(src, path)
     back = read_jsonl(s, path, cols)
     return back.select(

@@ -153,19 +153,14 @@ def make_grid_cut(
     ).agg(F.round(F.sum("_ps.area"), 6).alias("clip_area"))
 
 
-def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
-    """cut=True over a non-polygon layer (core.py:620-624): clip cells by
-    the CONVEX HULL of the points. Hull-of-hulls: each partition reduces
-    to its local hull vertices (mapInPandas), the driver hulls the small
-    candidate union — exact, and never collects the full point table.
-    The per-cell clip is then a pandas-UDF pass with the tiny hull in
-    the closure.
-
-    Output: grid cells overlapping the hull, with ``clip_area``.
-    """
+def _distributed_hull(points: DataFrame) -> np.ndarray:
+    """Hull-of-hulls reduce shared by ``make_grid_cut_hull`` and
+    ``convex_hull_stats``: each partition shrinks to its local hull
+    vertices (mapInPandas), the driver hulls the tiny candidate
+    union — exact, and the full point table is never collected.
+    Returns the CCW open ring as an (N, 2) array; (0, 2) when the
+    input is empty."""
     from ..geometry import kernels as K
-
-    spark = points.sparkSession
 
     def local_hull(batches):
         for pdf in batches:
@@ -177,7 +172,29 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
         .mapInPandas(local_hull, schema="x double, y double")
         .collect()
     )
-    hull = K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
+    if not cand:
+        return np.empty((0, 2), dtype=float)
+    return K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
+
+
+def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
+    """cut=True over a non-polygon layer (core.py:620-624): clip cells by
+    the CONVEX HULL of the points (``_distributed_hull``). The per-cell
+    clip is then a pandas-UDF pass with the tiny hull in the closure.
+
+    Output: grid cells overlapping the hull, with ``clip_area``; an
+    empty points layer yields an empty grid.
+    """
+    from ..geometry import kernels as K
+
+    spark = points.sparkSession
+    hull = _distributed_hull(points)
+    if len(hull) == 0:
+        return spark.createDataFrame(
+            [],
+            "cell_id bigint, row bigint, col bigint, x0 double, y0 double,"
+            " x1 double, y1 double, clip_area double",
+        )
     # the hull vertices include every coordinate extreme, so the grid
     # bounds fall out of the (driver-sized) hull for free — no second
     # scan of the point table for a bounds aggregate
@@ -219,32 +236,23 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
 
 def convex_hull_stats(points: DataFrame) -> DataFrame:
     """Evidence row for the distributed convex hull: (n_vertices,
-    hull_area, hull_perimeter) of the hull-of-hulls reduce that backs
-    ``make_grid_cut_hull`` — each partition shrinks to its local hull
-    vertices (mapInPandas), the driver hulls the tiny candidate union;
-    the full point table is never collected. The DuckDB oracle
-    recomputes the hull with an INDEPENDENT algorithm (gift-wrapping
-    as a recursive CTE vs the monotone chain here); integer fixture
+    hull_area, hull_perimeter) of the ``_distributed_hull`` reduce
+    that backs ``make_grid_cut_hull``. The DuckDB oracle recomputes
+    the hull with an INDEPENDENT algorithm (gift-wrapping as a
+    recursive CTE vs the monotone chain here); integer fixture
     coordinates keep every cross-product sign exact in both engines,
-    so the strict-vertex count matches exactly.
+    so the strict-vertex count matches exactly. An empty input yields
+    the (0, 0.0, 0.0) row.
     """
     from ..geometry import kernels as K
 
     spark = points.sparkSession
-
-    def local_hull(batches):
-        for pdf in batches:
-            h = K.convex_hull(pdf[["x", "y"]].to_numpy(dtype=float))
-            yield pd.DataFrame({"x": h[:, 0], "y": h[:, 1]})
-
-    cand = (
-        points.select("x", "y")
-        .mapInPandas(local_hull, schema="x double, y double")
-        .collect()
-    )
-    hull = K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
-    area = abs(K.ring_signed_area(hull))
-    perim = K.line_length(np.vstack([hull, hull[:1]]))
+    hull = _distributed_hull(points)
+    if len(hull) == 0:
+        area, perim = 0.0, 0.0
+    else:
+        area = abs(K.ring_signed_area(hull))
+        perim = K.line_length(np.vstack([hull, hull[:1]]))
     return spark.createDataFrame(
         [(len(hull), round(float(area), 6), round(float(perim), 6))],
         "n_vertices bigint, hull_area double, hull_perimeter double",

@@ -38,6 +38,41 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def _stage_dir(parquet_dir: str, prefix: str) -> str:
+    """The file-stream source requires a DIRECTORY; a single-file path
+    is staged behind a symlinked tempdir (shared by every runner)."""
+    import os
+    import tempfile
+
+    if os.path.isfile(parquet_dir):
+        d = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
+        return d
+    return parquet_dir
+
+
+def _drain_to_memory(
+    spark, df: DataFrame, name: str, mode: str, available_now: bool = True
+) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink and
+    return the sink table (the driver/test harness shape shared by
+    every runner)."""
+    w = df.writeStream.outputMode(mode).format("memory").queryName(name)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    else:
+        q = w.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def event_cells(events: DataFrame, height: float) -> DataFrame:
     """Derive a deterministic spatial cell for each event (events carry
     no coordinates; production pipelines would join a location table —
@@ -79,33 +114,17 @@ def run_streaming_grid_agg(
     """Drive the streaming flavor to completion over a bounded parquet
     source (file stream -> complete-mode memory sink) and return the
     result as a batch DataFrame."""
-    import os
-    import tempfile
-
-    if os.path.isfile(parquet_dir):
-        # the file-stream source requires a directory; stage a symlink
-        d = tempfile.mkdtemp(prefix="grid_stream_")
-        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        parquet_dir = d
-    batch_df = spark.read.parquet(parquet_dir)
-    schema = batch_df.schema
+    parquet_dir = _stage_dir(parquet_dir, "grid_stream_")
+    schema = spark.read.parquet(parquet_dir).schema
     stream = _normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_dir)
     )
     agg = windowed_grid_agg(stream.withWatermark("ts", "1 day"), height, window)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("grid_stream_out")
-        .start()
+    return _drain_to_memory(
+        spark, agg, "grid_stream_out", "complete", available_now=False
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table("grid_stream_out")
 
 
 def run_stateful_session_count(
@@ -123,16 +142,10 @@ def run_stateful_session_count(
     holds one final row per user per batch; the last row per user is
     the answer.
     """
-    import os
-    import tempfile
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
-    if os.path.isfile(parquet_dir):
-        d = tempfile.mkdtemp(prefix="sess_stream_")
-        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        parquet_dir = d
+    parquet_dir = _stage_dir(parquet_dir, "sess_stream_")
     schema = spark.read.parquet(parquet_dir).schema
     stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
     ev = stream.select(
@@ -176,18 +189,10 @@ def run_stateful_session_count(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("sess_state_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     # update mode appends one row per user per batch; keep the last
-    res = spark.table("sess_state_out")
+    res = _drain_to_memory(
+        spark, out, "sess_state_out", "update", available_now=False
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         res.withColumn("_rn", F.row_number().over(w))
@@ -212,13 +217,7 @@ def run_streaming_session_window(
     exactly the final merged session rows. Cross-micro-batch state
     evolution is exercised by run_stateful_session_count; the
     stream==batch equivalence test pins this operator's semantics."""
-    import os
-    import tempfile
-
-    if os.path.isfile(parquet_dir):
-        d = tempfile.mkdtemp(prefix="sess_win_")
-        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        parquet_dir = d
+    parquet_dir = _stage_dir(parquet_dir, "sess_win_")
     schema = spark.read.parquet(parquet_dir).schema
     stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
     agg = (
@@ -235,18 +234,7 @@ def run_streaming_session_window(
         )
         .select("user_id", "n_events", "t_start_us", "t_end_us", "sum_value")
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("sess_win_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table("sess_win_out")
+    return _drain_to_memory(spark, agg, "sess_win_out", "complete")
 
 
 def run_streaming_dedup(
@@ -264,13 +252,7 @@ def run_streaming_dedup(
     set is not — on a bounded availableNow source it equals batch
     ``SELECT DISTINCT``, which is the driver-oracle form.
     """
-    import os
-    import tempfile
-
-    if os.path.isfile(parquet_dir):
-        d = tempfile.mkdtemp(prefix="dedup_stream_")
-        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        parquet_dir = d
+    parquet_dir = _stage_dir(parquet_dir, "dedup_stream_")
     schema = spark.read.parquet(parquet_dir).schema
     stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
     keyed = stream.withColumn(
@@ -283,18 +265,7 @@ def run_streaming_dedup(
         .dropDuplicatesWithinWatermark(["user_id", "hour_us"])
         .select("user_id", "hour_us")
     )
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("dedup_stream_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table("dedup_stream_out")
+    return _drain_to_memory(spark, dedup, "dedup_stream_out", "append")
 
 
 def run_streaming_near_dedup(
@@ -323,42 +294,30 @@ def run_streaming_near_dedup(
     derived from the id column (documents carry no timestamp;
     offset away from epoch 0 so no row sits at the initial watermark).
     """
-    import os
-    import tempfile
-
     from ..text.dedup import simhash_band_keys
 
-    if os.path.isfile(parquet_dir):
-        d = tempfile.mkdtemp(prefix="neardedup_stream_")
-        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        parquet_dir = d
+    parquet_dir = _stage_dir(parquet_dir, "neardedup_stream_")
     schema = spark.read.parquet(parquet_dir).schema
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    # event time = id MICROseconds (+ offset away from the epoch-0
+    # initial watermark): the whole corpus spans |docs| microseconds,
+    # orders of magnitude inside any watermark delay — so dedup state
+    # for early keys can never expire mid-run and re-emit a duplicate
+    # when the source splits into multiple micro-batches (id SECONDS
+    # would cross a "1 day" watermark at ~86k docs and silently break
+    # the key-set == batch-distinct contract).
     keyed = simhash_band_keys(
         stream, text_col, n_bands=n_bands, band_bits=band_bits
     ).withColumn(
         "ts",
-        F.timestamp_micros(
-            F.col(id_col) * 1_000_000 + F.lit(10_000_000_000_000)
-        ),
+        F.timestamp_micros(F.col(id_col) + F.lit(10_000_000_000_000)),
     )
     dedup = (
         keyed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["band", "band_key"])
         .select("band", "band_key")
     )
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("neardedup_band_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table("neardedup_band_out")
+    return _drain_to_memory(spark, dedup, "neardedup_band_out", "append")
 
 
 def run_streaming_decontaminate(
@@ -383,15 +342,9 @@ def run_streaming_decontaminate(
     n_hits) equals the batch operator row-for-row — the stream==batch
     test and the DuckDB hash gate both pin it.
     """
-    import os
-    import tempfile
-
     from ..text.dedup import shingle_array_expr, shingles
 
-    if os.path.isfile(parquet_dir):
-        d = tempfile.mkdtemp(prefix="decontam_stream_")
-        os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        parquet_dir = d
+    parquet_dir = _stage_dir(parquet_dir, "decontam_stream_")
     batch = spark.read.parquet(parquet_dir)
     bench = batch.filter(F.col(id_col) % bench_mod == 0).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -409,18 +362,7 @@ def run_streaming_decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("decontam_stream_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    res = spark.table("decontam_stream_out")
+    res = _drain_to_memory(spark, stream, "decontam_stream_out", "update")
     return res.groupBy("doc_id").agg(F.max("n_hits").alias("n_hits"))
 
 

@@ -386,8 +386,11 @@ def embedding_near_dups(
     cap = max(2, int(bucket_cap))
     bands = lsh_bands(vectors, id_col, vec_col, dims=dims)
     # bucket sizes from the vector-free band table: one row per
-    # (band, bucket), broadcast back — the hot bucket never funnels
-    # its vectors through a single counting partition.
+    # OCCUPIED (band, bucket) — joined back WITHOUT a broadcast hint
+    # (the table is corpus-sized in the worst case of singleton
+    # buckets; AQE broadcasts it when it is actually small). Either
+    # way the hot bucket never funnels its vectors through a single
+    # counting partition.
     sizes = bands.groupBy("band", "bucket").agg(FF.count("*").alias("_n"))
     with_vec = (
         bands.join(
@@ -396,7 +399,7 @@ def embedding_near_dups(
             ),
             "id",
         )
-        .join(FF.broadcast(sizes), ["band", "bucket"])
+        .join(sizes, ["band", "bucket"])
         .withColumn(
             "_B", FF.ceil(FF.col("_n") / FF.lit(cap)).cast("int")
         )

@@ -132,8 +132,10 @@ def cosine_topk(
     calls whose pair count exceeds ``max_pairs`` raise unless
     ``force=True``, steering large-scale callers to ``ann_lsh_topk``
     (same output contract, banded candidates) or ``ann_ivf_topk``
-    (probe-limited). The guard costs two column-pruned counts — noise
-    next to the cross join it prevents.
+    (probe-limited). The guard runs two count jobs, which re-execute
+    the inputs' upstream lineage — noise for base-table scans, but
+    callers feeding expensive uncached pipelines should cache the
+    inputs first or pass ``force=True`` to stay fully lazy.
     """
     if not force:
         n_q, n_v = queries.count(), vectors.count()
@@ -350,7 +352,11 @@ def ann_ivf_topk_indexed(
         .withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "qv", "qn", "cell")
-    ).persist()
+    )
+    # no persist: the centroid routing is |Q| x n_centroids and cheap
+    # to recompute for the cells collect — a persist here would leak
+    # cached partitions for the session lifetime in a serving loop
+    # that calls this per query batch
     cells = [r.cell for r in probes.select("cell").distinct().collect()]
     inverted = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(cells)

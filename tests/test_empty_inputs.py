@@ -57,6 +57,15 @@ def test_round4_ops_on_empty_inputs(spark):
         spark, "doc_id long, meta_n_bytes long, meta_sample_rate int"
     )
     assert chunk_audio(media).count() == 0
+    from gpd_lite_toolbox_spark.operators.grid import (
+        convex_hull_stats,
+        make_grid_cut_hull,
+    )
+
+    pts = _empty(spark, "id long, x double, y double")
+    row = convex_hull_stats(pts).collect()
+    assert len(row) == 1 and row[0].n_vertices == 0
+    assert make_grid_cut_hull(pts, 8000.0).count() == 0
 
 
 def test_temporal_family_on_empty_events(spark):
