@@ -1290,6 +1290,21 @@ def _q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly event-rate z-scores vs the trailing 24 observed
+    hours — the telemetry anomaly shape over the events table."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import windowed_zscore
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    return windowed_zscore(ev, key="user_id", ts_us="us")
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix per user journey."""
     from pyspark.sql import functions as F
@@ -1356,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "stream_decontaminate": _q_stream_decontaminate,
         "classify_values": _q_classify_values,
+        "rate_anomaly": _q_rate_anomaly,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1504,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": OR.JSONL_ROUNDTRIP,
         "stream_decontaminate": OR.STREAM_DECONTAMINATE,
         "classify_values": OR.CLASSIFY_VALUES,
+        "rate_anomaly": OR.RATE_ANOMALY,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",
     "stream_decontaminate",
     "classify_values",
+    "rate_anomaly",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

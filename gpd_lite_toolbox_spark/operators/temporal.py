@@ -121,6 +121,67 @@ def event_transitions(
     )
 
 
+def windowed_zscore(
+    events: DataFrame,
+    key: str,
+    ts_us: "F.Column | str",
+    bucket_us: int = 3_600_000_000,
+    trailing: int = 24,
+    min_obs: int = 6,
+) -> DataFrame:
+    """Per-key event-rate anomaly scores: bucket events at
+    ``bucket_us``, then z-score each bucket's count against the
+    TRAILING ``trailing`` buckets of the same key (the standard
+    telemetry anomaly shape: "is this hour unusual for this user?").
+
+    Output: (key, bucket_us, n, z) for buckets with at least
+    ``min_obs`` trailing observations and non-zero trailing spread;
+    z rounded to 6. The trailing mean/std use the explicit
+    sum/sum-of-squares forms (population std), so both engines
+    compute identical arithmetic regardless of their accumulator
+    internals — the repo-wide exactness convention.
+
+    Scale: one partial-aggregated exchange for the bucket counts, one
+    window exchange by key. The window frame is ROWS-based over the
+    OBSERVED buckets of the key (silent hours are absent rows, the
+    sparse convention) — state is per-key-bounded, skewed keys split
+    under AQE like any exchange.
+    """
+    us = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    counts = (
+        events.select(
+            F.col(key).alias("k"),
+            (us - us % F.lit(int(bucket_us))).alias("bucket_us"),
+        )
+        .groupBy("k", "bucket_us")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket_us")
+        .rowsBetween(-int(trailing), -1)
+    )
+    cnt = F.count("n").over(w)
+    s1 = F.sum(F.col("n").cast("double")).over(w)
+    s2 = F.sum((F.col("n") * F.col("n")).cast("double")).over(w)
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / cnt
+    return (
+        counts.withColumn("_c", cnt)
+        .withColumn("_m", mean)
+        .withColumn("_v", var)
+        .filter((F.col("_c") >= int(min_obs)) & (F.col("_v") > 0))
+        .select(
+            F.col("k").alias(key),
+            "bucket_us",
+            "n",
+            F.round(
+                (F.col("n") - F.col("_m")) / F.sqrt(F.col("_v")), 6
+            ).alias("z"),
+        )
+    )
+
+
 def range_join_binned(
     probe: DataFrame,
     candidates: DataFrame,

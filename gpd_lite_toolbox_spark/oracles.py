@@ -1520,6 +1520,28 @@ FROM cpolys
 # oracle is the naive inequality join + per-probe argmax — quadratic,
 # fine at sf0.01; the Spark plan is the union+window merge (one
 # exchange, no theta join).
+# Windowed event-rate anomaly (operators/temporal.py windowed_zscore):
+# hourly per-user counts z-scored against the trailing 24 observed
+# buckets; mean/std in explicit sum / sum-of-squares form so both
+# engines run identical arithmetic.
+RATE_ANOMALY = """
+WITH c AS (SELECT user_id AS k,
+                  epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+w AS (SELECT k, bucket_us, n,
+             COUNT(n) OVER tw AS c,
+             SUM(CAST(n AS DOUBLE)) OVER tw AS s1,
+             SUM(CAST(n * n AS DOUBLE)) OVER tw AS s2
+      FROM c
+      WINDOW tw AS (PARTITION BY k ORDER BY bucket_us
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT k AS user_id, bucket_us, n,
+       ROUND((n - s1 / c) / SQRT((s2 - s1 * s1 / c) / c), 6) AS z
+FROM w
+WHERE c >= 6 AND (s2 - s1 * s1 / c) / c > 0
+"""
+
 ASOF_PREV_EVENT = """
 WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
             FROM events),

@@ -165,3 +165,33 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
     merged = out.merge(ref, on="lid", suffixes=("_s", "_p"))
     assert (merged["prev_rid"] == merged["rid"]).all()
     assert (merged["prev_v"] == merged["v"]).all()
+
+
+def test_windowed_zscore_flags_planted_burst(spark):
+    """A user alternating 1/2 events per hour with one 20-event burst
+    hour: the burst bucket z-scores far above its trailing spread;
+    ordinary buckets stay modest. A PERFECTLY constant user has zero
+    trailing spread, so z is undefined and the var > 0 gate drops
+    every bucket — documented semantics, asserted too."""
+    from gpd_lite_toolbox_spark.operators.temporal import windowed_zscore
+
+    hour = 3_600_000_000
+    rows = []
+    for h in range(48):
+        n = 20 if h == 40 else (1 if h % 2 == 0 else 2)
+        for i in range(n):
+            rows.append((7, h * hour + i * 1000))
+    for h in range(48):  # constant-rate user: zero spread, no rows
+        rows.append((9, h * hour))
+    df = spark.createDataFrame(rows, "user_id long, us long")
+    out = {
+        (r.user_id, r.bucket_us): r.z
+        for r in windowed_zscore(df, key="user_id", ts_us="us").collect()
+    }
+    burst = out[(7, 40 * hour)]
+    assert burst > 10.0, f"burst z {burst}"
+    ordinary = [
+        z for (u, b), z in out.items() if u == 7 and b < 40 * hour
+    ]
+    assert ordinary and all(abs(z) < 2.0 for z in ordinary)
+    assert not any(u == 9 for (u, _) in out)
