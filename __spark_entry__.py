@@ -1032,6 +1032,25 @@ def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_near_dedup(s, f"{sf_dir}/documents.parquet")
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-pixel decode + feature extraction over the REAL binary
+    payloads (Arrow batches -> numpy inside mapInPandas): per-doc byte
+    statistics of the payload body, exact-arithmetic form the DuckDB
+    oracle reproduces from the payload construction."""
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select("doc_id")
+    out = extract_media_features(attach_fake_media(docs))
+    return out.select(
+        "doc_id", "px_n", "px_mean", "px_std", "px_min", "px_max"
+    )
+
+
 def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming decontamination over the bounded documents source:
     row-local shingle arrays -> stream-static join with the benchmark
@@ -1372,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": _q_stream_decontaminate,
         "classify_values": _q_classify_values,
         "rate_anomaly": _q_rate_anomaly,
+        "media_features": _q_media_features,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -1521,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_decontaminate": OR.STREAM_DECONTAMINATE,
         "classify_values": OR.CLASSIFY_VALUES,
         "rate_anomaly": OR.RATE_ANOMALY,
+        "media_features": OR.MEDIA_FEATURES,
         "dorling_radius2": OR.DORLING_RADIUS2,
         "idw_interpolation": OR.IDW_INTERPOLATION,
         "isochrone_surface": OR.ISOCHRONE_SURFACE,

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "stream_decontaminate",
     "classify_values",
     "rate_anomaly",
+    "media_features",
     "dorling_radius",
     "dorling_radius2",
     "cartogram",

@@ -125,6 +125,70 @@ def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def extract_media_features(
+    df: DataFrame, media_col: str = "media", header_bytes: int = 16
+) -> DataFrame:
+    """DETERMINISTIC FAKE pixel decode + feature extraction: parse the
+    payload BODY (everything after the metadata header) as raw uint8
+    pixels and emit per-row byte statistics. The decode is fake (no
+    image libs in this container) but the PLUMBING is the production
+    shape end-to-end: opaque binary flows through Arrow batches into
+    numpy inside mapInPandas, and schema-stable numeric features come
+    out — swap the frombuffer line for a real JPEG decode + embedding
+    model and nothing else changes.
+
+    Stats use the exact integer sum / sum-of-squares form (population
+    std), so the DuckDB oracle reproduces them bit-for-bit from the
+    payload construction.
+
+    Output adds: px_n (body bytes), px_mean, px_std (round 6),
+    px_min, px_max.
+    """
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_, mean_, std_, mn_, mx_ = [], [], [], [], []
+            for payload in pdf[media_col]:
+                body = np.frombuffer(
+                    bytes(payload)[header_bytes:], dtype=np.uint8
+                )
+                n = len(body)
+                if n == 0:
+                    n_.append(0)
+                    mean_.append(0.0)
+                    std_.append(0.0)
+                    mn_.append(0)
+                    mx_.append(0)
+                    continue
+                s = int(body.sum())
+                s2 = int((body.astype(np.int64) ** 2).sum())
+                mean = s / n
+                var = (s2 - s * s / n) / n
+                n_.append(n)
+                mean_.append(round(mean, 6))
+                std_.append(round(var**0.5, 6))
+                mn_.append(int(body.min()))
+                mx_.append(int(body.max()))
+            out = pdf.copy()
+            out["px_n"] = pd.Series(n_, dtype="int64").to_numpy()
+            out["px_mean"] = mean_
+            out["px_std"] = std_
+            out["px_min"] = pd.Series(mn_, dtype="int32").to_numpy()
+            out["px_max"] = pd.Series(mx_, dtype="int32").to_numpy()
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        _feats,
+        schema=(
+            f"{schema}, px_n bigint, px_mean double, px_std double, "
+            "px_min int, px_max int"
+        ),
+    )
+
+
 def resize_meta(
     df: DataFrame, max_side: int = 512
 ) -> DataFrame:

@@ -1035,6 +1035,30 @@ SELECT doc_id,
 FROM ex
 """
 
+# Fake-pixel feature extraction (extract_media_features): the payload
+# body is md5(str(doc_id)) repeated 4x, so byte statistics are
+# closed-form from the 16 digest bytes (repetition preserves mean,
+# min, max, and population std; sums scale by exactly 4). Arithmetic
+# mirrors the kernel's integer sum / sum-of-squares form.
+MEDIA_FEATURES = """
+WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+by AS (SELECT doc_id,
+              CAST(('0x' || substr(hx, 2 * i.n - 1, 2))::UBIGINT AS INT) AS v
+       FROM b, (SELECT UNNEST(range(1, 17)) AS n) i),
+st AS (SELECT doc_id, SUM(v) AS s, SUM(v * v) AS s2,
+              MIN(v) AS mn, MAX(v) AS mx
+       FROM by GROUP BY doc_id)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS px_n,
+       ROUND((4 * s) / 64.0, 6) AS px_mean,
+       ROUND(SQRT((4 * s2 - ((4 * s) * (4 * s)) / 64.0) / 64.0), 6)
+           AS px_std,
+       CAST(mn AS INT) AS px_min,
+       CAST(mx AS INT) AS px_max
+FROM st
+"""
+
 # ----------------------------------------- dorling2 / IDW interpolation
 DORLING_RADIUS2 = f"""
 WITH {oracle_ctes('polys')},
