@@ -70,6 +70,7 @@ from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
 from .sources.jsonl import read_jsonl, write_jsonl  # noqa: F401
+from .sources.sinks import overwrite_partitions, write_geoparquet  # noqa: F401
 from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
 from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
 from .text.corpus import (  # noqa: F401
@@ -113,6 +114,8 @@ __all__ = [
     "read_geoparquet",
     "read_jsonl",
     "write_jsonl",
+    "write_geoparquet",
+    "overwrite_partitions",
     "read_geo_jdbc",
     "mean_coordinates",
     "non_contiguous_cartogram",

@@ -37,3 +37,21 @@ def write_geoparquet(
         df.write.mode(mode).partitionBy("pcell").parquet(path)
     else:
         df.write.mode(mode).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition-level reprocessing: rewrite ONLY the
+    partitions present in ``df`` (dynamic partition overwrite),
+    leaving sibling partitions untouched — the re-run/backfill
+    contract of a scheduled pipeline. The default STATIC overwrite
+    mode would truncate the whole table on every backfill; the
+    per-write option scopes the dynamic behavior to this sink without
+    mutating session config."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
