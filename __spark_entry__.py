@@ -1341,6 +1341,46 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with deterministic planted PII by id class (the raw
+    fixture carries none); mirrored by oracles._PII_PLANT."""
+    from pyspark.sql import functions as F
+
+    c = _corpus(spark, sf_dir)
+    m = F.col("id") % 7
+    planted = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact u"),
+                F.col("id").cast("string"), F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.col("text"), F.lit(" call 555-867-5309 or 555.123.4567 today")),
+        )
+        .when(m == 2, F.concat(F.col("text"), F.lit(" ssn 123-45-6789 on file")))
+        .when(
+            m == 3,
+            F.concat(
+                F.col("text"), F.lit(" from 10.0."),
+                (F.col("id") % 256).cast("string"),
+                F.lit(".1 via 192.168.1."),
+                (F.col("id") % 200).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return c.select("id", planted.alias("text"))
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.pii import pii_scan
+
+    return pii_scan(_pii_corpus(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1379,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_customers": _q_top_customers,
         # --- round-4 additions (need first driver rows) ---
+        "pii_scan": _q_pii_scan,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1528,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         # KMeans match. dorling_cartogram (raw placements) and
         # match_line_cluster (raw pairs) stay rows-only — their exact
         # outputs are not partition-stable / SQL-expressible.
+        "pii_scan": OR.PII_SCAN,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -87,6 +87,7 @@ from .text.dedup import (  # noqa: F401
     simhash,
     simhash_band_keys,
 )
+from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import clean_corpus_summary  # noqa: F401
 from .text.search import bm25_topk  # noqa: F401
 from .vector.ann import (  # noqa: F401

@@ -1814,3 +1814,44 @@ WITH {oracle_ctes('points')}
 SELECT id, {_zsql('x', 'y', ZORDER_BOUNDS)} AS zkey
 FROM points
 """
+
+# --- round-4 training-data additions: PII scan ---
+# The corpus fixture carries no PII, so the query plants deterministic
+# PII strings by id class (mirrored in _pii_corpus in __spark_entry__);
+# count + redact SQL is generated from text/pii.py's PII_PATTERNS so
+# both engines share the pattern strings character-for-character.
+from .text import pii as _pii  # noqa: E402
+
+_PII_PLANT = """
+pc AS (SELECT id,
+  CASE WHEN id % 7 = 0 THEN text || ' contact u' || CAST(id AS VARCHAR)
+                               || '@example.com now'
+       WHEN id % 7 = 1 THEN text || ' call 555-867-5309 or 555.123.4567 today'
+       WHEN id % 7 = 2 THEN text || ' ssn 123-45-6789 on file'
+       WHEN id % 7 = 3 THEN text || ' from 10.0.' || CAST(id % 256 AS VARCHAR)
+                               || '.1 via 192.168.1.'
+                               || CAST(id % 200 AS VARCHAR)
+       ELSE text END AS text
+  FROM corpus)
+"""
+
+_PII_COUNT_COLS = ",\n       ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+    for name, pat, _ in _pii.PII_PATTERNS
+)
+_PII_TOTAL = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))"
+    for _name, pat, _ in _pii.PII_PATTERNS
+)
+_PII_REDACT = "text"
+for _name, _pat, _repl in _pii.PII_PATTERNS:
+    _PII_REDACT = f"regexp_replace({_PII_REDACT}, '{_pat}', '{_repl}', 'g')"
+
+PII_SCAN = f"""
+WITH {oracle_ctes('corpus')}, {_PII_PLANT}
+SELECT id,
+       {_PII_COUNT_COLS},
+       {_PII_TOTAL} AS n_pii,
+       {_PII_REDACT} AS text
+FROM pc
+"""
