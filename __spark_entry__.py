@@ -1381,6 +1381,28 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(_pii_corpus(spark, sf_dir))
 
 
+def _mdoc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line documents assembled from the single-line corpus
+    fixture: texts of each id % 193 class concatenated in id order
+    (mirrored by oracles.BOILERPLATE_LINES's mdoc CTE). The corpus's
+    duplicated docs then repeat lines across assembled documents."""
+    from pyspark.sql import functions as F
+
+    c = _corpus(spark, sf_dir)
+    parts = F.array_sort(F.collect_list(F.struct("id", "text")))
+    return c.groupBy((F.col("id") % 193).alias("id")).agg(
+        F.concat_ws("\n", F.transform(parts, lambda x: x["text"])).alias("text")
+    )
+
+
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.pipeline import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _mdoc_corpus(spark, sf_dir), min_docs=OR.BOILERPLATE_MIN_DOCS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1420,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         # --- round-4 additions (need first driver rows) ---
         "pii_scan": _q_pii_scan,
+        "boilerplate_lines": _q_boilerplate_lines,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1570,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         # match_line_cluster (raw pairs) stay rows-only — their exact
         # outputs are not partition-stable / SQL-expressible.
         "pii_scan": OR.PII_SCAN,
+        "boilerplate_lines": OR.BOILERPLATE_LINES,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -88,7 +88,10 @@ from .text.dedup import (  # noqa: F401
     simhash_band_keys,
 )
 from .text.pii import pii_scan, redact_expr  # noqa: F401
-from .text.pipeline import clean_corpus_summary  # noqa: F401
+from .text.pipeline import (  # noqa: F401
+    clean_corpus_summary,
+    remove_boilerplate_lines,
+)
 from .text.search import bm25_topk  # noqa: F401
 from .vector.ann import (  # noqa: F401
     ann_ivf_topk,

@@ -1855,3 +1855,32 @@ SELECT id,
        {_PII_REDACT} AS text
 FROM pc
 """
+
+# C4-style boilerplate line removal over multi-line documents. The raw
+# corpus docs are single-line, so the query assembles multi-line docs
+# (id % 193 classes, texts concatenated in id order — mirrored by
+# _mdoc_corpus in __spark_entry__); the corpus's duplicated docs then
+# repeat lines across assembled documents, which the operator removes.
+BOILERPLATE_MIN_DOCS = 2
+
+BOILERPLATE_LINES = f"""
+WITH {oracle_ctes('corpus')},
+mdoc AS (SELECT id % 193 AS id,
+                string_agg(text, chr(10) ORDER BY id) AS text
+         FROM corpus GROUP BY id % 193),
+p AS (SELECT id, string_split(text, chr(10)) AS parts FROM mdoc),
+lines AS (SELECT id, CAST(pos AS BIGINT) - 1 AS pos,
+                 list_extract(parts, CAST(pos AS INT)) AS line
+          FROM p, UNNEST(range(1, len(parts) + 1)) AS u(pos)),
+counts AS (SELECT line, COUNT(DISTINCT id) AS n_docs
+           FROM lines GROUP BY line)
+SELECT l.id,
+       COALESCE(string_agg(
+           CASE WHEN c.n_docs < {BOILERPLATE_MIN_DOCS} THEN l.line END,
+           chr(10) ORDER BY l.pos), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN c.n_docs >= {BOILERPLATE_MIN_DOCS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM lines l JOIN counts c ON c.line = l.line
+GROUP BY l.id
+"""

@@ -60,3 +60,47 @@ def clean_corpus_summary(
             F.round(F.sum("quality"), 6).alias("sum_quality"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    corpus: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line that occurs in at
+    least ``min_docs`` distinct documents (navigation chrome, cookie
+    banners, license headers — anything repeated verbatim across the
+    corpus), reassembling each document's surviving lines in order.
+
+    Returns ``(id, text, n_lines, n_removed)`` — one row per input
+    document, ``text`` holding the kept lines newline-joined (empty
+    string when every line was boilerplate).
+
+    Scale shape: three hash exchanges, all on bounded keys — (1) the
+    line-frequency aggregate keyed by line (partial map-side combine;
+    hot lines like "" are a single post-combine row per partition, so
+    the classic boilerplate skew never concentrates raw rows); (2) the
+    line->count join, which reuses the aggregate's hash partitioning
+    on one side; (3) the per-document reassembly keyed by id, whose
+    state is bounded by document size. No Python anywhere.
+    """
+    lines = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(
+        F.countDistinct("id").alias("n_docs")
+    )
+    joined = lines.join(counts, "line")
+    parts = F.array_sort(F.collect_list(F.struct("pos", "line", "n_docs")))
+    kept = F.filter(parts, lambda x: x["n_docs"] < F.lit(int(min_docs)))
+    return joined.groupBy("id").agg(
+        F.concat_ws("\n", F.transform(kept, lambda x: x["line"])).alias(
+            "text"
+        ),
+        F.count("*").alias("n_lines"),
+        F.sum(
+            (F.col("n_docs") >= F.lit(int(min_docs))).cast("bigint")
+        ).alias("n_removed"),
+    )
