@@ -206,3 +206,44 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", "df_t", "score", "rank")
     )
+
+
+def shard_corpus(
+    corpus: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic training shuffle: assign every document a shard
+    and a position within that shard, pseudorandom in the document id
+    but exactly reproducible for a given ``seed``.
+
+    A training run needs the corpus in a fixed shuffled order, split
+    into shards a data loader can stream independently. A global
+    ``ORDER BY random()`` is neither reproducible nor scalable (one
+    total sort of the corpus); instead the shuffle key is
+    ``md5(seed_id)`` — shard = first 8 hex digits mod ``n_shards``,
+    position = rank of the key within the shard. The plan is ONE hash
+    exchange on shard plus a per-shard sort: at 100 TB pick n_shards so
+    a shard fits an executor's spill budget (e.g. 10k shards of ~10 GB)
+    and every shard sorts in parallel; no global sort exists.
+
+    Columns: ``(id, shard, pos)``; the (shard, pos) pairs are a
+    permutation of the corpus, dense per shard from 0.
+    """
+    key = F.md5(
+        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    )
+    keyed = corpus.select(
+        F.col(id_col).alias("id"), key.alias("_key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", "id")
+    return keyed.select(
+        "id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
