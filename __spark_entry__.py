@@ -1403,6 +1403,71 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.corpus import shard_corpus
+
+    return shard_corpus(
+        _corpus(spark, sf_dir), n_shards=OR.SHARD_N, seed=OR.SHARD_SEED
+    )
+
+
+def _q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization with qvec stringified — the driver compare
+    sorts rows columnwise in pandas, where array columns are
+    unorderable."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.quantize import quantize_int8
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    q = quantize_int8(s.table("embeddings"))
+    return q.select(
+        "id",
+        "dims",
+        "scale",
+        F.concat_ws(
+            ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+        ).alias("qvec"),
+    )
+
+
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with deterministic planted URLs by id class (the raw
+    fixture carries none); mirrored by oracles._URL_PLANT."""
+    from pyspark.sql import functions as F
+
+    c = _corpus(spark, sf_dir)
+    m = F.col("id") % 11
+    planted = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.col("text"), F.lit(" see https://ex"),
+                (F.col("id") % 5).cast("string"),
+                F.lit(".example.com/p/"), F.col("id").cast("string"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" links http://mirror.example.org/dl"
+                      " and https://cdn.example.net/a%20b"),
+            ),
+        )
+        .when(m == 2, F.concat(F.col("text"), F.lit(" ref https://docs.example.com")))
+        .otherwise(F.col("text"))
+    )
+    return c.select("id", planted.alias("text"))
+
+
+def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.web import url_stats
+
+    return url_stats(_url_corpus(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1443,6 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (need first driver rows) ---
         "pii_scan": _q_pii_scan,
         "boilerplate_lines": _q_boilerplate_lines,
+        "shard_corpus": _q_shard_corpus,
+        "quantize_int8": _q_quantize_int8,
+        "url_stats": _q_url_stats,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1594,6 +1662,9 @@ def oracle_sql() -> dict[str, str]:
         # outputs are not partition-stable / SQL-expressible.
         "pii_scan": OR.PII_SCAN,
         "boilerplate_lines": OR.BOILERPLATE_LINES,
+        "shard_corpus": OR.SHARD_CORPUS,
+        "quantize_int8": OR.QUANTIZE_INT8,
+        "url_stats": OR.URL_STATS,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

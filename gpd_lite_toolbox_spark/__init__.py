@@ -76,6 +76,7 @@ from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
 from .text.corpus import (  # noqa: F401
     pack_sequences,
     sample_to_mixture,
+    shard_corpus,
     stratified_sample,
     tfidf_topk,
 )
@@ -93,6 +94,7 @@ from .text.pipeline import (  # noqa: F401
     remove_boilerplate_lines,
 )
 from .text.search import bm25_topk  # noqa: F401
+from .text.web import extract_urls, url_stats  # noqa: F401
 from .vector.ann import (  # noqa: F401
     ann_ivf_topk,
     ann_ivf_topk_indexed,
@@ -100,6 +102,7 @@ from .vector.ann import (  # noqa: F401
     cosine_topk,
     write_ivf_index,
 )
+from .vector.quantize import dequantize_expr, quantize_int8  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
 __all__ = [
@@ -166,6 +169,14 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "sample_to_mixture",
+    "shard_corpus",
+    "pii_scan",
+    "redact_expr",
+    "remove_boilerplate_lines",
+    "extract_urls",
+    "url_stats",
+    "quantize_int8",
+    "dequantize_expr",
     # temporal joins
     "asof_join",
     "range_join_binned",

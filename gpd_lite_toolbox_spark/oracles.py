@@ -1884,3 +1884,70 @@ SELECT l.id,
 FROM lines l JOIN counts c ON c.line = l.line
 GROUP BY l.id
 """
+
+# Deterministic training shuffle: md5-keyed shard + in-shard rank.
+# Same '0x'||substr(md5)::UBIGINT pattern the minhash oracle uses for
+# Spark's conv(substring(md5,1,8),16,10).
+SHARD_N = 8
+SHARD_SEED = 0
+
+SHARD_CORPUS = f"""
+WITH {oracle_ctes('corpus')},
+keyed AS (SELECT id,
+                 md5('{SHARD_SEED}_' || CAST(id AS VARCHAR)) AS key,
+                 CAST(('0x' || substr(md5('{SHARD_SEED}_'
+                       || CAST(id AS VARCHAR)), 1, 8))::UBIGINT
+                      % {SHARD_N} AS BIGINT) AS shard
+          FROM corpus)
+SELECT id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, id) - 1
+            AS BIGINT) AS pos
+FROM keyed
+"""
+
+# Per-vector symmetric int8 quantization (vector/quantize.py): shared
+# closed-form round-half-up so both engines agree bit-for-bit. The
+# declared query stringifies qvec (the driver compare sorts rows
+# columnwise in pandas, where array columns are unorderable).
+QUANTIZE_INT8 = """
+WITH s AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+sc AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       FROM s)
+SELECT vec_id AS id,
+       CAST(len(v) AS INT) AS dims,
+       scale,
+       array_to_string(list_transform(v, x ->
+           CAST(CAST(FLOOR(x / GREATEST(scale, 1e-30) + 0.5) AS INT)
+                AS VARCHAR)), ',') AS qvec
+FROM sc
+"""
+
+# URL/domain audit: the corpus fixture has no URLs, so the query plants
+# deterministic ones by id class (mirrored in _url_corpus); pattern
+# strings come from text/web.py verbatim.
+from .text import web as _web  # noqa: E402
+
+_URL_PLANT = """
+uc AS (SELECT id,
+  CASE WHEN id % 11 = 0 THEN text || ' see https://ex'
+                                || CAST(id % 5 AS VARCHAR)
+                                || '.example.com/p/' || CAST(id AS VARCHAR)
+       WHEN id % 11 = 1 THEN text || ' links http://mirror.example.org/dl'
+                                || ' and https://cdn.example.net/a%20b'
+       WHEN id % 11 = 2 THEN text || ' ref https://docs.example.com'
+       ELSE text END AS text
+  FROM corpus)
+"""
+
+URL_STATS = f"""
+WITH {oracle_ctes('corpus')}, {_URL_PLANT},
+u AS (SELECT id, UNNEST(regexp_extract_all(text, '{_web.URL_PATTERN}')) AS url
+      FROM uc)
+SELECT regexp_extract(url, '{_web.DOMAIN_PATTERN}', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+FROM u GROUP BY 1
+"""

@@ -1,0 +1,89 @@
+"""Unit semantics for the round-4 training-data ops: deterministic
+sharding, int8 quantization, URL extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark.text.corpus import shard_corpus
+from gpd_lite_toolbox_spark.text.web import extract_urls, url_stats
+from gpd_lite_toolbox_spark.vector.quantize import (
+    dequantize_expr,
+    quantize_int8,
+)
+
+
+def test_shard_corpus_is_a_dense_permutation(spark):
+    df = spark.range(0, 500).select(F.col("id"))
+    out = shard_corpus(df, n_shards=7, seed=3).collect()
+    assert len(out) == 500
+    assert len({(r["shard"], r["pos"]) for r in out}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert 0 <= shard < 7
+        assert sorted(poss) == list(range(len(poss)))  # dense from 0
+    # pseudorandom balance: no shard hogs the corpus
+    assert max(len(p) for p in by_shard.values()) < 2 * (500 / 7)
+
+
+def test_shard_corpus_deterministic_and_seed_sensitive(spark):
+    df = spark.range(0, 200)
+    a = sorted(map(tuple, shard_corpus(df, 4, seed=1).collect()))
+    b = sorted(map(tuple, shard_corpus(df.repartition(13), 4, seed=1).collect()))
+    c = sorted(map(tuple, shard_corpus(df, 4, seed=2).collect()))
+    assert a == b  # partitioning-independent
+    assert a != c  # the seed actually reshuffles
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # degenerate all-zero vector
+        (3, [3.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_int8(df)
+    out = {r["id"]: r.asDict() for r in q.collect()}
+
+    assert out[1]["qvec"] == [64, -127, 32, 0]  # 0.5/(1/127)=63.5 -> 64
+    assert abs(out[1]["scale"] - 1.0 / 127) < 1e-15
+    assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[3]["qvec"] == [127]
+
+    # reconstruction error bounded by scale/2 elementwise
+    err = (
+        q.join(df, q["id"] == df["vec_id"])
+        .select(
+            F.array_max(
+                F.zip_with(
+                    dequantize_expr(F.col("qvec"), F.col("scale")),
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("e"),
+            "scale",
+        )
+        .select(F.max(F.col("e") - F.col("scale") * 0.5).alias("m"))
+        .first()["m"]
+    )
+    assert err <= 1e-12
+
+
+def test_extract_urls_and_domain_rollup(spark):
+    rows = [
+        (1, "go to https://a.example.com/x and http://b.example.org now"),
+        (2, "again https://a.example.com/y?"),  # '?' not in URL charset
+        (3, "no links here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    urls = {(r["id"], r["url"], r["domain"]) for r in extract_urls(df).collect()}
+    assert (1, "https://a.example.com/x", "a.example.com") in urls
+    assert (1, "http://b.example.org", "b.example.org") in urls
+    assert (2, "https://a.example.com/y", "a.example.com") in urls
+    assert not any(i == 3 for i, _, _ in urls)
+
+    stats = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in url_stats(df).collect()}
+    assert stats["a.example.com"] == (2, 2)
+    assert stats["b.example.org"] == (1, 1)
