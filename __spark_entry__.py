@@ -1468,6 +1468,22 @@ def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_stats(_url_corpus(spark, sf_dir))
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (error x preceding
+    clicks per user) driven end-to-end over the bounded events source;
+    the emitted pair set equals the batch inequality join, so the
+    streaming operator gets the full hash gate."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_interval_join,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return run_streaming_interval_join(
+        s, f"{sf_dir}/events.parquet", max_lag_s=OR.IVJOIN_LAG_S
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1511,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_corpus": _q_shard_corpus,
         "quantize_int8": _q_quantize_int8,
         "url_stats": _q_url_stats,
+        "stream_interval_join": _q_stream_interval_join,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1665,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_corpus": OR.SHARD_CORPUS,
         "quantize_int8": OR.QUANTIZE_INT8,
         "url_stats": OR.URL_STATS,
+        "stream_interval_join": OR.STREAM_INTERVAL_JOIN,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

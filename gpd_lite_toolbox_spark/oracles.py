@@ -1951,3 +1951,20 @@ SELECT regexp_extract(url, '{_web.DOMAIN_PATTERN}', 1) AS domain,
        CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
 FROM u GROUP BY 1
 """
+
+# Stream-stream interval join (streaming/grid_stream.py
+# interval_join_events): every (error, click) pair for the same user
+# with the click within 4 hours before the error. Oracle is the
+# plain batch inequality join.
+IVJOIN_LAG_S = 14400
+
+STREAM_INTERVAL_JOIN = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+            FROM events)
+SELECT e.event_id AS err_id, c.event_id AS click_id,
+       e.us - c.us AS lag_us
+FROM ev e JOIN ev c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND c.us <= e.us AND c.us >= e.us - {IVJOIN_LAG_S * 1_000_000}
+"""

@@ -366,6 +366,74 @@ def run_streaming_decontaminate(
     return res.groupBy("doc_id").agg(F.max("n_hits").alias("n_hits"))
 
 
+def interval_join_events(
+    errors: DataFrame, clicks: DataFrame, max_lag_s: int = 600
+) -> DataFrame:
+    """Per-error lookback join: every (error, click) pair for the same
+    user with the click inside ``[error.ts - max_lag_s, error.ts]`` —
+    the "what did the user click before it broke" shape. One logical
+    plan for batch and streaming frames: the join is an EQUI-join on
+    user_id with a time-range residual, which batch executes as a hash
+    join and streaming as a symmetric hash join whose per-user state
+    the range bound lets the watermark evict (the canonical Spark
+    stream-stream interval join — state is bounded by users active
+    within the lag window, never by stream length).
+
+    Output: ``(err_id, click_id, lag_us)``.
+    """
+    e = errors.select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("_euid"),
+        F.col("ts").alias("_ets"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_cuid"),
+        F.col("ts").alias("_cts"),
+    )
+    cond = (
+        (e["_euid"] == c["_cuid"])
+        & (c["_cts"] <= e["_ets"])
+        & (c["_cts"] >= e["_ets"] - F.expr(f"INTERVAL {int(max_lag_s)} SECONDS"))
+    )
+    return e.join(c, cond).select(
+        "err_id",
+        "click_id",
+        (F.unix_micros("_ets") - F.unix_micros("_cts")).alias("lag_us"),
+    )
+
+
+def run_streaming_interval_join(
+    spark,
+    parquet_dir: str,
+    max_lag_s: int = 600,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the stream-stream interval join end-to-end: two file
+    streams over the same bounded source (errors / clicks), watermarked
+    on both sides (Spark requires event-time bounds on each input of a
+    stream-stream join to reason about state eviction), append-mode
+    memory sink. On a bounded availableNow source the emitted set
+    equals the batch join — the driver-oracle form."""
+    parquet_dir = _stage_dir(parquet_dir, "ivjoin_stream_")
+    schema = spark.read.parquet(parquet_dir).schema
+
+    def _side(event_type: str) -> DataFrame:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        s = _normalize_ts(reader.parquet(parquet_dir))
+        return s.withWatermark("ts", watermark).filter(
+            F.col("event_type") == event_type
+        )
+
+    joined = interval_join_events(
+        _side("error"), _side("click"), max_lag_s=max_lag_s
+    )
+    return _drain_to_memory(spark, joined, "ivjoin_stream_out", "append")
+
+
 SESSION_GAP_S = 1800
 
 

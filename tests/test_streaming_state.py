@@ -483,3 +483,83 @@ def test_streaming_near_dedup_via_rowlocal_simhash(spark, sf_dir):
         for r in docs.select(simhash_expr("text").alias("sh")).distinct().collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_interval_join_matches_batch_across_microbatches(
+    spark, sf_dir, tmp_path
+):
+    """Stream-stream interval join with the source split into multiple
+    files and maxFilesPerTrigger=1: pairs whose two sides arrive in
+    DIFFERENT micro-batches must still match via the join state, and
+    the final emitted set must equal the batch inequality join."""
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        interval_join_events,
+        run_streaming_interval_join,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    split_dir = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(split_dir)
+
+    err = ev.filter(F.col("event_type") == "error")
+    clk = ev.filter(F.col("event_type") == "click")
+    batch = {
+        tuple(r)
+        for r in interval_join_events(err, clk, max_lag_s=14400).collect()
+    }
+    # repartition(4) scatters rows across files with no time order, so
+    # every micro-batch contains rows from the full time range: the
+    # watermark must exceed the data span or later batches' old rows
+    # are (correctly) treated as too-late and dropped. Exact batch
+    # equivalence therefore needs an out-of-span watermark; the
+    # in-span eviction behavior is asserted separately below.
+    stream = {
+        tuple(r)
+        for r in run_streaming_interval_join(
+            spark, split_dir, max_lag_s=14400, watermark="400 days",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert batch == stream, (
+        f"{len(batch - stream)} batch-only, {len(stream - batch)} stream-only"
+    )
+    assert len(batch) > 0
+
+
+def test_stream_interval_join_short_watermark_drops_late_rows(
+    spark, sf_dir, tmp_path
+):
+    """With unordered micro-batches and an in-span watermark, rows
+    older than the advanced watermark are dropped — emitted pairs are
+    a strict subset of the batch join (bounded-state semantics)."""
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        interval_join_events,
+        run_streaming_interval_join,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    ev = spark.table("events")
+    split_dir = str(tmp_path / "events_split_wm")
+    ev.repartition(4).write.parquet(split_dir)
+    batch = {
+        tuple(r)
+        for r in interval_join_events(
+            ev.filter(F.col("event_type") == "error"),
+            ev.filter(F.col("event_type") == "click"),
+            max_lag_s=14400,
+        ).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in run_streaming_interval_join(
+            spark, split_dir, max_lag_s=14400, watermark="1 day",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert stream <= batch
+    assert len(stream) < len(batch)  # some cross-batch rows were late
