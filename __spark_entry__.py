@@ -1468,6 +1468,22 @@ def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_stats(_url_corpus(spark, sf_dir))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.corpus import chunk_documents
+
+    return chunk_documents(
+        _corpus(spark, sf_dir),
+        max_tokens=OR.CHUNK_MAX_TOKENS,
+        overlap=OR.CHUNK_OVERLAP,
+    )
+
+
+def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gpd_lite_toolbox_spark.text.corpus import build_vocab
+
+    return build_vocab(_corpus(spark, sf_dir), top_n=OR.VOCAB_TOP_N)
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (error x preceding
     clicks per user) driven end-to-end over the bounded events source;
@@ -1528,6 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": _q_quantize_int8,
         "url_stats": _q_url_stats,
         "stream_interval_join": _q_stream_interval_join,
+        "chunk_documents": _q_chunk_documents,
+        "build_vocab": _q_build_vocab,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1683,6 +1701,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_int8": OR.QUANTIZE_INT8,
         "url_stats": OR.URL_STATS,
         "stream_interval_join": OR.STREAM_INTERVAL_JOIN,
+        "chunk_documents": OR.CHUNK_DOCUMENTS,
+        "build_vocab": OR.BUILD_VOCAB,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

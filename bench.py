@@ -64,6 +64,14 @@ BENCH_QUERIES = [
     "stratified_sample",
     "tfidf_topk",
     "bm25_topk",
+    "pii_scan",
+    "boilerplate_lines",
+    "shard_corpus",
+    "quantize_int8",
+    "url_stats",
+    "stream_interval_join",
+    "chunk_documents",
+    "build_vocab",
     "asof_prev_event",
     "range_neighborhood",
     "event_transitions",

@@ -74,6 +74,8 @@ from .sources.sinks import overwrite_partitions, write_geoparquet  # noqa: F401
 from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
 from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
 from .text.corpus import (  # noqa: F401
+    build_vocab,
+    chunk_documents,
     pack_sequences,
     sample_to_mixture,
     shard_corpus,
@@ -170,6 +172,8 @@ __all__ = [
     "stratified_sample",
     "sample_to_mixture",
     "shard_corpus",
+    "chunk_documents",
+    "build_vocab",
     "pii_scan",
     "redact_expr",
     "remove_boilerplate_lines",

@@ -1968,3 +1968,55 @@ FROM ev e JOIN ev c
  AND e.event_type = 'error' AND c.event_type = 'click'
  AND c.us <= e.us AND c.us >= e.us - {IVJOIN_LAG_S * 1_000_000}
 """
+
+# Document chunking (text/corpus.py chunk_documents): sliding
+# fixed-token windows, stride = max_tokens - overlap, last chunk =
+# first window reaching the final token.
+CHUNK_MAX_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+
+CHUNK_DOCUMENTS = f"""
+WITH {oracle_ctes('corpus')},
+base AS (SELECT id, string_split(text, ' ') AS w,
+                GREATEST(CAST(CEIL((len(string_split(text, ' '))
+                                    - {CHUNK_MAX_TOKENS})
+                                   / {_CHUNK_STRIDE}.0) AS BIGINT) + 1,
+                         1) AS n_chunks
+         FROM corpus),
+ch AS (SELECT id, n_chunks, CAST(u.c AS BIGINT) AS chunk_id,
+              list_slice(w, CAST(u.c AS BIGINT) * {_CHUNK_STRIDE} + 1,
+                         CAST(u.c AS BIGINT) * {_CHUNK_STRIDE}
+                         + {CHUNK_MAX_TOKENS}) AS sl
+       FROM base, UNNEST(range(0, n_chunks)) AS u(c))
+SELECT id, chunk_id, n_chunks,
+       CAST(len(sl) AS INT) AS chunk_tokens,
+       array_to_string(sl, ' ') AS chunk_text
+FROM ch
+"""
+
+# Vocabulary with coverage (text/corpus.py build_vocab): top-n terms
+# by (count desc, term asc) and the cumulative occurrence share.
+VOCAB_TOP_N = 50
+
+BUILD_VOCAB = f"""
+WITH {oracle_ctes('corpus')},
+tok AS (SELECT id, u.term FROM corpus,
+        UNNEST(string_split(text, ' ')) AS u(term)
+        WHERE u.term <> ''),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+           FROM tok GROUP BY term),
+total AS (SELECT SUM(n_occurrences) AS t FROM counts),
+top AS (SELECT * FROM counts
+        ORDER BY n_occurrences DESC, term ASC LIMIT {VOCAB_TOP_N})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC)
+            AS INT) AS rank,
+       term, n_occurrences, n_docs,
+       ROUND(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC,
+                                      term ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+             / CAST(t AS DOUBLE), 6) AS cum_share
+FROM top CROSS JOIN total
+"""

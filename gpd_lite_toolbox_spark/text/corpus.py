@@ -247,3 +247,118 @@ def shard_corpus(
         "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )
+
+
+def chunk_documents(
+    corpus: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with optional
+    token overlap — the context-window preprocessing step for training
+    and embedding pipelines (documents longer than the model window
+    become sliding chunks; short documents pass through as one chunk).
+
+    Tokenization is whitespace (matching token_stats); chunk ``i``
+    covers tokens ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``. The last chunk is the first one
+    whose window reaches the final token, so no content is dropped and
+    no degenerate all-overlap tail chunk is emitted.
+
+    Pure native expressions: split -> sequence/explode -> slice ->
+    array_join. Zero shuffles, zero Python — a map-only projection
+    whose fan-out is bounded by ceil(tokens/stride) per document, so
+    the 100 TB plan is the parquet scan plus a Generate.
+
+    Columns: ``(id, chunk_id, n_chunks, chunk_tokens, chunk_text)``.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # number of stride steps until a window covers the last token
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("bigint")
+        + F.lit(1),
+        F.lit(1),
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        words.alias("_w"),
+        n_chunks.alias("n_chunks"),
+    )
+    chunks = base.select(
+        "id",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+        "_w",
+    )
+    sliced = F.slice(
+        F.col("_w"),
+        (F.col("chunk_id") * F.lit(stride) + 1).cast("int"),
+        F.lit(max_tokens),
+    )
+    return chunks.select(
+        "id",
+        "chunk_id",
+        "n_chunks",
+        F.size(sliced).alias("chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+def build_vocab(
+    corpus: DataFrame,
+    top_n: int,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary with coverage: the ``top_n`` most frequent
+    whitespace tokens, each with its occurrence count, document
+    frequency, and the cumulative share of ALL token occurrences the
+    vocabulary covers through that rank — the standard artifact for
+    sizing a tokenizer vocab ("how many entries for 95% coverage").
+
+    Scale shape: one partial-aggregated exchange for the term counts
+    (corpus-sized input, vocab-sized output), a single-row total
+    aggregate, and a ``TakeOrdered`` top-n (per-partition k-heaps — no
+    global sort of the vocabulary). Only the final rank/cumsum window
+    runs single-partition, over exactly ``top_n`` rows — bounded by
+    the caller's k, never by corpus or vocabulary size.
+
+    Columns: ``(rank, term, n_occurrences, n_docs, cum_share)``;
+    ordering is (count desc, term asc), deterministic under ties.
+    """
+    tok = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    total = counts.select(F.sum("n_occurrences").alias("_total"))
+    top = (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(int(top_n))
+        .join(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return top.select(
+        F.row_number().over(wr).alias("rank"),
+        "term",
+        "n_occurrences",
+        "n_docs",
+        F.round(
+            F.sum("n_occurrences").over(w) / F.col("_total").cast("double"), 6
+        ).alias("cum_share"),
+    )
