@@ -101,15 +101,75 @@ def shingles(
     )
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """Per-doc minhash signature: one row per doc, h0..h{N-1} columns."""
-    sh = shingles(corpus).withColumn("hv", _hash32(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(MH_A[i]) * F.col("hv") + F.lit(MH_B[i])) % F.lit(MH_PRIME))
-        .alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+def shingle_str_array_expr(text_col: str) -> "F.Column":
+    """Row-LOCAL distinct STRING-shingle array — the unhashed sibling
+    of ``shingle_array_expr``, with the identical position sequence, so
+    per-doc sets equal ``shingles(corpus)``'s (id, shingle) groups."""
+    return F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(length({text_col}) - {SHINGLE_K - 1}, 1),
+                   {SHINGLE_STRIDE}),
+          p -> substring({text_col}, p, {SHINGLE_K})))
+        """
+    )
+
+
+def minhash_sig_expr(text_col: str) -> "F.Column":
+    """Row-LOCAL minhash signature: a struct h0..h{N-1}, computed as
+    ONE fold over the doc's distinct-shingle array — the md5 for each
+    shingle is evaluated once (it binds to the fold's lambda variable,
+    not re-derived per permutation), and all N permutation minimums
+    advance together in the accumulator struct.
+
+    Same arithmetic, term for term, as the former exploded-table
+    aggregation (min over (a*hv + b) mod P), so signatures —
+    and every oracle downstream of them — are bit-identical. The win
+    is plan shape: the per-doc signature needs NO exchange at all
+    (previously: a shingle-table repartition + distinct, then an
+    8-way min aggregation shuffled by id). Streaming-legal for the
+    same reason as ``shingle_array_expr``: a stateless projection."""
+    hv_arr = F.transform(
+        shingle_str_array_expr(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    init = F.struct(
+        *[
+            F.lit(MH_PRIME).cast("bigint").alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+
+    def _merge(acc, h):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"h{i}"],
+                    (F.lit(MH_A[i]) * h + F.lit(MH_B[i])) % F.lit(MH_PRIME),
+                ).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+
+    return F.aggregate(hv_arr, init, _merge)
+
+
+def minhash_signatures(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc minhash signature: one row per doc, h0..h{N-1} columns.
+    A zero-shuffle projection (see ``minhash_sig_expr``). Two chained
+    selects on purpose: the struct is an expensive expression
+    referenced once per field, and CollapseProject declines to merge
+    projects that would duplicate a non-cheap expression — so the fold
+    runs once per row, not once per extracted field."""
+    staged = corpus.select(
+        F.col(id_col).alias("id"), minhash_sig_expr(text_col).alias("_sig")
+    )
+    return staged.select(
+        "id",
+        *[F.col("_sig")[f"h{i}"].alias(f"h{i}") for i in range(N_HASHES)],
+    )
 
 
 def minhash_band_keys(sig: DataFrame) -> DataFrame:
@@ -153,14 +213,11 @@ def minhash_lsh_pairs(
     as J grows), while emitted pairs remain exactly verified."""
     import math
 
-    # the shingle table feeds four consumers (signatures, both sides of
-    # the intersection join, sizes): persist it instead of recomputing
-    # the scan+explode per consumer. At warehouse scale this would be a
-    # materialized intermediate table.
-    sh = shingles(corpus).persist()
     # sig feeds the band join (both sides) and the prefilter (both
     # sides): persist the doc-sized table instead of re-running the
-    # 8-min-agg shuffle per consumer.
+    # per-row signature fold (md5 per shingle) per consumer. The
+    # shingle TABLE no longer exists in this operator at all — both
+    # the signatures and the verify sets are row-local projections.
     sig = minhash_signatures(corpus).persist()
     bands = minhash_band_keys(sig)
     a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
@@ -191,14 +248,14 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
     )
     # exact verify WITHOUT re-expanding shingle sets per pair: each
-    # doc's (already-distinct) shingle set is collected once into a
-    # sorted array — a doc-sized table — and the intersection is a
-    # native array_intersect on the surviving candidates. The earlier
-    # expand join paid |cand| x avg-set-size shuffle rows plus a pair
-    # -keyed re-aggregation; this is two doc-sized joins and a
-    # map-side expression (same rewrite as ngram_jaccard_pairs).
-    sets_ = sh.groupBy("id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("_ss")
+    # doc's distinct shingle set is a ROW-LOCAL sorted array (same
+    # semantics as the former collect_set over the shingle table, with
+    # zero exchanges to build it), and the intersection is a native
+    # array_intersect on the surviving candidates — two doc-sized
+    # joins and a map-side expression.
+    sets_ = corpus.select(
+        F.col("id").alias("id"),
+        F.array_sort(shingle_str_array_expr("text")).alias("_ss"),
     )
     out = (
         cand.join(
@@ -502,14 +559,16 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # full sorted shingle-set + size per doc in ONE aggregate; the
+    # full sorted shingle-set + size per doc as a ROW-LOCAL projection
+    # (same sets as the former collect_set aggregate over the shingle
+    # table, without exchanging the shingle table by id at all); the
     # verify is then a native array_intersect on the joined arrays.
     # At this SF the doc-sized fsets broadcast; at 100 TB AQE keeps
     # them shuffled hash joins on the pair keys — no replan needed.
-    fsets = sh.groupBy("id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("_fs"),
-        F.count("*").alias("n_sh"),
-    )
+    fsets = corpus.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(shingle_array_expr(text_col)).alias("_fs"),
+    ).withColumn("n_sh", F.size("_fs").cast("bigint"))
     return (
         cand.join(
             fsets.select(
