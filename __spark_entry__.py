@@ -1484,6 +1484,25 @@ def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_corpus(spark, sf_dir), top_n=OR.VOCAB_TOP_N)
 
 
+def _q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap the corpus at K docs per language class (lang derived from
+    the doc id, mirrored in the oracle)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.corpus import sample_k_per_group
+
+    c = _corpus(spark, sf_dir).withColumn(
+        "lang",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("es")),
+            (F.col("id") % 4).cast("int") + 1,
+        ),
+    )
+    return sample_k_per_group(
+        c, "lang", k=OR.SAMPLE_K, seed=OR.SAMPLE_K_SEED
+    ).select("id", "lang", "sample_rank")
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (error x preceding
     clicks per user) driven end-to-end over the bounded events source;
@@ -1546,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "chunk_documents": _q_chunk_documents,
         "build_vocab": _q_build_vocab,
+        "sample_k_per_group": _q_sample_k_per_group,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1703,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": OR.STREAM_INTERVAL_JOIN,
         "chunk_documents": OR.CHUNK_DOCUMENTS,
         "build_vocab": OR.BUILD_VOCAB,
+        "sample_k_per_group": OR.SAMPLE_K_PER_GROUP,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

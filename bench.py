@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "stream_interval_join",
     "chunk_documents",
     "build_vocab",
+    "sample_k_per_group",
     "asof_prev_event",
     "range_neighborhood",
     "event_transitions",

@@ -70,13 +70,18 @@ from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
 from .sources.jsonl import read_jsonl, write_jsonl  # noqa: F401
-from .sources.sinks import overwrite_partitions, write_geoparquet  # noqa: F401
+from .sources.sinks import (  # noqa: F401
+    overwrite_partitions,
+    write_geoparquet,
+    write_training_shards,
+)
 from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
 from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
 from .text.corpus import (  # noqa: F401
     build_vocab,
     chunk_documents,
     pack_sequences,
+    sample_k_per_group,
     sample_to_mixture,
     shard_corpus,
     stratified_sample,
@@ -125,6 +130,7 @@ __all__ = [
     "write_jsonl",
     "write_geoparquet",
     "overwrite_partitions",
+    "write_training_shards",
     "read_geo_jdbc",
     "mean_coordinates",
     "non_contiguous_cartogram",
@@ -172,6 +178,7 @@ __all__ = [
     "stratified_sample",
     "sample_to_mixture",
     "shard_corpus",
+    "sample_k_per_group",
     "chunk_documents",
     "build_vocab",
     "pii_scan",

@@ -2020,3 +2020,25 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC)
              / CAST(t AS DOUBLE), 6) AS cum_share
 FROM top CROSS JOIN total
 """
+
+# Deterministic k-per-group sampling (text/corpus.py
+# sample_k_per_group): cap the corpus at K docs per language class
+# (lang derived from the doc id as in the stratified fixture).
+SAMPLE_K = 20
+SAMPLE_K_SEED = 7
+
+SAMPLE_K_PER_GROUP = f"""
+WITH {oracle_ctes('corpus')},
+l AS (SELECT id, text,
+             CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'fr'
+                  WHEN id % 4 = 2 THEN 'de' ELSE 'es' END AS lang
+      FROM corpus),
+r AS (SELECT id, lang,
+             ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5('{SAMPLE_K_SEED}_' || CAST(id AS VARCHAR)) ASC,
+                          id ASC) AS sample_rank
+      FROM l)
+SELECT id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= {SAMPLE_K}
+"""

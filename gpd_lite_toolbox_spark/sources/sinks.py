@@ -55,3 +55,34 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    corpus, path: str, n_shards: int, seed: int = 0, id_col: str = "id"
+) -> None:
+    """Materialize the deterministic training shuffle
+    (``text.corpus.shard_corpus``) as a partitioned parquet layout:
+    one ``shard=K/`` directory per shard, rows sorted by their shuffle
+    position WITHIN each file, payload columns carried through. A data
+    loader then streams ``shard=K`` sequentially and reads the corpus
+    in the exact seeded shuffle order, with no runtime sort.
+
+    Plan: the shard assignment join is keyed by id (doc-sized),
+    ``repartition(shard)`` gives one task per shard, and
+    ``sortWithinPartitions(pos)`` sorts each shard independently —
+    never a global sort. At 100 TB pick n_shards so one shard fits a
+    task's spill budget (same guidance as shard_corpus)."""
+    from pyspark.sql import functions as F
+
+    from ..text.corpus import shard_corpus
+
+    assignment = shard_corpus(corpus, n_shards=n_shards, seed=seed, id_col=id_col)
+    keyed = corpus.withColumnRenamed(id_col, "id") if id_col != "id" else corpus
+    (
+        assignment.join(keyed, "id")
+        .repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

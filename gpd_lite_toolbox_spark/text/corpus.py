@@ -362,3 +362,34 @@ def build_vocab(
             F.sum("n_occurrences").over(w) / F.col("_total").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic k-per-group subsample: for every group, keep the
+    ``k`` rows whose seeded md5 key ranks lowest — a uniform
+    pseudo-random pick that is exactly reproducible and engine-
+    independent (the cap-per-source / cap-per-language step of corpus
+    curation, where rate-based ``stratified_sample`` can't promise an
+    exact per-group count).
+
+    Plan: one hash exchange on the group key; the rank filter becomes
+    WindowGroupLimit partial top-k heaps, so only <= k rows per group
+    per input partition reach the exchange. Groups smaller than ``k``
+    pass through whole.
+
+    Columns: input columns plus ``sample_rank`` (1..k within group).
+    """
+    key = F.md5(
+        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+    )
