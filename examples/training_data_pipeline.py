@@ -1,8 +1,9 @@
 """End-to-end training-data pipeline on the engine's public API.
 
-The 100 TB shape in miniature: ingest -> audit -> dedup (exact +
-near) -> benchmark decontamination -> domain-mixture sampling ->
-sequence packing -> shard accounting. Run it locally:
+The 100 TB shape in miniature: ingest -> audit -> PII redaction ->
+dedup (exact + near) -> benchmark decontamination -> domain-mixture
+sampling -> chunking -> sequence packing -> deterministic shuffle ->
+shard files + accounting. Run it locally:
 
     python examples/training_data_pipeline.py [sf_dir]
 
@@ -36,7 +37,15 @@ def run(spark, sf_dir: str):
         G.uniqueness_violations(docs, ["id"], rule="dup_id"),
     ])
 
-    # 2. exact dedup: drop every copy after the canonical min-id one
+    # 2. PII redaction: typed placeholders replace emails/phones/
+    # SSNs/IPs before anything else sees the text (zero-shuffle scan)
+    docs = (
+        G.pii_scan(docs.select("id", "text"), redact=True)
+        .select("id", "text")
+        .join(docs.select("id", "lang"), "id")
+    )
+
+    # 2b. exact dedup: drop every copy after the canonical min-id one
     dup = G.exact_dedup(docs)  # (content_hash, n_copies, keep_id)
     survivors = docs.join(
         docs.select("id", F.md5("text").alias("content_hash"))
@@ -66,13 +75,30 @@ def run(spark, sf_dir: str):
         rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75},
     )
 
-    # 6. pack into fixed token-budget shards (pretraining layout)
-    packed = G.pack_sequences(sampled, budget=512)
+    # 6. split long docs into model-window chunks (map-only)
+    chunks = G.chunk_documents(
+        sampled, max_tokens=64, overlap=8
+    ).select(
+        (F.col("id") * 1000 + F.col("chunk_id")).alias("id"),
+        F.col("chunk_text").alias("text"),
+    )
+
+    # 7. pack into fixed token-budget shards (pretraining layout)
+    packed = G.pack_sequences(chunks, budget=512)
+
+    # 8. deterministic training shuffle + shard accounting (a real run
+    # would write files with G.write_training_shards(chunks, path, n))
+    shuffled = G.shard_corpus(chunks, n_shards=8, seed=0)
 
     shards = packed.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         (F.max("shard_end") + 1).alias("n_shards"),
+    ).join(
+        shuffled.agg(
+            F.countDistinct("shard").alias("n_shuffle_shards"),
+            F.count("*").alias("n_shuffled_rows"),
+        )
     )
     return audit, shards
 

@@ -316,13 +316,26 @@ def write_spatialite(
     geom_col: str = "geometry",
     srid: int = 0,
     mode: str = "overwrite",
+    max_rows: int = 5_000_000,
 ) -> None:
     """Bounded export sink (the reference's single-connection
     ``db_creation`` shape, core.py:407-421): collect to the driver and
     write one SQLite file with GAIA geometry blobs plus the
     ``geometry_columns`` registry row. For layer-sized interchange
     outputs, not bulk data (use the partitioned parquet sink for
-    that)."""
+    that).
+
+    The driver-side collect is inherent to a single-file sink;
+    ``max_rows`` makes the bound explicit — the sink counts first and
+    refuses to collect a table above it rather than OOMing the driver.
+    Raise it deliberately for a bigger export."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_spatialite collects to the driver: {n} rows exceeds "
+            f"max_rows={max_rows}; use the partitioned parquet sink for "
+            "bulk data or raise max_rows explicitly"
+        )
     pdf = df.toPandas()
     spark_types = dict(df.dtypes)
     decls = []

@@ -93,3 +93,17 @@ def test_read_single_row_table(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].name == "a" and rows[0].x == 1.5
     assert bytes(rows[0].geom) == W.point_wkb(10.0, 20.0)
+
+
+def test_write_spatialite_row_guard(spark, tmp_path):
+    """The single-file sink refuses to collect tables above max_rows
+    (the bound is explicit, not an OOM)."""
+    import pytest
+
+    from gpd_lite_toolbox_spark.sources.spatialite import write_spatialite
+
+    df = spark.range(0, 100).withColumnRenamed("id", "fid")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_spatialite(
+            df, str(tmp_path / "t.sqlite"), "t", geom_col="g", max_rows=10
+        )
