@@ -75,11 +75,15 @@ def run(spark, sf_dir: str):
         rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75},
     )
 
-    # 6. split long docs into model-window chunks (map-only)
+    # 6. split long docs into model-window chunks (map-only). The
+    # composite id is collision-free while docs stay under 1M chunks
+    # (= 56M whitespace tokens at this stride) — far beyond any real
+    # document; a corpus that can't promise it should hash (id,
+    # chunk_id) instead.
     chunks = G.chunk_documents(
         sampled, max_tokens=64, overlap=8
     ).select(
-        (F.col("id") * 1000 + F.col("chunk_id")).alias("id"),
+        (F.col("id") * 1_000_000 + F.col("chunk_id")).alias("id"),
         F.col("chunk_text").alias("text"),
     )
 

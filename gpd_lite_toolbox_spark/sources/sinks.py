@@ -67,15 +67,28 @@ def write_training_shards(
     loader then streams ``shard=K`` sequentially and reads the corpus
     in the exact seeded shuffle order, with no runtime sort.
 
-    Plan: the shard assignment join is keyed by id (doc-sized),
-    ``repartition(shard)`` gives one task per shard, and
+    Plan: the shard assignment join is keyed by id (doc-sized), the
+    hash ``repartition`` on shard CO-LOCATES every row of a shard in
+    one task (which is what keeps each shard=K/ directory a single
+    pos-sorted file — hash collisions between shard values only reduce
+    write parallelism, never correctness), and
     ``sortWithinPartitions(pos)`` sorts each shard independently —
     never a global sort. At 100 TB pick n_shards so one shard fits a
-    task's spill budget (same guidance as shard_corpus)."""
+    task's spill budget (same guidance as shard_corpus).
+
+    The corpus must not already carry ``shard``/``pos`` columns (the
+    assignment's output names) — the sink raises rather than writing
+    ambiguous columns."""
     from pyspark.sql import functions as F
 
     from ..text.corpus import shard_corpus
 
+    clash = {"shard", "pos"} & {c for c in corpus.columns if c != id_col}
+    if clash:
+        raise ValueError(
+            f"write_training_shards emits columns {sorted(clash)} which "
+            "already exist in the corpus; rename them before writing"
+        )
     assignment = shard_corpus(corpus, n_shards=n_shards, seed=seed, id_col=id_col)
     keyed = corpus.withColumnRenamed(id_col, "id") if id_col != "id" else corpus
     (

@@ -326,17 +326,17 @@ def write_spatialite(
     that).
 
     The driver-side collect is inherent to a single-file sink;
-    ``max_rows`` makes the bound explicit — the sink counts first and
-    refuses to collect a table above it rather than OOMing the driver.
-    Raise it deliberately for a bigger export."""
-    n = df.count()
-    if n > max_rows:
+    ``max_rows`` makes the bound explicit — the collect itself is
+    capped at ``max_rows + 1`` rows (one bounded action, no separate
+    count job re-running the lineage) and the sink refuses to write a
+    truncated table. Raise it deliberately for a bigger export."""
+    pdf = df.limit(int(max_rows) + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"write_spatialite collects to the driver: {n} rows exceeds "
+            f"write_spatialite collects to the driver: input exceeds "
             f"max_rows={max_rows}; use the partitioned parquet sink for "
             "bulk data or raise max_rows explicitly"
         )
-    pdf = df.toPandas()
     spark_types = dict(df.dtypes)
     decls = []
     for c in pdf.columns:

@@ -151,7 +151,18 @@ def minhash_sig_expr(text_col: str) -> "F.Column":
             ]
         )
 
-    return F.aggregate(hv_arr, init, _merge)
+    # NULL text must yield a NULL signature, as the exploded-table
+    # aggregation did (min over a NULL hv is NULL). Without this mask
+    # the fold's least() would skip the NULL term and leave the
+    # MH_PRIME sentinel in every slot — giving all NULL-text docs one
+    # IDENTICAL signature that sails through the band join and the
+    # prefilter as a jaccard-1.0 "duplicate" of every other NULL doc.
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"h{i}:bigint" for i in range(N_HASHES)) + ">"
+    )
+    return F.when(F.col(text_col).isNull(), null_struct).otherwise(
+        F.aggregate(hv_arr, init, _merge)
+    )
 
 
 def minhash_signatures(

@@ -434,3 +434,23 @@ def test_match_lines_matches_jittered_counterpart(spark, sf_dir):
     # different (nearby) line at < 50 units — rare; sanity: no id%10==0
     # maps to itself
     assert all(b != a or a % 10 != 0 for a, b in by_a.items())
+
+
+def test_minhash_null_text_yields_null_signature_and_no_pairs(spark):
+    """Row-local signature regression guard: NULL-text docs must get
+    NULL signatures (like the old exploded-table min aggregation), not
+    a shared MH_PRIME sentinel that would make every pair of NULL-text
+    docs a spurious jaccard-1.0 duplicate."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a real document text here")],
+        "id bigint, text string",
+    )
+    sigs = {r["id"]: r for r in minhash_signatures(df).collect()}
+    assert sigs[1]["h0"] is None and sigs[2]["h7"] is None
+    assert sigs[3]["h0"] is not None
+    assert minhash_lsh_pairs(df, threshold=0.5).count() == 0

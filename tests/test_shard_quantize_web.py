@@ -172,3 +172,14 @@ def test_sample_k_per_group_exact_caps_and_windowgrouplimit(spark):
     b = {r["id"] for r in sample_k_per_group(df.repartition(9), "g", 10, seed=1).collect()}
     c = {r["id"] for r in sample_k_per_group(df, "g", 10, seed=2).collect()}
     assert a == b and a != c
+
+
+def test_write_training_shards_rejects_column_clash(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.sinks import write_training_shards
+
+    df = spark.range(0, 10).select(F.col("id"), F.lit(1).alias("pos"))
+    with pytest.raises(ValueError, match="pos"):
+        write_training_shards(df, str(tmp_path / "x"), n_shards=2)
