@@ -1484,6 +1484,40 @@ def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_corpus(spark, sf_dir), top_n=OR.VOCAB_TOP_N)
 
 
+def _q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization over the PII-planted corpus (the planted '@.-%/:'
+    characters exercise the punctuation strip)."""
+    from gpd_lite_toolbox_spark.text.pipeline import normalize_corpus
+
+    return normalize_corpus(_pii_corpus(spark, sf_dir))
+
+
+def _q_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-k users by event volume: time-bucketed leaderboard;
+    the rank filter runs as WindowGroupLimit partial k-heaps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    counts = (
+        s.table("events")
+        .groupBy(
+            F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias("day_us"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("day_us").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OR.TOP_USERS_K)
+        .select("day_us", "user_id", "n_events", "rank")
+    )
+
+
 def _q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap the corpus at K docs per language class (lang derived from
     the doc id, mirrored in the oracle)."""
@@ -1566,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "build_vocab": _q_build_vocab,
         "sample_k_per_group": _q_sample_k_per_group,
+        "normalize_corpus": _q_normalize_corpus,
+        "top_users_daily": _q_top_users_daily,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1724,6 +1760,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": OR.CHUNK_DOCUMENTS,
         "build_vocab": OR.BUILD_VOCAB,
         "sample_k_per_group": OR.SAMPLE_K_PER_GROUP,
+        "normalize_corpus": OR.NORMALIZE_CORPUS,
+        "top_users_daily": OR.TOP_USERS_DAILY,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

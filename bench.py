@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     "build_vocab",
     "sample_k_per_group",
+    "normalize_corpus",
+    "top_users_daily",
     "asof_prev_event",
     "range_neighborhood",
     "event_transitions",

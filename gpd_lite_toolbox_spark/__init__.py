@@ -98,6 +98,8 @@ from .text.dedup import (  # noqa: F401
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
+    normalize_corpus,
+    normalize_text_expr,
     remove_boilerplate_lines,
 )
 from .text.search import bm25_topk  # noqa: F401
@@ -184,6 +186,8 @@ __all__ = [
     "pii_scan",
     "redact_expr",
     "remove_boilerplate_lines",
+    "normalize_corpus",
+    "normalize_text_expr",
     "extract_urls",
     "url_stats",
     "quantize_int8",

@@ -2042,3 +2042,36 @@ r AS (SELECT id, lang,
 SELECT id, lang, CAST(sample_rank AS INT) AS sample_rank
 FROM r WHERE sample_rank <= {SAMPLE_K}
 """
+
+# Text normalization over the PII-planted corpus (reusing the messy
+# fixture: mixed case is absent from the word soup, but the planted
+# '@' '.' '-' '%' '/' ':' characters exercise the punctuation strip).
+NORMALIZE_CORPUS = f"""
+WITH {oracle_ctes('corpus')}, {_PII_PLANT}
+SELECT id,
+       trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM pc
+"""
+
+# Daily top-k users by event volume: time-bucketed WindowGroupLimit
+# top-k — the leaderboard shape of an OLAP pipeline.
+TOP_USERS_K = 3
+
+TOP_USERS_DAILY = f"""
+WITH c AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, user_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT day_us, user_id, n_events,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day_us
+                                   ORDER BY n_events DESC, user_id ASC)
+                AS rnk
+      FROM c)
+WHERE rnk <= {TOP_USERS_K}
+"""

@@ -104,3 +104,29 @@ def remove_boilerplate_lines(
             (F.col("n_docs") >= F.lit(int(min_docs))).cast("bigint")
         ).alias("n_removed"),
     )
+
+
+def normalize_text_expr(text: "F.Column") -> "F.Column":
+    """Canonical text normalization as one column expression:
+    lowercase, non-alphanumerics to spaces, whitespace runs collapsed,
+    trimmed. The regexes stay in the Java/RE2 intersection so the
+    DuckDB oracle shares them verbatim; streaming-legal (stateless)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(t, " +", " "))
+
+
+def normalize_corpus(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text, n_chars_raw, n_chars_norm): the normalization pass a
+    corpus runs before tokenization/dedup — a zero-shuffle projection
+    at any scale."""
+    raw = F.col(text_col)
+    norm = normalize_text_expr(raw)
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        norm.alias("text"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+    )

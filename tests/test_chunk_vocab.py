@@ -59,3 +59,23 @@ def test_build_vocab_ranks_and_coverage(spark):
     assert abs(out[3]["cum_share"] - round(8 / 9, 6)) < 1e-12
     shares = [out[i]["cum_share"] for i in (1, 2, 3)]
     assert shares == sorted(shares) and shares[-1] <= 1.0
+
+
+def test_normalize_text_semantics(spark):
+    from gpd_lite_toolbox_spark.text.pipeline import normalize_corpus
+
+    rows = [
+        (1, "  Hello,   WORLD!! (test) e-mail: a@b.io  "),
+        (2, "already clean text"),
+        (3, "!!!"),
+    ]
+    out = {
+        r["id"]: r.asDict()
+        for r in normalize_corpus(
+            spark.createDataFrame(rows, ["id", "text"])
+        ).collect()
+    }
+    assert out[1]["text"] == "hello world test e mail a b io"
+    assert out[2]["text"] == "already clean text"
+    assert out[3]["text"] == "" and out[3]["n_chars_norm"] == 0
+    assert out[1]["n_chars_raw"] == len(rows[0][1])

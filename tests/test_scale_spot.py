@@ -42,6 +42,14 @@ _SPOT = [
     "audio_chunks",
     "value_histogram",
     "hull_stats",
+    # round-4 session-2 additions with scale-coupled shapes:
+    # boilerplate (line-frequency join fan-out), shard_corpus
+    # (per-shard rank density), build_vocab (TakeOrdered vs full
+    # vocab), stream_interval_join (join-state volume)
+    "boilerplate_lines",
+    "shard_corpus",
+    "build_vocab",
+    "stream_interval_join",
 ]
 
 
