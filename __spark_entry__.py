@@ -1484,6 +1484,17 @@ def _q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_corpus(spark, sf_dir), top_n=OR.VOCAB_TOP_N)
 
 
+def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive exact Jaccard pairs via prefix filtering; the oracle
+    generates candidates from ANY shared shingle — an independent path
+    that would expose a prefix-filter recall bug."""
+    from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_prefix_pairs
+
+    return ngram_jaccard_prefix_pairs(
+        _corpus(spark, sf_dir), threshold=OR.NGRAM_PREFIX_T
+    )
+
+
 def _q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization over the PII-planted corpus (the planted '@.-%/:'
     characters exercise the punctuation strip)."""
@@ -1602,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": _q_sample_k_per_group,
         "normalize_corpus": _q_normalize_corpus,
         "top_users_daily": _q_top_users_daily,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1762,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_per_group": OR.SAMPLE_K_PER_GROUP,
         "normalize_corpus": OR.NORMALIZE_CORPUS,
         "top_users_daily": OR.TOP_USERS_DAILY,
+        "ngram_jaccard_prefix": OR.NGRAM_JACCARD_EXHAUSTIVE,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

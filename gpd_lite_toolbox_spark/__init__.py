@@ -92,6 +92,7 @@ from .text.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix_pairs,
     simhash,
     simhash_band_keys,
 )
@@ -169,6 +170,7 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix_pairs",
     "decontaminate",
     "simhash_band_keys",
     "simhash",

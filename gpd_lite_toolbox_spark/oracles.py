@@ -2075,3 +2075,28 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day_us
       FROM c)
 WHERE rnk <= {TOP_USERS_K}
 """
+
+# Exhaustive exact n-gram Jaccard (prefix-filtered on the Spark side;
+# the oracle generates candidates naively from ANY shared shingle —
+# an independent path that would expose a prefix-filter recall bug).
+# The filter uses the raw quotient (not the rounded display value) on
+# both sides, so prefix-pruned borderline pairs cannot diverge.
+NGRAM_PREFIX_T = 0.5
+
+NGRAM_JACCARD_EXHAUSTIVE = f"""
+WITH {oracle_ctes('corpus')}, {_SHINGLE_HASHED_CTE},
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.id < b.id),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN shh sa ON sa.id = c.id_a
+          JOIN shh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.id = i.id_a
+JOIN sizes nb ON nb.id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {NGRAM_PREFIX_T}
+"""

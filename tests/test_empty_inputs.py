@@ -119,3 +119,32 @@ def test_audit_on_empty_table_reports_zero(spark):
     assert len(rep) == 1 and rep[0].n_violations == 0
     uq = uniqueness_violations(t, ["k"], rule="dup").collect()
     assert len(uq) == 1 and uq[0].n_violations == 0
+
+
+def test_round4_text_ops_on_empty_corpus(spark):
+    from gpd_lite_toolbox_spark.text.corpus import (
+        build_vocab,
+        chunk_documents,
+        sample_k_per_group,
+        shard_corpus,
+    )
+    from gpd_lite_toolbox_spark.text.pii import pii_scan
+    from gpd_lite_toolbox_spark.text.pipeline import (
+        normalize_corpus,
+        remove_boilerplate_lines,
+    )
+    from gpd_lite_toolbox_spark.text.web import url_stats
+    from gpd_lite_toolbox_spark.vector.quantize import quantize_int8
+
+    c = _empty(spark, "id long, text string")
+    assert pii_scan(c).count() == 0
+    assert remove_boilerplate_lines(c).count() == 0
+    assert shard_corpus(c, 4).count() == 0
+    assert chunk_documents(c, 8, 2).count() == 0
+    assert build_vocab(c, 10).count() == 0
+    assert url_stats(c).count() == 0
+    assert normalize_corpus(c).count() == 0
+    g = _empty(spark, "id long, text string, lang string")
+    assert sample_k_per_group(g, "lang", 5).count() == 0
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    assert quantize_int8(emb).count() == 0

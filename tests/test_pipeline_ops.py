@@ -454,3 +454,38 @@ def test_minhash_null_text_yields_null_signature_and_no_pairs(spark):
     assert sigs[1]["h0"] is None and sigs[2]["h7"] is None
     assert sigs[3]["h0"] is not None
     assert minhash_lsh_pairs(df, threshold=0.5).count() == 0
+
+
+def test_prefix_jaccard_equals_exhaustive_inverted_index(spark):
+    """The PPJoin-style prefix filter must lose NOTHING: its output
+    equals ngram_jaccard_pairs(max_df=None) (full inverted index) on
+    a corpus with planted near-dups, exact dups, and disjoint docs."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base + " bank today"),  # near dup
+        (4, "completely different words live in this unrelated text"),
+        (5, "completely different words live in this unrelated text!!"),
+        (6, "zq"),  # shorter than one shingle
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_prefix_pairs(df, threshold=t).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, threshold=t, max_df=None).collect()
+        }
+        assert got == want, f"threshold {t}: {got ^ want}"
+    assert (1, 2, 1.0) in {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_prefix_pairs(df, threshold=0.5).collect()
+    }
