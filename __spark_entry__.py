@@ -488,6 +488,55 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus round-trip (RFC-4180 quoting dialect): documents ->
+    CSV files -> pinned-schema read; text integrity gated through md5
+    against the parquet-sourced oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.flat import read_csv, write_csv
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    cols = "doc_id bigint, lang string, source string, n_chars bigint, text string"
+    src = s.table("documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_csv_"), "docs")
+    write_csv(src, path)
+    back = read_csv(s, path, cols)
+    return back.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC corpus round-trip: documents -> ORC files -> read back;
+    same md5 text gate as the CSV/JSONL siblings."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.flat import read_orc, write_orc
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    src = s.table("documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_orc_"), "docs")
+    write_orc(src, path)
+    return read_orc(s, path).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def _q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpatiaLite file round-trip over the L-shaped/holed layer: WKB ->
     GAIA-blob SQLite file (driver-side export sink) -> rowid-range
@@ -1614,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_corpus": _q_normalize_corpus,
         "top_users_daily": _q_top_users_daily,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1775,6 +1826,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_corpus": OR.NORMALIZE_CORPUS,
         "top_users_daily": OR.TOP_USERS_DAILY,
         "ngram_jaccard_prefix": OR.NGRAM_JACCARD_EXHAUSTIVE,
+        "csv_roundtrip": OR.JSONL_ROUNDTRIP,
+        "orc_roundtrip": OR.JSONL_ROUNDTRIP,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "hull_stats",
     "domain_mixture",
     "jsonl_roundtrip",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    # ngram_jaccard_prefix is deliberately NOT benched: it is the
+    # exhaustive exact-reference baseline (no df cap), quadratic-ish
+    # on stop-shingle-heavy corpora like the fixture's word soup; the
+    # scale path is ngram_jaccard (df-capped) / minhash_pairs.
     "stream_decontaminate",
     "classify_values",
     "rate_anomaly",

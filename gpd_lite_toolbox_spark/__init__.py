@@ -69,6 +69,12 @@ from .operators.classify import (  # noqa: F401
 from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
+from .sources.flat import (  # noqa: F401
+    read_csv,
+    read_orc,
+    write_csv,
+    write_orc,
+)
 from .sources.jsonl import read_jsonl, write_jsonl  # noqa: F401
 from .sources.sinks import (  # noqa: F401
     overwrite_partitions,
@@ -131,6 +137,10 @@ __all__ = [
     "read_geoparquet",
     "read_jsonl",
     "write_jsonl",
+    "read_csv",
+    "write_csv",
+    "read_orc",
+    "write_orc",
     "write_geoparquet",
     "overwrite_partitions",
     "write_training_shards",

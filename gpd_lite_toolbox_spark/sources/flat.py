@@ -1,0 +1,75 @@
+"""CSV and ORC corpus sources/sinks — the remaining flat interchange
+formats a data platform receives at its edges (JSONL lives in
+sources/jsonl.py; parquet is the engine's native layout).
+
+Not in the reference (gpd_lite_toolbox reads shapefiles/SpatiaLite,
+core.py:423-463). Same contract as the JSONL pair: the schema is
+PINNED on read (Spark's CSV/JSON inference is a full extra pass over
+the data at 100 TB), and content must survive the format's quoting and
+escaping byte-exactly — the round-trip queries hash-gate text against
+the parquet-sourced oracle, and the adversarial pytest pushes commas,
+quotes, newlines, and unicode through the codec.
+
+CSV specifics: Spark's writer quotes fields containing the delimiter/
+quote and escapes quotes by doubling (``escape`` set to the quote
+character — RFC-4180 style, what every external reader expects, rather
+than Spark's legacy backslash default); the reader is configured with
+``multiLine`` so embedded newlines survive. ORC is a self-describing
+columnar format — the schema argument is still accepted for contract
+symmetry but the footer is authoritative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CSV_SHARED = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    # empty string and NULL are distinct values in a corpus; keep them
+    # distinguishable: NULL serializes UNQUOTED as \N, empty string
+    # serializes QUOTED as "" (writer emptyValue), and the reader maps
+    # unquoted \N back to NULL while a quoted empty field parses to ""
+    # by default (the reader must NOT set emptyValue — that option is
+    # the replacement STRING for empty fields on read).
+    "nullValue": "\\N",
+    # Spark's CSV writer trims cell whitespace by default
+    # (ignore*WhiteSpace=true on write); corpus text is payload, not
+    # formatting — preserve it on both sides.
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+_CSV_WRITE = {**_CSV_SHARED, "emptyValue": '""'}
+_CSV_READ = {**_CSV_SHARED, "multiLine": "true"}
+
+
+def write_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """RFC-4180-style CSV sink (header, doubled-quote escaping), one
+    file per partition."""
+    w = df.write.mode("overwrite")
+    for k, v in _CSV_WRITE.items():
+        w = w.option(k, v)
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read CSV with an explicit schema (no inference pass) and the
+    sink's quoting dialect."""
+    r = spark.read.schema(schema)
+    for k, v in _CSV_READ.items():
+        r = r.option(k, v)
+    return r.csv(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Native ORC sink (columnar, footer statistics — Spark pushes
+    predicates into ORC scans the same way it does for parquet)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (self-describing; no inference pass exists to skip)."""
+    return spark.read.orc(path)

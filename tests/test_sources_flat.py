@@ -1,0 +1,41 @@
+"""CSV/ORC round-trips on adversarial content: the quoting dialect and
+NULL/empty distinction must survive byte-exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from gpd_lite_toolbox_spark.sources.flat import (
+    read_csv,
+    read_orc,
+    write_csv,
+    write_orc,
+)
+
+ADVERSARIAL = [
+    (1, 'comma, in "quotes", and more'),
+    (2, 'embedded\nnewline\r\nand CRLF'),
+    (3, 'double "" quotes "everywhere"'),
+    (4, "unicode: café 中文 \U0001f600 ß"),
+    (5, "\\N literal backslash-N"),
+    (6, ""),          # empty string, not NULL
+    (7, None),        # NULL, not empty string
+    (8, "   leading and trailing   "),
+    (9, "tab\tseparated\tvalues"),
+]
+SCHEMA = "id bigint, text string"
+
+
+@pytest.mark.parametrize("codec", ["csv", "orc"])
+def test_flat_roundtrip_adversarial(spark, tmp_path, codec):
+    df = spark.createDataFrame(ADVERSARIAL, SCHEMA)
+    path = str(tmp_path / codec)
+    if codec == "csv":
+        write_csv(df, path)
+        back = read_csv(spark, path, SCHEMA)
+    else:
+        write_orc(df, path)
+        back = read_orc(spark, path)
+    got = {r["id"]: r["text"] for r in back.collect()}
+    want = dict(ADVERSARIAL)
+    assert got == want  # includes None vs "" distinction
