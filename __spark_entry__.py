@@ -1283,6 +1283,30 @@ def _q_range_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE sibling of docs_rollup: all four granularities (pair,
+    per-lang, per-source, grand total) from one partial-aggregated
+    grouping-set expansion."""
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return (
+        s.table("documents")
+        .cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit over orders/customer: row
     predicates (one fused scan+aggregate), FK integrity (left-anti
@@ -1665,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
+        "docs_cube": _q_docs_cube,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1828,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_prefix": OR.NGRAM_JACCARD_EXHAUSTIVE,
         "csv_roundtrip": OR.JSONL_ROUNDTRIP,
         "orc_roundtrip": OR.JSONL_ROUNDTRIP,
+        "docs_cube": OR.DOCS_CUBE,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "doc_profile",
     "docs_rollup",
+    "docs_cube",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

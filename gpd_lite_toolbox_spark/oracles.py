@@ -2100,3 +2100,12 @@ JOIN sizes na ON na.id = i.id_a
 JOIN sizes nb ON nb.id = i.id_b
 WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {NGRAM_PREFIX_T}
 """
+
+# CUBE sibling of DOCS_ROLLUP: all four granularities — (lang, source),
+# per-lang, per-source, grand total — from one grouping-set expansion.
+DOCS_CUBE = """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(lang, source)
+"""
