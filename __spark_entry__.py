@@ -1283,6 +1283,29 @@ def _q_range_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour per-user resampling of the event stream with forward
+    fill; value column rounded 6 on both sides (carried verbatim, the
+    round only normalizes the hash)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import resample_ffill
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    out = resample_ffill(
+        ev, key="user_id", ts_us="us", value="value",
+        step_us=OR.RESAMPLE_STEP_US, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "bucket_us", "n_events",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _q_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE sibling of docs_rollup: all four granularities (pair,
     per-lang, per-source, grand total) from one partial-aggregated
@@ -1690,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
         "docs_cube": _q_docs_cube,
+        "resample_ffill": _q_resample_ffill,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1854,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": OR.JSONL_ROUNDTRIP,
         "orc_roundtrip": OR.JSONL_ROUNDTRIP,
         "docs_cube": OR.DOCS_CUBE,
+        "resample_ffill": OR.RESAMPLE_FFILL,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "doc_profile",
     "docs_rollup",
     "docs_cube",
+    "resample_ffill",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

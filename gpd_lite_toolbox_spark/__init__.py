@@ -61,6 +61,7 @@ from .operators.temporal import (  # noqa: F401
     asof_join,
     event_transitions,
     range_join_binned,
+    resample_ffill,
 )
 from .operators.classify import (  # noqa: F401
     classify_equal_interval,
@@ -208,6 +209,7 @@ __all__ = [
     "asof_join",
     "range_join_binned",
     "event_transitions",
+    "resample_ffill",
     "knn_to_vertices",
     # layout + audit
     "zorder_key_expr",

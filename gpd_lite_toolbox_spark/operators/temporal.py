@@ -229,3 +229,67 @@ def range_join_binned(
         )
         .agg(*aggs)
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key: str,
+    ts_us: str,
+    value: str,
+    step_us: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Regularize an event series onto a fixed time grid with forward
+    fill: one row per (key, bucket) for every ``step_us`` bucket in
+    the key's observed span, carrying the LATEST value at-or-before
+    the bucket (gaps inherit the previous value) plus the bucket's
+    event count — the resampling step before joining irregular event
+    streams to model features or dashboards.
+
+    Deterministic: within a bucket the carried value belongs to the
+    max (ts, tiebreak) event, expressed as a struct-max aggregate
+    (one partial-aggregated exchange, no window over raw events).
+
+    Scale shape: the bucket aggregation shuffles once on (key,
+    bucket); the grid explode's fan-out is span/step per key — the
+    caller controls it via ``step_us``; the forward-fill window is
+    partitioned by key over the BUCKET table (grid-sized, not
+    event-sized). Nothing is keyed globally.
+
+    Columns: ``(key, bucket_us, n_events, value)``.
+    """
+    b = F.floor(F.col(ts_us) / F.lit(int(step_us))).cast("bigint")
+    per_bucket = (
+        events.select(
+            F.col(key).alias("_k"),
+            b.alias("_b"),
+            F.struct(
+                F.col(ts_us).alias("us"),
+                F.col(tiebreak).alias("tb"),
+                F.col(value).alias("v"),
+            ).alias("_s"),
+        )
+        .groupBy("_k", "_b")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("_s")["v"].alias("_v"),
+        )
+    )
+    spans = per_bucket.groupBy("_k").agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = spans.select(
+        "_k", F.explode(F.sequence("_b0", "_b1")).alias("_b")
+    )
+    joined = grid.join(per_bucket, ["_k", "_b"], "left")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("_k").alias(key),
+        (F.col("_b") * F.lit(int(step_us))).alias("bucket_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("_v", ignorenulls=True).over(w).alias(value),
+    )

@@ -2109,3 +2109,30 @@ SELECT COALESCE(lang, '(all)') AS lang,
        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE(lang, source)
 """
+
+# Time-series resampling with forward fill (operators/temporal.py
+# resample_ffill): 6-hour grid per user over the user's observed span;
+# gap buckets inherit the latest value at-or-before them. The oracle
+# mirrors the struct-max bucket aggregate (same (us, tiebreak, value)
+# field order) and the IGNORE NULLS running last.
+RESAMPLE_STEP_US = 21_600_000_000
+
+RESAMPLE_FFILL = f"""
+WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+            FROM events),
+pb AS (SELECT user_id, CAST(FLOOR(us / {RESAMPLE_STEP_US}) AS BIGINT) AS b,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              (MAX(struct_pack(us := us, tb := event_id, v := value))).v AS v
+       FROM ev GROUP BY 1, 2),
+spans AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY 1),
+grid AS (SELECT user_id, CAST(u.b AS BIGINT) AS b
+         FROM spans, UNNEST(range(b0, b1 + 1)) AS u(b)),
+j AS (SELECT g.user_id, g.b, COALESCE(p.n_events, 0) AS n_events, p.v
+      FROM grid g LEFT JOIN pb p ON p.user_id = g.user_id AND p.b = g.b)
+SELECT user_id, b * {RESAMPLE_STEP_US} AS bucket_us,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM j
+"""

@@ -195,3 +195,38 @@ def test_windowed_zscore_flags_planted_burst(spark):
     ]
     assert ordinary and all(abs(z) < 2.0 for z in ordinary)
     assert not any(u == 9 for (u, _) in out)
+
+
+def test_resample_ffill_gaps_and_latest_value(spark):
+    """Gaps inherit the previous value; within-bucket latest (by ts,
+    tiebreak) wins; counts are per bucket; the grid spans exactly the
+    key's observed buckets."""
+    from gpd_lite_toolbox_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # user 1: buckets 0 (two events, later one wins), 3 (gap 1-2)
+        (1, 100, 5, 1.0),
+        (1, 101, 8, 2.0),     # same bucket 0, later ts -> wins
+        (1, 102, 35, 9.0),    # bucket 3
+        # user 2: single bucket
+        (2, 200, 12, 7.0),
+        # user 3: tie on ts within bucket -> higher tiebreak wins
+        (3, 301, 20, 4.0),
+        (3, 302, 20, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long, value double")
+    out = {
+        (r.user_id, r.bucket_us): (r.n_events, r.value)
+        for r in resample_ffill(
+            df, "user_id", "us", "value", step_us=10, tiebreak="event_id"
+        ).collect()
+    }
+    assert out[(1, 0)] == (2, 2.0)
+    assert out[(1, 10)] == (0, 2.0)   # gap, forward-filled
+    assert out[(1, 20)] == (0, 2.0)
+    assert out[(1, 30)] == (1, 9.0)
+    assert (1, 40) not in out          # grid ends at last observed bucket
+    assert out[(2, 10)] == (1, 7.0) and len(
+        [k for k in out if k[0] == 2]
+    ) == 1
+    assert out[(3, 20)] == (2, 6.0)   # ts tie -> tiebreak decides
