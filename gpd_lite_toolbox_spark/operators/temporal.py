@@ -246,6 +246,12 @@ def resample_ffill(
     event count — the resampling step before joining irregular event
     streams to model features or dashboards.
 
+    NULL observations follow standard ffill semantics (pandas
+    ``resample().ffill()``): a bucket whose latest event has a NULL
+    value does NOT reset the carry — the previous non-null value
+    flows through, and the bucket is distinguishable from a gap only
+    by its ``n_events`` count.
+
     Deterministic: within a bucket the carried value belongs to the
     max (ts, tiebreak) event, expressed as a struct-max aggregate
     (one partial-aggregated exchange, no window over raw events).

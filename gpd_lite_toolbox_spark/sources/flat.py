@@ -14,9 +14,13 @@ CSV specifics: Spark's writer quotes fields containing the delimiter/
 quote and escapes quotes by doubling (``escape`` set to the quote
 character — RFC-4180 style, what every external reader expects, rather
 than Spark's legacy backslash default); the reader is configured with
-``multiLine`` so embedded newlines survive. ORC is a self-describing
-columnar format — the schema argument is still accepted for contract
-symmetry but the footer is authoritative.
+``multiLine`` so embedded newlines survive. Known dialect limitation:
+NULL serializes as the UNQUOTED sentinel (default ``\\N``), so a text
+value that IS exactly that sentinel cannot round-trip (it reads back
+as NULL) — pick a ``null_value`` outside your value domain if that
+can occur. ORC is a self-describing columnar format — ``read_orc``
+accepts a schema for contract symmetry but the footer is
+authoritative.
 """
 
 from __future__ import annotations
@@ -44,22 +48,30 @@ _CSV_WRITE = {**_CSV_SHARED, "emptyValue": '""'}
 _CSV_READ = {**_CSV_SHARED, "multiLine": "true"}
 
 
-def write_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
+def write_csv(
+    df: DataFrame,
+    path: str,
+    compression: str | None = None,
+    null_value: str = "\\N",
+) -> None:
     """RFC-4180-style CSV sink (header, doubled-quote escaping), one
-    file per partition."""
+    file per partition. ``null_value`` is the unquoted NULL sentinel —
+    choose one outside the value domain (see module docstring)."""
     w = df.write.mode("overwrite")
-    for k, v in _CSV_WRITE.items():
+    for k, v in {**_CSV_WRITE, "nullValue": null_value}.items():
         w = w.option(k, v)
     if compression:
         w = w.option("compression", compression)
     w.csv(path)
 
 
-def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema, null_value: str = "\\N"
+) -> DataFrame:
     """Read CSV with an explicit schema (no inference pass) and the
-    sink's quoting dialect."""
+    sink's quoting dialect; ``null_value`` must match the writer's."""
     r = spark.read.schema(schema)
-    for k, v in _CSV_READ.items():
+    for k, v in {**_CSV_READ, "nullValue": null_value}.items():
         r = r.option(k, v)
     return r.csv(path)
 
@@ -70,6 +82,11 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """Read ORC (self-describing; no inference pass exists to skip)."""
-    return spark.read.orc(path)
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read ORC. The file footer is self-describing; pass ``schema``
+    only to pin the projected columns/types explicitly (contract
+    symmetry with the CSV/JSONL readers)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

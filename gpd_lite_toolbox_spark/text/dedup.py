@@ -873,11 +873,18 @@ def ngram_jaccard_prefix_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """EXHAUSTIVELY exact n-gram Jaccard pairs via prefix filtering
-    (the PPJoin family's candidate pruning): every pair with
+    (the PPJoin family's candidate pruning): every pair with RAW
     ``jaccard >= threshold``, no document-frequency cap and no
     probabilistic loss — the exact-join sibling of
     ``ngram_jaccard_pairs`` (whose ``max_df`` bounds fan-out but can
     only find pairs reachable through a sub-``max_df`` shingle).
+
+    Boundary note: this operator thresholds the RAW quotient while
+    ``ngram_jaccard_pairs`` thresholds the ROUNDED display value —
+    the two emit identical pairs except when a pair's jaccard lies
+    within 5e-7 BELOW the threshold (rounding admits it there); the
+    raw form is kept here because the prefix-pruning guarantee is
+    stated for the raw quotient, and its oracle mirrors it exactly.
 
     Prefix filter: with every doc's shingle set sorted by one global
     order (the 60-bit hash value), a pair with intersection I >=

@@ -459,7 +459,10 @@ def test_minhash_null_text_yields_null_signature_and_no_pairs(spark):
 def test_prefix_jaccard_equals_exhaustive_inverted_index(spark):
     """The PPJoin-style prefix filter must lose NOTHING: its output
     equals ngram_jaccard_pairs(max_df=None) (full inverted index) on
-    a corpus with planted near-dups, exact dups, and disjoint docs."""
+    a corpus with planted near-dups, exact dups, and disjoint docs.
+    (The two filters differ only within 5e-7 of the threshold — the
+    prefix op thresholds the raw quotient, the inverted-index op the
+    rounded value; no pair here sits on that boundary.)"""
     from gpd_lite_toolbox_spark.text.dedup import (
         ngram_jaccard_pairs,
         ngram_jaccard_prefix_pairs,

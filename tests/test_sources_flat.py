@@ -39,3 +39,24 @@ def test_flat_roundtrip_adversarial(spark, tmp_path, codec):
     got = {r["id"]: r["text"] for r in back.collect()}
     want = dict(ADVERSARIAL)
     assert got == want  # includes None vs "" distinction
+
+
+def test_csv_null_sentinel_is_configurable(spark, tmp_path):
+    """A text value equal to the default \\N sentinel reads back as
+    NULL (documented dialect limitation); a caller whose domain
+    contains it picks another sentinel and round-trips exactly."""
+    rows = [(1, "\\N"), (2, None), (3, "x")]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    p1 = str(tmp_path / "default")
+    write_csv(df, p1)
+    got = {r["id"]: r["text"] for r in read_csv(spark, p1, SCHEMA).collect()}
+    assert got[1] is None  # the documented collision
+
+    p2 = str(tmp_path / "custom")
+    write_csv(df, p2, null_value="\x00NULL\x00")
+    got = {
+        r["id"]: r["text"]
+        for r in read_csv(spark, p2, SCHEMA, null_value="\x00NULL\x00").collect()
+    }
+    assert got == dict(rows)
