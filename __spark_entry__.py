@@ -1283,6 +1283,26 @@ def _q_range_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the 'new' corpus is derived deterministically
+    (removals, edits, re-adds by id class — mirrored in the oracle)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.pipeline import corpus_diff
+
+    old = _corpus(spark, sf_dir)
+    kept = old.filter(F.col("id") % 13 != 0).select(
+        "id",
+        F.when(
+            F.col("id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    readded = old.filter(F.col("id") % 11 == 0).select(
+        (F.col("id") + 3000000).alias("id"), "text"
+    )
+    return corpus_diff(old, kept.unionByName(readded))
+
+
 def _q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour per-user resampling of the event stream with forward
     fill; value column rounded 6 on both sides (carried verbatim, the
@@ -1714,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "docs_cube": _q_docs_cube,
         "resample_ffill": _q_resample_ffill,
+        "corpus_diff": _q_corpus_diff,
         "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
@@ -1879,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": OR.JSONL_ROUNDTRIP,
         "docs_cube": OR.DOCS_CUBE,
         "resample_ffill": OR.RESAMPLE_FFILL,
+        "corpus_diff": OR.CORPUS_DIFF,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

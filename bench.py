@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "docs_rollup",
     "docs_cube",
     "resample_ffill",
+    "corpus_diff",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

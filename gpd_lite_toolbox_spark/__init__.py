@@ -106,6 +106,7 @@ from .text.dedup import (  # noqa: F401
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
+    corpus_diff,
     normalize_corpus,
     normalize_text_expr,
     remove_boilerplate_lines,
@@ -201,6 +202,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "normalize_corpus",
     "normalize_text_expr",
+    "corpus_diff",
     "extract_urls",
     "url_stats",
     "quantize_int8",

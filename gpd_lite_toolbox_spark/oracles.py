@@ -2136,3 +2136,28 @@ SELECT user_id, b * {RESAMPLE_STEP_US} AS bucket_us,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
 FROM j
 """
+
+# Corpus snapshot diff (text/pipeline.py corpus_diff): the "new"
+# snapshot is derived deterministically from the corpus fixture —
+# id % 13 == 0 docs removed, id % 7 == 0 docs edited, id % 11 == 0
+# docs re-added under id + 3000000 (mirrored in _q_corpus_diff).
+CORPUS_DIFF = f"""
+WITH {oracle_ctes('corpus')},
+oldc AS (SELECT id, md5(text) AS old_hash FROM corpus),
+newc AS (SELECT id,
+                md5(CASE WHEN id % 7 = 0 THEN text || ' v2' ELSE text END)
+                    AS new_hash
+         FROM corpus WHERE id % 13 <> 0
+         UNION ALL
+         SELECT id + 3000000 AS id, md5(text) AS new_hash
+         FROM corpus WHERE id % 11 = 0),
+j AS (SELECT COALESCE(o.id, n.id) AS id, o.old_hash, n.new_hash
+      FROM oldc o FULL OUTER JOIN newc n ON n.id = o.id)
+SELECT id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed' END AS status,
+       old_hash, new_hash
+FROM j
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+"""

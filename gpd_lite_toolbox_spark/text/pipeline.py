@@ -130,3 +130,41 @@ def normalize_corpus(
         F.length(raw).alias("n_chars_raw"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff audit for incremental ingest: one row per
+    document whose membership or content changed between two corpus
+    snapshots — ``status`` is ``added`` (id only in new), ``removed``
+    (id only in old), or ``changed`` (same id, different content
+    hash); unchanged documents emit nothing.
+
+    One full-outer equi-join on id over pre-hashed doc-sized
+    projections (the text columns never cross the shuffle — only
+    128-bit digests do), so the plan at 100 TB is two scans + one
+    keyed exchange each side.
+
+    Columns: ``(id, status, old_hash, new_hash)``.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(text_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(text_col).alias("new_hash")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("id", "status", "old_hash", "new_hash")
+    )

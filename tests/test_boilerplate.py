@@ -41,3 +41,16 @@ def test_repeat_within_one_doc_is_not_boilerplate(spark):
     }
     assert out[1]["text"] == "same line\nsame line"
     assert out[1]["n_removed"] == 0
+
+
+def test_corpus_diff_statuses(spark):
+    from gpd_lite_toolbox_spark.text.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], ["id", "text"]
+    )
+    out = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 silent
