@@ -76,28 +76,23 @@ def shingles(
     exact even in the (astronomically unlikely) event of a prefix
     collision — the collision merges the same two shingles on both
     sides."""
-    pos = F.explode(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.length(text_col) - (SHINGLE_K - 1), F.lit(1)),
-            F.lit(SHINGLE_STRIDE),
-        )
-    ).alias("pos")
-    sh = F.expr(f"substring({text_col}, pos, {SHINGLE_K})")
-    if hashed:
-        sh = F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("bigint")
-    # ONE exchange for dedup + any shingle-keyed consumer: repartition
-    # by shingle, then the (id, shingle) dedup needs no further
-    # exchange (hash(shingle) already co-locates equal pairs) and the
-    # downstream df-window / inverted-index self-join of
-    # ngram_jaccard_pairs inherit the layout for free. Consumers that
-    # re-key by id (minhash signatures) pay the same exchange count as
-    # the previous hash(id, shingle) distinct did.
+    # Per-doc dedup happens ROW-LOCALLY (array_distinct inside the
+    # shingle-array expression) before the explode, so no distinct
+    # aggregation runs anywhere — the one repartition exists purely to
+    # hand shingle-keyed consumers their layout: the downstream
+    # df-window / inverted-index self-join of ngram_jaccard_pairs and
+    # the dictionary join of decontaminate inherit hash(shingle)
+    # co-location for free.
+    arr = (
+        shingle_array_expr(text_col)
+        if hashed
+        else shingle_str_array_expr(text_col)
+    )
     return (
-        corpus.select(F.col(id_col).alias("id"), F.col(text_col), pos)
-        .select("id", sh.alias("shingle"))
+        corpus.select(
+            F.col(id_col).alias("id"), F.explode(arr).alias("shingle")
+        )
         .repartition("shingle")
-        .distinct()
     )
 
 
