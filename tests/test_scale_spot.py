@@ -50,6 +50,13 @@ _SPOT = [
     "shard_corpus",
     "build_vocab",
     "stream_interval_join",
+    # regex volume (pii/normalize), grid fan-out (resample), full-outer
+    # membership (corpus_diff), per-vector arithmetic (quantize)
+    "pii_scan",
+    "normalize_corpus",
+    "resample_ffill",
+    "corpus_diff",
+    "quantize_int8",
 ]
 
 
