@@ -2151,13 +2151,15 @@ newc AS (SELECT id,
          UNION ALL
          SELECT id + 3000000 AS id, md5(text) AS new_hash
          FROM corpus WHERE id % 11 = 0),
-j AS (SELECT COALESCE(o.id, n.id) AS id, o.old_hash, n.new_hash
+j AS (SELECT COALESCE(o.id, n.id) AS id, o.old_hash, n.new_hash,
+             o.id IS NOT NULL AS in_old, n.id IS NOT NULL AS in_new
       FROM oldc o FULL OUTER JOIN newc n ON n.id = o.id)
 SELECT id,
-       CASE WHEN old_hash IS NULL THEN 'added'
-            WHEN new_hash IS NULL THEN 'removed'
-            WHEN old_hash <> new_hash THEN 'changed' END AS status,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
+            END AS status,
        old_hash, new_hash
 FROM j
-WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+WHERE NOT in_old OR NOT in_new OR old_hash IS DISTINCT FROM new_hash
 """

@@ -17,6 +17,14 @@ from md5 (identical in Spark and DuckDB) feeding integer arithmetic.
   constants so signatures are reproducible.
 - simhash: token hash sign-sum per bit, 32 aggregate columns (no bit
   fan-out), fingerprint = packed sign bits.
+
+Input contract: ONE ROW PER DOCUMENT ID. The row-local forms
+(signatures, shingle/verify arrays, the exploded shingle table) emit
+per input ROW — a corpus with duplicate id rows would inflate
+document-frequency counts and emit duplicate signatures. Run
+``exact_dedup`` / a distinct-by-id pass first if ingest can repeat
+keys; this is the same contract every id-keyed operator in the
+package already assumes.
 """
 
 from __future__ import annotations

@@ -149,19 +149,35 @@ def corpus_diff(
     128-bit digests do), so the plan at 100 TB is two scans + one
     keyed exchange each side.
 
+    Membership comes from explicit per-side presence flags, NOT from
+    hash nullness — ``md5(NULL)`` is NULL, so a NULL-text document
+    present on both sides must still read as present (its hash
+    compares null-safely: NULL == NULL is unchanged).
+
     Columns: ``(id, status, old_hash, new_hash)``.
     """
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(text_col).alias("old_hash")
+        F.col(id_col).alias("id"),
+        F.md5(text_col).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(text_col).alias("new_hash")
+        F.col(id_col).alias("id"),
+        F.md5(text_col).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
-    j = o.join(n, "id", "full_outer")
+    j = (
+        o.join(n, "id", "full_outer")
+        .withColumn("_in_old", F.coalesce("_in_old", F.lit(False)))
+        .withColumn("_in_new", F.coalesce("_in_new", F.lit(False)))
+    )
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(~F.col("_in_old"), F.lit("added"))
+        .when(~F.col("_in_new"), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("changed"),
+        )
     )
     return (
         j.withColumn("status", status)

@@ -54,3 +54,19 @@ def test_corpus_diff_statuses(spark):
     )
     out = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 silent
+
+
+def test_corpus_diff_null_text_is_presence_not_absence(spark):
+    """md5(NULL) is NULL — presence must come from the id, not the
+    hash: an unchanged NULL-text doc emits nothing; non-NULL -> NULL
+    is 'changed'; a removed NULL-text doc is 'removed'."""
+    from gpd_lite_toolbox_spark.text.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, text string"
+    )
+    out = {r["id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed"}
