@@ -73,16 +73,27 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, media_col: str = "media", kind_col: str = "media_kind"
+) -> DataFrame:
     """STUB DECODER (deterministic fake): parse the 16-byte header into
     typed metadata. Real pipelines replace the body of ``_parse`` with
     an actual image decode; the mapInPandas batching, schema, and
-    partition behavior are production-shaped already."""
+    partition behavior are production-shaped already. Column presence
+    is validated at plan construction (a missing column would
+    otherwise surface as an opaque executor-side KeyError)."""
+    for c in (media_col, kind_col):
+        if c not in df.columns:
+            raise ValueError(f"decode_image_meta: column {c!r} not in input")
+
+    _META_FIELDS = (
+        "kind", "n_bytes", "width", "height", "sample_rate", "n_frames"
+    )
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
-            for payload, kind in zip(pdf[media_col], pdf["media_kind"]):
+            for payload, kind in zip(pdf[media_col], pdf[kind_col]):
                 b = bytes(payload)
                 w, h, sr, nf = struct.unpack_from("<IIII", b, 0)
                 metas.append(
@@ -96,9 +107,11 @@ def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
                     }
                 )
             out = pdf.copy()
-            m = pd.DataFrame(metas)
-            for c in m.columns:
-                out[f"meta_{c}"] = m[c].to_numpy()
+            # assign every declared column unconditionally: an EMPTY
+            # Arrow batch must still yield all meta_* columns or the
+            # mapInPandas schema check fails executor-side
+            for c in _META_FIELDS:
+                out[f"meta_{c}"] = [m[c] for m in metas]
             yield out
 
     schema = ", ".join(
@@ -194,16 +207,26 @@ def resize_meta(
 ) -> DataFrame:
     """Resize BOOKKEEPING (the metadata half of a resize op): compute
     target dimensions preserving aspect ratio — native column math; the
-    pixel transform itself plugs into the decode stub."""
-    scale = F.least(
-        F.lit(float(max_side)) / F.col("meta_width"),
-        F.lit(float(max_side)) / F.col("meta_height"),
-        F.lit(1.0),
-    )
-    return df.withColumn(
-        "target_width", F.floor(F.col("meta_width") * scale).cast("int")
-    ).withColumn(
-        "target_height", F.floor(F.col("meta_height") * scale).cast("int")
+    pixel transform itself plugs into the decode stub.
+
+    The math is ``floor(side * max_side / longest)`` over exact
+    integers (one correctly-rounded division of integer-valued
+    doubles), NOT ``side * (max_side/longest)`` — multiplying by a
+    pre-rounded ratio loses the longest-side == max_side contract for
+    thousands of widths (e.g. 561 * (512/561) floors to 511)."""
+    w, h = F.col("meta_width"), F.col("meta_height")
+    longest = F.greatest(w, h)
+    needs = longest > F.lit(int(max_side))
+
+    def _target(side):
+        return (
+            F.when(needs, F.floor((side * F.lit(int(max_side))) / longest))
+            .otherwise(side)
+            .cast("int")
+        )
+
+    return df.withColumn("target_width", _target(w)).withColumn(
+        "target_height", _target(h)
     )
 
 
@@ -213,13 +236,17 @@ def sample_frames(
     """Frame sampling as a table-generating op: one row per sampled
     frame index (native sequence+explode over n_frames metadata) —
     the downstream per-frame decode then runs partition-parallel over
-    an already-exploded table."""
-    return df.withColumn(
+    an already-exploded table. Zero-frame (or NULL-metadata) media
+    emit NO rows — the same spurious-empty-chunk guard chunk_audio
+    carries."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    return df.filter(F.col("meta_n_frames") > 0).withColumn(
         "frame_idx",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.greatest(F.col("meta_n_frames") - 1, F.lit(0)),
+                F.col("meta_n_frames") - 1,
                 F.lit(int(every_n)),
             )
         ),

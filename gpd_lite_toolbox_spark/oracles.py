@@ -997,23 +997,30 @@ FROM base, sums, nrm
 # oracle computes the same metadata closed-form. A mismatch means the
 # binary plumbing (not the arithmetic) broke.
 MEDIA_PIPELINE = """
-SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS meta_kind,
-       CAST(80 AS BIGINT) AS meta_n_bytes,
-       CAST(16 + (doc_id * 7919) % 2032 AS INT) AS meta_width,
-       CAST(16 + (doc_id * 104729) % 2032 AS INT) AS meta_height,
-       CAST(8000 + (doc_id % 5) * 8000 AS INT) AS meta_sample_rate,
-       CAST(1 + (doc_id * 31) % 240 AS INT) AS meta_n_frames,
-       CAST(FLOOR((16 + (doc_id * 7919) % 2032)
-            * LEAST(512.0 / (16 + (doc_id * 7919) % 2032),
-                    512.0 / (16 + (doc_id * 104729) % 2032),
-                    1.0)) AS INT) AS target_width,
-       CAST(FLOOR((16 + (doc_id * 104729) % 2032)
-            * LEAST(512.0 / (16 + (doc_id * 7919) % 2032),
-                    512.0 / (16 + (doc_id * 104729) % 2032),
-                    1.0)) AS INT) AS target_height
-FROM documents
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS meta_kind,
+         CAST(80 AS BIGINT) AS meta_n_bytes,
+         CAST(16 + (doc_id * 7919) % 2032 AS INT) AS meta_width,
+         CAST(16 + (doc_id * 104729) % 2032 AS INT) AS meta_height,
+         CAST(8000 + (doc_id % 5) * 8000 AS INT) AS meta_sample_rate,
+         CAST(1 + (doc_id * 31) % 240 AS INT) AS meta_n_frames
+  FROM documents)
+SELECT doc_id, meta_kind, meta_n_bytes, meta_width, meta_height,
+       meta_sample_rate, meta_n_frames,
+       -- floor(side * max / longest) over exact integers (one
+       -- correctly-rounded division), mirroring resize_meta's
+       -- longest-side == max_side contract
+       CASE WHEN GREATEST(meta_width, meta_height) > 512
+            THEN CAST(FLOOR((meta_width * 512)
+                 / GREATEST(meta_width, meta_height)) AS INT)
+            ELSE meta_width END AS target_width,
+       CASE WHEN GREATEST(meta_width, meta_height) > 512
+            THEN CAST(FLOOR((meta_height * 512)
+                 / GREATEST(meta_width, meta_height)) AS INT)
+            ELSE meta_height END AS target_height
+FROM m
 """
 
 # Audio chunk tiling (chunk_audio, chunk_s=0.001, 16-bit mono): the

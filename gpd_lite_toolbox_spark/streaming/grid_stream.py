@@ -38,17 +38,28 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+_staged_dirs: dict[str, str] = {}
+
+
 def _stage_dir(parquet_dir: str, prefix: str) -> str:
     """The file-stream source requires a DIRECTORY; a single-file path
-    is staged behind a symlinked tempdir (shared by every runner)."""
+    is staged behind a symlinked tempdir (shared by every runner).
+    Staged dirs are memoized per source path (a runner loop would
+    otherwise leak one tempdir per invocation) and removed at
+    interpreter exit."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    if os.path.isfile(parquet_dir):
+    if not os.path.isfile(parquet_dir):
+        return parquet_dir
+    if parquet_dir not in _staged_dirs:
         d = tempfile.mkdtemp(prefix=prefix)
         os.symlink(parquet_dir, os.path.join(d, os.path.basename(parquet_dir)))
-        return d
-    return parquet_dir
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _staged_dirs[parquet_dir] = d
+    return _staged_dirs[parquet_dir]
 
 
 def _drain_to_memory(
@@ -77,9 +88,16 @@ def event_cells(events: DataFrame, height: float) -> DataFrame:
     """Derive a deterministic spatial cell for each event (events carry
     no coordinates; production pipelines would join a location table —
     the hash derivation keeps the operator self-contained and
-    cross-engine checkable)."""
-    x = (F.col("user_id") * 2654435761) % 100000
-    y = (F.col("user_id") * 2246822519) % 100000
+    cross-engine checkable).
+
+    user_id is reduced mod 1e5 BEFORE the multiplicative hash: by
+    (a*u) mod m == (a*(u mod m)) mod m this changes NO value — it only
+    keeps the intermediate product under 2^48 so an id above ~3.47e9
+    cannot wrap int64 (a silent wrap in non-ANSI Spark would diverge
+    from any exact-integer engine, breaking the cross-engine claim)."""
+    u = F.col("user_id") % 100000
+    x = (u * 2654435761) % 100000
+    y = (u * 2246822519) % 100000
     cell = F.floor(x / F.lit(height)) * F.lit(1000) + F.floor(
         y / F.lit(height)
     )

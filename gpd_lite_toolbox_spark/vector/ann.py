@@ -105,6 +105,100 @@ def _norm_col(v, dims: int | None):
     return F.sqrt(_dot_arrow(dims)(v, v))
 
 
+def _query_side(queries, id_col, vec_col, dims):
+    """(query_id, qv, qn) projection shared by every search entry."""
+    return queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm_col(F.col("qv"), dims))
+
+
+def _corpus_side(vectors, id_col, vec_col, dims):
+    """(neighbor_id, nv, nn) projection of the searched corpus."""
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", _norm_col(F.col("nv"), dims))
+
+
+def _score_pairs(pairs, dims):
+    """(query_id, neighbor_id, cosine) over candidate pairs carrying
+    qv/qn/nv/nn."""
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        _cosine_col(
+            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"), dims
+        ).alias("cosine"),
+    )
+
+
+def _rank_topk(scored, k):
+    """The shared output tail: rank within query by (cosine desc,
+    neighbor asc) and keep k — runs as WindowGroupLimit partial
+    k-heaps. One definition so the tie-break contract cannot drift
+    between the exact/LSH/IVF/indexed paths."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _fit_ivf(vectors, n_centroids, id_col, vec_col, seed, max_iter, dims):
+    """(inverted, centers): the KMeans coarse quantizer over the
+    corpus — the single definition ann_ivf_topk and write_ivf_index
+    share, so the quantizer setup cannot diverge between the in-memory
+    and persisted index paths."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    feat = v.withColumn("features", array_to_vector("nv"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feat)
+    inverted = (
+        model.transform(feat)
+        .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
+        .withColumn("nn", _norm_col(F.col("nv"), dims))
+    )
+    centers = vectors.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, cv array<double>",
+    )
+    return inverted, centers
+
+
+def _route_probes(q, centers, n_probe):
+    """Each query's n_probe nearest centroids (centers broadcast;
+    |Q| x n_centroids fold, per-element cast so raw float query
+    vectors match the double centers)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cell"))
+    return (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "qn", "cell")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -146,30 +240,11 @@ def cosine_topk(
                 f"exceeds max_pairs={max_pairs}. Use ann_lsh_topk / "
                 f"ann_ivf_topk at this scale, or pass force=True."
             )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm_col(F.col("qv"), dims))
+    q = _query_side(queries, id_col, vec_col, dims)
     if broadcast_queries:
         q = F.broadcast(q)
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    ).withColumn("nn", _norm_col(F.col("nv"), dims))
-    pairs = v.crossJoin(q)
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        _cosine_col(
-            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"), dims
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    v = _corpus_side(vectors, id_col, vec_col, dims)
+    return _rank_topk(_score_pairs(v.crossJoin(q), dims), k)
 
 
 def ann_ivf_topk(
@@ -200,65 +275,12 @@ def ann_ivf_topk(
     n_centroids instead of |corpus|. Recall is tunable by n_probe
     (n_probe = n_centroids degenerates to exact brute force).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    inverted, centers = _fit_ivf(
+        vectors, n_centroids, id_col, vec_col, seed, max_iter, dims
     )
-    feat = v.withColumn("features", array_to_vector("nv"))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(feat)
-    inverted = (
-        model.transform(feat)
-        .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
-        .withColumn("nn", _norm_col(F.col("nv"), dims))
-    )
-    spark = vectors.sparkSession
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in
-         enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
-    )
-    # route each query to its n_probe nearest centroids (centers tiny)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm_col(F.col("qv"), dims))
-    # centroid routing is |Q| x n_centroids — the fold is fine here;
-    # cast per element so raw (float) qv matches the double centers
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cv"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("_d2", d2)
-        .withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "qn", "cell")
-    )
-    scored = probes.join(inverted, "cell").select(
-        "query_id",
-        "neighbor_id",
-        _cosine_col(
-            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"), dims
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    q = _query_side(queries, id_col, vec_col, dims)
+    probes = _route_probes(q, centers, n_probe)
+    return _rank_topk(_score_pairs(probes.join(inverted, "cell"), dims), k)
 
 
 def write_ivf_index(
@@ -282,31 +304,11 @@ def write_ivf_index(
     Layout: ``<path>/cells/cell=<i>/...`` with (neighbor_id, nv, nn)
     and ``<path>/centroids`` with (cell, cv).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    )
-    feat = v.withColumn("features", array_to_vector("nv"))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(feat)
-    inverted = (
-        model.transform(feat)
-        .select("neighbor_id", "nv", F.col("prediction").alias("cell"))
-        .withColumn("nn", _norm_col(F.col("nv"), dims))
+    inverted, centers = _fit_ivf(
+        vectors, n_centroids, id_col, vec_col, seed, max_iter, dims
     )
     inverted.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
-    )
-    spark = vectors.sparkSession
-    centers = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cell int, cv array<double>",
     )
     centers.repartition(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
@@ -333,26 +335,8 @@ def ann_ivf_topk_indexed(
     Output schema matches cosine_topk; results are identical to
     ``ann_ivf_topk`` run with the same quantizer."""
     centers = spark.read.parquet(f"{path}/centroids")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm_col(F.col("qv"), dims))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cv"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_d2"), F.col("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("_d2", d2)
-        .withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "qn", "cell")
-    )
+    q = _query_side(queries, id_col, vec_col, dims)
+    probes = _route_probes(q, centers, n_probe)
     # no persist: the centroid routing is |Q| x n_centroids and cheap
     # to recompute for the cells collect — a persist here would leak
     # cached partitions for the session lifetime in a serving loop
@@ -361,21 +345,7 @@ def ann_ivf_topk_indexed(
     inverted = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(cells)
     )
-    scored = probes.join(inverted, "cell").select(
-        "query_id",
-        "neighbor_id",
-        _cosine_col(
-            F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"), dims
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(_score_pairs(probes.join(inverted, "cell"), dims), k)
 
 
 N_PLANES = 16
@@ -397,7 +367,7 @@ def _plane_component_value(plane: int, dim: int) -> float:
 
 def lsh_bands(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    dims: int | None = None,
+    dims: int | None = None, cache: bool = True,
 ) -> DataFrame:
     """(id, band, bucket): sign pattern of each band's hyperplanes,
     packed per band. Banded like minhash-LSH — a pair is a candidate if
@@ -408,6 +378,14 @@ def lsh_bands(
     ``dims`` is probed from one row when not given: a plane literal
     shorter than the vectors would null out every projection and
     silently collapse all buckets (degenerating LSH to all-pairs).
+
+    The returned table is ``persist()``-ed (bands are always consumed
+    by both sides of a join; without the cache the Arrow projection
+    runs once per side). Cache lifecycle belongs to the CALLER: a
+    long-lived service issuing many calls should ``.unpersist()`` each
+    returned frame once consumed, or pass ``cache=False`` and manage
+    reuse itself — Spark's ContextCleaner only reclaims the cached
+    partitions when the DataFrame is garbage collected.
     """
     if dims is None:
         first = vectors.select(vec_col).first()
@@ -465,11 +443,12 @@ def lsh_bands(
         )
     # bands are always consumed by a (self-)join's two sides: persist
     # the |ids| x B-row table so the projection runs once, not per side
-    return (
-        sums.select("id", F.explode(F.array(*structs)).alias("_bb"))
-        .select("id", "_bb.band", "_bb.bucket")
-        .persist()
-    )
+    # (lifecycle note in the docstring — callers in a serving loop
+    # unpersist or opt out)
+    out = sums.select(
+        "id", F.explode(F.array(*structs)).alias("_bb")
+    ).select("id", "_bb.band", "_bb.bucket")
+    return out.persist() if cache else out
 
 
 def ann_lsh_topk(
@@ -490,28 +469,7 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm_col(F.col("qv"), dims))
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    ).withColumn("nn", _norm_col(F.col("nv"), dims))
-    scored = (
-        cand.join(q, "query_id")
-        .join(v, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_col(
-                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"), dims
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    q = _query_side(queries, id_col, vec_col, dims)
+    v = _corpus_side(vectors, id_col, vec_col, dims)
+    pairs = cand.join(q, "query_id").join(v, "neighbor_id")
+    return _rank_topk(_score_pairs(pairs, dims), k)

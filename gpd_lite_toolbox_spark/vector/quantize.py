@@ -39,9 +39,9 @@ def quantize_int8(
     reconstruct with ``q_i * scale``.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale")
-    safe = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0),
-                      F.lit(_EPS))
+    raw_scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    scale = raw_scale.alias("scale")
+    safe = F.greatest(raw_scale, F.lit(_EPS))
     q = F.transform(v, lambda x: F.floor(x / safe + F.lit(0.5)).cast("int"))
     return df.select(
         F.col(id_col).alias("id"),

@@ -221,3 +221,52 @@ def test_audio_chunking_zero_byte_stream_emits_no_chunks(spark):
     # doc 1 (zero bytes) contributes nothing — no spurious empty chunk
     assert set(pdf["doc_id"]) == {2}
     assert (pdf["n_samples"] > 0).all()
+
+
+def test_resize_meta_longest_side_contract(spark):
+    """Every downscaled image's longest side must be EXACTLY max_side
+    (561 was the classic FP casualty: 561 * (512/561) floors to 511)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.media.multimodal import resize_meta
+
+    rows = [(i, w, h) for i, (w, h) in enumerate(
+        [(561, 100), (100, 561), (512, 512), (2047, 2047),
+         (16, 16), (644, 643), (685, 100000)]
+    )]
+    df = spark.createDataFrame(
+        rows, "id int, meta_width int, meta_height int"
+    )
+    out = resize_meta(df, max_side=512)
+    bad = out.filter(
+        (F.greatest("meta_width", "meta_height") > 512)
+        & (F.greatest("target_width", "target_height") != 512)
+    ).count()
+    assert bad == 0
+    small = {r["id"]: r for r in out.collect()}
+    assert (small[4]["target_width"], small[4]["target_height"]) == (16, 16)
+    assert small[0]["target_width"] == 512 and small[0]["target_height"] == 91
+
+
+def test_sample_frames_zero_frame_guard(spark):
+    import pytest
+    from gpd_lite_toolbox_spark.media.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 25), (3, None)], "id int, meta_n_frames int"
+    )
+    out = sample_frames(df, every_n=10).collect()
+    ids = {r["id"] for r in out}
+    assert ids == {2}  # zero-frame and NULL-meta rows emit nothing
+    assert sorted(r["frame_idx"] for r in out) == [0, 10, 20]
+    with pytest.raises(ValueError):
+        sample_frames(df, every_n=0)
+
+
+def test_decode_image_meta_validates_columns(spark):
+    import pytest
+    from gpd_lite_toolbox_spark.media.multimodal import decode_image_meta
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 16))], "id int, media binary")
+    with pytest.raises(ValueError, match="media_kind"):
+        decode_image_meta(df)
