@@ -87,7 +87,12 @@ def st_centroid(geom: pd.Series) -> pd.Series:
 
 @F.pandas_udf(BBOX_SCHEMA)
 def st_bounds(geom: pd.Series) -> pd.DataFrame:
-    rows = [K.geom_bounds(W.decode(g)) for g in geom]
+    # NULL geometry (e.g. a nullable SpatiaLite column) yields a null
+    # bbox row rather than crashing the task on memoryview(None)
+    rows = [
+        (None, None, None, None) if g is None else K.geom_bounds(W.decode(g))
+        for g in geom
+    ]
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 

@@ -46,6 +46,13 @@ def compute_bounds(df: DataFrame, x_col: str = "x", y_col: str = "y") -> dict:
         F.max(x_col).alias("xmax"),
         F.max(y_col).alias("ymax"),
     ).collect()[0]
+    if row.xmin is None:
+        # reachable e.g. via an all-sentinel OSRM matrix whose filter
+        # leaves zero rows — fail with the cause, not float(None)
+        raise ValueError(
+            "compute_bounds: input has no rows — cannot derive a grid "
+            "extent from an empty layer"
+        )
     return dict(
         xmin=float(row.xmin),
         ymin=float(row.ymin),

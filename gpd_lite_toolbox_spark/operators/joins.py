@@ -178,10 +178,14 @@ def adjacency_lists(
     )
     if left is None:
         return lists
+    # the empty-array fallback must match the pair table's id type
+    # (string ids are legal) — a hardcoded array<bigint> would fail
+    # the coalesce type check for anything else
+    elem_type = pairs.schema["right_id"].dataType.simpleString()
     base = left.select(F.col(id_col).alias("left_id"))
     return base.join(lists, "left_id", "left").withColumn(
         "right_ids",
-        F.coalesce(F.col("right_ids"), F.array().cast("array<bigint>")),
+        F.coalesce(F.col("right_ids"), F.array().cast(f"array<{elem_type}>")),
     )
 
 
@@ -253,12 +257,25 @@ def intersection_part_table(
 ) -> DataFrame:
     """Coverage fractions (utils.py:188-211): fraction of g1's area
     covered by each intersecting g2. Non-intersecting pairs are the
-    reference's zeros — omitted in pair-table form."""
+    reference's zeros — omitted in pair-table form.
+
+    The denominator is g1's TRUE polygon area: under ``rect_exact``
+    the declared rectangle's bbox area is exactly that; on the
+    general-geometry path it is ``st_area`` of the left WKB — dividing
+    by the bbox there would silently understate coverage for every
+    concave or holed shell (an L covering 3/4 of its bbox would read
+    0.75 when fully covered)."""
+    from ..geometry.functions import st_area
+
     j = bbox_join(geoms1, geoms2, cell_size)
     j = _pair_stats(j, 0.0, 0.0, rect_exact).filter(F.col("_ps.isect"))
-    frac = F.col("_ps.area") / (
-        (F.col("l_x1") - F.col("l_x0")) * (F.col("l_y1") - F.col("l_y0"))
-    )
+    if rect_exact:
+        denom = (F.col("l_x1") - F.col("l_x0")) * (
+            F.col("l_y1") - F.col("l_y0")
+        )
+    else:
+        denom = st_area(F.col("l_geometry"))
+    frac = F.col("_ps.area") / denom
     return j.select(
         F.col("l_id").alias("left_id"),
         F.col("r_id").alias("right_id"),

@@ -83,9 +83,16 @@ def random_pts_on_surface(
     )
     df = rects.withColumn("n_pts", n).filter(F.col("n_pts") > 0)
     df = df.withColumn("k", F.explode(F.sequence(F.lit(0), F.col("n_pts") - 1)))
-    # 32-bit multiplicative hashes of (id, k) -> fraction in [0, 1)
-    fx = ((F.col(id_col) * 2654435761 + F.col("k") * 97561) % 1000003) / 1000003.0
-    fy = ((F.col(id_col) * 2246822519 + F.col("k") * 40503) % 1000003) / 1000003.0
+    # 32-bit multiplicative hashes of (id, k) -> fraction in [0, 1).
+    # id/k are pmod-reduced FIRST — value-identical for non-negative
+    # inputs by (a*u) mod m == (a*(u mod m)) mod m, but the product
+    # then stays under 2^52 so a large (or negative) id can neither
+    # wrap int64 nor emit a negative fraction that would place points
+    # OUTSIDE the feature's rectangle.
+    uid = F.pmod(F.col(id_col), F.lit(1000003))
+    kk = F.pmod(F.col("k"), F.lit(1000003))
+    fx = ((uid * 2654435761 + kk * 97561) % 1000003) / 1000003.0
+    fy = ((uid * 2246822519 + kk * 40503) % 1000003) / 1000003.0
     return (
         df.withColumn("px", F.round(F.col("x0") + fx * (F.col("x1") - F.col("x0")), 6))
         .withColumn("py", F.round(F.col("y0") + fy * (F.col("y1") - F.col("y0")), 6))
@@ -129,8 +136,11 @@ def random_pts_in_polygons(
     df = polys.withColumn("n_pts", n).filter(F.col("n_pts") > 0)
     m = F.col("n_pts") * int(mult) + int(pad)
     df = df.withColumn("k", F.explode(F.sequence(F.lit(0), m - 1)))
-    fx = ((F.col(id_col) * 2654435761 + F.col("k") * 97561) % 1000003) / 1000003.0
-    fy = ((F.col(id_col) * 2246822519 + F.col("k") * 40503) % 1000003) / 1000003.0
+    # same pmod-first overflow guard as random_pts_on_surface
+    uid = F.pmod(F.col(id_col), F.lit(1000003))
+    kk = F.pmod(F.col("k"), F.lit(1000003))
+    fx = ((uid * 2654435761 + kk * 97561) % 1000003) / 1000003.0
+    fy = ((uid * 2246822519 + kk * 40503) % 1000003) / 1000003.0
     df = (
         df.withColumn("px", F.round(F.col("x0") + fx * (F.col("x1") - F.col("x0")), 6))
         .withColumn("py", F.round(F.col("y0") + fy * (F.col("y1") - F.col("y0")), 6))

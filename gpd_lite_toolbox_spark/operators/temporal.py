@@ -148,10 +148,14 @@ def windowed_zscore(
     under AQE like any exchange.
     """
     us = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    # pmod, not %: the sign-of-dividend remainder would fuse the two
+    # half-buckets around a NEGATIVE timestamp's zero into one
+    # double-width bucket; pmod floors toward -inf like the module's
+    # other bucketers (range_join_binned, resample_ffill)
     counts = (
         events.select(
             F.col(key).alias("k"),
-            (us - us % F.lit(int(bucket_us))).alias("bucket_us"),
+            (us - F.pmod(us, F.lit(int(bucket_us)))).alias("bucket_us"),
         )
         .groupBy("k", "bucket_us")
         .agg(F.count("*").alias("n"))

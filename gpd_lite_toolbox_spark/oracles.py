@@ -1557,7 +1557,9 @@ FROM cpolys
 # engines run identical arithmetic.
 RATE_ANOMALY = """
 WITH c AS (SELECT user_id AS k,
-                  epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+                  epoch_us(ts)
+                  - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000
+                      AS bucket_us,
                   COUNT(*) AS n
            FROM events GROUP BY 1, 2),
 w AS (SELECT k, bucket_us, n,

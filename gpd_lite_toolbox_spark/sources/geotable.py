@@ -31,19 +31,22 @@ def rewrite_select_inject_geom(sql: str, geom_col: str = "geometry") -> str:
     documented bug FIXED (SURVEY §5 fixed-bugs policy): the reference
     rejects any ``*`` anywhere (core.py:444-445), which also kills
     legitimate aggregate stars like ``COUNT(*)``. Here only bare star
-    PROJECTIONS (``SELECT *``, ``t.*``) are rejected — a star inside a
-    function call survives. SELECT-shaped statement still required;
-    the hex-WKB geometry expression is injected as before."""
+    PROJECTION ITEMS (``SELECT *``, ``t.*``) are rejected — a star
+    inside a function call OR arithmetic (``price * 2``) survives.
+    SELECT-shaped statement still required; the hex-WKB geometry
+    expression is injected as before."""
     if not (sql.lower().find("select") == 0 and sql.find(" ") == 6):
         raise ValueError("Unable to understand the query")
-    # erase parenthesized argument lists (innermost-out), then look for
-    # a star in the projection clause only
+    # erase parenthesized argument lists (innermost-out), then check
+    # each top-level projection item: only an item that IS a bare star
+    # (or alias.*) is a star projection
     head = sql
     while re.search(r"\([^()]*\)", head):
         head = re.sub(r"\([^()]*\)", "", head)
-    head = re.split(r"(?i)\sfrom\s", head)[0]
-    if "*" in head:
-        raise ValueError("Column names have to be specified")
+    head = re.split(r"(?i)\sfrom\s", head)[0][7:]
+    for item in (i.strip() for i in head.split(",")):
+        if item == "*" or re.fullmatch(r"[A-Za-z_][\w$.]*\.\*", item):
+            raise ValueError("Column names have to be specified")
     return (
         sql[:7] + f"HEX(ST_AsBinary({geom_col})) as {geom_col}, " + sql[7:]
     )

@@ -22,19 +22,21 @@ def write_geoparquet(
     mode: str = "overwrite",
 ) -> None:
     """Write with optional spatial partitioning: when ``cell_size`` is
-    given, rows land in ``pcell=<id>`` directories keyed by the grid
-    cell of (x_col, y_col); a reader filtering on a bbox can prune whole
-    directories (Catalyst partition pruning), before parquet row-group
-    min/max stats prune within files."""
+    given, rows land in ``pcx=<i>/pcy=<j>`` directories keyed by the
+    grid cell of (x_col, y_col); a reader filtering on a bbox can prune
+    whole directories (Catalyst partition pruning on each axis
+    independently), before parquet row-group min/max stats prune within
+    files. Two partition columns rather than one packed id: a packed
+    ``cx*K + cy`` encoding is not injective for negative cells (cell
+    (1,-1) would collide with (0,K-1)), and the per-axis form lets a
+    range predicate on one axis prune without decoding."""
     if cell_size:
         df = df.withColumn(
-            "pcell",
-            (
-                F.floor(F.col(x_col) / cell_size) * 100000
-                + F.floor(F.col(y_col) / cell_size)
-            ).cast("bigint"),
+            "pcx", F.floor(F.col(x_col) / cell_size).cast("bigint")
+        ).withColumn(
+            "pcy", F.floor(F.col(y_col) / cell_size).cast("bigint")
         )
-        df.write.mode(mode).partitionBy("pcell").parquet(path)
+        df.write.mode(mode).partitionBy("pcx", "pcy").parquet(path)
     else:
         df.write.mode(mode).parquet(path)
 
@@ -88,6 +90,12 @@ def write_training_shards(
         raise ValueError(
             f"write_training_shards emits columns {sorted(clash)} which "
             "already exist in the corpus; rename them before writing"
+        )
+    if id_col != "id" and "id" in corpus.columns:
+        raise ValueError(
+            "write_training_shards renames the id column to 'id' for the "
+            f"assignment join, but the corpus already has an 'id' column "
+            f"alongside id_col={id_col!r}; rename one of them first"
         )
     assignment = shard_corpus(corpus, n_shards=n_shards, seed=seed, id_col=id_col)
     keyed = corpus.withColumnRenamed(id_col, "id") if id_col != "id" else corpus

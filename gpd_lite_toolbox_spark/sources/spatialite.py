@@ -350,11 +350,22 @@ def write_spatialite(
             decls.append(f'"{c}" BLOB')
         else:
             decls.append(f'"{c}" TEXT')
+    if mode not in ("overwrite", "append", "error"):
+        raise ValueError(
+            f"write_spatialite mode must be overwrite/append/error, "
+            f"got {mode!r}"
+        )
     con = sqlite3.connect(path)
     try:
         if mode == "overwrite":
             con.execute(f'DROP TABLE IF EXISTS "{table}"')
-        con.execute(f'CREATE TABLE "{table}" ({", ".join(decls)})')
+            con.execute(f'CREATE TABLE "{table}" ({", ".join(decls)})')
+        elif mode == "append":
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{table}" ({", ".join(decls)})'
+            )
+        else:  # error: fail loudly when the table already exists
+            con.execute(f'CREATE TABLE "{table}" ({", ".join(decls)})')
         con.execute(
             "CREATE TABLE IF NOT EXISTS geometry_columns ("
             "f_table_name TEXT, f_geometry_column TEXT, "

@@ -207,3 +207,62 @@ def test_snap_semantics_globally_nearest_vertex_pinned(spark):
     # vertex, feature 20's (5,0)
     assert r.snapped_id == 20 and r.snap_x == 5.0 and r.snap_y == 0.0
     assert abs(r.snap_dist - 5.0) < 1e-12
+
+
+def test_geotable_rewrite_allows_arithmetic_star(spark):
+    from gpd_lite_toolbox_spark.sources.geotable import (
+        rewrite_select_inject_geom,
+    )
+    import pytest
+
+    # arithmetic and aggregate stars survive
+    q = rewrite_select_inject_geom(
+        "SELECT price * 2 AS p2, COUNT(*) AS n FROM listings"
+    )
+    assert q.startswith("SELECT HEX(ST_AsBinary(geometry))")
+    # bare star projections still rejected
+    for bad in ("SELECT * FROM t", "SELECT t.*, a FROM t"):
+        with pytest.raises(ValueError, match="Column names"):
+            rewrite_select_inject_geom(bad)
+
+
+def test_adjacency_lists_string_ids(spark):
+    from gpd_lite_toolbox_spark.operators.joins import adjacency_lists
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "left_id string, right_id string"
+    )
+    left = spark.createDataFrame([("a",), ("z",)], "id string")
+    out = {r["left_id"]: r["right_ids"]
+           for r in adjacency_lists(pairs, left=left).collect()}
+    assert out == {"a": ["b", "c"], "z": []}
+
+
+def test_compute_bounds_empty_raises_clearly(spark):
+    import pytest
+
+    from gpd_lite_toolbox_spark.operators.grid import compute_bounds
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="no rows"):
+        compute_bounds(empty)
+
+
+def test_write_spatialite_append_and_error_modes(spark, tmp_path):
+    import sqlite3
+
+    import pytest
+
+    from gpd_lite_toolbox_spark.sources.spatialite import write_spatialite
+
+    df = spark.createDataFrame([(1, "a")], "fid long, name string")
+    p = str(tmp_path / "m.sqlite")
+    write_spatialite(df, p, "t", geom_col="g", mode="overwrite")
+    write_spatialite(df, p, "t", geom_col="g", mode="append")
+    con = sqlite3.connect(p)
+    assert con.execute('SELECT COUNT(*) FROM "t"').fetchone()[0] == 2
+    con.close()
+    with pytest.raises(sqlite3.OperationalError):
+        write_spatialite(df, p, "t", geom_col="g", mode="error")
+    with pytest.raises(ValueError, match="mode"):
+        write_spatialite(df, p, "t", geom_col="g", mode="bogus")

@@ -375,3 +375,34 @@ def test_udf_path_equals_native_path_on_fixtures(spark, sf_dir):
     )
     for k in n:
         assert abs(n[k] - u[k]) < 1e-6, f"{k}: {n[k]} vs {u[k]}"
+
+
+def test_intersection_part_uses_polygon_area_not_bbox(spark):
+    """An L-shaped polygon (3/4 of its bbox) fully covered by a big
+    rectangle must report part == 1.0 — a bbox denominator would read
+    0.75."""
+    from gpd_lite_toolbox_spark.geometry.wkb import polygon_wkb
+    from gpd_lite_toolbox_spark.operators.joins import (
+        intersection_part_table,
+    )
+
+    import numpy as np
+
+    l_shape = polygon_wkb([np.array(
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0),
+         (2.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    )])
+    big = polygon_wkb([np.array(
+        [(-1.0, -1.0), (5.0, -1.0), (5.0, 5.0), (-1.0, 5.0), (-1.0, -1.0)]
+    )])
+    g1 = spark.createDataFrame(
+        [(1, bytearray(l_shape), 0.0, 0.0, 4.0, 4.0)],
+        "id long, geometry binary, x0 double, y0 double, x1 double, y1 double",
+    )
+    g2 = spark.createDataFrame(
+        [(2, bytearray(big), -1.0, -1.0, 5.0, 5.0)],
+        "id long, geometry binary, x0 double, y0 double, x1 double, y1 double",
+    )
+    out = intersection_part_table(g1, g2, cell_size=10.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["part"] - 1.0) < 1e-9

@@ -161,8 +161,8 @@ def test_partitioned_geoparquet_roundtrip(spark, sf_dir, tmp_path):
     pts = FX.points(spark, sf_dir)
     out = str(tmp_path / "pts_part")
     write_geoparquet(pts, out, cell_size=25000.0)
-    # spatial partition dirs exist
-    assert any(d.startswith("pcell=") for d in os.listdir(out))
+    # per-axis spatial partition dirs exist (negative-cell-safe layout)
+    assert any(d.startswith("pcx=") for d in os.listdir(out))
     back = spark.read.parquet(out)
     assert back.count() == pts.count()
     # a bbox filter prunes partitions: read one cell's worth
