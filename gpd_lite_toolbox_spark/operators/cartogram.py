@@ -58,7 +58,7 @@ def _dougenik_params(st: pd.DataFrame) -> tuple[np.ndarray, float]:
     fraction = area_total / value_total
     desired = st.value.to_numpy() * fraction
     area = np.maximum(st.area.to_numpy(), 0.0)
-    if (area <= 0).any():
+    if not (area > 0).all():  # NaN-safe: NaN fails > like <= (see value check)
         # a zero-area feature would make size_err infinite, driving the
         # force-reduction factor to 0 and silently freezing every vertex
         raise ValueError("cartogram features must have positive area")
@@ -144,8 +144,14 @@ def transform_cartogram(
         st = _feature_stats(cur, field_name, id_col)
         if prev is not None:
             prev.unpersist()
-        if (st.value <= 0).any():
-            raise ValueError("cartogram value field must be > 0")
+        # not (v > 0).all(), NOT (v <= 0).any(): NaN (a NULL value
+        # field cast to double) compares False on BOTH <= and >, and
+        # would otherwise slip through, poison every per-iteration
+        # statistic, and freeze the whole transform into a silent no-op
+        if not (st.value > 0).all():
+            raise ValueError(
+                "cartogram value field must be > 0 and non-null"
+            )
         params, reduction = _dougenik_params(st)
 
         def mapper(batches, _p=params, _r=reduction, _g=geometry):

@@ -344,7 +344,8 @@ sh AS (SELECT DISTINCT id, substr(text, CAST(pos AS INT), {_dd.SHINGLE_K}) AS sh
 EXACT_DEDUP = f"""
 WITH {oracle_ctes('corpus')}
 SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(id) AS keep_id
-FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+FROM corpus WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 # CTE chain shared by MINHASH_PAIRS and DUP_GROUPS (which wraps the

@@ -121,7 +121,12 @@ def stratified_sample(
         if rate is not None
         else F.lit(float(default_rate))
     )
-    h = (F.col(id_col).cast("long") * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
+    # pmod-first: value-identical for non-negative ids by
+    # (a*u) mod m == (a*(u mod m)) mod m, but a negative id can no
+    # longer yield a negative h (which would pass EVERY threshold,
+    # including rate 0) and a large id cannot wrap int64
+    uid = F.pmod(F.col(id_col).cast("long"), F.lit(_HASH_MOD))
+    h = (uid * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
     return df.filter(h < (rate * _HASH_MOD).cast("long"))
 
 

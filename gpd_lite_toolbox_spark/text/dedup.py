@@ -25,6 +25,15 @@ document-frequency counts and emit duplicate signatures. Run
 ``exact_dedup`` / a distinct-by-id pass first if ingest can repeat
 keys; this is the same contract every id-keyed operator in the
 package already assumes.
+
+Cache lifecycle: the pair operators ``persist()`` intermediates that
+feed both sides of a join (signatures, the shingle layout, sorted
+sets) and return a LAZY frame that depends on them — they cannot
+unpersist before the caller consumes the result. A long-lived service
+calling these repeatedly should unpersist via
+``spark.catalog.clearCache()`` between batches (or rely on
+ContextCleaner GC); ``dup_groups``, which materializes internally,
+releases its own caches.
 """
 
 from __future__ import annotations
@@ -55,9 +64,12 @@ def _hash32(col):
 def exact_dedup(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
     """Duplicate groups by content hash: (content_hash, n_copies,
     keep_id) for groups with >1 member; keep_id is the smallest id (the
-    canonical survivor)."""
+    canonical survivor). NULL text is absence of content, not content —
+    without the filter every NULL-text doc would share the
+    content_hash=NULL group and be reported as copies of each other."""
     return (
-        corpus.select(F.md5(text_col).alias("content_hash"), F.col(id_col))
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.md5(text_col).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("n_copies"),
@@ -191,8 +203,14 @@ def minhash_band_keys(sig: DataFrame) -> DataFrame:
     concat — a fixed-width join key that cannot overflow. Emitted by a
     single explode rather than a B-way union: the union form
     re-evaluated the signature subtree once per branch (and per join
-    side), turning one shingle aggregation into up to 2B of them."""
+    side), turning one shingle aggregation into up to 2B of them.
+
+    NULL signatures (NULL-text docs) emit NO bands: concat_ws skips
+    NULL columns, so without the filter every NULL doc would share the
+    constant md5('') key in every band — an O(n_null^2) candidate
+    blowup through the self-join before the prefilter kills it."""
     rows = N_HASHES // N_BANDS
+    sig = sig.filter(F.col("h0").isNotNull())
     structs = []
     for b in range(N_BANDS):
         cols = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
@@ -208,7 +226,10 @@ def minhash_band_keys(sig: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    corpus: DataFrame, threshold: float = 0.5
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket candidates, a SIGNATURE
     prefilter, then exact Jaccard over distinct shingle sets on the
@@ -232,7 +253,7 @@ def minhash_lsh_pairs(
     # per-row signature fold (md5 per shingle) per consumer. The
     # shingle TABLE no longer exists in this operator at all — both
     # the signatures and the verify sets are row-local projections.
-    sig = minhash_signatures(corpus).persist()
+    sig = minhash_signatures(corpus, id_col=id_col, text_col=text_col).persist()
     bands = minhash_band_keys(sig)
     a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
     b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
@@ -268,8 +289,8 @@ def minhash_lsh_pairs(
     # array_intersect on the surviving candidates — two doc-sized
     # joins and a map-side expression.
     sets_ = corpus.select(
-        F.col("id").alias("id"),
-        F.array_sort(shingle_str_array_expr("text")).alias("_ss"),
+        F.col(id_col).alias("id"),
+        F.array_sort(shingle_str_array_expr(text_col)).alias("_ss"),
     )
     out = (
         cand.join(
@@ -382,7 +403,13 @@ def embedding_near_dups(
     import pandas as pd
 
     if dims is None:
-        first = vectors.select(vec_col).first()
+        # probe a NON-NULL row: an arbitrary first row may carry a
+        # NULL vector, and len(None) raises instead of a clear answer
+        first = (
+            vectors.select(vec_col)
+            .filter(FF.col(vec_col).isNotNull())
+            .first()
+        )
         dims = 1 if first is None else len(first[0])
     n_dims = dims
     # raw >= threshold - 1e-6 inside the kernel is a SUPERSET of the
@@ -391,9 +418,14 @@ def embedding_near_dups(
     # never drops a row the oracle keeps.
     raw_cut = threshold - 1e-6
 
+    # the empty-batch dtype must track the id type (string ids are
+    # legal): an int64-typed empty frame fails Arrow conversion when
+    # the declared schema says string
+    _idt = vectors.schema[id_col].dataType.simpleString()
+    _id_np = "object" if _idt == "string" else "int64"
     _empty = {
-        "id_a": pd.Series(dtype="int64"),
-        "id_b": pd.Series(dtype="int64"),
+        "id_a": pd.Series(dtype=_id_np),
+        "id_b": pd.Series(dtype=_id_np),
         "dot": pd.Series(dtype="float64"),
         "na": pd.Series(dtype="float64"),
         "nb": pd.Series(dtype="float64"),
@@ -494,9 +526,12 @@ def embedding_near_dups(
             FF.col("_task.tb").alias("_tb"),
         )
     )
+    # the pair schema follows the input id type (string ids are legal
+    # elsewhere in the engine; a hardcoded bigint would crash Arrow
+    # conversion where the exact=True path of this same API works)
     scored = with_vec.groupBy("band", "bucket", "_ta", "_tb").applyInPandas(
         _score_task,
-        "id_a bigint, id_b bigint, dot double, na double, nb double",
+        f"id_a {_idt}, id_b {_idt}, dot double, na double, nb double",
     )
     return (
         scored.select(
@@ -674,7 +709,7 @@ def dup_groups(
     derivations only agree if the component semantics are right.
     """
     if pairs is None:
-        pairs = minhash_lsh_pairs(corpus, threshold=threshold)
+        pairs = minhash_lsh_pairs(corpus, threshold=threshold, id_col=id_col)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -722,6 +757,19 @@ def dup_groups(
         labels = stepped.drop("_chg")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means some
+        # nodes carry non-minimal group ids: the keep-id==group_id
+        # rule would then keep several representatives of one true
+        # cluster. Loud, not silent.
+        import warnings
+
+        warnings.warn(
+            f"dup_groups did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — a pair chain "
+            "longer than max_iter exists; raise max_iter",
+            stacklevel=2,
+        )
     edges.unpersist()
     sizes = labels.groupBy("group_id").agg(
         F.count("*").alias("group_size")

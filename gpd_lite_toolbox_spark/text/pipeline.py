@@ -29,12 +29,15 @@ def clean_corpus_summary(
     """Per-language accounting of the cleaned corpus:
     (pred_lang, n_docs, n_tokens, sum_quality).
 
-    Stages: (1) exact dedup keeps the min-id copy per content hash —
+    Stages: (0) NULL-text docs drop explicitly — they carry no content
+    to clean, and md5(NULL) would otherwise collapse them into ONE
+    dedup group where all but the min-id doc silently vanish as
+    "copies"; (1) exact dedup keeps the min-id copy per content hash —
     the canonical-survivor rule of exact_dedup as a filter rather than
     a report; (2) documents below ``min_quality`` drop; (3) survivors
     route by predicted language and aggregate document/token counts
     and total quality mass."""
-    hashed = corpus.select(
+    hashed = corpus.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.md5(text_col).alias("_ch"),
@@ -85,9 +88,13 @@ def remove_boilerplate_lines(
     on one side; (3) the per-document reassembly keyed by id, whose
     state is bounded by document size. No Python anywhere.
     """
+    # NULL text coalesces to "" so the doc still emits its contract
+    # row (split(NULL) explodes to zero rows and the id would vanish)
     lines = corpus.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     counts = lines.groupBy("line").agg(
         F.countDistinct("id").alias("n_docs")

@@ -388,7 +388,13 @@ def lsh_bands(
     partitions when the DataFrame is garbage collected.
     """
     if dims is None:
-        first = vectors.select(vec_col).first()
+        # probe a NON-NULL row (an arbitrary first row may carry a
+        # NULL vector; len(None) raises)
+        first = (
+            vectors.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .first()
+        )
         if first is None:
             dims = 1  # empty input: any plane length yields no rows
         else:
