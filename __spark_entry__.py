@@ -1680,6 +1680,71 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge: a deterministic change feed (updates at
+    id%7, deletes at id%13 — delete outranks update where both apply —
+    inserts at id%11 under id+5000000) folded into the corpus snapshot
+    by ONE max_by aggregate; text emitted as md5 to keep the gate rows
+    compact (mirrored in oracles.CDC_SNAPSHOT)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.cdc import apply_changes
+
+    base = _corpus(spark, sf_dir)
+    updates = base.filter(F.col("id") % 7 == 0).select(
+        "id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.filter(F.col("id") % 13 == 0).select(
+        "id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    inserts = base.filter(F.col("id") % 11 == 0).select(
+        (F.col("id") + 5000000).alias("id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = apply_changes(base, changes)
+    return merged.select("id", F.md5("text").alias("content_md5"))
+
+
+def _q_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++-vs-exact cardinality calibration over events: the oracle
+    pins the exact counts and within_bound=TRUE — the Spark side must
+    earn the TRUE by the sketch actually landing within 5%."""
+    from gpd_lite_toolbox_spark.operators.audit import approx_distinct_report
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return approx_distinct_report(
+        s.table("events"), ["user_id", "event_type", "event_id"]
+    )
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long form (group, pos, mean, n_vecs):
+    the closed-form supervised sibling of the IVF coarse quantizer."""
+    from gpd_lite_toolbox_spark.vector.centroids import group_centroids
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return group_centroids(s.table("embeddings"))
+
+
+def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survival report of the quality gate over the
+    corpus — one scan, single-row aggregate, 4-row report."""
+    from gpd_lite_toolbox_spark.text.pipeline import quality_funnel
+
+    return quality_funnel(_corpus(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1799,6 +1864,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cut": _q_grid_cut,
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
+        # --- round-4 session-3 additions (past the driver's 50-query
+        # window this round; they earn rows once the backlog clears) ---
+        "cdc_snapshot": _q_cdc_snapshot,
+        "approx_distinct_audit": _q_approx_distinct_audit,
+        "label_centroids": _q_label_centroids,
+        "quality_funnel": _q_quality_funnel,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1901,6 +1972,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_cube": OR.DOCS_CUBE,
         "resample_ffill": OR.RESAMPLE_FFILL,
         "corpus_diff": OR.CORPUS_DIFF,
+        "cdc_snapshot": OR.CDC_SNAPSHOT,
+        "approx_distinct_audit": OR.APPROX_DISTINCT_AUDIT,
+        "label_centroids": OR.LABEL_CENTROIDS,
+        "quality_funnel": OR.QUALITY_FUNNEL,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

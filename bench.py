@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "docs_cube",
     "resample_ffill",
     "corpus_diff",
+    "cdc_snapshot",
+    "approx_distinct_audit",
+    "label_centroids",
+    "quality_funnel",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -2173,3 +2173,90 @@ SELECT id,
 FROM j
 WHERE NOT in_old OR NOT in_new OR old_hash IS DISTINCT FROM new_hash
 """
+
+# CDC latest-wins merge (operators/cdc.py apply_changes): the change
+# feed is derived deterministically from the corpus fixture —
+# id % 7 == 0 updated at version 1, id % 13 == 0 deleted at version 2
+# (delete outranks the update where both apply), id % 11 == 0 inserted
+# under id + 5000000 at version 1 (mirrored in _q_cdc_snapshot). Base
+# rows join the feed at version -1; arg_max over a struct keeps the
+# winning row's (op, text) together, matching Spark's max_by(struct).
+CDC_SNAPSHOT = f"""
+WITH {oracle_ctes('corpus')},
+changes AS (
+  SELECT id, text || ' v2' AS text, CAST(1 AS BIGINT) AS v, 'U' AS op
+  FROM corpus WHERE id % 7 = 0
+  UNION ALL
+  SELECT id, CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), 'D'
+  FROM corpus WHERE id % 13 = 0
+  UNION ALL
+  SELECT id + 5000000, text || ' new', CAST(1 AS BIGINT), 'U'
+  FROM corpus WHERE id % 11 = 0),
+allr AS (SELECT id, text, CAST(-1 AS BIGINT) AS v, 'U' AS op FROM corpus
+         UNION ALL SELECT id, text, v, op FROM changes),
+w AS (SELECT id, arg_max(struct_pack(op := op, text := text), v) AS s
+      FROM allr GROUP BY id)
+SELECT id, md5(s['text']) AS content_md5
+FROM w WHERE s['op'] <> 'D'
+"""
+
+# Sketch-vs-exact cardinality audit (operators/audit.py
+# approx_distinct_report): the oracle pins the exact counts and the
+# CONTRACT that HLL++ at rsd=0.02 stays within 5% relative error —
+# within_bound is the constant TRUE the Spark side must reproduce by
+# actually hitting the bound (the estimate itself is engine-specific
+# and deliberately outside the output contract).
+APPROX_DISTINCT_AUDIT = """
+SELECT 'user_id' AS col_name,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'event_id', CAST(COUNT(DISTINCT event_id) AS BIGINT), TRUE
+FROM events
+"""
+
+# Grouped embedding centroids (vector/centroids.py group_centroids):
+# long-form per-(label, dimension) means; DuckDB's zipped UNNEST pairs
+# each element with its 0-based position, matching Spark's posexplode.
+LABEL_CENTROIDS = """
+WITH ex AS (SELECT label AS "group",
+                   CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                   CAST(UNNEST(range(len(embedding))) AS INT) AS pos
+            FROM embeddings WHERE embedding IS NOT NULL)
+SELECT "group", pos, ROUND(AVG(val), 6) AS mean,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY 1, 2
+"""
+
+# Quality-gate funnel (text/pipeline.py quality_funnel): cumulative
+# stage survival over the same ROUNDED token-stat columns the quality
+# score uses, so the two reports cannot disagree.
+QUALITY_FUNNEL = f"""
+WITH {oracle_ctes('corpus')},
+st AS (SELECT LENGTH(text) AS n_chars,
+              ROUND(({_NSTOP}) / CAST({_NTOK} AS DOUBLE), 6) AS swr,
+              ROUND((LENGTH(text) - ({_NTOK} - 1))
+                    / CAST({_NTOK} AS DOUBLE), 6) AS atl
+       FROM corpus),
+ff AS (SELECT CASE WHEN n_chars IS NULL THEN 0
+                   WHEN NOT (n_chars >= 100 AND n_chars <= 20000) THEN 1
+                   WHEN NOT (swr >= 0.01) THEN 2
+                   WHEN NOT (atl >= 2.0 AND atl <= 12.0) THEN 3
+                   ELSE 4 END AS f
+       FROM st),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(COUNT(*) FILTER (WHERE f > 0) AS BIGINT) AS s0,
+               CAST(COUNT(*) FILTER (WHERE f > 1) AS BIGINT) AS s1,
+               CAST(COUNT(*) FILTER (WHERE f > 2) AS BIGINT) AS s2,
+               CAST(COUNT(*) FILTER (WHERE f > 3) AS BIGINT) AS s3
+        FROM ff)
+SELECT CAST(0 AS INT) AS stage_idx, 'has_text' AS stage,
+       n0 AS n_in, n0 - s0 AS n_dropped, s0 AS n_out FROM agg
+UNION ALL SELECT 1, 'len_ok', s0, s0 - s1, s1 FROM agg
+UNION ALL SELECT 2, 'stop_ok', s1, s1 - s2, s2 FROM agg
+UNION ALL SELECT 3, 'tok_ok', s2, s2 - s3, s3 FROM agg
+"""

@@ -139,6 +139,79 @@ def normalize_corpus(
     )
 
 
+def quality_funnel(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Stage-by-stage survival report for the quality gate: how many
+    documents enter each filter stage, how many it drops, how many
+    survive. The observability twin of ``clean_corpus_summary`` /
+    ``quality_score`` — a filter change at 100 TB is approved by
+    diffing this funnel, not by eyeballing samples.
+
+    Stages (ordered, same thresholds and the same ROUNDED intermediate
+    columns as ``quality_score`` so the two reports never disagree):
+    ``has_text`` (text non-null), ``len_ok`` (100 <= chars <= 20000),
+    ``stop_ok`` (stopword_ratio >= 0.01), ``tok_ok``
+    (2 <= avg_token_len <= 12). A document is counted into stage i
+    only if it passed stages 0..i-1 — the funnel is cumulative.
+
+    Scale shape: ONE scan; the per-row work is the first-failing-stage
+    index (pure codegen arithmetic over replace-based token counts),
+    reduced by a single-row aggregate of conditional sums, then
+    exploded to the 4-row report. No shuffle wider than the 1-row
+    reduce at any corpus size.
+
+    Columns: ``(stage_idx, stage, n_in, n_dropped, n_out)``.
+    """
+    st = token_stats(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+    )
+    conds = [
+        ("has_text", F.col("n_chars").isNotNull()),
+        ("len_ok", (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)),
+        ("stop_ok", F.col("stopword_ratio") >= 0.01),
+        ("tok_ok", (F.col("avg_token_len") >= 2.0)
+                   & (F.col("avg_token_len") <= 12.0)),
+    ]
+    # first failing stage index; len(conds) == survived the whole gate
+    first_fail = F.lit(len(conds))
+    for i, (_name, cond) in reversed(list(enumerate(conds))):
+        first_fail = F.when(~F.coalesce(cond, F.lit(False)), i).otherwise(
+            first_fail
+        )
+    aggs = [F.count("*").alias("_n0")] + [
+        F.coalesce(
+            F.sum((F.col("_ff") > i).cast("long")), F.lit(0).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(len(conds))
+    ]
+    row = st.select(first_fail.alias("_ff")).agg(*aggs)
+    stages = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("stage_idx"),
+                    F.lit(name).alias("stage"),
+                    (F.col("_n0") if i == 0 else F.col(f"_s{i - 1}"))
+                    .cast("long")
+                    .alias("n_in"),
+                    F.col(f"_s{i}").cast("long").alias("n_out"),
+                )
+                for i, (name, _c) in enumerate(conds)
+            ]
+        )
+    ).alias("_st")
+    return row.select(stages).select(
+        "_st.stage_idx",
+        "_st.stage",
+        "_st.n_in",
+        (F.col("_st.n_in") - F.col("_st.n_out")).alias("n_dropped"),
+        "_st.n_out",
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1,0 +1,178 @@
+"""Unit tests for the round-4 session-3 operators: CDC latest-wins
+merge, sketch-vs-exact cardinality audit, grouped centroids, quality
+funnel. (Their declared queries are additionally hash-gated end to end
+by test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ CDC merge
+def _merge(spark, base_rows, change_rows, **kw):
+    from gpd_lite_toolbox_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(base_rows, "id bigint, text string")
+    changes = spark.createDataFrame(
+        change_rows, "id bigint, text string, version bigint, op string"
+    )
+    out = apply_changes(base, changes, **kw)
+    return {r["id"]: r["text"] for r in out.collect()}
+
+
+def test_cdc_upsert_delete_insert(spark):
+    got = _merge(
+        spark,
+        [(1, "one"), (2, "two"), (3, "three")],
+        [
+            (1, "one v2", 1, "U"),   # update
+            (2, None, 1, "D"),       # delete
+            (4, "four", 1, "U"),     # insert
+        ],
+    )
+    assert got == {1: "one v2", 3: "three", 4: "four"}
+
+
+def test_cdc_latest_version_wins_and_delete_then_reinsert(spark):
+    got = _merge(
+        spark,
+        [(1, "one")],
+        [
+            (1, "one v1", 1, "U"),
+            (1, None, 2, "D"),
+            (1, "one v3", 3, "U"),  # re-insert after delete
+            (2, "two v1", 1, "U"),
+            (2, None, 2, "D"),      # delete wins: higher version
+        ],
+    )
+    assert got == {1: "one v3"}
+
+
+def test_cdc_null_payload_update_survives(spark):
+    # a winning upsert whose payload IS NULL must not be skipped
+    # (max_by over the struct, not over the nullable column)
+    got = _merge(spark, [(1, "one")], [(1, None, 1, "U")])
+    assert got == {1: None}
+
+
+def test_cdc_missing_column_raises(spark):
+    from gpd_lite_toolbox_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    bad = spark.createDataFrame([(1, 1, "U")], "id bigint, version bigint, op string")
+    with pytest.raises(ValueError, match="missing columns"):
+        apply_changes(base, bad)
+
+
+def test_cdc_single_exchange_plan(spark):
+    """The merge must stay ONE hash aggregate — no join, no window."""
+    from gpd_lite_toolbox_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    ch = spark.createDataFrame(
+        [(1, "y", 1, "U")], "id bigint, text string, version bigint, op string"
+    )
+    plan = (
+        apply_changes(base, ch)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+# ------------------------------------------------- approx distinct audit
+def test_approx_distinct_report_bounds(spark):
+    from gpd_lite_toolbox_spark.operators.audit import approx_distinct_report
+
+    df = spark.range(3000).select(
+        (F.col("id") % 997).alias("k"), (F.col("id") % 5).alias("s")
+    )
+    out = {
+        r["col_name"]: r
+        for r in approx_distinct_report(df, ["k", "s"]).collect()
+    }
+    assert out["k"]["exact_distinct"] == 997
+    assert out["s"]["exact_distinct"] == 5
+    assert out["k"]["within_bound"] and out["s"]["within_bound"]
+
+
+def test_approx_distinct_report_empty_input(spark):
+    from gpd_lite_toolbox_spark.operators.audit import approx_distinct_report
+
+    df = spark.range(0).select(F.col("id").alias("k"))
+    rows = approx_distinct_report(df, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["exact_distinct"] == 0
+    assert rows[0]["within_bound"]  # 0 vs 0 under the max(exact,1) floor
+
+
+# --------------------------------------------------------- centroids
+def test_group_centroids_closed_form(spark):
+    from gpd_lite_toolbox_spark.vector.centroids import (
+        assemble_vectors,
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 6.0]),
+            Row(label=1, embedding=[5.0, -1.0]),
+            Row(label=1, embedding=None),  # ignored
+        ]
+    )
+    long = group_centroids(df, "label", "embedding")
+    got = {(r["group"], r["pos"]): (r["mean"], r["n_vecs"])
+           for r in long.collect()}
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2),
+        (1, 0): (5.0, 1), (1, 1): (-1.0, 1),
+    }
+    vecs = {r["group"]: r["vec"] for r in assemble_vectors(long).collect()}
+    assert vecs == {0: [2.0, 4.0], 1: [5.0, -1.0]}
+
+
+def test_group_centroids_no_python_in_plan(spark):
+    from gpd_lite_toolbox_spark.vector.centroids import group_centroids
+
+    df = spark.createDataFrame([Row(label=0, embedding=[1.0])])
+    plan = (
+        group_centroids(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
+# ------------------------------------------------------ quality funnel
+def test_quality_funnel_accounting(spark):
+    from gpd_lite_toolbox_spark.text.pipeline import quality_funnel
+
+    ok = "the quick brown fox jumps over a lazy dog and then " * 4
+    corpus = spark.createDataFrame(
+        [
+            (1, ok),          # passes every stage
+            (2, None),        # fails has_text
+            (3, "short"),     # fails len_ok
+            (4, "x" * 150),   # no stopwords -> fails stop_ok
+            # stopwords present but avg token len 16.5 -> fails tok_ok
+            (5, ("abcdefghijklmnopqrstuvwxyzabcd the " * 10).strip()),
+        ],
+        "id bigint, text string",
+    )
+    rows = {r["stage"]: r for r in quality_funnel(corpus).collect()}
+    assert [rows[s]["n_in"] for s in
+            ("has_text", "len_ok", "stop_ok", "tok_ok")] == [5, 4, 3, 2]
+    assert [rows[s]["n_dropped"] for s in
+            ("has_text", "len_ok", "stop_ok", "tok_ok")] == [1, 1, 1, 1]
+    assert rows["tok_ok"]["n_out"] == 1
+    # funnel telescopes: each stage's n_in is the previous n_out
+    assert rows["len_ok"]["n_in"] == rows["has_text"]["n_out"]
+
+
+def test_quality_funnel_empty_corpus(spark):
+    from gpd_lite_toolbox_spark.text.pipeline import quality_funnel
+
+    corpus = spark.createDataFrame([], "id bigint, text string")
+    rows = quality_funnel(corpus).collect()
+    assert len(rows) == 4
+    assert all(r["n_in"] == 0 and r["n_out"] == 0 for r in rows)
