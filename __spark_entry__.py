@@ -1745,6 +1745,34 @@ def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_funnel(_corpus(spark, sf_dir))
 
 
+def _q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual token counting over the corpus: whitespace words next to
+    the BPE-ish regex segmentation — zero-shuffle projection."""
+    from gpd_lite_toolbox_spark.text.analysis import regex_token_stats
+
+    return regex_token_stats(_corpus(spark, sf_dir))
+
+
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload audit over events with planted corruption
+    (event_id%97 malformed, %89 missing key — mirrored in the oracle):
+    per-event-type coverage + value stats of props.k."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.audit import json_field_stats
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not json"))
+        .when(F.col("event_id") % 89 == 0, F.lit('{"x": 1}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return json_field_stats(ev, "props", "k", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1870,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_audit": _q_approx_distinct_audit,
         "label_centroids": _q_label_centroids,
         "quality_funnel": _q_quality_funnel,
+        "regex_tokens": _q_regex_tokens,
+        "json_props_stats": _q_json_props_stats,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1976,6 +2006,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_audit": OR.APPROX_DISTINCT_AUDIT,
         "label_centroids": OR.LABEL_CENTROIDS,
         "quality_funnel": OR.QUALITY_FUNNEL,
+        "regex_tokens": OR.REGEX_TOKENS,
+        "json_props_stats": OR.JSON_PROPS_STATS,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "approx_distinct_audit",
     "label_centroids",
     "quality_funnel",
+    "regex_tokens",
+    "json_props_stats",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -110,40 +110,82 @@ def approx_distinct_report(
 
     This is the calibration pass run once at onboarding to justify
     replacing exact count-distincts with the sketch everywhere else:
-    at 100 TB the exact side is the expensive one (Spark plans the
-    multi-column exact counts via an Expand that replicates every scan
-    row per audited column), while the HLL side is a tiny mergeable
-    sketch with full map-side partial aggregation. Production
-    monitoring keeps only the sketch; the estimate itself is
-    deliberately NOT in the output contract (it is engine-specific —
-    only the exact value and the pass/fail verdict are portable).
+    at 100 TB the exact side is the expensive one, while the HLL side
+    is a tiny mergeable sketch with full map-side partial aggregation.
+    Production monitoring keeps only the sketch; the estimate itself
+    is deliberately NOT in the output contract (it is engine-specific
+    — only the exact value and the pass/fail verdict are portable).
+
+    Plan shape: one single-column aggregate PER column, unioned —
+    each branch is a column-pruned scan + the two-phase distinct
+    rewrite + a partial-combined HLL. Fusing all columns into one agg
+    instead plans an Expand that replicates every scan row per column
+    AND blocks partial aggregation of the distinct side — measured
+    3.5x slower at sf0.1 (6.1 s vs 1.7 s); N pruned scans beat one
+    (N+1)x-expanded scan for any small audited-column set.
 
     Default ``rsd=0.02`` (4096 HLL registers) is calibrated ~6x inside
     the 5% verdict bound: measured worst-case error on the events
     table is 0.8% across sf0.001-0.1, while rsd=0.05 (the Spark
     default) measured up to 4.3% — too close to gate on.
     """
-    aggs = []
+    parts = []
     for c in cols:
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_e_{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_a_{c}"))
-    row = df.agg(*aggs)
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("col_name"),
-                    F.col(f"_e_{c}").cast("long").alias("exact_distinct"),
-                    (
-                        F.abs(F.col(f"_a_{c}") - F.col(f"_e_{c}"))
-                        <= F.lit(float(rel_err))
-                        * F.greatest(F.col(f"_e_{c}"), F.lit(1)).cast("double")
-                    ).alias("within_bound"),
-                )
-                for c in cols
-            ]
+        row = df.select(F.col(c)).agg(
+            F.count_distinct(F.col(c)).cast("long").alias("_e"),
+            F.approx_count_distinct(c, rsd).alias("_a"),
         )
-    ).alias("_p")
-    return row.select(pairs).select(
-        "_p.col_name", "_p.exact_distinct", "_p.within_bound"
+        parts.append(
+            row.select(
+                F.lit(c).alias("col_name"),
+                F.col("_e").alias("exact_distinct"),
+                (
+                    F.abs(F.col("_a") - F.col("_e"))
+                    <= F.lit(float(rel_err))
+                    * F.greatest(F.col("_e"), F.lit(1)).cast("double")
+                ).alias("within_bound"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str,
+    field: str,
+    group_by: str,
+    field_type: str = "bigint",
+) -> DataFrame:
+    """Semi-structured payload audit: parse a JSON string column with
+    an explicit schema (``from_json`` — JVM-side Jackson, no Python)
+    and report per-group coverage and value stats of one field:
+    ``(group, n_rows, n_with_field, sum_value, min_value, max_value,
+    avg_value)``.
+
+    ``n_with_field`` counts rows where the field parsed to a non-NULL
+    value — malformed JSON, a missing key, and a type-mismatched value
+    all count as absent (Spark's PERMISSIVE parse nulls the field;
+    mirrored in SQL oracles by a ``json_valid`` guard + TRY_CAST).
+
+    Scale shape: parse + extract happen in the scan projection; ONE
+    partial-aggregated exchange keyed by the group column. The schema
+    is explicit so Catalyst can prune the parse to the single field
+    (JsonTuple-style) instead of materializing the full document.
+    """
+    parsed = F.from_json(F.col(json_col), f"{field} {field_type}")[field]
+    x = df.select(F.col(group_by).alias("grp"), parsed.alias("_v"))
+    return (
+        x.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("_v").alias("n_with_field"),
+            F.sum("_v").alias("sum_value"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.round(F.avg("_v"), 6).alias("avg_value"),
+        )
+        .withColumnRenamed("grp", group_by)
     )

@@ -2260,3 +2260,45 @@ UNION ALL SELECT 1, 'len_ok', s0, s0 - s1, s1 FROM agg
 UNION ALL SELECT 2, 'stop_ok', s1, s1 - s2, s2 FROM agg
 UNION ALL SELECT 3, 'tok_ok', s2, s2 - s3, s3 FROM agg
 """
+
+# BPE-ish regex token counting (text/analysis.py regex_token_stats):
+# the pattern string is shared verbatim — it sits in the Java-regex /
+# RE2 intersection (no lookaheads).
+from .text import analysis as _analysis  # noqa: E402
+
+REGEX_TOKENS = f"""
+WITH {oracle_ctes('corpus')}
+SELECT id,
+       {_NTOK} AS n_ws_tokens,
+       CAST(LEN(regexp_extract_all(text, '{_analysis.REGEX_TOKEN_PATTERN}'))
+            AS BIGINT) AS n_re_tokens,
+       ROUND(LEN(regexp_extract_all(text, '{_analysis.REGEX_TOKEN_PATTERN}'))
+             / CAST({_NTOK} AS DOUBLE), 6) AS tokens_per_word
+FROM corpus
+"""
+
+# Semi-structured payload audit (operators/audit.py json_field_stats):
+# corruption planted by event_id class (mirrored in
+# _q_json_props_stats) exercises the malformed-JSON and missing-key
+# paths; json_valid + TRY_CAST reproduces Spark's PERMISSIVE
+# null-the-field semantics.
+JSON_PROPS_STATS = """
+WITH pe AS (SELECT event_type,
+                   CASE WHEN event_id % 97 = 0 THEN 'not json'
+                        WHEN event_id % 89 = 0 THEN '{"x": 1}'
+                        ELSE props END AS props
+            FROM events),
+x AS (SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS v
+      FROM pe)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(v) AS BIGINT) AS n_with_field,
+       CAST(SUM(v) AS BIGINT) AS sum_value,
+       MIN(v) AS min_value,
+       MAX(v) AS max_value,
+       ROUND(AVG(v), 6) AS avg_value
+FROM x GROUP BY event_type
+"""

@@ -166,3 +166,37 @@ def repetition_stats(
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+# BPE-ish pre-tokenizer segmentation: letter runs | digit runs |
+# punctuation runs — the GPT-2 pre-tokenizer shape with the lookaheads
+# removed, so the pattern sits in the Java-regex / RE2 intersection and
+# the DuckDB oracle runs it verbatim.
+REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def regex_token_stats(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting, both ways the brief needs them: whitespace words
+    and a BPE-ish regex segmentation (``REGEX_TOKEN_PATTERN``).
+    ``tokens_per_word`` (regex tokens per whitespace word) is the cheap
+    proxy for "how much will BPE inflate this document" — punctuation-
+    and digit-heavy documents score high and get routed to the byte
+    budget, prose scores ~1.
+
+    Columns: ``(id, n_ws_tokens, n_re_tokens, tokens_per_word)``.
+    Pure native column expressions (regexp_extract_all + size) — a
+    zero-shuffle projection at any corpus scale; NULL text propagates
+    NULL counts."""
+    text = F.col(text_col)
+    n_ws = (_occurrences(text, " ") + 1).cast("bigint")
+    n_re = F.size(
+        F.regexp_extract_all(text, F.lit(REGEX_TOKEN_PATTERN), F.lit(0))
+    ).cast("bigint")
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        n_ws.alias("n_ws_tokens"),
+        n_re.alias("n_re_tokens"),
+        F.round(n_re / n_ws.cast("double"), 6).alias("tokens_per_word"),
+    )

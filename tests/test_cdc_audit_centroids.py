@@ -176,3 +176,54 @@ def test_quality_funnel_empty_corpus(spark):
     rows = quality_funnel(corpus).collect()
     assert len(rows) == 4
     assert all(r["n_in"] == 0 and r["n_out"] == 0 for r in rows)
+
+
+# --------------------------------------------- regex tokens / json audit
+def test_regex_token_stats_segmentation(spark):
+    from gpd_lite_toolbox_spark.text.analysis import regex_token_stats
+
+    corpus = spark.createDataFrame(
+        [(1, "ab c7, d-8 Ef"), (2, "plain words here"), (3, "")],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r for r in regex_token_stats(corpus).collect()}
+    # ab | c | 7 | , | d | - | 8 | Ef  -> 8 regex tokens over 4 words
+    assert got[1]["n_ws_tokens"] == 4 and got[1]["n_re_tokens"] == 8
+    assert got[1]["tokens_per_word"] == 2.0
+    assert got[2]["n_re_tokens"] == 3 and got[2]["tokens_per_word"] == 1.0
+    assert got[3]["n_re_tokens"] == 0
+
+
+def test_regex_token_stats_no_shuffle(spark):
+    from gpd_lite_toolbox_spark.text.analysis import regex_token_stats
+
+    corpus = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    plan = (
+        regex_token_stats(corpus)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_json_field_stats_validity_classes(spark):
+    from gpd_lite_toolbox_spark.operators.audit import json_field_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 5}'),
+            ("a", '{"k": -2}'),
+            ("a", "not json"),     # malformed -> absent
+            ("a", '{"x": 1}'),     # missing key -> absent
+            ("b", None),           # NULL payload -> absent
+        ],
+        "grp string, props string",
+    )
+    got = {r["grp"]: r for r in
+           json_field_stats(df, "props", "k", "grp").collect()}
+    a = got["a"]
+    assert (a["n_rows"], a["n_with_field"]) == (4, 2)
+    assert (a["sum_value"], a["min_value"], a["max_value"]) == (3, -2, 5)
+    assert a["avg_value"] == 1.5
+    b = got["b"]
+    assert (b["n_rows"], b["n_with_field"]) == (1, 0)
+    assert b["sum_value"] is None and b["avg_value"] is None
