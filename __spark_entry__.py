@@ -1773,6 +1773,22 @@ def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_field_stats(ev, "props", "k", "event_type")
 
 
+def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the corpus —
+    zero-shuffle hash-threshold projection."""
+    from gpd_lite_toolbox_spark.text.corpus import split_corpus
+
+    return split_corpus(_corpus(spark, sf_dir), seed=OR.SPLIT_SEED)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: per-document mean negative
+    log-likelihood under the corpus's own token frequencies."""
+    from gpd_lite_toolbox_spark.text.corpus import unigram_logprob
+
+    return unigram_logprob(_corpus(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1900,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": _q_quality_funnel,
         "regex_tokens": _q_regex_tokens,
         "json_props_stats": _q_json_props_stats,
+        "split_corpus": _q_split_corpus,
+        "unigram_logprob": _q_unigram_logprob,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2008,6 +2026,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel": OR.QUALITY_FUNNEL,
         "regex_tokens": OR.REGEX_TOKENS,
         "json_props_stats": OR.JSON_PROPS_STATS,
+        "split_corpus": OR.SPLIT_CORPUS,
+        "unigram_logprob": OR.UNIGRAM_LOGPROB,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

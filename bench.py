@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "quality_funnel",
     "regex_tokens",
     "json_props_stats",
+    "split_corpus",
+    "unigram_logprob",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -2302,3 +2302,40 @@ SELECT event_type,
        ROUND(AVG(v), 6) AS avg_value
 FROM x GROUP BY event_type
 """
+
+# Deterministic train/val/test split (text/corpus.py split_corpus):
+# same md5 32-bit-fraction trick as SHARD_CORPUS, thresholded at the
+# cumulative fractions.
+SPLIT_SEED = 0
+SPLIT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+SPLIT_CORPUS = f"""
+WITH {oracle_ctes('corpus')},
+keyed AS (SELECT id,
+                 CAST(('0x' || substr(md5('{SPLIT_SEED}_'
+                       || CAST(id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0 AS frac
+          FROM corpus)
+SELECT id,
+       CASE WHEN frac < 0.9 THEN 'train'
+            WHEN frac < {0.9 + 0.05} THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+# Unigram LM scoring (text/corpus.py unigram_logprob): the vocabulary
+# is trained on the corpus itself, so every token has positive
+# probability; ln is libm double on both engines, absorbed by the
+# round(6).
+UNIGRAM_LOGPROB = f"""
+WITH {oracle_ctes('corpus')},
+toks AS (SELECT id, UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+total AS (SELECT SUM(n_tok) AS n_total FROM vocab)
+SELECT t.id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-LN(v.n_tok / CAST(tt.n_total AS DOUBLE))), 6)
+           AS avg_neg_logprob
+FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total tt
+GROUP BY t.id
+"""

@@ -398,3 +398,87 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= int(k))
     )
+
+
+def split_corpus(
+    corpus: DataFrame,
+    fractions: "dict[str, float] | None" = None,
+    seed: int = 0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every document gets a
+    named split, pseudorandom in the id but exactly reproducible for a
+    given ``seed`` — re-running over a grown corpus never moves a
+    previously-assigned document (its hash fraction is a pure function
+    of (seed, id)), which is what keeps eval sets stable across
+    ingest increments.
+
+    ``fractions`` maps split name -> fraction (must sum to ~1; default
+    ``{"train": .9, "val": .05, "test": .05}``); assignment thresholds
+    the 32-bit md5 fraction of ``seed_id`` against the cumulative
+    fractions, in the dict's iteration order. Zero-shuffle projection
+    at any scale. Columns: ``(id, split)``.
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.md5(
+        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+    )
+    frac = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    names = list(fractions)
+    expr = F.lit(names[-1])  # last split absorbs the rounding tail
+    cum = 0.0
+    branches = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        branches.append((cum, name))
+    for cum, name in reversed(branches):
+        expr = F.when(frac < F.lit(float(cum)), F.lit(name)).otherwise(expr)
+    return corpus.select(F.col(id_col).alias("id"), expr.alias("split"))
+
+
+def unigram_logprob(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model scoring: train a token-frequency model
+    on the corpus itself and score each document by its mean negative
+    log-likelihood — the cheap, model-free stand-in for the perplexity
+    filter of a training-data pipeline (documents full of corpus-rare
+    tokens score high; boilerplate scores low).
+
+    Plan shape: one token explode feeding TWO consumers — the vocab
+    count (groupBy token, partial-combined: the exchange carries at
+    most |vocab| rows per partition, so hot stopwords never
+    concentrate) and the per-doc score join. The count-lookup join is
+    left to AQE — vocab-sized sides broadcast, and a tokenizer that
+    explodes the vocab past the threshold degrades to a shuffled hash
+    join on token instead of OOMing the driver; corpus total N is a
+    single-row broadcast. The final per-doc aggregate is the only
+    corpus-wide exchange.
+
+    Columns: ``(id, n_tokens, avg_neg_logprob)`` with the score
+    rounded 6 for cross-engine hashing.
+    """
+    toks = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (-F.log(F.col("n_tok") / F.col("n_total"))).alias("_nll"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_nll"), 6).alias("avg_neg_logprob"),
+    )

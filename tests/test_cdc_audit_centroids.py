@@ -227,3 +227,48 @@ def test_json_field_stats_validity_classes(spark):
     b = got["b"]
     assert (b["n_rows"], b["n_with_field"]) == (1, 0)
     assert b["sum_value"] is None and b["avg_value"] is None
+
+
+# ------------------------------------------- split / unigram logprob
+def test_split_corpus_deterministic_and_stable(spark):
+    from gpd_lite_toolbox_spark.text.corpus import split_corpus
+
+    c1 = spark.range(1000).withColumnRenamed("id", "id")
+    a = dict(split_corpus(c1, seed=7).collect())
+    b = dict(split_corpus(c1, seed=7).collect())
+    assert a == b  # reproducible
+    # growing the corpus never moves an existing doc's assignment
+    c2 = spark.range(2000)
+    grown = dict(split_corpus(c2, seed=7).collect())
+    assert all(grown[i] == a[i] for i in a)
+    # fractions roughly honored (md5 is uniform; 1000 docs, wide margin)
+    from collections import Counter
+
+    n = Counter(a.values())
+    assert 850 <= n["train"] <= 950
+    assert n["train"] + n["val"] + n["test"] == 1000
+
+
+def test_split_corpus_bad_fractions_raise(spark):
+    from gpd_lite_toolbox_spark.text.corpus import split_corpus
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(spark.range(1), fractions={"a": 0.5, "b": 0.1})
+
+
+def test_unigram_logprob_closed_form(spark):
+    import math
+
+    from gpd_lite_toolbox_spark.text.corpus import unigram_logprob
+
+    # corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, N=5
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "id bigint, text string"
+    )
+    got = {r["id"]: r for r in unigram_logprob(corpus).collect()}
+    exp1 = round(-(2 * math.log(3 / 5) + math.log(1 / 5)) / 3, 6)
+    exp2 = round(-(math.log(3 / 5) + math.log(1 / 5)) / 2, 6)
+    assert got[1]["n_tokens"] == 3 and got[1]["avg_neg_logprob"] == exp1
+    assert got[2]["n_tokens"] == 2 and got[2]["avg_neg_logprob"] == exp2
+    # rare-token docs score strictly higher than common-token docs
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
