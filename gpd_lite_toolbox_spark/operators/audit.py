@@ -88,12 +88,18 @@ def uniqueness_violations(
     return dup.select(F.lit(rule).alias("rule"), "n_violations")
 
 
-def quality_report(parts: list[DataFrame]) -> DataFrame:
-    """Union the audit parts into one (rule, n_violations) report."""
+def _union_all(parts: list[DataFrame], what: str) -> DataFrame:
+    if not parts:
+        raise ValueError(f"{what} must be non-empty")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quality_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the audit parts into one (rule, n_violations) report."""
+    return _union_all(parts, "parts")
 
 
 def approx_distinct_report(
@@ -146,10 +152,7 @@ def approx_distinct_report(
                 ).alias("within_bound"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _union_all(parts, "cols")
 
 
 def json_field_stats(
@@ -167,8 +170,10 @@ def json_field_stats(
 
     ``n_with_field`` counts rows where the field parsed to a non-NULL
     value — malformed JSON, a missing key, and a type-mismatched value
-    all count as absent (Spark's PERMISSIVE parse nulls the field;
-    mirrored in SQL oracles by a ``json_valid`` guard + TRY_CAST).
+    (quoted "5", 5.0, true against a BIGINT schema) all count as
+    absent under Spark's PERMISSIVE parse; SQL oracles mirror this
+    with a ``json_valid`` + integer ``json_type`` guard before the
+    cast.
 
     Scale shape: parse + extract happen in the scan projection; ONE
     partial-aggregated exchange keyed by the group column. The schema

@@ -41,8 +41,9 @@ def apply_changes(
     are contractually undefined, as in any CDC log without a
     tiebreaker) and ``op_col`` ('U'-style upserts carrying a payload,
     or one of ``delete_ops`` marking the key as removed; a delete row's
-    payload is ignored). Returns the merged snapshot with the base
-    schema: key + payload, deleted keys absent.
+    payload is ignored, and a NULL op reads as an upsert so a malformed
+    feed never silently deletes). Returns the merged snapshot with the
+    base schema: key + payload, deleted keys absent.
 
     Base rows participate as version ``BASE_VERSION`` (-1) upserts, so
     any change outranks the snapshot and keys never seen in the feed
@@ -78,5 +79,10 @@ def apply_changes(
             ).alias("_w")
         )
     )
-    kept = winner.filter(~F.col("_w._op").isin(*delete_ops))
+    # NULL-safe: a malformed feed row with op NULL must read as an
+    # upsert, never as a silent delete (NULL.isin(...) is NULL, and a
+    # bare ~NULL filter would drop the key)
+    kept = winner.filter(
+        ~F.coalesce(F.col("_w._op").isin(*delete_ops), F.lit(False))
+    )
     return kept.select(F.col(key), *[F.col(f"_w.{c}").alias(c) for c in payload])

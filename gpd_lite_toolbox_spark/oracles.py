@@ -2280,8 +2280,10 @@ FROM corpus
 # Semi-structured payload audit (operators/audit.py json_field_stats):
 # corruption planted by event_id class (mirrored in
 # _q_json_props_stats) exercises the malformed-JSON and missing-key
-# paths; json_valid + TRY_CAST reproduces Spark's PERMISSIVE
-# null-the-field semantics.
+# paths. Spark's from_json with a BIGINT schema nulls the field unless
+# the JSON value is an integer-typed number (quoted "5", 5.0, true all
+# parse to NULL — verified empirically), so the mirror guards on
+# json_type IN (BIGINT, UBIGINT), not merely json_valid + TRY_CAST.
 JSON_PROPS_STATS = """
 WITH pe AS (SELECT event_type,
                    CASE WHEN event_id % 97 = 0 THEN 'not json'
@@ -2290,6 +2292,7 @@ WITH pe AS (SELECT event_type,
             FROM events),
 x AS (SELECT event_type,
              CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              END AS v
       FROM pe)

@@ -171,8 +171,11 @@ def repetition_stats(
 # BPE-ish pre-tokenizer segmentation: letter runs | digit runs |
 # punctuation runs — the GPT-2 pre-tokenizer shape with the lookaheads
 # removed, so the pattern sits in the Java-regex / RE2 intersection and
-# the DuckDB oracle runs it verbatim.
-REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# the DuckDB oracle runs it verbatim. The whitespace class is spelled
+# out because the dialects disagree on `\s`: Java includes vertical
+# tab (\x0B), RE2 does not — with the explicit class, \x0B lands in
+# the punctuation run on BOTH engines.
+REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+"
 
 
 def regex_token_stats(

@@ -25,13 +25,29 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # multiplicative hash constants shared with the fixture family
 # (fixtures.py): Knuth 2^32 / phi and xxhash PRIME32_2
 _HASH_A = 2654435761
 _HASH_MOD = 100000
+
+
+def seeded_key(seed: int, id_col: str) -> Column:
+    """The shared pseudo-random sort key of the shard/sample/split
+    family: ``md5("<seed>_<id>")`` — engine-independent (DuckDB
+    oracles recompute it verbatim), uniform, and a pure projection.
+    Single definition so the three operators and their oracles can
+    never diverge on the key derivation."""
+    return F.md5(
+        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+    )
+
+
+def key_u32(key: Column) -> Column:
+    """First 8 hex digits of a seeded key as a BIGINT in [0, 2^32)."""
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
 
 
 def pack_sequences(
@@ -236,13 +252,8 @@ def shard_corpus(
     Columns: ``(id, shard, pos)``; the (shard, pos) pairs are a
     permutation of the corpus, dense per shard from 0.
     """
-    key = F.md5(
-        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
-    )
-    shard = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
-        % F.lit(int(n_shards))
-    )
+    key = seeded_key(seed, id_col)
+    shard = key_u32(key) % F.lit(int(n_shards))
     keyed = corpus.select(
         F.col(id_col).alias("id"), key.alias("_key"), shard.alias("shard")
     )
@@ -390,9 +401,7 @@ def sample_k_per_group(
 
     Columns: input columns plus ``sample_rank`` (1..k within group).
     """
-    key = F.md5(
-        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
-    )
+    key = seeded_key(seed, id_col)
     w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
@@ -424,10 +433,7 @@ def split_corpus(
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    key = F.md5(
-        F.concat_ws("_", F.lit(str(int(seed))), F.col(id_col).cast("string"))
-    )
-    frac = F.conv(F.substring(key, 1, 8), 16, 10).cast("double") / F.lit(
+    frac = key_u32(seeded_key(seed, id_col)).cast("double") / F.lit(
         float(1 << 32)
     )
     names = list(fractions)

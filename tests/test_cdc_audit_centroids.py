@@ -272,3 +272,60 @@ def test_unigram_logprob_closed_form(spark):
     assert got[2]["n_tokens"] == 2 and got[2]["avg_neg_logprob"] == exp2
     # rare-token docs score strictly higher than common-token docs
     assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+
+
+# ----------------------------------------- review-pass regression tests
+def test_cdc_null_op_reads_as_upsert(spark):
+    # a malformed feed row with op NULL must never silently delete
+    got = _merge(spark, [(1, "one")], [(1, "one v5", 5, None)])
+    assert got == {1: "one v5"}
+
+
+def test_approx_distinct_report_empty_cols_raises(spark):
+    from gpd_lite_toolbox_spark.operators.audit import approx_distinct_report
+
+    with pytest.raises(ValueError, match="non-empty"):
+        approx_distinct_report(spark.range(1), [])
+
+
+def test_json_field_stats_type_mismatch_counts_absent(spark):
+    from gpd_lite_toolbox_spark.operators.audit import json_field_stats
+
+    df = spark.createDataFrame(
+        [("a", '{"k": "5"}'), ("a", '{"k": 5.0}'), ("a", '{"k": 7}')],
+        "grp string, props string",
+    )
+    row = json_field_stats(df, "props", "k", "grp").collect()[0]
+    # quoted "5" and float 5.0 parse to NULL under a BIGINT schema
+    assert (row["n_rows"], row["n_with_field"], row["sum_value"]) == (3, 1, 7)
+
+
+def test_regex_token_pattern_vertical_tab_cross_engine(spark):
+    """\\x0B is whitespace to Java's \\s but not RE2's — the explicit
+    class must tokenize it identically on both engines."""
+    import duckdb
+
+    from gpd_lite_toolbox_spark.text.analysis import (
+        REGEX_TOKEN_PATTERN,
+        regex_token_stats,
+    )
+
+    text = "a\x0bb c"
+    corpus = spark.createDataFrame([(1, text)], "id bigint, text string")
+    n_spark = regex_token_stats(corpus).collect()[0]["n_re_tokens"]
+    n_duck = duckdb.sql(
+        "SELECT LEN(regexp_extract_all(?, ?))",
+        params=[text, REGEX_TOKEN_PATTERN],
+    ).fetchall()[0][0]
+    assert n_spark == n_duck == 4  # a | \x0b | b | c
+
+
+def test_seeded_key_shared_across_family(spark):
+    """shard/sample/split must derive from ONE key definition."""
+    import inspect
+
+    from gpd_lite_toolbox_spark.text import corpus as C
+
+    for fn in (C.shard_corpus, C.sample_k_per_group, C.split_corpus):
+        src = inspect.getsource(fn)
+        assert "seeded_key(" in src and "F.md5(" not in src
