@@ -1789,6 +1789,59 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_corpus(spark, sf_dir))
 
 
+def _cdc_feed(spark: SparkSession, sf_dir: str):
+    """The CDC feed shared by the batch and streaming merge queries:
+    initial snapshot load (version -1 upserts) + the deterministic
+    deltas of _q_cdc_snapshot, materialized once per sf_dir as parquet
+    so the file-stream source can replay it."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = _corpus(spark, sf_dir)
+    full = base.select(
+        "id", "text",
+        F.lit(-1).alias("version"), F.lit("U").alias("op"),
+    )
+    for cls, vers, op, suffix in (
+        (7, 1, "U", " v2"), (13, 2, "D", None), (11, 1, "U", " new")
+    ):
+        d = base.filter(F.col("id") % cls == 0)
+        if op == "D":
+            ch = d.select(
+                "id", F.lit(None).cast("string").alias("text"),
+                F.lit(vers).alias("version"), F.lit(op).alias("op"),
+            )
+        else:
+            offset = 5000000 if cls == 11 else 0
+            ch = d.select(
+                (F.col("id") + offset).alias("id"),
+                F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+                F.lit(vers).alias("version"), F.lit(op).alias("op"),
+            )
+        full = full.unionByName(ch)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_cdc_feed_{tag}"
+    full.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins CDC merge: the same feed as cdc_snapshot
+    replayed through a file stream into a stateful max_by aggregation
+    (complete mode); the final snapshot shares the batch query's
+    CDC_SNAPSHOT oracle."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import run_streaming_cdc
+
+    s = _configure(spark)
+    feed = _cdc_feed(s, sf_dir)
+    merged = run_streaming_cdc(s, feed)
+    return merged.select("id", F.md5("text").alias("content_md5"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -1918,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": _q_json_props_stats,
         "split_corpus": _q_split_corpus,
         "unigram_logprob": _q_unigram_logprob,
+        "stream_cdc": _q_stream_cdc,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2028,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": OR.JSON_PROPS_STATS,
         "split_corpus": OR.SPLIT_CORPUS,
         "unigram_logprob": OR.UNIGRAM_LOGPROB,
+        "stream_cdc": OR.CDC_SNAPSHOT,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "session_window",
     "stream_dedup",
     "stream_near_dedup",
+    "stream_cdc",
     "decontaminate",
     "hull_stats",
     "domain_mixture",

@@ -452,6 +452,64 @@ def run_streaming_interval_join(
     return _drain_to_memory(spark, joined, "ivjoin_stream_out", "append")
 
 
+def run_streaming_cdc(
+    spark,
+    feed_dir: str,
+    key: str = "id",
+    version_col: str = "version",
+    op_col: str = "op",
+    payload_cols: "list[str] | None" = None,
+    delete_ops: tuple = ("D",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.cdc.apply_changes``: the change
+    feed (initial snapshot load as version -1 upserts + incremental
+    deltas — the standard CDC bootstrap shape) arrives as a file
+    stream, and the latest-wins merge runs as a NATIVE stateful
+    streaming aggregation — the same ``max_by(struct(payload),
+    version)`` the batch operator plans, in complete output mode, with
+    the delete filter applied to the aggregated state. No foreachBatch
+    loop, no external table rewrite per micro-batch: Spark's
+    aggregation state IS the snapshot, keyed by ``key`` and updated
+    incrementally as deltas stream in.
+
+    State is bounded by live-key cardinality (the snapshot size), the
+    same bound any materialized view pays; this is the
+    complete-mode/memory-sink harness shape — a production deployment
+    writes the same aggregate to a key-value sink in update mode.
+
+    On a bounded availableNow source the final sink content equals the
+    batch ``apply_changes`` over the same feed — the driver-oracle
+    form (``stream_cdc`` shares the batch query's CDC_SNAPSHOT
+    oracle).
+    """
+    feed_dir = _stage_dir(feed_dir, "cdc_stream_")
+    schema = spark.read.parquet(feed_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+    if payload_cols is None:
+        payload_cols = [
+            c for c in stream.columns if c not in (key, version_col, op_col)
+        ]
+    merged = (
+        stream.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(F.col(op_col).alias("_op"),
+                         *[F.col(c) for c in payload_cols]),
+                F.col(version_col).cast("bigint"),
+            ).alias("_w")
+        )
+        .filter(~F.coalesce(F.col("_w._op").isin(*delete_ops), F.lit(False)))
+        .select(
+            F.col(key), *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
+        )
+    )
+    return _drain_to_memory(spark, merged, "cdc_stream_out", "complete")
+
+
 SESSION_GAP_S = 1800
 
 

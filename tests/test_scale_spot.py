@@ -57,6 +57,15 @@ _SPOT = [
     "resample_ffill",
     "corpus_diff",
     "quantize_int8",
+    # session-3 additions: HLL error bound (approx audit), float-sum
+    # rounding over 10x vectors (centroids), log-sum accumulation
+    # (unigram), md5-fraction thresholds at volume (split), CDC merge
+    # over a 10x change feed
+    "approx_distinct_audit",
+    "label_centroids",
+    "unigram_logprob",
+    "split_corpus",
+    "cdc_snapshot",
 ]
 
 

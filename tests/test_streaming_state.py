@@ -563,3 +563,41 @@ def test_stream_interval_join_short_watermark_drops_late_rows(
     }
     assert stream <= batch
     assert len(stream) < len(batch)  # some cross-batch rows were late
+
+
+def test_streaming_cdc_matches_batch_across_microbatches(spark, tmp_path):
+    """The stateful max_by aggregation must converge to the batch
+    apply_changes snapshot even when the feed arrives out of version
+    order across micro-batches (maxFilesPerTrigger=1, one file per
+    version class)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.cdc import apply_changes
+    from gpd_lite_toolbox_spark.streaming.grid_stream import run_streaming_cdc
+
+    base = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "id bigint, text string"
+    )
+    updates = spark.createDataFrame(
+        [(i, f"doc {i} v2", 1, "U") for i in range(0, 40, 3)],
+        "id bigint, text string, version bigint, op string",
+    )
+    deletes = spark.createDataFrame(
+        [(i, None, 2, "D") for i in range(0, 40, 5)],
+        "id bigint, text string, version bigint, op string",
+    )
+    feed_dir = str(tmp_path / "feed")
+    # three separate files -> three micro-batches, LATEST version first
+    # (deletes land before the updates they outrank)
+    for i, part in enumerate((deletes, updates, base.select(
+            "id", "text",
+            F.lit(-1).cast("bigint").alias("version"),  # match the feed's
+            F.lit("U").alias("op"),                     # bigint schema
+    ))):
+        part.coalesce(1).write.mode("append").parquet(feed_dir)
+    streamed = run_streaming_cdc(spark, feed_dir, max_files_per_trigger=1)
+    expected = apply_changes(base, updates.unionByName(deletes))
+    got = {r["id"]: r["text"] for r in streamed.collect()}
+    exp = {r["id"]: r["text"] for r in expected.collect()}
+    assert got == exp
+    assert 0 not in got and 3 in got and got[3] == "doc 3 v2"
