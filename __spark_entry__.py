@@ -1789,6 +1789,14 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_corpus(spark, sf_dir))
 
 
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster retention policy: per cluster, keep the
+    highest-quality member (ties by min id)."""
+    from gpd_lite_toolbox_spark.text.dedup import dedup_canonical
+
+    return dedup_canonical(_corpus(spark, sf_dir), threshold=0.5)
+
+
 def _cdc_feed(spark: SparkSession, sf_dir: str):
     """The CDC feed shared by the batch and streaming merge queries:
     initial snapshot load (version -1 upserts) + the deterministic
@@ -1972,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": _q_split_corpus,
         "unigram_logprob": _q_unigram_logprob,
         "stream_cdc": _q_stream_cdc,
+        "dedup_canonical": _q_dedup_canonical,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2083,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "split_corpus": OR.SPLIT_CORPUS,
         "unigram_logprob": OR.UNIGRAM_LOGPROB,
         "stream_cdc": OR.CDC_SNAPSHOT,
+        "dedup_canonical": OR.DEDUP_CANONICAL,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "json_props_stats",
     "split_corpus",
     "unigram_logprob",
+    "dedup_canonical",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

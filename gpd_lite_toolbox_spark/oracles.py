@@ -348,6 +348,14 @@ FROM corpus WHERE text IS NOT NULL
 GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
+# whitespace token / stopword count expressions shared by the text
+# family (TOKEN_STATS, QUALITY, QUALITY_FUNNEL, DEDUP_CANONICAL)
+_NTOK = "CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / 1 AS BIGINT) + 1"
+_NSTOP = (
+    "CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' the ', ''))) / 5 AS BIGINT)"
+    " + CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' a ', ''))) / 3 AS BIGINT)"
+)
+
 # CTE chain shared by MINHASH_PAIRS and DUP_GROUPS (which wraps the
 # final pair select as one more CTE and closes components over it)
 _MINHASH_CTES = f"""{oracle_ctes('corpus')}, {_SHINGLE_CTE},
@@ -408,6 +416,43 @@ walk(id, lbl) AS (
 SELECT id, MIN(lbl) AS group_id,
        CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT) AS group_size
 FROM walk GROUP BY id
+"""
+
+# Retention policy (text/dedup.py dedup_canonical): per duplicate
+# cluster, keep the highest-quality member (ties by min id). Clusters
+# re-derived by the recursive walk, quality re-derived relationally —
+# both independently of the Spark implementation.
+DEDUP_CANONICAL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS ({_MINHASH_FINAL}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(id, lbl) AS (
+    SELECT id, id FROM corpus
+    UNION
+    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+),
+g AS (SELECT id, MIN(lbl) AS group_id,
+             CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT)
+                 AS group_size
+      FROM walk GROUP BY id),
+st AS (SELECT id, LENGTH(text) AS n_chars, {_NTOK} AS n_tokens,
+              {_NSTOP} AS n_stop,
+              (LENGTH(text) - ({_NTOK} - 1)) / CAST({_NTOK} AS DOUBLE) AS atl
+       FROM corpus),
+qual AS (SELECT id,
+       ROUND(((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN ROUND(atl, 6) >= 2.0 AND ROUND(atl, 6) <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0,
+           6) AS quality
+       FROM st),
+r AS (SELECT g.group_id, g.id, g.group_size, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                ORDER BY q.quality DESC, g.id) AS rn
+      FROM g JOIN qual q ON q.id = g.id)
+SELECT group_id, id AS kept_id, group_size, quality AS kept_quality
+FROM r WHERE rn = 1
 """
 
 # n-gram Jaccard: document-frequency cap for candidate generation —
@@ -514,12 +559,6 @@ SELECT DISTINCT CAST(b.band AS INT) AS band,
        (f.sh >> (b.band * 16)) & 65535 AS band_key
 FROM fp f CROSS JOIN (SELECT UNNEST([0, 1]) AS band) b
 """
-
-_NTOK = "CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / 1 AS BIGINT) + 1"
-_NSTOP = (
-    "CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' the ', ''))) / 5 AS BIGINT)"
-    " + CAST((LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' a ', ''))) / 3 AS BIGINT)"
-)
 
 TOKEN_STATS = f"""
 WITH {oracle_ctes('corpus')}

@@ -779,6 +779,54 @@ def dup_groups(
     )
 
 
+def dedup_canonical(
+    corpus: DataFrame,
+    id_col: str = "id",
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Retention policy on top of ``dup_groups``: which copy of each
+    duplicate cluster does the training set KEEP? Not the arbitrary
+    min-id — the highest-``quality_score`` member (ties broken by min
+    id), which is what a real pipeline wants when near-dup variants
+    differ in truncation or boilerplate contamination.
+
+    Returns one row per cluster (singletons included):
+    ``(group_id, kept_id, group_size, kept_quality)``.
+
+    Plan shape: the cluster labels join the per-doc quality projection
+    on id (one keyed exchange), and the argmax is a
+    ``row_number``-over-(quality desc, id) filter — Spark runs it as
+    WindowGroupLimit partial top-1 heaps, so at most one row per
+    cluster per input partition reaches the final exchange. Oracle
+    independence: the DuckDB gate re-derives clusters by the
+    recursive-CTE walk and the quality score relationally, then takes
+    the same argmax.
+    """
+    from pyspark.sql import Window
+
+    from .analysis import quality_score
+
+    groups = dup_groups(
+        corpus, id_col=id_col, threshold=threshold, pairs=pairs
+    )
+    q = quality_score(corpus, id_col=id_col)
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    return (
+        groups.join(q, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "group_id",
+            F.col("id").alias("kept_id"),
+            "group_size",
+            F.col("quality").alias("kept_quality"),
+        )
+    )
+
+
 def shingle_array_expr(text_col: str) -> "F.Column":
     """Row-LOCAL distinct hashed-shingle array: the same 60-bit
     md5-prefix shingles as ``shingles(hashed=True)`` computed entirely

@@ -329,3 +329,26 @@ def test_seeded_key_shared_across_family(spark):
     for fn in (C.shard_corpus, C.sample_k_per_group, C.split_corpus):
         src = inspect.getsource(fn)
         assert "seeded_key(" in src and "F.md5(" not in src
+
+
+def test_dedup_canonical_keeps_best_quality(spark):
+    """The retention policy must pick the highest-QUALITY cluster
+    member, not the min id — planted cluster where the later doc has
+    the better text."""
+    from gpd_lite_toolbox_spark.text.dedup import dedup_canonical
+
+    good = ("the quick brown fox jumps over a lazy dog and then some "
+            "more of the usual filler words follow here " * 3).strip()
+    corpus = spark.createDataFrame(
+        [(1, "x" * 150), (2, good), (9, "unrelated standalone text")],
+        "id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0)], "id_a bigint, id_b bigint, jaccard double"
+    )
+    rows = {r["group_id"]: r for r in
+            dedup_canonical(corpus, pairs=pairs).collect()}
+    # cluster {1,2}: doc 2 has stopwords + sane token lengths -> kept
+    assert rows[1]["kept_id"] == 2 and rows[1]["group_size"] == 2
+    # singleton keeps itself
+    assert rows[9]["kept_id"] == 9 and rows[9]["group_size"] == 1
