@@ -50,11 +50,14 @@ from .operators.points import (  # noqa: F401
     snap_to_nearest,
 )
 from .operators.audit import (  # noqa: F401
+    approx_distinct_report,
     fk_violations,
+    json_field_stats,
     predicate_violations,
     quality_report,
     uniqueness_violations,
 )
+from .operators.cdc import apply_changes  # noqa: F401
 from .operators.points import knn_to_vertices  # noqa: F401
 from .operators.spatial_join import bbox_join  # noqa: F401
 from .operators.temporal import (  # noqa: F401
@@ -84,6 +87,7 @@ from .sources.sinks import (  # noqa: F401
 )
 from .sources.osrm import osrm_table_times, osrm_times_distributed  # noqa: F401
 from .sources.wkt import st_aswkt, st_fromwkt  # noqa: F401
+from .text.analysis import regex_token_stats  # noqa: F401
 from .text.corpus import (  # noqa: F401
     build_vocab,
     chunk_documents,
@@ -91,11 +95,14 @@ from .text.corpus import (  # noqa: F401
     sample_k_per_group,
     sample_to_mixture,
     shard_corpus,
+    split_corpus,
     stratified_sample,
     tfidf_topk,
+    unigram_logprob,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
+    dedup_canonical,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -109,6 +116,7 @@ from .text.pipeline import (  # noqa: F401
     corpus_diff,
     normalize_corpus,
     normalize_text_expr,
+    quality_funnel,
     remove_boilerplate_lines,
 )
 from .text.search import bm25_topk  # noqa: F401
@@ -120,6 +128,7 @@ from .vector.ann import (  # noqa: F401
     cosine_topk,
     write_ivf_index,
 )
+from .vector.centroids import assemble_vectors, group_centroids  # noqa: F401
 from .vector.quantize import dequantize_expr, quantize_int8  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
@@ -207,6 +216,17 @@ __all__ = [
     "url_stats",
     "quantize_int8",
     "dequantize_expr",
+    # pipeline maintenance + calibration (round-4 session 3)
+    "apply_changes",
+    "approx_distinct_report",
+    "json_field_stats",
+    "group_centroids",
+    "assemble_vectors",
+    "quality_funnel",
+    "regex_token_stats",
+    "split_corpus",
+    "unigram_logprob",
+    "dedup_canonical",
     # temporal joins
     "asof_join",
     "range_join_binned",

@@ -352,3 +352,46 @@ def test_dedup_canonical_keeps_best_quality(spark):
     assert rows[1]["kept_id"] == 2 and rows[1]["group_size"] == 2
     # singleton keeps itself
     assert rows[9]["kept_id"] == 9 and rows[9]["group_size"] == 1
+
+
+def test_cdc_randomized_against_python_reference(spark):
+    """Seeded random feed vs an independent pure-Python latest-wins
+    fold — catches ordering/NULL/tie bugs the fixture classes miss.
+    Versions are made unique per key (the operator's documented
+    contract); ops drawn from U/D with NULL payloads sprinkled in."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [(int(i), f"b{i}") for i in range(60)]
+    changes = []
+    for key in rng.choice(80, size=120):  # keys 60-79 are inserts
+        changes.append(
+            (
+                int(key),
+                None if rng.rand() < 0.2 else f"c{key}v",
+                0,  # version assigned below, unique per key
+                "D" if rng.rand() < 0.3 else "U",
+            )
+        )
+    seen: dict[int, int] = {}
+    versioned = []
+    for k, t, _v, op in changes:
+        seen[k] = seen.get(k, 0) + 1
+        versioned.append((k, f"{t}{seen[k]}" if t else None, seen[k], op))
+    # python reference: latest version wins, delete removes, base = -1
+    state = {k: (t, "U") for k, t in base}
+    latest: dict[int, int] = {}
+    for k, t, v, op in versioned:
+        if v >= latest.get(k, -1):
+            latest[k] = v
+            state[k] = (t, op)
+    expected = {k: t for k, (t, op) in state.items() if op != "D"}
+
+    from gpd_lite_toolbox_spark.operators.cdc import apply_changes
+
+    b = spark.createDataFrame(base, "id bigint, text string")
+    c = spark.createDataFrame(
+        versioned, "id bigint, text string, version bigint, op string"
+    )
+    got = {r["id"]: r["text"] for r in apply_changes(b, c).collect()}
+    assert got == expected

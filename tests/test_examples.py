@@ -24,3 +24,19 @@ def test_geospatial_pipeline(spark, sf_dir, tmp_path):
     assert grid.collect()[0].cells > 0
     assert borders.collect()[0].border_pairs > 0
     assert snapped.collect()[0].snapped > 0
+
+
+def test_corpus_maintenance_pipeline(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from corpus_maintenance_pipeline import run
+
+    funnel, summary = run(spark, sf_dir)
+    rows = {r["stage"]: r for r in funnel.collect()}
+    assert rows["has_text"]["n_in"] > 0
+    s = summary.collect()[0]
+    # the mocked delta touches every class: edits, deletes, inserts
+    assert s["diff_counts"]["changed"] > 0
+    assert s["diff_counts"]["removed"] > 0
+    assert s["diff_counts"]["added"] > 0
+    assert set(s["split_counts"]) == {"train", "val", "test"}
+    assert s["split_counts"]["train"] > s["split_counts"]["val"]
