@@ -1797,15 +1797,24 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_canonical(_corpus(spark, sf_dir), threshold=0.5)
 
 
+_cdc_feed_paths: dict[str, str] = {}
+
+
 def _cdc_feed(spark: SparkSession, sf_dir: str):
     """The CDC feed shared by the batch and streaming merge queries:
     initial snapshot load (version -1 upserts) + the deterministic
-    deltas of _q_cdc_snapshot, materialized once per sf_dir as parquet
+    deltas of _q_cdc_snapshot, materialized once per process+sf_dir
+    as parquet (memoized; process-private tempdir, removed at exit —
+    no cross-process overwrite race, no repeat write on re-invocation)
     so the file-stream source can replay it."""
-    import hashlib
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
+
+    if sf_dir in _cdc_feed_paths:
+        return _cdc_feed_paths[sf_dir]
 
     base = _corpus(spark, sf_dir)
     full = base.select(
@@ -1829,9 +1838,11 @@ def _cdc_feed(spark: SparkSession, sf_dir: str):
                 F.lit(vers).alias("version"), F.lit(op).alias("op"),
             )
         full = full.unionByName(ch)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_cdc_feed_{tag}"
-    full.write.mode("overwrite").parquet(path)
+    d = tempfile.mkdtemp(prefix="spark_graft_cdc_feed_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = f"{d}/feed"
+    full.write.parquet(path)
+    _cdc_feed_paths[sf_dir] = path
     return path
 
 

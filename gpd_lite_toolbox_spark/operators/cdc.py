@@ -56,28 +56,40 @@ def apply_changes(
         raise ValueError(f"changes is missing columns: {missing}")
     tagged_base = base.select(
         F.col(key),
-        F.lit(BASE_VERSION).cast("bigint").alias("_v"),
-        F.lit("U").alias("_op"),
+        F.lit(BASE_VERSION).cast("bigint").alias(version_col),
+        F.lit("U").alias(op_col),
         *[F.col(c) for c in payload],
     )
-    tagged_changes = changes.select(
-        F.col(key),
-        F.col(version_col).cast("bigint").alias("_v"),
-        F.col(op_col).alias("_op"),
-        *[F.col(c) for c in payload],
+    return latest_wins(
+        tagged_base.unionByName(
+            changes.select(key, version_col, op_col, *payload)
+        ),
+        key, version_col, op_col, payload, delete_ops,
     )
+
+
+def latest_wins(
+    feed: DataFrame,
+    key: str,
+    version_col: str,
+    op_col: str,
+    payload_cols: Sequence[str],
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """The latest-wins merge core shared by the batch operator above
+    and the streaming twin (streaming/grid_stream.run_streaming_cdc):
+    one ``max_by(struct(op, payload), version)`` hash aggregate over a
+    unified feed, delete filter on the winner, payload re-projection.
+    A single definition so the two entry points — and their shared
+    CDC_SNAPSHOT oracle — can never diverge on merge semantics."""
     # struct() is never NULL, so max_by cannot skip a winning row whose
     # payload happens to be NULL (max_by(NULL-value, k) semantics)
-    winner = (
-        tagged_base.unionByName(tagged_changes)
-        .groupBy(key)
-        .agg(
-            F.max_by(
-                F.struct(F.col("_op").alias("_op"),
-                         *[F.col(c) for c in payload]),
-                F.col("_v"),
-            ).alias("_w")
-        )
+    winner = feed.groupBy(key).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"),
+                     *[F.col(c) for c in payload_cols]),
+            F.col(version_col).cast("bigint"),
+        ).alias("_w")
     )
     # NULL-safe: a malformed feed row with op NULL must read as an
     # upsert, never as a silent delete (NULL.isin(...) is NULL, and a
@@ -85,4 +97,6 @@ def apply_changes(
     kept = winner.filter(
         ~F.coalesce(F.col("_w._op").isin(*delete_ops), F.lit(False))
     )
-    return kept.select(F.col(key), *[F.col(f"_w.{c}").alias(c) for c in payload])
+    return kept.select(
+        F.col(key), *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
+    )

@@ -401,9 +401,10 @@ WITH {_MINHASH_CTES}
 
 # Duplicate CLUSTERS: the oracle derives components INDEPENDENTLY of
 # the Spark implementation — a recursive-CTE reachability closure
-# (min reachable id) instead of iterative label propagation.
-DUP_GROUPS = f"""
-WITH RECURSIVE {_MINHASH_CTES},
+# (min reachable id) instead of iterative label propagation. The CTE
+# block and the component select are shared with DEDUP_CANONICAL so
+# the two gates check ONE cluster semantics.
+_WALK_CTES = f"""
 pairs AS ({_MINHASH_FINAL}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL
@@ -412,10 +413,17 @@ walk(id, lbl) AS (
     SELECT id, id FROM corpus
     UNION
     SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
-)
+)"""
+
+_WALK_GROUPS = """
 SELECT id, MIN(lbl) AS group_id,
        CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT) AS group_size
-FROM walk GROUP BY id
+FROM walk GROUP BY id"""
+
+DUP_GROUPS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+{_WALK_CTES}
+{_WALK_GROUPS}
 """
 
 # Retention policy (text/dedup.py dedup_canonical): per duplicate
@@ -424,19 +432,8 @@ FROM walk GROUP BY id
 # both independently of the Spark implementation.
 DEDUP_CANONICAL = f"""
 WITH RECURSIVE {_MINHASH_CTES},
-pairs AS ({_MINHASH_FINAL}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-walk(id, lbl) AS (
-    SELECT id, id FROM corpus
-    UNION
-    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
-),
-g AS (SELECT id, MIN(lbl) AS group_id,
-             CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT)
-                 AS group_size
-      FROM walk GROUP BY id),
+{_WALK_CTES},
+g AS ({_WALK_GROUPS}),
 st AS (SELECT id, LENGTH(text) AS n_chars, {_NTOK} AS n_tokens,
               {_NSTOP} AS n_stop,
               (LENGTH(text) - ({_NTOK} - 1)) / CAST({_NTOK} AS DOUBLE) AS atl

@@ -483,6 +483,8 @@ def run_streaming_cdc(
     form (``stream_cdc`` shares the batch query's CDC_SNAPSHOT
     oracle).
     """
+    from ..operators.cdc import latest_wins
+
     feed_dir = _stage_dir(feed_dir, "cdc_stream_")
     schema = spark.read.parquet(feed_dir).schema
     reader = spark.readStream.schema(schema)
@@ -493,19 +495,8 @@ def run_streaming_cdc(
         payload_cols = [
             c for c in stream.columns if c not in (key, version_col, op_col)
         ]
-    merged = (
-        stream.groupBy(key)
-        .agg(
-            F.max_by(
-                F.struct(F.col(op_col).alias("_op"),
-                         *[F.col(c) for c in payload_cols]),
-                F.col(version_col).cast("bigint"),
-            ).alias("_w")
-        )
-        .filter(~F.coalesce(F.col("_w._op").isin(*delete_ops), F.lit(False)))
-        .select(
-            F.col(key), *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
-        )
+    merged = latest_wins(
+        stream, key, version_col, op_col, payload_cols, delete_ops
     )
     return _drain_to_memory(spark, merged, "cdc_stream_out", "complete")
 

@@ -784,6 +784,7 @@ def dedup_canonical(
     id_col: str = "id",
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Retention policy on top of ``dup_groups``: which copy of each
     duplicate cluster does the training set KEEP? Not the arbitrary
@@ -808,7 +809,9 @@ def dedup_canonical(
     from .analysis import quality_score
 
     groups = dup_groups(
-        corpus, id_col=id_col, threshold=threshold, pairs=pairs
+        corpus, id_col=id_col, threshold=threshold, pairs=pairs,
+        max_iter=max_iter,  # exposed: the convergence warning says
+        # "raise max_iter" and this is the public retention entry point
     )
     q = quality_score(corpus, id_col=id_col)
     w = Window.partitionBy("group_id").orderBy(
