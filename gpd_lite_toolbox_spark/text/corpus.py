@@ -475,7 +475,11 @@ def unigram_logprob(
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
-    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    # total token mass from the token table, NOT sum(vocab.n_tok):
+    # identical value, but it keeps the vocab aggregate evaluated ONCE
+    # (an unpersisted vocab consumed by both the join and its own
+    # rollup would recompute the shingle scan + exchange twice)
+    total = toks.agg(F.count("*").alias("n_total"))
     scored = (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))

@@ -395,3 +395,25 @@ def test_cdc_randomized_against_python_reference(spark):
     )
     got = {r["id"]: r["text"] for r in apply_changes(b, c).collect()}
     assert got == expected
+
+
+def test_new_operator_plan_shapes(spark):
+    """Pin the claimed plan shapes: split is a pure projection, the
+    funnel's only exchange is its single-row reduce, unigram stays at
+    its minimal five (vocab agg, token join side, total broadcast +
+    its 1-row reduce, per-doc agg) — and none of them touch Python."""
+    from gpd_lite_toolbox_spark.text.corpus import (
+        split_corpus,
+        unigram_logprob,
+    )
+    from gpd_lite_toolbox_spark.text.pipeline import quality_funnel
+
+    corpus = spark.createDataFrame([(1, "a b c")], "id bigint, text string")
+    for df, max_exchanges in (
+        (split_corpus(corpus), 0),
+        (quality_funnel(corpus), 1),
+        (unigram_logprob(corpus), 5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= max_exchanges, plan
+        assert "Python" not in plan
