@@ -1789,6 +1789,46 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_corpus(spark, sf_dir))
 
 
+def _q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted join (explicit hot-key mitigation) with
+    per-tier accounting; the oracle is the PLAIN join — salting must
+    not change a single row."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.skew import salted_join
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").select("user_id", "value")
+    dim = (
+        s.table("events").select("user_id").distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze"),
+        )
+    )
+    joined = salted_join(ev, dim, on="user_id", n_salt=OR.SALTED_JOIN_N)
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def _q_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch-vs-exact percentile calibration over events.value:
+    the oracle pins exact quantile_cont values and within_bound=TRUE,
+    which the sketch earns by its rank-error guarantee."""
+    from gpd_lite_toolbox_spark.operators.audit import (
+        approx_percentile_report,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return approx_percentile_report(s.table("events"), "value")
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster retention policy: per cluster, keep the
     highest-quality member (ties by min id)."""
@@ -1992,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "stream_cdc": _q_stream_cdc,
         "dedup_canonical": _q_dedup_canonical,
+        "salted_join_stats": _q_salted_join_stats,
+        "approx_percentile_audit": _q_approx_percentile_audit,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2104,6 +2146,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": OR.UNIGRAM_LOGPROB,
         "stream_cdc": OR.CDC_SNAPSHOT,
         "dedup_canonical": OR.DEDUP_CANONICAL,
+        "salted_join_stats": OR.SALTED_JOIN_STATS,
+        "approx_percentile_audit": OR.APPROX_PERCENTILE_AUDIT,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

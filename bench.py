@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "split_corpus",
     "unigram_logprob",
     "dedup_canonical",
+    "salted_join_stats",
+    "approx_percentile_audit",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -51,6 +51,7 @@ from .operators.points import (  # noqa: F401
 )
 from .operators.audit import (  # noqa: F401
     approx_distinct_report,
+    approx_percentile_report,
     fk_violations,
     json_field_stats,
     predicate_violations,
@@ -58,6 +59,7 @@ from .operators.audit import (  # noqa: F401
     uniqueness_violations,
 )
 from .operators.cdc import apply_changes  # noqa: F401
+from .operators.skew import salted_join  # noqa: F401
 from .operators.points import knn_to_vertices  # noqa: F401
 from .operators.spatial_join import bbox_join  # noqa: F401
 from .operators.temporal import (  # noqa: F401
@@ -227,6 +229,8 @@ __all__ = [
     "split_corpus",
     "unigram_logprob",
     "dedup_canonical",
+    "salted_join",
+    "approx_percentile_report",
     # temporal joins
     "asof_join",
     "range_join_binned",

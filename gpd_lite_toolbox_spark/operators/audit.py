@@ -155,6 +155,96 @@ def approx_distinct_report(
     return _union_all(parts, "cols")
 
 
+def approx_percentile_report(
+    df: DataFrame,
+    col: str,
+    quantiles: "list[float]" = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    rank_tol: float = 0.005,
+) -> DataFrame:
+    """Quantile-sketch calibration: the percentile sibling of
+    ``approx_distinct_report``. For each requested quantile, the EXACT
+    linear-interpolation percentile next to whether
+    ``percentile_approx`` (Greenwald-Khanna at ``accuracy``) returned
+    a value whose RANK interval contains a point within ``rank_tol``
+    of the target — the sketch's actual guarantee (±1/accuracy in
+    rank), gated with margin. Returns
+    ``(quantile, exact_value, within_bound)``.
+
+    Two passes, both single-row reduces: (1) exact + approx arrays in
+    one aggregate; (2) the approx values' rank brackets
+    (count < v, count <= v) via conditional sums against the
+    broadcast-back result row. At 100 TB pass 1's exact percentile is
+    the expensive full-sort term the calibration exists to retire —
+    production keeps only the mergeable GK sketch.
+
+    The gate: a value with rank bracket [lo, hi] (1-based) passes for
+    target q when lo/n <= q + rank_tol and hi/n >= q - rank_tol.
+    NULL values are ignored (both engines' percentile semantics); an
+    all-NULL or empty input yields within_bound TRUE rows with NULL
+    exact values (no evidence of sketch failure).
+    """
+    qs = [float(q) for q in quantiles]
+    qarr = F.array(*[F.lit(q) for q in qs])
+    first = df.agg(
+        F.expr(
+            f"percentile({col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("_exact"),
+        F.percentile_approx(col, qarr, F.lit(int(accuracy))).alias("_approx"),
+        F.count(col).alias("_n"),
+    )
+    second = df.crossJoin(F.broadcast(first)).agg(
+        F.first("_exact").alias("_exact"),
+        F.first("_approx").alias("_approx"),
+        F.first("_n").alias("_n"),
+        *[
+            x
+            for i in range(len(qs))
+            for x in (
+                F.coalesce(
+                    F.sum(
+                        (F.col(col) < F.element_at("_approx", i + 1))
+                        .cast("long")
+                    ),
+                    F.lit(0),
+                ).alias(f"_lt{i}"),
+                F.coalesce(
+                    F.sum(
+                        (F.col(col) <= F.element_at("_approx", i + 1))
+                        .cast("long")
+                    ),
+                    F.lit(0),
+                ).alias(f"_le{i}"),
+            )
+        ],
+    )
+    n = F.greatest(F.col("_n"), F.lit(1)).cast("double")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qs[i]).alias("quantile"),
+                    F.round(F.element_at("_exact", i + 1), 6)
+                    .alias("exact_value"),
+                    (
+                        (F.coalesce(F.col("_n"), F.lit(0)) == 0)
+                        | (
+                            ((F.col(f"_lt{i}") + 1) / n
+                             <= F.lit(qs[i] + rank_tol))
+                            & (F.col(f"_le{i}") / n
+                               >= F.lit(qs[i] - rank_tol))
+                        )
+                    ).alias("within_bound"),
+                )
+                for i in range(len(qs))
+            ]
+        )
+    ).alias("_p")
+    return second.select(rows).select(
+        "_p.quantile", "_p.exact_value", "_p.within_bound"
+    )
+
+
 def json_field_stats(
     df: DataFrame,
     json_col: str,

@@ -1,0 +1,57 @@
+"""Explicit skew mitigation: deterministic salted equi-join.
+
+AQE's runtime skew-join splitting handles most hot keys on batch
+plans, but three places still need the MANUAL form: stream-stream
+joins (no AQE in stateful streaming), joins feeding an operator that
+requires a stable pre-partitioning, and any engine/config where
+adaptive execution is off. This module is that form, as an operator
+with the same output contract as the plain join (declared query
+hash-gates it against the unsalted SQL join).
+
+Mechanics: each left row draws a deterministic salt in [0, n_salt)
+from a hash of its columns, the (small) right side replicates
+``n_salt`` times, and the join key becomes (key, salt) — a hot key's
+rows now spread over ``n_salt`` reducers instead of one. Cost: the
+right side is materialized n_salt times (choose n_salt ~ the worst
+observed key share x parallelism, not thousands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "list[str] | str",
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side salted and the right side
+    replicated; result rows are exactly the plain join's (each left
+    row joins the one right replica carrying its salt). ``how``
+    supports the join types where replication preserves semantics:
+    inner and left (a right/full join would multiply unmatched right
+    rows per salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if isinstance(on, str):
+        on = [on]
+    # salt from ALL left columns: deterministic per row, spreads a hot
+    # key's rows across n_salt reducers (identical full rows share a
+    # salt — they would land together under any row-deterministic
+    # scheme; a duplicate-heavy hot key needs dedup first, not salt)
+    salted_left = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+               F.lit(int(n_salt))).cast("int"),
+    )
+    replicated_right = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(int(n_salt))])),
+    )
+    return salted_left.join(
+        replicated_right, on + ["_salt"], how
+    ).drop("_salt")

@@ -2342,6 +2342,39 @@ SELECT event_type,
 FROM x GROUP BY event_type
 """
 
+# Salted equi-join (operators/skew.py salted_join): output contract is
+# the PLAIN join — the salt is an execution detail the oracle must not
+# see. Events join a derived per-user tier dim; per-tier accounting.
+SALTED_JOIN_N = 4
+
+SALTED_JOIN_STATS = """
+WITH dim AS (SELECT DISTINCT user_id,
+                    CASE WHEN user_id % 3 = 0 THEN 'gold'
+                         WHEN user_id % 3 = 1 THEN 'silver'
+                         ELSE 'bronze' END AS tier
+             FROM events)
+SELECT d.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY d.tier
+"""
+
+# Quantile-sketch calibration (operators/audit.py
+# approx_percentile_report): exact percentiles pinned (Spark
+# `percentile` == DuckDB quantile_cont, proven by doc_profile), and
+# within_bound=TRUE is the rank-error contract the GK sketch must earn.
+APPROX_PERCENTILE_AUDIT = """
+SELECT 0.5 AS quantile,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_value,
+       TRUE AS within_bound
+FROM events
+UNION ALL
+SELECT 0.9, ROUND(quantile_cont(value, 0.9), 6), TRUE FROM events
+UNION ALL
+SELECT 0.99, ROUND(quantile_cont(value, 0.99), 6), TRUE FROM events
+"""
+
 # Deterministic train/val/test split (text/corpus.py split_corpus):
 # same md5 32-bit-fraction trick as SHARD_CORPUS, thresholded at the
 # cumulative fractions.

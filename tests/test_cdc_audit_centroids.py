@@ -417,3 +417,64 @@ def test_new_operator_plan_shapes(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= max_exchanges, plan
         assert "Python" not in plan
+
+
+# --------------------------------------- salted join / percentile audit
+def test_salted_join_equals_plain_join(spark):
+    from gpd_lite_toolbox_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(300)], "k bigint, payload string"
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (5, "never")], "k bigint, dim string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(left, right, "k", 4, how).collect()
+        )
+        exp = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+        assert got == exp
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key's rows must land in more than one salt class —
+    the whole point of the operator."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.skew import salted_join
+
+    hot = spark.createDataFrame(
+        [(1, f"row{i}") for i in range(200)], "k bigint, payload string"
+    )
+    salted = hot.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8)),
+    )
+    n_classes = salted.select("_salt").distinct().count()
+    assert n_classes >= 4  # 200 distinct rows over 8 salts
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from gpd_lite_toolbox_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="right")
+
+
+def test_approx_percentile_report_bounds_and_empty(spark):
+    from gpd_lite_toolbox_spark.operators.audit import (
+        approx_percentile_report,
+    )
+
+    df = spark.range(10000).select(F.col("id").cast("double").alias("v"))
+    rows = {r["quantile"]: r
+            for r in approx_percentile_report(df, "v").collect()}
+    assert rows[0.5]["exact_value"] == 4999.5
+    assert all(r["within_bound"] for r in rows.values())
+    empty = approx_percentile_report(
+        spark.range(0).select(F.col("id").cast("double").alias("v")), "v"
+    ).collect()
+    assert len(empty) == 3
+    assert all(r["within_bound"] and r["exact_value"] is None for r in empty)

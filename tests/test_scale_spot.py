@@ -66,6 +66,9 @@ _SPOT = [
     "unigram_logprob",
     "split_corpus",
     "cdc_snapshot",
+    # GK rank bound at volume; salted join fan-out over 10x rows
+    "approx_percentile_audit",
+    "salted_join_stats",
 ]
 
 
