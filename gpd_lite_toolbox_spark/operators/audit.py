@@ -178,22 +178,28 @@ def approx_percentile_report(
     the expensive full-sort term the calibration exists to retire —
     production keeps only the mergeable GK sketch.
 
-    The gate: a value with rank bracket [lo, hi] (1-based) passes for
-    target q when lo/n <= q + rank_tol and hi/n >= q - rank_tol.
+    The gate: a returned value whose rank fractions span
+    [n_less/n, n_lesseq/n] passes for target q when that interval
+    intersects [q - rank_tol, q + rank_tol] — interval intersection,
+    NOT the 1-based lower rank (which is off by 1/n and fails exact
+    sketches on small inputs where ceil(q*n) - q*n > rank_tol*n).
     NULL values are ignored (both engines' percentile semantics); an
     all-NULL or empty input yields within_bound TRUE rows with NULL
     exact values (no evidence of sketch failure).
     """
     qs = [float(q) for q in quantiles]
     qarr = F.array(*[F.lit(q) for q in qs])
-    first = df.agg(
-        F.expr(
-            f"percentile({col}, array({', '.join(str(q) for q in qs)}))"
-        ).alias("_exact"),
-        F.percentile_approx(col, qarr, F.lit(int(accuracy))).alias("_approx"),
-        F.count(col).alias("_n"),
+    # project the audited column to a reserved internal name: kills
+    # both ambiguity with same-named user columns after the crossJoin
+    # and any identifier-quoting concerns
+    vals = df.select(F.col(col).alias("_apx_val"))
+    first = vals.agg(
+        F.percentile(F.col("_apx_val"), qarr).alias("_exact"),
+        F.percentile_approx("_apx_val", qarr, F.lit(int(accuracy)))
+        .alias("_approx"),
+        F.count("_apx_val").alias("_n"),
     )
-    second = df.crossJoin(F.broadcast(first)).agg(
+    second = vals.crossJoin(F.broadcast(first)).agg(
         F.first("_exact").alias("_exact"),
         F.first("_approx").alias("_approx"),
         F.first("_n").alias("_n"),
@@ -203,14 +209,14 @@ def approx_percentile_report(
             for x in (
                 F.coalesce(
                     F.sum(
-                        (F.col(col) < F.element_at("_approx", i + 1))
+                        (F.col("_apx_val") < F.element_at("_approx", i + 1))
                         .cast("long")
                     ),
                     F.lit(0),
                 ).alias(f"_lt{i}"),
                 F.coalesce(
                     F.sum(
-                        (F.col(col) <= F.element_at("_approx", i + 1))
+                        (F.col("_apx_val") <= F.element_at("_approx", i + 1))
                         .cast("long")
                     ),
                     F.lit(0),
@@ -229,7 +235,7 @@ def approx_percentile_report(
                     (
                         (F.coalesce(F.col("_n"), F.lit(0)) == 0)
                         | (
-                            ((F.col(f"_lt{i}") + 1) / n
+                            (F.col(f"_lt{i}") / n
                              <= F.lit(qs[i] + rank_tol))
                             & (F.col(f"_le{i}") / n
                                >= F.lit(qs[i] - rank_tol))

@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def row_salt(columns: "list[str]", n_salt: int) -> "F.Column":
+    """The deterministic per-row salt ``salted_join`` assigns: hash of
+    ALL the row's columns mod ``n_salt``. Exposed so tests (and any
+    caller pre-partitioning by the same scheme) exercise the exact
+    expression the join uses — identical full rows share a salt (they
+    would land together under any row-deterministic scheme; a
+    duplicate-heavy hot key needs dedup first, not salt)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in columns]), F.lit(int(n_salt))
+    ).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -39,15 +51,10 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if isinstance(on, str):
         on = [on]
-    # salt from ALL left columns: deterministic per row, spreads a hot
-    # key's rows across n_salt reducers (identical full rows share a
-    # salt — they would land together under any row-deterministic
-    # scheme; a duplicate-heavy hot key needs dedup first, not salt)
-    salted_left = left.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
-               F.lit(int(n_salt))).cast("int"),
-    )
+    if "_salt" in left.columns or "_salt" in right.columns:
+        # withColumn would silently overwrite and drop the user's data
+        raise ValueError("salted_join reserves the column name '_salt'")
+    salted_left = left.withColumn("_salt", row_salt(left.columns, n_salt))
     replicated_right = right.withColumn(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(int(n_salt))])),

@@ -439,20 +439,35 @@ def test_salted_join_equals_plain_join(spark):
 
 def test_salted_join_spreads_hot_key(spark):
     """A single hot key's rows must land in more than one salt class —
-    the whole point of the operator."""
-    from pyspark.sql import functions as F
-
-    from gpd_lite_toolbox_spark.operators.skew import salted_join
+    the whole point of the operator. Uses the operator's OWN salt
+    expression (row_salt), and pins that salted_join actually joins on
+    it (xxhash64 + _salt in the executed plan)."""
+    from gpd_lite_toolbox_spark.operators.skew import row_salt, salted_join
 
     hot = spark.createDataFrame(
         [(1, f"row{i}") for i in range(200)], "k bigint, payload string"
     )
-    salted = hot.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8)),
+    n_classes = (
+        hot.select(row_salt(hot.columns, 8).alias("s"))
+        .distinct().count()
     )
-    n_classes = salted.select("_salt").distinct().count()
     assert n_classes >= 4  # 200 distinct rows over 8 salts
+    dim = spark.createDataFrame([(1, "a")], "k bigint, dim string")
+    plan = (
+        salted_join(hot, dim, "k", 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan and "_salt" in plan
+
+
+def test_salted_join_reserved_column_raises(spark):
+    from gpd_lite_toolbox_spark.operators.skew import salted_join
+
+    bad = spark.createDataFrame([(1, 0)], "k bigint, _salt int")
+    ok = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    for left, right in ((bad, ok), (ok, bad)):
+        with pytest.raises(ValueError, match="_salt"):
+            salted_join(left, right, "k")
 
 
 def test_salted_join_rejects_right_outer(spark):
@@ -478,3 +493,30 @@ def test_approx_percentile_report_bounds_and_empty(spark):
     ).collect()
     assert len(empty) == 3
     assert all(r["within_bound"] and r["exact_value"] is None for r in empty)
+
+
+def test_approx_percentile_report_small_and_awkward_inputs(spark):
+    """Regression coverage for the review findings: (a) a tiny input
+    where the sketch is EXACT must pass the rank gate (the 1-based
+    lower bracket failed n=10 at q=0.99); (b) duplicate-heavy data;
+    (c) a column name needing quoting and a clashing `_n` column."""
+    from gpd_lite_toolbox_spark.operators.audit import (
+        approx_percentile_report,
+    )
+
+    tiny = spark.range(1, 11).select(F.col("id").cast("double").alias("v"))
+    assert all(
+        r["within_bound"] for r in approx_percentile_report(tiny, "v").collect()
+    )
+    dup = spark.createDataFrame(
+        [(0.0,)] * 900 + [(1.0,)] * 100, "v double"
+    )
+    assert all(
+        r["within_bound"] for r in approx_percentile_report(dup, "v").collect()
+    )
+    awkward = spark.range(100).select(
+        F.col("id").cast("double").alias("event value"),
+        F.lit(1).alias("_n"),
+    )
+    rows = approx_percentile_report(awkward, "event value").collect()
+    assert all(r["within_bound"] for r in rows)
