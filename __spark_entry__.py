@@ -1829,6 +1829,69 @@ def _q_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_percentile_report(s.table("events"), "value")
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC corpus round-trip: documents -> one .warc segment per
+    partition (length-prefixed WARC/1.0 conversion records) ->
+    binaryFile parallel read; text integrity gated through md5
+    against the parquet-sourced oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    src = s.table("documents").select("doc_id", "text")
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_warc_"), "seg")
+    write_warc(src, path, id_col="doc_id")
+    back = read_warc(s, path)
+    return back.select(
+        F.regexp_extract("record_id", r"urn:spark-graft:(\d+)", 1)
+        .cast("bigint").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping: a raw-HTML corpus derived from
+    documents (style/script blocks, entities by id class — mirrored
+    in the oracle) reduced to plain text by the shared regex core."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.web import extract_html_text
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    html = s.table("documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("<html><head><style>body {color: red}</style>"
+                  "</head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit('<script type="text/javascript">'
+                      "var x = 1 < 2;</script>"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("<p>&lt;escaped&gt; &amp; &quot;quoted&quot;"
+                      "&nbsp;tail</p>"),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    out = extract_html_text(html)
+    return out.select(
+        "id", F.md5("text").alias("text_md5"), "n_chars"
+    )
+
+
 def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster retention policy: per cluster, keep the
     highest-quality member (ties by min id)."""
@@ -2034,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _q_dedup_canonical,
         "salted_join_stats": _q_salted_join_stats,
         "approx_percentile_audit": _q_approx_percentile_audit,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "html_extract": _q_html_extract,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2148,6 +2213,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": OR.DEDUP_CANONICAL,
         "salted_join_stats": OR.SALTED_JOIN_STATS,
         "approx_percentile_audit": OR.APPROX_PERCENTILE_AUDIT,
+        "warc_roundtrip": OR.WARC_ROUNDTRIP,
+        "html_extract": OR.HTML_EXTRACT,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dedup_canonical",
     "salted_join_stats",
     "approx_percentile_audit",
+    "warc_roundtrip",
+    "html_extract",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

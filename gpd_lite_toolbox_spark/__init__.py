@@ -122,7 +122,13 @@ from .text.pipeline import (  # noqa: F401
     remove_boilerplate_lines,
 )
 from .text.search import bm25_topk  # noqa: F401
-from .text.web import extract_urls, url_stats  # noqa: F401
+from .sources.warc import read_warc, write_warc  # noqa: F401
+from .text.web import (  # noqa: F401
+    extract_html_text,
+    extract_urls,
+    html_to_text_expr,
+    url_stats,
+)
 from .vector.ann import (  # noqa: F401
     ann_ivf_topk,
     ann_ivf_topk_indexed,
@@ -231,6 +237,10 @@ __all__ = [
     "dedup_canonical",
     "salted_join",
     "approx_percentile_report",
+    "read_warc",
+    "write_warc",
+    "extract_html_text",
+    "html_to_text_expr",
     # temporal joins
     "asof_join",
     "range_join_binned",

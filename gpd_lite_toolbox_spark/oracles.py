@@ -1566,6 +1566,53 @@ SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
 FROM documents
 """
 
+# WARC round-trip (sources/warc.py): the length-prefixed record codec
+# + segment write + binaryFile parallel read must preserve every byte;
+# the oracle reads the same rows straight from parquet.
+WARC_ROUNDTRIP = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+# HTML text extraction (text/web.py html_to_text_expr): the raw-HTML
+# corpus is derived deterministically from documents (mirrored in
+# _q_html_extract); every strip/decode pattern is shared verbatim —
+# DuckDB needs the explicit 'g' flag where Java replaces globally by
+# default.
+from .text import web as _webx  # noqa: E402
+
+_HTML_WRAP = """
+hc AS (SELECT doc_id AS id,
+  '<html><head><style>body {color: red}</style></head><body><h1>Doc '
+  || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+  || CASE WHEN doc_id % 5 = 0
+          THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN '<p>&lt;escaped&gt; &amp; &quot;quoted&quot;&nbsp;tail</p>'
+          ELSE '' END
+  || '</body></html>' AS html
+  FROM documents)
+"""
+
+HTML_EXTRACT = f"""
+WITH {_HTML_WRAP},
+cleaned AS (SELECT id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, '{_webx.HTML_SCRIPT_PATTERN}', ' ', 'g'),
+          '{_webx.HTML_STYLE_PATTERN}', ' ', 'g'),
+        '{_webx.HTML_TAG_PATTERN}', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+    '[ \t\r\n]+', ' ', 'g')) AS text
+  FROM hc)
+SELECT id, md5(text) AS text_md5,
+       CAST(LENGTH(text) AS INT) AS n_chars
+FROM cleaned
+"""
+
 GEOJSON_ROUNDTRIP = f"""
 WITH {oracle_ctes('cpolys')}
 SELECT id, has_hole,

@@ -1,0 +1,140 @@
+"""WARC source/sink — the archive format crawl-scale corpora arrive
+in (Common Crawl ships WARC; an LLM-data engine's very first read is
+usually a WARC segment, not a parquet table).
+
+Minimal self-contained WARC/1.0 implementation (the container carries
+no warcio): records are length-prefixed (``Content-Length`` counts
+payload BYTES), so parsing is exact for arbitrary content — no
+delimiter scanning inside payloads, any byte sequence round-trips.
+
+Scale shape: one ``.warc`` file per input partition on write (the
+standard crawl layout — thousands of ~1 GB segments), and on read
+``binaryFile`` lists the segments as one row each, so parallelism is
+per-file exactly like every WARC processor (the format is not
+splittable mid-file; real deployments size segments accordingly).
+Record parsing runs in Arrow-batched ``mapInPandas`` — bytes never
+visit the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_READ_SCHEMA = "record_id string, uri string, text string"
+
+
+def _record_bytes(record_id: str, uri: str, text: "str | None") -> bytes:
+    payload = b"" if text is None else text.encode("utf-8")
+    headers = [
+        "WARC/1.0",
+        "WARC-Type: conversion",
+        f"WARC-Record-ID: <{record_id}>",
+        f"WARC-Target-URI: {uri}",
+        "Content-Type: text/plain; charset=utf-8",
+        f"Content-Length: {len(payload)}",
+    ]
+    if text is None:  # NULL is not the empty document; flag it
+        headers.insert(5, "X-Null-Text: 1")
+    head = ("\r\n".join(headers) + "\r\n\r\n").encode("ascii")
+    return head + payload + b"\r\n\r\n"
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    uri_prefix: str = "https://example.invalid/doc/",
+) -> DataFrame:
+    """Write ``(id, text)`` rows as WARC conversion records, one
+    ``.warc`` segment per partition under ``path`` (which must be a
+    filesystem all executors share — the contract of every file sink).
+    Record IDs are ``urn:spark-graft:<id>``. Returns the per-segment
+    manifest ``(file, n_records)`` — already collected-safe (one row
+    per partition). Eager: the write happens before this returns."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.warc")
+        n = 0
+        with open(fname, "wb") as fh:
+            for pdf in batches:
+                for rid, text in zip(pdf["_id"], pdf["_text"]):
+                    fh.write(
+                        _record_bytes(
+                            f"urn:spark-graft:{rid}",
+                            f"{uri_prefix}{rid}",
+                            None if text is None else str(text),
+                        )
+                    )
+                    n += 1
+        if n == 0:  # empty partition: no segment file
+            os.remove(fname)
+            return
+        yield pd.DataFrame({"file": [fname], "n_records": [n]})
+
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+    manifest = src.mapInPandas(_write, "file string, n_records long")
+    manifest = manifest.cache()
+    manifest.count()  # force the write NOW, exactly once
+    return manifest
+
+
+def _parse_warc_blob(blob: bytes) -> "list[tuple[str, str, str | None]]":
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:head_end].decode("utf-8").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        payload = blob[head_end + 4 : head_end + 4 + length]
+        rid = headers.get("warc-record-id", "").strip("<>")
+        uri = headers.get("warc-target-uri", "")
+        text = (
+            None
+            if headers.get("x-null-text") == "1"
+            else payload.decode("utf-8")
+        )
+        out.append((rid, uri, text))
+        pos = head_end + 4 + length + 4  # payload + closing \r\n\r\n
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC segments under ``path`` into
+    ``(record_id, uri, text)`` — ``binaryFile`` listing (one row per
+    segment, parallel across segments) + Arrow-batched record
+    parsing. Only the minimal conversion-record profile written by
+    ``write_warc`` is parsed; response records with HTTP blocks need
+    the block split added here."""
+    files = spark.read.format("binaryFile").load(f"{path}/*.warc")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(_parse_warc_blob(bytes(blob)))
+            yield pd.DataFrame(
+                rows, columns=["record_id", "uri", "text"]
+            )
+
+    return files.select("content").mapInPandas(_parse, _READ_SCHEMA)

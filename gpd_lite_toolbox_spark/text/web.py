@@ -36,6 +36,52 @@ def extract_urls(
     )
 
 
+# HTML stripping patterns, all in the Java/RE2 intersection (inline
+# (?is) flags, lazy quantifiers, NO backreferences — RE2 has none, so
+# script and style blocks get separate patterns instead of <(\w+)>..</\1>)
+HTML_SCRIPT_PATTERN = r"(?is)<script[^>]*>.*?</script>"
+HTML_STYLE_PATTERN = r"(?is)<style[^>]*>.*?</style>"
+HTML_TAG_PATTERN = r"(?s)<[^>]*>"
+# entity -> replacement, applied in order ("&amp;" LAST so freshly
+# produced '&' never re-combines with following text into an entity)
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text_expr(text: "F.Column") -> "F.Column":
+    """Boilerplate-free text from raw HTML as ONE column expression:
+    script/style blocks dropped, tags replaced by spaces (so adjacent
+    elements don't fuse into one token), the six common entities
+    decoded, whitespace runs collapsed, trimmed. The trafilatura-shape
+    step of a crawl pipeline reduced to its regex core — zero-shuffle,
+    streaming-legal, and the DuckDB oracle shares every pattern
+    verbatim."""
+    t = F.regexp_replace(text, HTML_SCRIPT_PATTERN, " ")
+    t = F.regexp_replace(t, HTML_STYLE_PATTERN, " ")
+    t = F.regexp_replace(t, HTML_TAG_PATTERN, " ")
+    for ent, repl in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(t, r"[ \t\r\n]+", " "))
+
+
+def extract_html_text(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "html"
+) -> DataFrame:
+    """(id, text, n_chars): the extracted plain text per document."""
+    clean = html_to_text_expr(F.col(text_col))
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        clean.alias("text"),
+        F.length(clean).alias("n_chars"),
+    )
+
+
 def url_stats(
     corpus: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:

@@ -69,6 +69,9 @@ _SPOT = [
     # GK rank bound at volume; salted join fan-out over 10x rows
     "approx_percentile_audit",
     "salted_join_stats",
+    # byte-exact codec + regex volume over 10x documents
+    "warc_roundtrip",
+    "html_extract",
 ]
 
 
