@@ -28,6 +28,12 @@ _READ_SCHEMA = "record_id string, uri string, text string"
 
 def _record_bytes(record_id: str, uri: str, text: "str | None") -> bytes:
     payload = b"" if text is None else text.encode("utf-8")
+    # headers are line-oriented: a CR/LF smuggled through the id or
+    # uri would terminate the block early and corrupt the framing —
+    # loud error, never a silently-corrupt segment
+    for field, value in (("record id", record_id), ("uri", uri)):
+        if "\r" in value or "\n" in value:
+            raise ValueError(f"WARC {field} may not contain CR/LF: {value!r}")
     headers = [
         "WARC/1.0",
         "WARC-Type: conversion",
@@ -38,7 +44,9 @@ def _record_bytes(record_id: str, uri: str, text: "str | None") -> bytes:
     ]
     if text is None:  # NULL is not the empty document; flag it
         headers.insert(5, "X-Null-Text: 1")
-    head = ("\r\n".join(headers) + "\r\n\r\n").encode("ascii")
+    # UTF-8, not ascii: WARC/1.0 headers are UTF-8-legal and ids/uris
+    # are user-supplied
+    head = ("\r\n".join(headers) + "\r\n\r\n").encode("utf-8")
     return head + payload + b"\r\n\r\n"
 
 
@@ -53,19 +61,29 @@ def write_warc(
     ``.warc`` segment per partition under ``path`` (which must be a
     filesystem all executors share — the contract of every file sink).
     Record IDs are ``urn:spark-graft:<id>``. Returns the per-segment
-    manifest ``(file, n_records)`` — already collected-safe (one row
-    per partition). Eager: the write happens before this returns."""
+    manifest ``(file, n_records)`` as a driver-materialized DataFrame
+    (one row per partition, bounded), so re-using the manifest can
+    never re-trigger the write. Overwrite semantics: pre-existing
+    ``.warc`` segments at ``path`` are removed first (a re-run with
+    fewer partitions must not leave stale segments for ``read_warc``
+    to silently mix back in). Task attempts write a temp file and
+    ``os.replace`` it into place, so a speculative or retried attempt
+    leaves one complete segment, never interleaved bytes."""
+    import glob
     import os
 
     os.makedirs(path, exist_ok=True)
+    for stale in glob.glob(os.path.join(path, "*.warc")):
+        os.remove(stale)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.warc")
+        ctx = TaskContext.get()
+        fname = os.path.join(path, f"part-{ctx.partitionId():05d}.warc")
+        tmp = f"{fname}.{ctx.taskAttemptId()}.tmp"
         n = 0
-        with open(fname, "wb") as fh:
+        with open(tmp, "wb") as fh:
             for pdf in batches:
                 for rid, text in zip(pdf["_id"], pdf["_text"]):
                     fh.write(
@@ -77,8 +95,9 @@ def write_warc(
                     )
                     n += 1
         if n == 0:  # empty partition: no segment file
-            os.remove(fname)
+            os.remove(tmp)
             return
+        os.replace(tmp, fname)  # atomic commit of a COMPLETE segment
         yield pd.DataFrame({"file": [fname], "n_records": [n]})
 
     from pyspark.sql import functions as F
@@ -87,10 +106,11 @@ def write_warc(
         F.col(id_col).cast("string").alias("_id"),
         F.col(text_col).alias("_text"),
     )
-    manifest = src.mapInPandas(_write, "file string, n_records long")
-    manifest = manifest.cache()
-    manifest.count()  # force the write NOW, exactly once
-    return manifest
+    plan = src.mapInPandas(_write, "file string, n_records long")
+    rows = plan.collect()  # the write happens NOW, exactly once
+    return df.sparkSession.createDataFrame(
+        rows, "file string, n_records long"
+    )
 
 
 def _parse_warc_blob(blob: bytes) -> "list[tuple[str, str, str | None]]":
@@ -100,12 +120,24 @@ def _parse_warc_blob(blob: bytes) -> "list[tuple[str, str, str | None]]":
     while pos < n:
         head_end = blob.find(b"\r\n\r\n", pos)
         if head_end < 0:
+            # leftover bytes with no complete header block: a segment
+            # cut mid-record must fail LOUDLY, not drop records
+            if blob[pos:].strip(b"\r\n"):
+                raise ValueError(
+                    f"truncated WARC segment: {n - pos} trailing bytes "
+                    "with no complete record header"
+                )
             break
         headers: dict[str, str] = {}
         for line in blob[pos:head_end].decode("utf-8").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
         length = int(headers["content-length"])
+        if head_end + 4 + length > n:
+            raise ValueError(
+                "truncated WARC segment: payload shorter than its "
+                f"Content-Length ({length})"
+            )
         payload = blob[head_end + 4 : head_end + 4 + length]
         rid = headers.get("warc-record-id", "").strip("<>")
         uri = headers.get("warc-target-uri", "")
@@ -125,8 +157,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     segment, parallel across segments) + Arrow-batched record
     parsing. Only the minimal conversion-record profile written by
     ``write_warc`` is parsed; response records with HTTP blocks need
-    the block split added here."""
-    files = spark.read.format("binaryFile").load(f"{path}/*.warc")
+    the block split added here. A path with no segments (an upstream
+    filter drained to zero rows) reads as an empty DataFrame, matching
+    the write/read round-trip contract."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        files = spark.read.format("binaryFile").load(f"{path}/*.warc")
+    except AnalysisException:  # PATH_NOT_FOUND: zero segments
+        return spark.createDataFrame([], _READ_SCHEMA)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

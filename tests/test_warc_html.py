@@ -5,6 +5,7 @@ to end by test_oracle_parity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -88,3 +89,68 @@ def test_html_to_text_multiline_blocks(spark):
     html = "<p>keep</p><script>\nline1\nline2\n</script><p>also</p>"
     df = spark.createDataFrame([(1, html)], "id bigint, html string")
     assert extract_html_text(df).collect()[0]["text"] == "keep also"
+
+
+# ------------------------------------------- review-pass regressions
+def test_warc_rewrite_removes_stale_segments(spark, tmp_path):
+    """A re-write with fewer partitions must not leave stale segments
+    for read_warc to silently mix back in."""
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "re")
+    wide = spark.range(80).select("id", F.lit("old").alias("text"))
+    write_warc(wide.repartition(8), path)
+    narrow = spark.createDataFrame(
+        [(1, "new"), (2, "new")], "id bigint, text string"
+    )
+    write_warc(narrow.repartition(1), path)
+    got = read_warc(spark, path).collect()
+    assert len(got) == 2 and all(r["text"] == "new" for r in got)
+
+
+def test_warc_empty_write_then_read(spark, tmp_path):
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "drained")
+    write_warc(spark.createDataFrame([], "id bigint, text string"), path)
+    back = read_warc(spark, path)
+    assert back.count() == 0
+    assert back.columns == ["record_id", "uri", "text"]
+
+
+def test_warc_unicode_id_and_crlf_id(spark, tmp_path):
+    """Non-ASCII string ids round-trip (UTF-8 headers); CR/LF in an id
+    fails loudly instead of corrupting the framing."""
+    from py4j.protocol import Py4JJavaError
+
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "uni")
+    df = spark.createDataFrame([("é1", "accented")], "id string, text string")
+    write_warc(df, path)
+    got = read_warc(spark, path).collect()[0]
+    assert got["record_id"].endswith("é1") and got["text"] == "accented"
+    bad = spark.createDataFrame(
+        [("a\r\nX", "smuggle")], "id string, text string"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="CR/LF"):
+        write_warc(bad, str(tmp_path / "bad"))
+
+
+def test_warc_truncated_segment_fails_loudly(spark, tmp_path):
+    import glob
+
+    from py4j.protocol import Py4JJavaError
+
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "trunc")
+    df = spark.createDataFrame(
+        [(i, "payload " * 10) for i in range(5)], "id bigint, text string"
+    )
+    write_warc(df.repartition(1), path)
+    seg = glob.glob(f"{path}/*.warc")[0]
+    blob = open(seg, "rb").read()
+    open(seg, "wb").write(blob[: len(blob) - 30])  # cut mid-record
+    with pytest.raises((Py4JJavaError, Exception), match="truncated"):
+        read_warc(spark, path).collect()
