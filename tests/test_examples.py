@@ -40,3 +40,17 @@ def test_corpus_maintenance_pipeline(spark, sf_dir):
     assert s["diff_counts"]["added"] > 0
     assert set(s["split_counts"]) == {"train", "val", "test"}
     assert s["split_counts"]["train"] > s["split_counts"]["val"]
+
+
+def test_crawl_ingest_pipeline(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from crawl_ingest_pipeline import run
+
+    funnel, summary = run(spark, sf_dir)
+    rows = {r["stage"]: r for r in funnel.collect()}
+    s = summary.collect()[0]
+    assert s["n_segments"] >= 1
+    # every archived record came back out of the WARC segments
+    assert s["n_records"] == s["n_docs"] > 0
+    assert rows["has_text"]["n_in"] == s["n_docs"]
+    assert s["n_chars"] > 0 and s["n_dropped_dups"] >= 0
