@@ -56,10 +56,14 @@ def write_warc(
     id_col: str = "id",
     text_col: str = "text",
     uri_prefix: str = "https://example.invalid/doc/",
+    compression: "str | None" = None,
 ) -> DataFrame:
     """Write ``(id, text)`` rows as WARC conversion records, one
     ``.warc`` segment per partition under ``path`` (which must be a
     filesystem all executors share — the contract of every file sink).
+    ``compression='gzip'`` writes ``.warc.gz`` segments (whole-segment
+    gzip — how crawl archives actually ship; still one file per
+    partition, still unsplittable, which is the format's own story).
     Record IDs are ``urn:spark-graft:<id>``. Returns the per-segment
     manifest ``(file, n_records)`` as a driver-materialized DataFrame
     (one row per partition, bounded), so re-using the manifest can
@@ -70,20 +74,27 @@ def write_warc(
     ``os.replace`` it into place, so a speculative or retried attempt
     leaves one complete segment, never interleaved bytes."""
     import glob
+    import gzip
     import os
 
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression: {compression!r}")
+    suffix = ".warc.gz" if compression == "gzip" else ".warc"
     os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, "*.warc")):
+    for stale in glob.glob(os.path.join(path, "*.warc")) + glob.glob(
+        os.path.join(path, "*.warc.gz")
+    ):
         os.remove(stale)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        fname = os.path.join(path, f"part-{ctx.partitionId():05d}.warc")
+        fname = os.path.join(path, f"part-{ctx.partitionId():05d}{suffix}")
         tmp = f"{fname}.{ctx.taskAttemptId()}.tmp"
+        opener = gzip.open if compression == "gzip" else open
         n = 0
-        with open(tmp, "wb") as fh:
+        with opener(tmp, "wb") as fh:
             for pdf in batches:
                 for rid, text in zip(pdf["_id"], pdf["_text"]):
                     fh.write(
@@ -163,15 +174,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     try:
-        files = spark.read.format("binaryFile").load(f"{path}/*.warc")
+        # the {} glob covers plain and gzip'd segments in one listing
+        files = spark.read.format("binaryFile").load(
+            f"{path}/*.{{warc,warc.gz}}"
+        )
     except AnalysisException:  # PATH_NOT_FOUND: zero segments
         return spark.createDataFrame([], _READ_SCHEMA)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                rows.extend(_parse_warc_blob(bytes(blob)))
+                raw = bytes(blob)
+                if raw[:2] == b"\x1f\x8b":  # gzip magic: compressed segment
+                    raw = gzip.decompress(raw)
+                rows.extend(_parse_warc_blob(raw))
             yield pd.DataFrame(
                 rows, columns=["record_id", "uri", "text"]
             )

@@ -154,3 +154,47 @@ def test_warc_truncated_segment_fails_loudly(spark, tmp_path):
     open(seg, "wb").write(blob[: len(blob) - 30])  # cut mid-record
     with pytest.raises((Py4JJavaError, Exception), match="truncated"):
         read_warc(spark, path).collect()
+
+
+def test_warc_gzip_roundtrip_and_mixed_dir(spark, tmp_path):
+    """gzip'd segments round-trip; a dir mixing plain and .gz segments
+    reads as one corpus (per-file magic-byte detection)."""
+    import glob
+
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "gz")
+    rows = [(1, "alpha"), (2, "unicode é 中文"), (3, None)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    write_warc(df.repartition(1), path, compression="gzip")
+    gz = glob.glob(f"{path}/*.warc.gz")
+    assert len(gz) == 1
+    got = {
+        int(r["record_id"].rsplit(":", 1)[1]): r["text"]
+        for r in read_warc(spark, path).collect()
+    }
+    assert got == dict(rows)
+    # mix in a PLAIN segment alongside the gzip one
+    extra = spark.createDataFrame([(9, "plain")], "id bigint, text string")
+    plain_dir = str(tmp_path / "plain")
+    write_warc(extra.repartition(1), plain_dir)
+    import shutil
+
+    shutil.copy(glob.glob(f"{plain_dir}/*.warc")[0], f"{path}/extra.warc")
+    mixed = {
+        int(r["record_id"].rsplit(":", 1)[1]): r["text"]
+        for r in read_warc(spark, path).collect()
+    }
+    assert mixed == {**dict(rows), 9: "plain"}
+
+
+def test_warc_gzip_rewrite_clears_plain_and_bad_compression(spark, tmp_path):
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "swap")
+    df = spark.createDataFrame([(1, "v1")], "id bigint, text string")
+    write_warc(df, path)  # plain
+    write_warc(df, path, compression="gzip")  # must remove the plain seg
+    assert read_warc(spark, path).count() == 1
+    with pytest.raises(ValueError, match="compression"):
+        write_warc(df, path, compression="zstd")
