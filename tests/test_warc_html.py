@@ -198,3 +198,74 @@ def test_warc_gzip_rewrite_clears_plain_and_bad_compression(spark, tmp_path):
     assert read_warc(spark, path).count() == 1
     with pytest.raises(ValueError, match="compression"):
         write_warc(df, path, compression="zstd")
+
+
+def test_warc_seeded_fuzz_roundtrip(spark, tmp_path):
+    """One-job fuzz: 200 random unicode payloads (control chars, CRLF
+    runs, surrogate-adjacent codepoints, empty, NULL) must round-trip
+    byte-exactly through the codec."""
+    import random
+
+    rng = random.Random(42)
+    pool = (
+        "abc XYZ 0123 \t\r\n éß中文🙂 <>&\"' \x00\x01\x1f "
+        "WARC/1.0 Content-Length: \r\n\r\n"
+    )
+    rows = []
+    for i in range(200):
+        if i % 37 == 0:
+            rows.append((i, None))
+        else:
+            rows.append(
+                (i, "".join(rng.choice(pool)
+                            for _ in range(rng.randrange(0, 120))))
+            )
+    from gpd_lite_toolbox_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "fuzz")
+    write_warc(spark.createDataFrame(rows, "id bigint, text string"), path)
+    got = {
+        int(r["record_id"].rsplit(":", 1)[1]): r["text"]
+        for r in read_warc(spark, path).collect()
+    }
+    assert got == dict(rows)
+
+
+def test_html_to_text_matches_python_reference_fuzz(spark):
+    """One-job fuzz: the Spark expression must agree with an
+    independent Python `re` implementation of the same pipeline on
+    random tag/entity soup (Java-regex vs python-re dialect check on
+    the exact patterns the oracle also runs)."""
+    import random
+    import re
+
+    from gpd_lite_toolbox_spark.text.web import (
+        HTML_ENTITIES,
+        HTML_SCRIPT_PATTERN,
+        HTML_STYLE_PATTERN,
+        HTML_TAG_PATTERN,
+        extract_html_text,
+    )
+
+    def reference(html: str) -> str:
+        t = re.sub(HTML_SCRIPT_PATTERN, " ", html)
+        t = re.sub(HTML_STYLE_PATTERN, " ", t)
+        t = re.sub(HTML_TAG_PATTERN, " ", t)
+        for ent, repl in HTML_ENTITIES:
+            t = t.replace(ent, repl)
+        return re.sub(r"[ \t\r\n]+", " ", t).strip()
+
+    rng = random.Random(7)
+    frags = [
+        "<p>", "</p>", "<ScRiPt>", "</script>", "<style a=b>", "</STYLE>",
+        "word", "two words", "&amp;", "&lt;", "&nbsp;", "&amp;amp;",
+        "\n", "\t", "<", ">", "<br/>", "<a href='x'>", "é🙂", "1 < 2",
+    ]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randrange(1, 30))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, html string")
+    got = {r["id"]: r["text"] for r in extract_html_text(df).collect()}
+    for i, html in rows:
+        assert got[i] == reference(html), html
