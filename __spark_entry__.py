@@ -1829,6 +1829,19 @@ def _q_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_percentile_report(s.table("events"), "value")
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set hygiene: near-dup pairs whose members landed in
+    different train/val/test splits — the leak a random split of an
+    un-deduplicated corpus always contains."""
+    from gpd_lite_toolbox_spark.text.corpus import split_corpus
+    from gpd_lite_toolbox_spark.text.dedup import split_leakage
+
+    corpus = _corpus(spark, sf_dir)
+    return split_leakage(
+        corpus, split_corpus(corpus, seed=OR.SPLIT_SEED), threshold=0.5
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -2099,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_audit": _q_approx_percentile_audit,
         "warc_roundtrip": _q_warc_roundtrip,
         "html_extract": _q_html_extract,
+        "split_leakage": _q_split_leakage,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2215,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentile_audit": OR.APPROX_PERCENTILE_AUDIT,
         "warc_roundtrip": OR.WARC_ROUNDTRIP,
         "html_extract": OR.HTML_EXTRACT,
+        "split_leakage": OR.SPLIT_LEAKAGE,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

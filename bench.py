@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "approx_percentile_audit",
     "warc_roundtrip",
     "html_extract",
+    "split_leakage",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

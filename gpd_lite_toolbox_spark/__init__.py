@@ -111,6 +111,7 @@ from .text.dedup import (  # noqa: F401
     ngram_jaccard_prefix_pairs,
     simhash,
     simhash_band_keys,
+    split_leakage,
 )
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
@@ -241,6 +242,7 @@ __all__ = [
     "write_warc",
     "extract_html_text",
     "html_to_text_expr",
+    "split_leakage",
     # temporal joins
     "asof_join",
     "range_join_binned",

@@ -2428,18 +2428,39 @@ SELECT 0.99, ROUND(quantile_cont(value, 0.99), 6), TRUE FROM events
 SPLIT_SEED = 0
 SPLIT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 
-SPLIT_CORPUS = f"""
-WITH {oracle_ctes('corpus')},
+# split assignment as a reusable CTE fragment (shared by SPLIT_CORPUS
+# and SPLIT_LEAKAGE — one split semantics)
+_SPLIT_CTES = f"""
 keyed AS (SELECT id,
                  CAST(('0x' || substr(md5('{SPLIT_SEED}_'
                        || CAST(id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
                  / 4294967296.0 AS frac
-          FROM corpus)
-SELECT id,
-       CASE WHEN frac < 0.9 THEN 'train'
-            WHEN frac < {0.9 + 0.05} THEN 'val'
-            ELSE 'test' END AS split
-FROM keyed
+          FROM corpus),
+sp AS (SELECT id,
+              CASE WHEN frac < 0.9 THEN 'train'
+                   WHEN frac < {0.9 + 0.05} THEN 'val'
+                   ELSE 'test' END AS split
+       FROM keyed)"""
+
+SPLIT_CORPUS = f"""
+WITH {oracle_ctes('corpus')},
+{_SPLIT_CTES}
+SELECT id, split FROM sp
+"""
+
+# Train/test leakage audit (text/dedup.py split_leakage): the minhash
+# near-dup pairs crossed with the split assignment; only cross-split
+# pairs survive. Reuses the MINHASH CTE chain and the split fragment
+# verbatim — one pair semantics, one split semantics.
+SPLIT_LEAKAGE = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_FINAL}),
+{_SPLIT_CTES}
+SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b, p.jaccard
+FROM pairs p
+JOIN sp a ON a.id = p.id_a
+JOIN sp b ON b.id = p.id_b
+WHERE a.split <> b.split
 """
 
 # Unigram LM scoring (text/corpus.py unigram_logprob): the vocabulary

@@ -830,6 +830,45 @@ def dedup_canonical(
     )
 
 
+def split_leakage(
+    corpus: DataFrame,
+    splits: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Eval-set hygiene check: near-duplicate pairs whose members sit
+    in DIFFERENT splits — the leak a random train/test split of an
+    un-deduplicated corpus always contains (a test document whose
+    near-copy was trained on measures memorization, not capability).
+
+    ``splits`` is ``(id, split)`` (the shape ``split_corpus``
+    returns). Output: ``(id_a, id_b, split_a, split_b, jaccard)``,
+    only cross-split pairs, sorted nowhere (the caller aggregates or
+    samples). Pipelines act on it by re-assigning the whole duplicate
+    CLUSTER to one split, or dropping the train-side copies.
+
+    Plan shape: the pair table (LSH-banded, see minhash_lsh_pairs)
+    joined twice against the doc-sized split projection — broadcast
+    at audit scale, shuffled hash joins on the pair keys under AQE at
+    100 TB. Nothing here re-touches raw text.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(corpus, threshold=threshold, id_col=id_col)
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def shingle_array_expr(text_col: str) -> "F.Column":
     """Row-LOCAL distinct hashed-shingle array: the same 60-bit
     md5-prefix shingles as ``shingles(hashed=True)`` computed entirely

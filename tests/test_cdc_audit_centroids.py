@@ -520,3 +520,26 @@ def test_approx_percentile_report_small_and_awkward_inputs(spark):
     )
     rows = approx_percentile_report(awkward, "event value").collect()
     assert all(r["within_bound"] for r in rows)
+
+
+def test_split_leakage_planted_cross_split_pair(spark):
+    """A planted near-dup pair forced across splits must surface; a
+    same-split pair must not."""
+    from gpd_lite_toolbox_spark.text.dedup import split_leakage
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 1.0)],
+        "id_a bigint, id_b bigint, jaccard double",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+        "id bigint, split string",
+    )
+    got = split_leakage(corpus, splits, pairs=pairs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert {r["split_a"], r["split_b"]} == {"train", "test"}

@@ -72,6 +72,8 @@ _SPOT = [
     # byte-exact codec + regex volume over 10x documents
     "warc_roundtrip",
     "html_extract",
+    # cross-split near-dup pairs at 10x pair density
+    "split_leakage",
 ]
 
 
