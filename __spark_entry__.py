@@ -1985,36 +1985,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (round-4 VERDICT item 1): the driver's
-    # correctness runner truncates at 50 queries, so the queries with
-    # the weakest driver evidence come FIRST — the 19 oracled queries
-    # that never (or only in stale rounds) received a driver
-    # CORRECTNESS row (streaming, temporal/profiling, embedding_dups,
-    # media, dorling pair, interpolation, TPC-H trio), then the
-    # round-4 additions, then the r3-green rotation; rows-only
-    # (no_oracle) entries stay LAST — they record the least
-    # information if the runner truncates.
+    # correctness runner truncates at 50 queries, so the 50-slot
+    # window is packed with EXACTLY the oracled queries whose latest
+    # driver evidence is weakest: the 4 streaming queries whose last
+    # recorded row is the r2 TIMESTAMP_NTZ error (fixed in r3 but
+    # truncated out of that round's window), `cartogram` (rows-only
+    # in r2, hash-oracled since), and 45 of the 50 oracled queries
+    # that have never received ANY driver row.  Five never-row
+    # queries are deferred just past the window because an in-window
+    # twin exercises the same oracle/semantics: ngram_jaccard_prefix
+    # (same pair set as r3-green ngram_jaccard), salted_join_stats
+    # (oracle IS the plain join), stream_decontaminate /
+    # stream_cdc (share DECONTAMINATE / CDC_SNAPSHOT oracles with
+    # their in-window batch forms), docs_cube (docs_rollup covers
+    # the grouping-set family).  Then stale-but-green r1/r2 rows,
+    # then the r3-green rotation; rows-only (no_oracle) entries stay
+    # LAST — they record the least information if the runner
+    # truncates.
     return {
-        # --- never/stale driver-checked (VERDICT r3 §missing 1) ---
+        # --- last driver row is a r2 error (fixed r3, never re-run) ---
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "session_window": _q_session_window,
         "stream_dedup": _q_stream_dedup,
+        "cartogram": _q_cartogram,
+        # --- never received any driver CORRECTNESS row ---
         "asof_prev_event": _q_asof_prev_event,
         "range_neighborhood": _q_range_neighborhood,
         "event_transitions": _q_event_transitions,
         "doc_profile": _q_doc_profile,
         "docs_rollup": _q_docs_rollup,
         "dq_audit": _q_dq_audit,
-        "embedding_dups": _q_embedding_dups,
-        "media_pipeline": _q_media_pipeline,
-        "dorling_radius": _q_dorling_radius,
-        "dorling_radius2": _q_dorling_radius2,
-        "idw_interpolation": _q_idw_interpolation,
-        "isochrone_surface": _q_isochrone_surface,
-        "tpch_pricing": _q_tpch_pricing,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        # --- round-4 additions (need first driver rows) ---
         "pii_scan": _q_pii_scan,
         "boilerplate_lines": _q_boilerplate_lines,
         "shard_corpus": _q_shard_corpus,
@@ -2026,13 +2027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": _q_sample_k_per_group,
         "normalize_corpus": _q_normalize_corpus,
         "top_users_daily": _q_top_users_daily,
-        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
-        "docs_cube": _q_docs_cube,
         "resample_ffill": _q_resample_ffill,
         "corpus_diff": _q_corpus_diff,
-        "cartogram": _q_cartogram,
         "dorling_stats": _q_dorling_stats,
         "match_cluster_twins": _q_match_cluster_twins,
         "audio_chunks": _q_audio_chunks,
@@ -2041,10 +2039,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_stats": _q_hull_stats,
         "domain_mixture": _q_domain_mixture,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "stream_decontaminate": _q_stream_decontaminate,
         "classify_values": _q_classify_values,
         "rate_anomaly": _q_rate_anomaly,
         "media_features": _q_media_features,
+        "cdc_snapshot": _q_cdc_snapshot,
+        "approx_distinct_audit": _q_approx_distinct_audit,
+        "label_centroids": _q_label_centroids,
+        "quality_funnel": _q_quality_funnel,
+        "regex_tokens": _q_regex_tokens,
+        "json_props_stats": _q_json_props_stats,
+        "split_corpus": _q_split_corpus,
+        "unigram_logprob": _q_unigram_logprob,
+        "dedup_canonical": _q_dedup_canonical,
+        "approx_percentile_audit": _q_approx_percentile_audit,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "html_extract": _q_html_extract,
+        "split_leakage": _q_split_leakage,
+        # --- deferred never-row queries (in-window twin covers the
+        # same oracle/semantics; first in line if the window grows) ---
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
+        "salted_join_stats": _q_salted_join_stats,
+        "stream_decontaminate": _q_stream_decontaminate,
+        "stream_cdc": _q_stream_cdc,
+        "docs_cube": _q_docs_cube,
+        # --- green in r1/r2, truncated out of r3 (stale but green) ---
+        "embedding_dups": _q_embedding_dups,
+        "media_pipeline": _q_media_pipeline,
+        "dorling_radius": _q_dorling_radius,
+        "dorling_radius2": _q_dorling_radius2,
+        "idw_interpolation": _q_idw_interpolation,
+        "isochrone_surface": _q_isochrone_surface,
+        "tpch_pricing": _q_tpch_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
         # --- r3-green rotation ---
         "make_grid": _q_make_grid,
         "gridify_stats": _q_gridify_stats,
@@ -2096,23 +2123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cut": _q_grid_cut,
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
-        # --- round-4 session-3 additions (past the driver's 50-query
-        # window this round; they earn rows once the backlog clears) ---
-        "cdc_snapshot": _q_cdc_snapshot,
-        "approx_distinct_audit": _q_approx_distinct_audit,
-        "label_centroids": _q_label_centroids,
-        "quality_funnel": _q_quality_funnel,
-        "regex_tokens": _q_regex_tokens,
-        "json_props_stats": _q_json_props_stats,
-        "split_corpus": _q_split_corpus,
-        "unigram_logprob": _q_unigram_logprob,
-        "stream_cdc": _q_stream_cdc,
-        "dedup_canonical": _q_dedup_canonical,
-        "salted_join_stats": _q_salted_join_stats,
-        "approx_percentile_audit": _q_approx_percentile_audit,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "html_extract": _q_html_extract,
-        "split_leakage": _q_split_leakage,
         # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
