@@ -1842,6 +1842,16 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (suffix-array family, relational form):
+    maximal shared substrings >= 40 chars across corpus doc pairs —
+    the planted exact/near duplicates surface as full-document spans,
+    natural vocabulary overlap as shorter ones."""
+    from gpd_lite_toolbox_spark.text.dedup import exact_substring_spans
+
+    return exact_substring_spans(_corpus(spark, sf_dir), min_len=40)
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -2062,6 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate": _q_stream_decontaminate,
         "stream_cdc": _q_stream_cdc,
         "docs_cube": _q_docs_cube,
+        # --- round-4 session-4 additions (never-row; next in line
+        # after the deferred twins if the window grows) ---
+        "substring_spans": _q_substring_spans,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2240,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": OR.WARC_ROUNDTRIP,
         "html_extract": OR.HTML_EXTRACT,
         "split_leakage": OR.SPLIT_LEAKAGE,
+        "substring_spans": OR.EXACT_SUBSTRING_SPANS,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "html_extract",
     "split_leakage",
+    "substring_spans",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -106,6 +106,7 @@ from .text.dedup import (  # noqa: F401
     decontaminate,
     dedup_canonical,
     exact_dedup,
+    exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix_pairs,
@@ -243,6 +244,7 @@ __all__ = [
     "extract_html_text",
     "html_to_text_expr",
     "split_leakage",
+    "exact_substring_spans",
     # temporal joins
     "asof_join",
     "range_join_binned",

@@ -2463,6 +2463,34 @@ JOIN sp b ON b.id = p.id_b
 WHERE a.split <> b.split
 """
 
+# Exact-substring spans (text/dedup.py exact_substring_spans): the
+# identical relational algebra — stride-1 L-gram md5-prefix hashes,
+# diagonal gaps-and-islands merge — so spans agree row-for-row.
+_SPAN_L = 40
+EXACT_SUBSTRING_SPANS = f"""
+WITH {oracle_ctes('corpus')},
+g AS (SELECT id, CAST(pos AS BIGINT) AS pos,
+             CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT),
+                                             {_SPAN_L})), 1, 15))::UBIGINT
+                  AS BIGINT) AS gram
+      FROM corpus,
+           UNNEST(range(1, GREATEST(length(text) - {_SPAN_L - 1}, 0) + 1))
+               AS u(pos)
+      WHERE text IS NOT NULL),
+m AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+             a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+r AS (SELECT id_a, id_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                        ORDER BY pos_a) AS isl
+      FROM m)
+SELECT id_a, id_b, MIN(pos_a) AS start_a,
+       MIN(pos_a) - diag AS start_b,
+       COUNT(*) + {_SPAN_L - 1} AS length
+FROM r
+GROUP BY id_a, id_b, diag, isl
+"""
+
 # Unigram LM scoring (text/corpus.py unigram_logprob): the vocabulary
 # is trained on the corpus itself, so every token has positive
 # probability; ln is libm double on both engines, absorbed by the
