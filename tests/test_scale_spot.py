@@ -74,6 +74,8 @@ _SPOT = [
     "html_extract",
     # cross-split near-dup pairs at 10x pair density
     "split_leakage",
+    # session-4: postings-list fan-out + island merge over 10x grams
+    "substring_spans",
 ]
 
 
