@@ -1781,6 +1781,20 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(_corpus(spark, sf_dir), seed=OR.SPLIT_SEED)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted fixed-size subsample (Efraimidis-Spirakis
+    race, weight = document length): the deterministic
+    top-k-by-priority selection a curated-corpus budget uses."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.corpus import weighted_sample
+
+    docs = _corpus(spark, sf_dir).select(
+        "id", F.length("text").cast("bigint").alias("weight")
+    )
+    return weighted_sample(docs, "weight", k=200, seed=OR.SPLIT_SEED)
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy: per-document mean negative
     log-likelihood under the corpus's own token frequencies."""
@@ -2075,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 session-4 additions (never-row; next in line
         # after the deferred twins if the window grows) ---
         "substring_spans": _q_substring_spans,
+        "weighted_sample": _q_weighted_sample,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2254,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": OR.HTML_EXTRACT,
         "split_leakage": OR.SPLIT_LEAKAGE,
         "substring_spans": OR.EXACT_SUBSTRING_SPANS,
+        "weighted_sample": OR.WEIGHTED_SAMPLE,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

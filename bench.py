@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "html_extract",
     "split_leakage",
     "substring_spans",
+    "weighted_sample",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

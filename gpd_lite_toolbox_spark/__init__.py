@@ -99,6 +99,7 @@ from .text.corpus import (  # noqa: F401
     shard_corpus,
     split_corpus,
     stratified_sample,
+    weighted_sample,
     tfidf_topk,
     unigram_logprob,
 )
@@ -211,6 +212,7 @@ __all__ = [
     "tfidf_topk",
     "pack_sequences",
     "stratified_sample",
+    "weighted_sample",
     "sample_to_mixture",
     "shard_corpus",
     "sample_k_per_group",

@@ -2448,6 +2448,24 @@ WITH {oracle_ctes('corpus')},
 SELECT id, split FROM sp
 """
 
+# Quality-weighted fixed-k sampling (text/corpus.py weighted_sample):
+# the Efraimidis-Spirakis priority recomputed from the same seeded
+# md5 uniform; ROUND(...,9) + id tiebreak makes the top-k order
+# engine-independent.
+WEIGHTED_SAMPLE = f"""
+WITH {oracle_ctes('corpus')},
+keyed AS (SELECT id, CAST(length(text) AS BIGINT) AS weight,
+                 (CAST(('0x' || substr(md5('{SPLIT_SEED}_'
+                        || CAST(id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                  + 0.5) / 4294967296.0 AS u
+          FROM corpus
+          WHERE text IS NOT NULL AND length(text) > 0)
+SELECT id, weight, ROUND(-LN(u) / weight, 9) AS es_key
+FROM keyed
+ORDER BY es_key, id
+LIMIT 200
+"""
+
 # Train/test leakage audit (text/dedup.py split_leakage): the minhash
 # near-dup pairs crossed with the split assignment; only cross-split
 # pairs survive. Reuses the MINHASH CTE chain and the split fragment

@@ -111,6 +111,47 @@ def pack_sequences(
     return packed
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement, deterministic:
+    the Efraimidis–Spirakis exponential race. Each row draws a
+    priority ``-ln(u) / w`` from its seeded uniform ``u`` (the shared
+    ``seeded_key`` md5 derivation — a pure projection, reproducible
+    across runs and engines) and the ``k`` smallest priorities win;
+    inclusion probability is proportional to weight, exactly the
+    sampling a quality-weighted corpus subsample needs (weight = a
+    quality or length score; no epoch-order bias, no rand()
+    nondeterminism).
+
+    Rows with weight <= 0 or NULL never sample. Output: the input
+    columns plus ``es_key`` (the priority, rounded to 9 decimals so
+    both engines order identically; ties broken by id).
+
+    Scale: the selection is a global top-k — Spark executes
+    ``orderBy(...).limit(k)`` as TakeOrderedAndProject (per-partition
+    k-heaps + a k-row driver merge), so no full sort and no shuffle
+    of the corpus ever happens; the priority itself fuses into the
+    scan projection.
+    """
+    u = (
+        key_u32(seeded_key(seed, id_col)) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(
+            "es_key",
+            F.round(-F.log(u) / F.col(weight_col), 9),
+        )
+        .orderBy("es_key", id_col)
+        .limit(int(k))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -153,3 +153,52 @@ def test_quality_audit_counts_planted_violations(spark):
     assert rep["null_fk"] == 1
     assert rep["orphan_fk"] == 1   # fk=99
     assert rep["dup_k"] == 1       # k=3 twice
+
+
+def test_weighted_sample_deterministic_fixed_k_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.corpus import weighted_sample
+
+    # 400 light rows (w=1) vs 100 heavy rows (w=20): heavy rows hold
+    # 1/3 of the mass per capita 20x the light ones — a k=100 sample
+    # must overrepresent them far beyond their 20% population share.
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, F.lit(20.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    s1 = weighted_sample(df, "w", k=100, seed=7).collect()
+    s2 = weighted_sample(df, "w", k=100, seed=7).collect()
+    assert [r.id for r in s1] == [r.id for r in s2]  # deterministic
+    assert len(s1) == 100
+    heavy = sum(1 for r in s1 if r.id < 100)
+    assert heavy > 50  # 20% of the population, >50% of the sample
+    # priorities are sorted ascending with id tiebreak
+    keys = [(r.es_key, r.id) for r in s1]
+    assert keys == sorted(keys)
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps_at_n(spark):
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -2.0), (4, None), (5, 1.0)],
+        "id long, w double",
+    )
+    got = weighted_sample(df, "w", k=10, seed=0).collect()
+    assert sorted(r.id for r in got) == [1, 5]
+
+
+def test_weighted_sample_plan_is_takeordered_no_exchange(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()["weighted_sample"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Python" not in plan
