@@ -1781,6 +1781,28 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(_corpus(spark, sf_dir), seed=OR.SPLIT_SEED)
 
 
+def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the corpus split by id % 13 into
+    an ingest batch and an indexed remainder; the batch deduped
+    against the PERSISTED minhash index (partition-pruned bucket
+    lookup), never against the corpus text."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import (
+        ingest_near_dups,
+        write_minhash_index,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    batch = corpus.filter(F.col("id") % 13 == 0)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+    write_minhash_index(indexed, path)
+    return ingest_near_dups(spark, path, batch, threshold=0.5)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted fixed-size subsample (Efraimidis-Spirakis
     race, weight = document length): the deterministic
@@ -2090,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # after the deferred twins if the window grows) ---
         "substring_spans": _q_substring_spans,
         "weighted_sample": _q_weighted_sample,
+        "ingest_near_dups": _q_ingest_near_dups,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2270,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": OR.SPLIT_LEAKAGE,
         "substring_spans": OR.EXACT_SUBSTRING_SPANS,
         "weighted_sample": OR.WEIGHTED_SAMPLE,
+        "ingest_near_dups": OR.INGEST_NEAR_DUPS,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "substring_spans",
     "weighted_sample",
+    "ingest_near_dups",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -108,12 +108,14 @@ from .text.dedup import (  # noqa: F401
     dedup_canonical,
     exact_dedup,
     exact_substring_spans,
+    ingest_near_dups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix_pairs,
     simhash,
     simhash_band_keys,
     split_leakage,
+    write_minhash_index,
 )
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
@@ -247,6 +249,8 @@ __all__ = [
     "html_to_text_expr",
     "split_leakage",
     "exact_substring_spans",
+    "ingest_near_dups",
+    "write_minhash_index",
     # temporal joins
     "asof_join",
     "range_join_binned",

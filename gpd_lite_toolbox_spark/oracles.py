@@ -399,6 +399,19 @@ WITH {_MINHASH_CTES}
 {_MINHASH_FINAL}
 """
 
+# Index-backed incremental ingest (text/dedup.py write_minhash_index +
+# ingest_near_dups): cross-membership near-dup pairs between the
+# ingest batch (id % 13 = 0) and the indexed remainder. The engine
+# consults only the persisted index; the oracle proves that equals the
+# full-corpus pair computation restricted to cross-membership pairs —
+# same bands, same prefilter, same exact verify.
+INGEST_NEAR_DUPS = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_FINAL})
+SELECT id_a, id_b, jaccard FROM pairs
+WHERE (id_a % 13 = 0) <> (id_b % 13 = 0)
+"""
+
 # Duplicate CLUSTERS: the oracle derives components INDEPENDENTLY of
 # the Spark implementation — a recursive-CTE reachability closure
 # (min reachable id) instead of iterative label propagation. The CTE

@@ -320,6 +320,164 @@ def minhash_lsh_pairs(
     return out
 
 
+def write_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> None:
+    """Persist the minhash-LSH index of a corpus so later ingest
+    batches dedup against it WITHOUT re-pairing the whole corpus —
+    the day-2 shape of near-dup dedup at 100 TB (the one-shot
+    ``minhash_lsh_pairs`` is the bootstrap form).
+
+    Layout:
+      ``<path>/bands``: (id, band_key, band, bucket) partitioned by
+        (band, bucket) — bucket is the first 2 hex chars of the band
+        key (256 per band), so an ingest batch's candidate lookup
+        reads only the partitions its own band keys land in (static
+        partition filter, same discipline as ann_ivf_topk_indexed);
+      ``<path>/docs``: (id, h0..h{N-1}, shingle_set) — everything the
+        signature prefilter and the exact-Jaccard verify need, so
+        ingest NEVER touches the original corpus text.
+    """
+    sig = minhash_signatures(corpus, id_col=id_col, text_col=text_col).persist()
+    bands = minhash_band_keys(sig).withColumn(
+        "bucket", F.substring("band_key", 1, 2)
+    )
+    bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+        f"{path}/bands"
+    )
+    docs = sig.join(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(shingle_str_array_expr(text_col)).alias(
+                "shingle_set"
+            ),
+        ),
+        "id",
+    )
+    docs.write.mode("overwrite").parquet(f"{path}/docs")
+    sig.unpersist()
+
+
+def ingest_near_dups(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs between an ingest ``batch`` and the corpus
+    behind a ``write_minhash_index`` index: (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard >= threshold — exactly the cross-membership
+    subset of what ``minhash_lsh_pairs`` would report on the combined
+    corpus (same bands, same signature prefilter, same exact verify),
+    for the cost of the BATCH, not the corpus.
+
+    Contract: batch ids are disjoint from index ids (same unique-id
+    contract as the rest of the module); in-batch duplicates are the
+    batch's own ``minhash_lsh_pairs`` run.
+
+    Scale: the batch's (band, bucket) set — at most B x 256 values,
+    typically far fewer — is collected into a static partition filter,
+    so the bands scan shows ``PartitionFilters`` and reads only the
+    buckets the batch can collide with; the docs table is read only
+    for prefilter/verify joins keyed by candidate id.
+    """
+    import math
+    from functools import reduce
+    from operator import or_
+
+    sig_n = minhash_signatures(batch, id_col=id_col, text_col=text_col).persist()
+    bands_n = minhash_band_keys(sig_n).withColumn(
+        "bucket", F.substring("band_key", 1, 2)
+    )
+    probed = (
+        bands_n.select("band", "bucket").distinct().collect()
+    )
+    by_band: dict[int, list[str]] = {}
+    for r in probed:
+        by_band.setdefault(r.band, []).append(r.bucket)
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    if by_band:
+        cond = reduce(
+            or_,
+            [
+                (F.col("band") == b) & F.col("bucket").isin(buckets)
+                for b, buckets in sorted(by_band.items())
+            ],
+        )
+        idx_bands = idx_bands.filter(cond)
+    else:  # empty/NULL-only batch: nothing can collide
+        idx_bands = idx_bands.filter(F.lit(False))
+    cand = (
+        bands_n.select(F.col("id").alias("new_id"), "band", "bucket", "band_key")
+        .join(
+            idx_bands.select(
+                F.col("id").alias("idx_id"), "band", "bucket", "band_key"
+            ),
+            ["band", "bucket", "band_key"],
+        )
+        .filter(F.col("new_id") != F.col("idx_id"))
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    docs = spark.read.parquet(f"{path}/docs")
+    sig_a = sig_n.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(N_HASHES)],
+    )
+    sig_b = docs.select(
+        F.col("id").alias("idx_id"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(N_HASHES)],
+    )
+    est = None
+    for i in range(N_HASHES):
+        t = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        est = t if est is None else est + t
+    cand = (
+        cand.join(sig_a, "new_id")
+        .join(sig_b, "idx_id")
+        .filter(est >= F.lit(math.ceil(threshold * N_HASHES)))
+        .select("new_id", "idx_id")
+    )
+    sets_n = batch.select(
+        F.col(id_col).alias("new_id"),
+        F.array_sort(shingle_str_array_expr(text_col)).alias("_sa"),
+    )
+    return (
+        cand.join(sets_n, "new_id")
+        .join(
+            docs.select(
+                F.col("id").alias("idx_id"),
+                F.col("shingle_set").alias("_sb"),
+            ),
+            "idx_id",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sa", "_sb")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (
+                    F.size("_sa") + F.size("_sb") - F.col("n_inter")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.least("new_id", "idx_id").alias("id_a"),
+            F.greatest("new_id", "idx_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,

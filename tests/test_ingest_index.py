@@ -1,0 +1,94 @@
+"""write_minhash_index + ingest_near_dups: the incremental-ingest form
+of near-dup dedup. A batch checked against the persisted index must
+report exactly the cross-membership subset of what the one-shot
+minhash_lsh_pairs computes on the combined corpus — and must do so
+reading only the batch's own (band, bucket) partitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark import fixtures as FX
+from gpd_lite_toolbox_spark.text.dedup import (
+    ingest_near_dups,
+    minhash_lsh_pairs,
+    write_minhash_index,
+)
+
+
+def _corpus(spark, sf_dir):
+    FX.register_base_tables(spark, sf_dir)
+    return spark.sql(FX.CORPUS_SQL)
+
+
+def test_ingest_equals_cross_membership_of_oneshot(spark, sf_dir, tmp_path):
+    corpus = _corpus(spark, sf_dir)
+    batch = corpus.filter(F.col("id") % 13 == 0)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(indexed, path)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ingest_near_dups(spark, path, batch, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    cross = {p for p in full if (p[0] % 13 == 0) != (p[1] % 13 == 0)}
+    assert got == cross and got
+
+
+def test_ingest_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    corpus = _corpus(spark, sf_dir)
+    # a tiny batch probes few buckets — the index bands scan must show
+    # a static PartitionFilter on (band, bucket), not a full read
+    batch = corpus.filter(F.col("id") % 130 == 0)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(indexed, path)
+    df = ingest_near_dups(spark, path, batch, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    df.collect()  # and it still executes
+
+
+def test_ingest_index_serves_multiple_batches(spark, sf_dir, tmp_path):
+    corpus = _corpus(spark, sf_dir)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(indexed, path)
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    for k in (0, 1):
+        batch = corpus.filter(F.col("id") % 26 == k * 13)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ingest_near_dups(
+                spark, path, batch, threshold=0.5
+            ).collect()
+        }
+        in_batch = lambda i: i % 26 == k * 13  # noqa: E731
+        in_idx = lambda i: i % 13 != 0  # noqa: E731
+        exp = {
+            p
+            for p in full
+            if (in_batch(p[0]) and in_idx(p[1]))
+            or (in_batch(p[1]) and in_idx(p[0]))
+        }
+        assert got == exp
+
+
+def test_ingest_null_and_empty_batch(spark, sf_dir, tmp_path):
+    corpus = _corpus(spark, sf_dir)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(indexed, path)
+    null_batch = spark.createDataFrame(
+        [(9999991, None)], "id long, text string"
+    )
+    assert ingest_near_dups(spark, path, null_batch).count() == 0
+    empty = spark.createDataFrame([], "id long, text string")
+    assert ingest_near_dups(spark, path, empty).count() == 0
