@@ -4,9 +4,11 @@ The day-2 operations the training_data_pipeline example leaves out:
 a nightly delta folds into the canonical snapshot (CDC latest-wins
 merge), the change is audited (snapshot diff), the quality gate's
 stage-by-stage survival is re-measured (funnel), duplicate clusters
-resolve to their best member (retention policy), and every document
-gets a stable train/val/test assignment that never moves under corpus
-growth. Run it locally:
+resolve to their best member (retention policy), a candidate batch
+dedups against the PERSISTED minhash index before admission (and the
+survivors are appended to it — the corpus is never re-paired), and
+every document gets a stable train/val/test assignment that never
+moves under corpus growth. Run it locally:
 
     python examples/corpus_maintenance_pipeline.py [sf_dir]
 
@@ -65,7 +67,28 @@ def run(spark, sf_dir: str):
         kept.select(F.col("kept_id").alias("id")), "id", "left_semi"
     )
 
-    # 6. stable split: an id keeps its assignment as the corpus grows,
+    # 6. index-backed incremental ingest: the canonical snapshot's
+    # minhash state persists once; tonight's candidate batch dedups
+    # against the INDEX (partition-pruned bucket lookup — never a
+    # corpus re-pair), and only the survivors are admitted
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="maint_mhidx_")
+    G.write_minhash_index(snapshot, idx)
+    batch = base.filter(F.col("id") % 11 == 3).select(
+        (F.col("id") + 20_000_000).alias("id"),
+        F.concat("text", F.lit(" zq extra")).alias("text"),
+    )
+    dup_hits = G.ingest_near_dups(spark, idx, batch, threshold=0.5)
+    admitted = batch.join(
+        dup_hits.select(F.greatest("id_a", "id_b").alias("id")),
+        "id",
+        "left_anti",
+    )
+    G.append_to_minhash_index(admitted, idx)
+    snapshot = snapshot.unionByName(admitted)
+
+    # 7. stable split: an id keeps its assignment as the corpus grows,
     # so the eval sets never leak freshly-trained-on documents
     splits = G.split_corpus(snapshot, seed=0)
 

@@ -62,6 +62,15 @@ def run(spark, sf_dir: str):
         pairs.select(F.col("id_b").alias("id")).distinct(), "id", "left_anti"
     )
 
+    # 3b. exact-substring dedup (the suffix-array family): drop the
+    # larger-id side of any pair sharing a verbatim run >= 60 chars —
+    # catches templated/boilerplate overlap that whole-doc Jaccard
+    # misses
+    spans = G.exact_substring_spans(survivors, min_len=60)
+    survivors = survivors.join(
+        spans.select(F.col("id_b").alias("id")).distinct(), "id", "left_anti"
+    )
+
     # 4. benchmark decontamination: drop any doc sharing n-grams with
     # the held-out eval slice (mocked here as an id-sliced subset)
     bench = docs.filter(F.col("id") % 101 == 0)
@@ -74,6 +83,15 @@ def run(spark, sf_dir: str):
         train, "lang",
         rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75},
     )
+
+    # 5b. quality-weighted budget cut: keep the best 80% of the docs
+    # by length-weighted exponential race (deterministic, no sort)
+    budget = max(int(sampled.count() * 0.8), 1)
+    sampled = G.weighted_sample(
+        sampled.withColumn("w", F.length("text").cast("double")),
+        "w",
+        k=budget,
+    ).drop("w", "es_key")
 
     # 6. split long docs into model-window chunks (map-only). The
     # composite id is collision-free while docs stay under 1M chunks

@@ -106,6 +106,7 @@ from .text.corpus import (  # noqa: F401
 from .text.dedup import (  # noqa: F401
     decontaminate,
     dedup_canonical,
+    append_to_minhash_index,
     exact_dedup,
     exact_substring_spans,
     ingest_near_dups,
@@ -249,6 +250,7 @@ __all__ = [
     "html_to_text_expr",
     "split_leakage",
     "exact_substring_spans",
+    "append_to_minhash_index",
     "ingest_near_dups",
     "write_minhash_index",
     # temporal joins

@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "id",
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket candidates, a SIGNATURE
     prefilter, then exact Jaccard over distinct shingle sets on the
@@ -255,6 +256,28 @@ def minhash_lsh_pairs(
     # the signatures and the verify sets are row-local projections.
     sig = minhash_signatures(corpus, id_col=id_col, text_col=text_col).persist()
     bands = minhash_band_keys(sig)
+    if bucket_cap is not None:
+        # Degenerate-bucket skew guard (same role as embedding_near_
+        # dups' bucket_cap): a bucket of n members emits n(n-1)/2
+        # candidate rows through the self-join, so ONE pathological
+        # key (e.g. a boilerplate doc repeated a million times that
+        # exact_dedup should have removed) funnels O(n^2) rows into
+        # two reducers. Dropping buckets above the cap bounds every
+        # bucket's fan-out at cap^2; a true pair can still surface
+        # through any of its OTHER B-1 (uncapped) bands, so recall
+        # degrades gracefully rather than the job dying. The count
+        # window rides the same hash(band, band_key) layout the join
+        # shuffles to anyway. Default None = exact semantics.
+        from pyspark.sql import Window
+
+        bands = (
+            bands.withColumn(
+                "_bn",
+                F.count("*").over(Window.partitionBy("band", "band_key")),
+            )
+            .filter(F.col("_bn") <= int(bucket_cap))
+            .drop("_bn")
+        )
     a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
     b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
     cand = (
@@ -341,11 +364,32 @@ def write_minhash_index(
         signature prefilter and the exact-Jaccard verify need, so
         ingest NEVER touches the original corpus text.
     """
+    _write_minhash_index(corpus, path, "overwrite", id_col, text_col)
+
+
+def append_to_minhash_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> None:
+    """Admit an ingest batch into the persisted index — the step after
+    ``ingest_near_dups`` decided which batch documents survive dedup.
+    Appends the batch's band and docs rows under the same layout;
+    partitionBy(band, bucket) append only touches the batch's own
+    bucket directories. Same unique-id contract as the writer: ids
+    must not already exist in the index."""
+    _write_minhash_index(batch, path, "append", id_col, text_col)
+
+
+def _write_minhash_index(
+    corpus: DataFrame, path: str, mode: str, id_col: str, text_col: str
+) -> None:
     sig = minhash_signatures(corpus, id_col=id_col, text_col=text_col).persist()
     bands = minhash_band_keys(sig).withColumn(
         "bucket", F.substring("band_key", 1, 2)
     )
-    bands.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+    bands.write.mode(mode).partitionBy("band", "bucket").parquet(
         f"{path}/bands"
     )
     docs = sig.join(
@@ -357,7 +401,7 @@ def write_minhash_index(
         ),
         "id",
     )
-    docs.write.mode("overwrite").parquet(f"{path}/docs")
+    docs.write.mode(mode).parquet(f"{path}/docs")
     sig.unpersist()
 
 

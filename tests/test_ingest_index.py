@@ -92,3 +92,54 @@ def test_ingest_null_and_empty_batch(spark, sf_dir, tmp_path):
     assert ingest_near_dups(spark, path, null_batch).count() == 0
     empty = spark.createDataFrame([], "id long, text string")
     assert ingest_near_dups(spark, path, empty).count() == 0
+
+
+def test_append_then_ingest_sees_admitted_batch(spark, sf_dir, tmp_path):
+    """Day-2 loop: ingest batch1, admit it via append, then batch2's
+    ingest must also report pairs against batch1's documents — equal
+    to the one-shot computation on (indexed + batch1) vs batch2."""
+    from gpd_lite_toolbox_spark.text.dedup import append_to_minhash_index
+
+    corpus = _corpus(spark, sf_dir)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    b1 = corpus.filter(F.col("id") % 26 == 0)
+    b2 = corpus.filter(F.col("id") % 26 == 13)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(indexed, path)
+    append_to_minhash_index(b1, path)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ingest_near_dups(spark, path, b2, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    in_b2 = lambda i: i % 26 == 13  # noqa: E731
+    exp = {p for p in full if in_b2(p[0]) != in_b2(p[1])}
+    assert got == exp and got
+
+
+def test_bucket_cap_suppresses_degenerate_bucket(spark):
+    """A planted swarm of identical docs (the exact_dedup-should-have-
+    run case) floods one bucket per band; bucket_cap kills the O(n^2)
+    fan-out while a rare pair's bands stay under the cap and survive
+    with identical jaccard."""
+    t = "a perfectly ordinary sentence that repeats verbatim in every swarm doc"
+    rows = [(i, t) for i in range(40)]
+    rare = "one rare document with entirely distinct words from the swarm text"
+    rows += [(100, rare), (101, rare + " zq extra")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.5, bucket_cap=5).collect()
+    }
+    assert (100, 101) in exact
+    swarm_exact = {p for p in exact if p[0] < 100}
+    assert len(swarm_exact) == 40 * 39 // 2
+    assert not {p for p in capped if p[0] < 100}  # swarm suppressed
+    assert capped == {(100, 101): exact[(100, 101)]}

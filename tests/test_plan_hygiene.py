@@ -1,0 +1,66 @@
+"""Global plan-hygiene sweep over every declared query.
+
+The engine's contract ("UDFs are the slow path"): no declared query
+may plan a row-at-a-time pickled Python UDF (`BatchEvalPython`).
+Python is allowed ONLY through Arrow-batched nodes — `ArrowEvalPython`
+(pandas_udf), `FlatMapGroupsInPandas` (applyInPandas), `MapInPandas` —
+and only in the operators that genuinely need a kernel (embedding
+Gram scoring, media decode plumbing, WARC parse). Everything else
+must stay inside JVM whole-stage codegen.
+
+This is the sweep form of the per-operator plan audits: a regression
+anywhere in the 120-query surface that drops a hot path out of the
+JVM fails here by name.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+# queries whose plans legitimately contain Arrow-batched Python nodes
+_ARROW_OK = {
+    "embedding_dups",     # bucket-local Gram kernel (applyInPandas)
+    "media_pipeline",     # image meta decode (mapInPandas)
+    "media_features",     # fake-pixel feature kernel
+    "audio_chunks",       # chunk planning over binary meta
+    "ann_topk",           # vectorized dot product (pandas_udf)
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "warc_roundtrip",     # segment parse (mapInPandas)
+    "dorling_cartogram",  # driver-relaxation placements
+    "dorling_stats",
+    "match_cluster_twins",  # KMeans iterations
+    "match_line_cluster",
+    # geometry family: the pure-numpy vertex kernels that replace
+    # shapely (SURVEY §2 design) are Arrow-batched by construction
+    "cartogram",            # Dougenik vertex displacement kernel
+    "concave_pairs",        # concave hull construction
+    "dissolve_country",     # polygon union kernel
+    "dissolve_union",
+    "multi_to_single",      # WKB multi-part explode
+    "dumb_multi_to_single",
+    "grid_cut_hull",        # hull mask kernel
+    "isochrone_polys",      # band polygon assembly
+    "random_pts_poly",      # point-in-polygon placement
+    "geojson_roundtrip",    # geometry codec
+    "wkt_roundtrip",
+    "spatialite_roundtrip",  # GAIA blob codec
+}
+
+
+@pytest.mark.parametrize("name", sorted(E.queries().keys()))
+def test_no_rowwise_python_in_plan(spark, sf_dir, name):
+    df = E.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF"
+    )
+    if name not in _ARROW_OK:
+        for node in ("ArrowEvalPython", "FlatMapGroupsInPandas",
+                     "MapInPandas"):
+            assert node not in plan, (
+                f"{name} unexpectedly plans {node}; if intentional, "
+                "add it to _ARROW_OK with a reason"
+            )
