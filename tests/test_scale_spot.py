@@ -74,8 +74,12 @@ _SPOT = [
     "html_extract",
     # cross-split near-dup pairs at 10x pair density
     "split_leakage",
-    # session-4: postings-list fan-out + island merge over 10x grams
+    # session-4: postings-list fan-out + island merge over 10x grams;
+    # top-k heap selection at 10x candidates; index bucket lookup at
+    # 10x band density
     "substring_spans",
+    "weighted_sample",
+    "ingest_near_dups",
 ]
 
 

@@ -151,3 +151,35 @@ def test_triple_copy_reports_all_three_pairs(spark):
     exp = all_pairs_brute(docs, len(t) - 2)
     assert got == exp
     assert {(p[0], p[1]) for p in got} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_hypothesis_fuzz_including_unicode(spark):
+    """Randomized cross-check against the brute-force reference over a
+    tiny alphabet that includes multibyte unicode — pins that both the
+    operator's character arithmetic (substring/length are CHARACTER
+    based) and the md5-of-UTF-8 gram hashing behave identically to a
+    pure-Python character-level scan."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab é中"  # ascii + accented + CJK
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=0, max_size=60),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def check(texts):
+        docs = {i: t for i, t in enumerate(texts)}
+        got = run_op(spark, docs, 8)
+        exp = all_pairs_brute({i: t for i, t in docs.items()}, 8)
+        assert got == exp
+
+    check()
