@@ -61,6 +61,27 @@ def _hash32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Restore task parallelism ahead of a heavy per-row projection
+    when the input scan has fewer partitions than cores: the md5-fold
+    expressions this module pins into single projections (signatures,
+    shingle arrays, gram tables) execute on the SCAN side of the first
+    exchange, so a corpus that arrives as a handful of files runs them
+    on a handful of tasks (measured 4-6x slower than the same work
+    spread wide). A document-sized round-robin exchange is far cheaper
+    than the projection it unblocks; already-wide inputs (the 100 TB
+    case — thousands of scan partitions) and streaming frames pass
+    through untouched."""
+    if df.isStreaming:
+        return df
+    width = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; keep as-is
+        return df
+    return df.repartition(width) if n < width else df
+
+
 def exact_dedup(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
     """Duplicate groups by content hash: (content_hash, n_copies,
     keep_id) for groups with >1 member; keep_id is the smallest id (the
@@ -109,7 +130,8 @@ def shingles(
         else shingle_str_array_expr(text_col)
     )
     return (
-        corpus.select(
+        _widen(corpus)
+        .select(
             F.col(id_col).alias("id"), F.explode(arr).alias("shingle")
         )
         .repartition("shingle")
@@ -184,12 +206,15 @@ def minhash_signatures(
     corpus: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:
     """Per-doc minhash signature: one row per doc, h0..h{N-1} columns.
-    A zero-shuffle projection (see ``minhash_sig_expr``). Two chained
+    The signature itself is a zero-shuffle projection (see
+    ``minhash_sig_expr``); ``_widen`` may prepend one document-sized
+    round-robin exchange when the input scan is narrower than the
+    core count (never on wide or streaming inputs). Two chained
     selects on purpose: the struct is an expensive expression
     referenced once per field, and CollapseProject declines to merge
     projects that would duplicate a non-cheap expression — so the fold
     runs once per row, not once per extracted field."""
-    staged = corpus.select(
+    staged = _widen(corpus).select(
         F.col(id_col).alias("id"), minhash_sig_expr(text_col).alias("_sig")
     )
     return staged.select(
@@ -311,7 +336,7 @@ def minhash_lsh_pairs(
     # zero exchanges to build it), and the intersection is a native
     # array_intersect on the surviving candidates — two doc-sized
     # joins and a map-side expression.
-    sets_ = corpus.select(
+    sets_ = _widen(corpus).select(
         F.col(id_col).alias("id"),
         F.array_sort(shingle_str_array_expr(text_col)).alias("_ss"),
     )
@@ -393,7 +418,7 @@ def _write_minhash_index(
         f"{path}/bands"
     )
     docs = sig.join(
-        corpus.select(
+        _widen(corpus).select(
             F.col(id_col).alias("id"),
             F.array_sort(shingle_str_array_expr(text_col)).alias(
                 "shingle_set"
@@ -761,13 +786,17 @@ def ngram_jaccard_pairs(
     candidate loss).
 
     Two phases, both plain shuffles:
-    1. candidates — DISTINCT pairs sharing >= 1 shingle, generated by
-       the shingle inverted-index self-join. ``max_df`` drops shingles
-       whose document frequency exceeds it from THIS phase only (the
-       scale lever: one stop-shingle shared by 1M docs is a 10^12-row
-       join blowup; a true near-dup pair at any useful threshold
-       shares many shingles, so losing the ubiquitous ones leaves the
-       pair reachable through its rare ones).
+    1. candidates — DISTINCT pairs sharing >= 1 shingle. With
+       ``max_df`` set (the scale lever: one stop-shingle shared by 1M
+       docs is a 10^12-row join blowup; a true near-dup pair at any
+       useful threshold shares many shingles, so losing the
+       ubiquitous ones leaves the pair reachable through its rare
+       ones) each surviving shingle's postings list is bounded, so
+       pairs expand ROW-LOCALLY out of one collect_list aggregate
+       riding the shingle layout — no df window, no self-join, no
+       persist. With ``max_df=None`` a hot shingle's postings are
+       unbounded, so generation stays the inverted-index self-join
+       (nothing materializes a stop-shingle's membership in one row).
     2. verify — exact Jaccard as a map-side ``array_intersect`` over
        the candidates' FULL per-doc shingle-set arrays (one doc-sized
        aggregate supplies both the sorted set and its size). Work
@@ -788,35 +817,54 @@ def ngram_jaccard_pairs(
     # (see shingles docstring for the cross-engine exactness argument)
     sh = shingles(corpus, id_col, text_col, hashed=True)
     if max_df is None:
+        # exhaustive path: a stop-shingle's postings list is unbounded,
+        # so pair generation stays a self-join (nothing materializes a
+        # hot shingle's full membership in one row)
         sh = sh.persist()
-        gen = sh
+        cand = (
+            sh.select(F.col("id").alias("id_a"), "shingle")
+            .join(
+                sh.select(F.col("id").alias("id_b"), "shingle"), "shingle"
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     else:
-        # annotate every instance with its shingle's document
-        # frequency ONCE and persist. The df count is a WINDOW over
-        # shingle, not an aggregate + self-join: one exchange of the
-        # instance table instead of two, and the cached result comes
-        # out hash-partitioned by shingle — exactly the layout the
-        # candidate self-join consumes, so it adds no exchange either.
-        from pyspark.sql import Window
-
-        sh = sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        ).persist()
-        gen = sh.filter(F.col("df") <= max_df).select("id", "shingle")
-    cand = (
-        gen.select(F.col("id").alias("id_a"), "shingle")
-        .join(gen.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        # bounded path: with df capped at max_df a shingle's postings
+        # list holds <= max_df ids, so candidates come from ONE hash
+        # aggregate on the shingle layout (collect_list rides the
+        # repartition("shingle") already inside shingles()) plus a
+        # row-local <= max_df^2/2 pair expansion — no df window (its
+        # sort), no self-join (its build/probe of the full instance
+        # table), no persist. The df>max_df drop IS the size filter.
+        cand = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list("id").alias("_ids"))
+            .filter(
+                (F.size("_ids") > 1) & (F.size("_ids") <= int(max_df))
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        """
+                        flatten(transform(_ids, a ->
+                          transform(filter(_ids, b -> a < b),
+                                    b -> struct(a AS id_a, b AS id_b))))
+                        """
+                    )
+                ).alias("_p")
+            )
+            .select("_p.id_a", "_p.id_b")
+            .distinct()
+        )
     # full sorted shingle-set + size per doc as a ROW-LOCAL projection
     # (same sets as the former collect_set aggregate over the shingle
     # table, without exchanging the shingle table by id at all); the
     # verify is then a native array_intersect on the joined arrays.
     # At this SF the doc-sized fsets broadcast; at 100 TB AQE keeps
     # them shuffled hash joins on the pair keys — no replan needed.
-    fsets = corpus.select(
+    fsets = _widen(corpus).select(
         F.col(id_col).alias("id"),
         F.array_sort(shingle_array_expr(text_col)).alias("_fs"),
     ).withColumn("n_sh", F.size("_fs").cast("bigint"))
@@ -1137,10 +1185,7 @@ def exact_substring_spans(
                          1, 15), 16, 10) AS BIGINT))
         """
     )
-    spark = corpus.sparkSession
-    width = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < width:
-        corpus = corpus.repartition(width)
+    corpus = _widen(corpus)
     g = (
         corpus.filter(F.length(text_col) >= L)
         .select(F.col(id_col).alias("id"), F.posexplode(arr).alias("pos0", "gram"))
@@ -1379,7 +1424,8 @@ def ngram_jaccard_prefix_pairs(
     """
     t = float(threshold)
     sets_ = (
-        corpus.select(
+        _widen(corpus)
+        .select(
             F.col(id_col).alias("id"),
             F.array_sort(shingle_array_expr(text_col)).alias("_fs"),
         )
