@@ -84,13 +84,14 @@ def run(spark, sf_dir: str):
         rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75},
     )
 
-    # 5b. quality-weighted budget cut: keep the best 80% of the docs
-    # by length-weighted exponential race (deterministic, no sort)
-    budget = max(int(sampled.count() * 0.8), 1)
+    # 5b. quality-weighted budget cut: a FIXED token/doc budget filled
+    # by the length-weighted exponential race (deterministic, top-k
+    # heaps — a k near the corpus size would fall out of the TakeOrdered
+    # regime into a full sort, so budgets are absolute, not fractions)
     sampled = G.weighted_sample(
         sampled.withColumn("w", F.length("text").cast("double")),
         "w",
-        k=budget,
+        k=400,
     ).drop("w", "es_key")
 
     # 6. split long docs into model-window chunks (map-only). The

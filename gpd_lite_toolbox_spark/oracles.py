@@ -2514,12 +2514,18 @@ m AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
 r AS (SELECT id_a, id_b, diag, pos_a,
              pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
                                         ORDER BY pos_a) AS isl
-      FROM m)
-SELECT id_a, id_b, MIN(pos_a) AS start_a,
-       MIN(pos_a) - diag AS start_b,
-       COUNT(*) + {_SPAN_L - 1} AS length
-FROM r
-GROUP BY id_a, id_b, diag, isl
+      FROM m),
+runs AS (SELECT id_a, id_b, MIN(pos_a) AS start_a,
+                MIN(pos_a) - diag AS start_b,
+                COUNT(*) + {_SPAN_L - 1} AS length
+         FROM r
+         GROUP BY id_a, id_b, diag, isl)
+SELECT rn.id_a, rn.id_b, rn.start_a, rn.start_b, rn.length
+FROM runs rn
+JOIN corpus ca ON ca.id = rn.id_a
+JOIN corpus cb ON cb.id = rn.id_b
+WHERE substr(ca.text, CAST(rn.start_a AS INT), CAST(rn.length AS INT))
+    = substr(cb.text, CAST(rn.start_b AS INT), CAST(rn.length AS INT))
 """
 
 # Unigram LM scoring (text/corpus.py unigram_logprob): the vocabulary

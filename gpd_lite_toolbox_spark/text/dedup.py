@@ -55,6 +55,14 @@ MH_A = [1000000007, 998244353, 985661441, 976224257,
 MH_B = [1181783497, 2466808117, 3037000499, 1103515245,
         12345, 1588635695, 3267000013, 2038074743]
 
+# minhash-index bucket granularity: first N hex chars of the band key.
+# 1 hex char = 16 buckets x 4 bands = 64 partition directories — coarse
+# enough that a parquet scan is not dominated by file-open overhead at
+# bench scale, fine enough that a small batch's static filter still
+# prunes ~16x. (2 chars measured 4x slower ingest at sf0.1: 1024 tiny
+# files of listing/footer cost for no extra pruning benefit.)
+_IDX_BUCKET_HEX = 1
+
 
 def _hash32(col):
     """Shared cross-engine 32-bit hash: first 8 hex chars of md5."""
@@ -412,7 +420,7 @@ def _write_minhash_index(
 ) -> None:
     sig = minhash_signatures(corpus, id_col=id_col, text_col=text_col).persist()
     bands = minhash_band_keys(sig).withColumn(
-        "bucket", F.substring("band_key", 1, 2)
+        "bucket", F.substring("band_key", 1, _IDX_BUCKET_HEX)
     )
     bands.write.mode(mode).partitionBy("band", "bucket").parquet(
         f"{path}/bands"
@@ -461,7 +469,7 @@ def ingest_near_dups(
 
     sig_n = minhash_signatures(batch, id_col=id_col, text_col=text_col).persist()
     bands_n = minhash_band_keys(sig_n).withColumn(
-        "bucket", F.substring("band_key", 1, 2)
+        "bucket", F.substring("band_key", 1, _IDX_BUCKET_HEX)
     )
     probed = (
         bands_n.select("band", "bucket").distinct().collect()
@@ -512,7 +520,7 @@ def ingest_near_dups(
         .filter(est >= F.lit(math.ceil(threshold * N_HASHES)))
         .select("new_id", "idx_id")
     )
-    sets_n = batch.select(
+    sets_n = _widen(batch).select(
         F.col(id_col).alias("new_id"),
         F.array_sort(shingle_str_array_expr(text_col)).alias("_sa"),
     )
@@ -832,18 +840,25 @@ def ngram_jaccard_pairs(
         )
     else:
         # bounded path: with df capped at max_df a shingle's postings
-        # list holds <= max_df ids, so candidates come from ONE hash
-        # aggregate on the shingle layout (collect_list rides the
-        # repartition("shingle") already inside shingles()) plus a
-        # row-local <= max_df^2/2 pair expansion — no df window (its
-        # sort), no self-join (its build/probe of the full instance
-        # table), no persist. The df>max_df drop IS the size filter.
+        # list holds <= max_df ids, so candidates come from ONE
+        # collect_list aggregate plus a row-local <= max_df^2/2 pair
+        # expansion — no self-join (its build/probe of the full
+        # instance table), no persist. The df window filters hot
+        # shingles BEFORE the aggregate so a stop-shingle's postings
+        # array never materializes in an aggregation buffer (window
+        # rows spill; a collect_list buffer does not) — and both the
+        # window and the groupBy ride the one repartition("shingle")
+        # already inside shingles().
+        from pyspark.sql import Window
+
         cand = (
-            sh.groupBy("shingle")
-            .agg(F.collect_list("id").alias("_ids"))
-            .filter(
-                (F.size("_ids") > 1) & (F.size("_ids") <= int(max_df))
+            sh.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
             )
+            .filter((F.col("_df") > 1) & (F.col("_df") <= int(max_df)))
+            .drop("_df")
+            .groupBy("shingle")
+            .agg(F.collect_list("id").alias("_ids"))
             .select(
                 F.explode(
                     F.expr(
@@ -1163,7 +1178,11 @@ def exact_substring_spans(
       4. the island window + run aggregate share ONE exchange on
          ``(id_a, id_b, diag)`` — the groupBy keys are a superset of
          the window partition, so EnsureRequirements elides the
-         second one.
+         second one;
+      5. every emitted span is exact-verified against the text (two
+         doc-sized joins keyed by the span table — broadcast at audit
+         scale) so a 60-bit gram-hash collision can never report a
+         false span.
 
     At 100 TB the quadratic term is real data, not the algorithm: a
     boilerplate phrase occurring in 1M documents genuinely has 10^12
@@ -1185,6 +1204,7 @@ def exact_substring_spans(
                          1, 15), 16, 10) AS BIGINT))
         """
     )
+    src = corpus  # verify joins read (id, text) only — no widen needed
     corpus = _widen(corpus)
     g = (
         corpus.filter(F.length(text_col) >= L)
@@ -1231,7 +1251,7 @@ def exact_substring_spans(
         )
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    return (
+    runs = (
         m.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
         .groupBy("id_a", "id_b", "diag", "_isl")
         .agg(
@@ -1245,6 +1265,30 @@ def exact_substring_spans(
             (F.col("start_a") - F.col("diag")).alias("start_b"),
             "length",
         )
+    )
+    # exact-verify every emitted span against the TEXT: a 60-bit gram
+    # collision (expected in the millions at 10^12 grams) would
+    # otherwise report a false span between unrelated documents that
+    # a downstream dedup then acts on. The check is two doc-sized
+    # joins keyed by the (tiny) span table plus one substring
+    # comparison; a collision that BRIDGED two genuine runs drops the
+    # merged span conservatively (probability ~2^-61 per gram pair).
+    ta = src.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    tb = src.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    return (
+        runs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(
+            F.expr(
+                "substring(_ta, CAST(start_a AS INT), CAST(length AS INT))"
+                " = substring(_tb, CAST(start_b AS INT), CAST(length AS INT))"
+            )
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "length")
     )
 
 
