@@ -143,3 +143,26 @@ def test_bucket_cap_suppresses_degenerate_bucket(spark):
     assert len(swarm_exact) == 40 * 39 // 2
     assert not {p for p in capped if p[0] < 100}  # swarm suppressed
     assert capped == {(100, 101): exact[(100, 101)]}
+
+
+def test_widen_semantics(spark):
+    """_widen restores parallelism on narrow batch inputs, leaves
+    already-wide inputs untouched, and passes streaming frames
+    through (repartition before a stateful op would be illegal)."""
+    from gpd_lite_toolbox_spark.text.dedup import _widen
+
+    width = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(1, "x")], "id long, text string").coalesce(1)
+    assert _widen(narrow).rdd.getNumPartitions() == width
+
+    wide = spark.range(1000).repartition(width + 4)
+    assert _widen(wide) is wide
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="widen_stream_")
+    spark.range(10).selectExpr("id", "CAST(id AS STRING) AS text").write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = spark.readStream.schema("id long, text string").parquet(d)
+    assert _widen(stream) is stream
