@@ -84,12 +84,11 @@ def run(spark, sf_dir: str):
         dup_hits.select(F.greatest("id_a", "id_b").alias("id")),
         "id",
         "left_anti",
-    ).persist()
-    # materialize BEFORE the append: `admitted` is lazy over a read of
-    # the index we are about to grow — re-evaluating it afterwards
-    # would dedup the batch against its own appended rows (and pay the
-    # whole ingest twice)
-    admitted.count()
+    ).localCheckpoint()
+    # SEVER LINEAGE before the append (localCheckpoint, not persist:
+    # losing a cached block would lazily re-evaluate `admitted`
+    # against the index we are about to grow, deduping the batch
+    # against its own appended rows)
     G.append_to_minhash_index(admitted, idx)
     snapshot = snapshot.unionByName(admitted)
 

@@ -243,12 +243,13 @@ def run_tws_user_stats(spark, parquet_dir: str) -> "DataFrame":
     events is the kind of order-dependent fold a native streaming
     aggregation cannot express.
 
-    Driven to completion over the bounded events source (one
-    availableNow-style drain: the file source admits the staged dir in
-    its first trigger, so state folds over time-sorted complete
-    per-user histories and the final table equals the batch lag-window
-    computation). Output: (user_id, n_events, sum_value, max_gap_us);
-    single-event users report max_gap_us 0.
+    Driven to completion over the bounded events source in a SINGLE
+    trigger (maxFilesPerTrigger pinned above any real file count, so
+    the staged dir cannot split across micro-batches), meaning state
+    folds over time-sorted complete per-user histories and the final
+    table equals the batch lag-window computation. Output: (user_id,
+    n_events, sum_value, max_gap_us); single-event users report
+    max_gap_us 0.
 
     Environment-gated: raises ``NotImplementedError`` when protobuf is
     absent (see ``tws_available``); ``run_stateful_session_count`` is
@@ -268,7 +269,15 @@ def run_tws_user_stats(spark, parquet_dir: str) -> "DataFrame":
 
     parquet_dir = _stage_dir(parquet_dir, "tws_stats_")
     schema = spark.read.parquet(parquet_dir).schema
-    stream = _normalize_ts(spark.readStream.schema(schema).parquet(parquet_dir))
+    # pin the WHOLE staged dir into one trigger: the gap fold is
+    # order-dependent across micro-batches, so a source that split the
+    # files (e.g. a maxFilesPerTrigger default set elsewhere) would
+    # walk last_us backwards on a late-arriving earlier file
+    stream = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1 << 30)
+        .parquet(parquet_dir)
+    )
     ev = stream.select("user_id", F.unix_micros("ts").alias("us"), "value")
 
     class _UserStats(StatefulProcessor):
@@ -280,7 +289,13 @@ def run_tws_user_stats(spark, parquet_dir: str) -> "DataFrame":
         def handleInputRows(self, key, rows, timer_values):
             (user_id,) = key
             prev = self._st.get() if self._st.exists() else None
-            last_us, max_gap, n, s = prev if prev else (-1, 0, 0, 0.0)
+            # None-safe unpack: last_us=None means 'no previous event'
+            # (a -1 sentinel would swallow gaps after legitimate
+            # pre-epoch negative timestamps)
+            if prev:
+                last_us, max_gap, n, s = prev
+            else:
+                last_us, max_gap, n, s = None, 0, 0, 0.0
             # gather ALL Arrow chunks before sorting (same discipline
             # as the applyInPandasWithState operator: chunks arrive in
             # shuffle order; per-chunk folding would corrupt the gaps)
@@ -290,7 +305,7 @@ def run_tws_user_stats(spark, parquet_dir: str) -> "DataFrame":
                     zip(pdf["us"].tolist(), pdf["value"].tolist())
                 )
             for us, v in sorted(pairs):
-                if last_us >= 0 and us - last_us > max_gap:
+                if last_us is not None and us - last_us > max_gap:
                     max_gap = us - last_us
                 last_us = us
                 n += 1

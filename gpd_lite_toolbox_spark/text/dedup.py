@@ -389,8 +389,9 @@ def write_minhash_index(
 
     Layout:
       ``<path>/bands``: (id, band_key, band, bucket) partitioned by
-        (band, bucket) — bucket is the first 2 hex chars of the band
-        key (256 per band), so an ingest batch's candidate lookup
+        (band, bucket) — bucket is the first ``_IDX_BUCKET_HEX`` hex
+        chars of the band key (16 per band), so an ingest batch's
+        candidate lookup
         reads only the partitions its own band keys land in (static
         partition filter, same discipline as ann_ivf_topk_indexed);
       ``<path>/docs``: (id, h0..h{N-1}, shingle_set) — everything the
@@ -457,8 +458,8 @@ def ingest_near_dups(
     contract as the rest of the module); in-batch duplicates are the
     batch's own ``minhash_lsh_pairs`` run.
 
-    Scale: the batch's (band, bucket) set — at most B x 256 values,
-    typically far fewer — is collected into a static partition filter,
+    Scale: the batch's (band, bucket) set — at most B x 16 values
+    at the default ``_IDX_BUCKET_HEX``, typically fewer — is collected into a static partition filter,
     so the bands scan shows ``PartitionFilters`` and reads only the
     buckets the batch can collide with; the docs table is read only
     for prefilter/verify joins keyed by candidate id.
@@ -1159,11 +1160,12 @@ def exact_substring_spans(
     per diagonal — the standard artifact of every n-gram method.
 
     Plan shape (two corpus-scale exchanges, plan-audited — and the
-    corpus text is scanned and md5'd exactly ONCE, structurally: the
-    pair discovery is an inverted-index GROUP on the gram key with
-    row-local pair expansion, not a self-join, so there is no second
-    evaluation of the gram table to deduplicate and nothing to
-    broadcast):
+    gram md5 pass runs exactly ONCE, structurally: the pair discovery
+    is an inverted-index GROUP on the gram key with row-local pair
+    expansion, not a self-join, so there is no second evaluation of
+    the gram table to deduplicate and nothing to broadcast; the
+    span-verify step re-reads the (id, text) columns, so the raw text
+    is scanned three times total — grams once, verify twice):
       1. a document-sized round-robin exchange restores parallelism
          when the input has fewer partitions than cores (the fixture
          corpus scans as 3 files; the md5 pass measured 6x slower

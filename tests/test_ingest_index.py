@@ -145,7 +145,7 @@ def test_bucket_cap_suppresses_degenerate_bucket(spark):
     assert capped == {(100, 101): exact[(100, 101)]}
 
 
-def test_widen_semantics(spark):
+def test_widen_semantics(spark, tmp_path):
     """_widen restores parallelism on narrow batch inputs, leaves
     already-wide inputs untouched, and passes streaming frames
     through (repartition before a stateful op would be illegal)."""
@@ -158,9 +158,7 @@ def test_widen_semantics(spark):
     wide = spark.range(1000).repartition(width + 4)
     assert _widen(wide) is wide
 
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="widen_stream_")
+    d = str(tmp_path / "widen_stream")
     spark.range(10).selectExpr("id", "CAST(id AS STRING) AS text").write.mode(
         "overwrite"
     ).parquet(d)

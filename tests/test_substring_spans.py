@@ -183,7 +183,7 @@ def test_hypothesis_fuzz_including_unicode(spark):
     def check(texts):
         docs = {i: t for i, t in enumerate(texts)}
         got = run_op(spark, docs, 8)
-        exp = all_pairs_brute({i: t for i, t in docs.items()}, 8)
+        exp = all_pairs_brute(docs, 8)
         assert got == exp
 
     check()
