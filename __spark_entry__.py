@@ -1815,6 +1815,22 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_near_dups(spark, _mhidx_paths[sf_dir], batch, threshold=0.5)
 
 
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words Naive Bayes language classifier (the fastText-
+    style corpus-gating family): train on the documents' lang labels,
+    score the same corpus, report the confusion matrix."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.classify import nb_confusion
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select(
+        F.col("doc_id").alias("id"), "text", F.col("lang").alias("label")
+    )
+    return nb_confusion(docs)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted fixed-size subsample (Efraimidis-Spirakis
     race, weight = document length): the deterministic
@@ -2125,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": _q_substring_spans,
         "weighted_sample": _q_weighted_sample,
         "ingest_near_dups": _q_ingest_near_dups,
+        "nb_classify": _q_nb_classify,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2306,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_spans": OR.EXACT_SUBSTRING_SPANS,
         "weighted_sample": OR.WEIGHTED_SAMPLE,
         "ingest_near_dups": OR.INGEST_NEAR_DUPS,
+        "nb_classify": OR.NB_CLASSIFY,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

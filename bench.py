@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "substring_spans",
     "weighted_sample",
     "ingest_near_dups",
+    "nb_classify",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

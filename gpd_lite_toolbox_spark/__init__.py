@@ -118,6 +118,11 @@ from .text.dedup import (  # noqa: F401
     split_leakage,
     write_minhash_index,
 )
+from .text.classify import (  # noqa: F401
+    nb_confusion,
+    score_nb,
+    train_nb,
+)
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
@@ -222,6 +227,9 @@ __all__ = [
     "chunk_documents",
     "build_vocab",
     "pii_scan",
+    "nb_confusion",
+    "score_nb",
+    "train_nb",
     "redact_expr",
     "remove_boilerplate_lines",
     "normalize_corpus",

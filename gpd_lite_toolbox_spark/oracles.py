@@ -2461,6 +2461,51 @@ WITH {oracle_ctes('corpus')},
 SELECT id, split FROM sp
 """
 
+# Naive Bayes language classification (text/classify.py nb_confusion):
+# the identical counting algebra — Laplace-smoothed per-(class, token)
+# log-probs, unseen-token fallback, document-share prior — with the
+# same ROUND(score, 6) + class-name tiebreak before the argmax, so
+# both engines pick the identical class under double-precision drift.
+NB_CLASSIFY = """
+WITH toks AS (SELECT lang AS label, doc_id AS id,
+                     UNNEST(string_split(text, ' ')) AS tok
+              FROM documents),
+ct AS (SELECT label, tok, COUNT(*) AS n_tok FROM toks GROUP BY label, tok),
+tot AS (SELECT label, COUNT(*) AS n_total FROM toks GROUP BY label),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+dpc AS (SELECT lang AS label, COUNT(*) AS n_docs
+        FROM documents GROUP BY lang),
+nall AS (SELECT COUNT(*) AS n_all FROM documents),
+classes AS (SELECT t.label,
+                   LN(d.n_docs / CAST(n.n_all AS DOUBLE)) AS log_prior,
+                   LN(1.0 / (t.n_total + vb.v)) AS log_default,
+                   t.n_total, vb.v
+            FROM tot t
+            CROSS JOIN vocab vb
+            JOIN dpc d ON d.label = t.label
+            CROSS JOIN nall n),
+model AS (SELECT c.label, c.tok,
+                 LN((c.n_tok + 1) / CAST(cl.n_total + cl.v AS DOUBLE))
+                     AS log_cond
+          FROM ct c JOIN classes cl ON cl.label = c.label),
+sc AS (SELECT tk.id, cl.label,
+              SUM(COALESCE(m.log_cond, cl.log_default)) AS s
+       FROM toks tk
+       CROSS JOIN classes cl
+       LEFT JOIN model m ON m.label = cl.label AND m.tok = tk.tok
+       GROUP BY tk.id, cl.label),
+fin AS (SELECT sc.id, sc.label, ROUND(sc.s + cl.log_prior, 6) AS score
+        FROM sc JOIN classes cl ON cl.label = sc.label),
+best AS (SELECT id, label,
+                ROW_NUMBER() OVER (PARTITION BY id
+                                   ORDER BY score DESC, label ASC) AS rn
+         FROM fin)
+SELECT d.lang AS actual, b.label AS predicted, COUNT(*) AS n_docs
+FROM best b JOIN documents d ON d.doc_id = b.id
+WHERE b.rn = 1
+GROUP BY d.lang, b.label
+"""
+
 # Quality-weighted fixed-k sampling (text/corpus.py weighted_sample):
 # the Efraimidis-Spirakis priority recomputed from the same seeded
 # md5 uniform; ROUND(...,9) + id tiebreak makes the top-k order

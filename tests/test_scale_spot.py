@@ -80,6 +80,8 @@ _SPOT = [
     "substring_spans",
     "weighted_sample",
     "ingest_near_dups",
+    # log-prob sums + argmax tiebreak over a 10x vocabulary
+    "nb_classify",
 ]
 
 
