@@ -1831,6 +1831,27 @@ def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_confusion(docs)
 
 
+def _q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary typo detection: documents plus deterministically
+    mutated variants (first character deleted for id % 7 == 0), then
+    FastSS deletion-neighborhood candidates + exact levenshtein. The
+    oracle is the ALL-PAIRS quadratic form, so the hash match also
+    proves the neighborhood generator is complete."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.fuzzy import fuzzy_token_pairs
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents")
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    typos = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("id"),
+        F.expr("substring(text, 2)").alias("text"),
+    )
+    return fuzzy_token_pairs(base.unionByName(typos))
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted fixed-size subsample (Efraimidis-Spirakis
     race, weight = document length): the deterministic
@@ -2142,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "ingest_near_dups": _q_ingest_near_dups,
         "nb_classify": _q_nb_classify,
+        "fuzzy_vocab": _q_fuzzy_vocab,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2324,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": OR.WEIGHTED_SAMPLE,
         "ingest_near_dups": OR.INGEST_NEAR_DUPS,
         "nb_classify": OR.NB_CLASSIFY,
+        "fuzzy_vocab": OR.FUZZY_VOCAB,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "ingest_near_dups",
     "nb_classify",
+    "fuzzy_vocab",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

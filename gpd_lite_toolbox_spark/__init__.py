@@ -123,6 +123,7 @@ from .text.classify import (  # noqa: F401
     score_nb,
     train_nb,
 )
+from .text.fuzzy import fuzzy_token_pairs  # noqa: F401
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
@@ -228,6 +229,7 @@ __all__ = [
     "build_vocab",
     "pii_scan",
     "nb_confusion",
+    "fuzzy_token_pairs",
     "score_nb",
     "train_nb",
     "redact_expr",

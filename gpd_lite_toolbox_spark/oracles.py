@@ -2461,6 +2461,29 @@ WITH {oracle_ctes('corpus')},
 SELECT id, split FROM sp
 """
 
+# Fuzzy vocabulary pairs (text/fuzzy.py fuzzy_token_pairs): the oracle
+# deliberately uses the quadratic ALL-PAIRS form with only a length
+# prefilter — a hash match therefore proves the engine's FastSS
+# deletion-neighborhood candidate generator finds EVERY distance-1
+# pair. levenshtein is byte-based in DuckDB vs char-based in Spark:
+# equal on this ASCII fixture (see the module docstring).
+FUZZY_VOCAB = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, substr(text, 2) FROM documents
+  WHERE doc_id % 7 = 0
+),
+toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+vocab AS (SELECT tok, COUNT(*) AS n FROM toks
+          WHERE length(tok) >= 1 GROUP BY tok)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       levenshtein(a.tok, b.tok) AS dist, a.n AS n_a, b.n AS n_b
+FROM vocab a JOIN vocab b ON a.tok < b.tok
+WHERE abs(length(a.tok) - length(b.tok)) <= 1
+  AND levenshtein(a.tok, b.tok) <= 1
+"""
+
 # Naive Bayes language classification (text/classify.py nb_confusion):
 # the identical counting algebra — Laplace-smoothed per-(class, token)
 # log-probs, unseen-token fallback, document-share prior — with the

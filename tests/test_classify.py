@@ -95,3 +95,44 @@ def test_nb_scoring_new_docs_deterministic(spark):
     a = sorted((r.id, r.label, r.score) for r in score_nb(probe, model, classes).collect())
     b = sorted((r.id, r.label, r.score) for r in score_nb(probe, model, classes).collect())
     assert a == b and len(a) == 60
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(spark):
+    """FastSS candidates + levenshtein verify must equal the all-pairs
+    distance-1 set, including substitution / insertion / deletion /
+    1-char-token / duplicate-deletion-form edges."""
+    from gpd_lite_toolbox_spark.text.fuzzy import fuzzy_token_pairs
+
+    words = [
+        "cat", "bat", "cats", "at", "a", "b", "aa",
+        "window", "windw", "wxndow", "totally",
+    ]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    got = {(r.tok_a, r.tok_b, r.dist) for r in fuzzy_token_pairs(df).collect()}
+
+    def lev(s, t):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (s[i - 1] != t[j - 1]),
+            )
+        return d(len(s), len(t))
+
+    exp = set()
+    for x in words:
+        for y in words:
+            if x < y and lev(x, y) <= 1:
+                exp.add((x, y, lev(x, y)))
+    assert got == exp
+    assert ("a", "b", 1) in got  # 1-char substitution via the '' key
+    assert ("cat", "cats", 1) in got  # insertion
+    assert ("bat", "cat", 1) in got  # substitution

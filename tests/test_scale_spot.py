@@ -80,8 +80,10 @@ _SPOT = [
     "substring_spans",
     "weighted_sample",
     "ingest_near_dups",
-    # log-prob sums + argmax tiebreak over a 10x vocabulary
+    # log-prob sums + argmax tiebreak over a 10x vocabulary;
+    # deletion-index completeness at 10x derived typos
     "nb_classify",
+    "fuzzy_vocab",
 ]
 
 
