@@ -19,13 +19,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _tokens(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str | None = None,
+) -> DataFrame:
     """Whitespace tokens, the engine's corpus convention (same split
-    as unigram_logprob / token_stats)."""
-    return corpus.select(
+    as unigram_logprob / token_stats). NULL text coalesces to the
+    empty string so a null-text document still receives a prediction
+    instead of silently vanishing from the output (the pipeline.py
+    convention). ``label_col`` adds the training label column."""
+    cols = [
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
+    ]
+    if label_col is not None:
+        cols.insert(0, F.col(label_col).alias("label"))
+    return corpus.select(*cols)
 
 
 def train_nb(
@@ -48,16 +61,18 @@ def train_nb(
     table. Everything downstream of the explode is counts — the
     model is exact integer arithmetic until the final ln.
     """
-    toks = labeled.select(
-        F.col(label_col).alias("label"),
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
+    toks = _tokens(labeled, id_col, text_col, label_col)
+    # ONE corpus-scale pass: class totals and the vocabulary size both
+    # derive from the (vocab-sized) per-(class, token) aggregate — the
+    # module discipline unigram_logprob/build_vocab document, not a
+    # re-tokenization per statistic.
     class_tok = toks.groupBy("label", "tok").agg(
         F.count("*").alias("n_tok")
+    ).persist()
+    class_tot = class_tok.groupBy("label").agg(
+        F.sum("n_tok").alias("n_total")
     )
-    class_tot = toks.groupBy("label").agg(F.count("*").alias("n_total"))
-    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    vocab = class_tok.select(F.countDistinct("tok").alias("v"))
     docs_per_class = labeled.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("n_docs")
     )
@@ -75,6 +90,10 @@ def train_nb(
             "n_total",
             "v",
         )
+        # class-count-sized; consumed by the model join AND every
+        # scoring pass — caching it stops each consumer replaying the
+        # four corpus-scale aggregates behind it
+        .persist()
     )
     model = (
         class_tok.join(
@@ -111,21 +130,25 @@ def score_nb(
     pass stays linear in the corpus.
     """
     toks = _tokens(corpus, id_col, text_col)
+    # ONE broadcast of the class table carrying BOTH per-class
+    # constants: log_prior is constant within the (id, label) group,
+    # so max() re-surfaces it through the aggregate — a second join
+    # would replay the classes lineage (four corpus-scale aggregates)
+    # per consumption.
     scored = (
-        toks.join(F.broadcast(classes.select("label", "log_default")))
+        toks.join(F.broadcast(classes))
         .join(model, ["label", "tok"], "left")
         .select(
             "id",
             "label",
             F.coalesce("log_cond", "log_default").alias("lp"),
+            "log_prior",
         )
         .groupBy("id", "label")
-        .agg(F.sum("lp").alias("_s"))
-        .join(F.broadcast(classes.select("label", "log_prior")), "label")
-        .select(
-            "id",
-            "label",
-            F.round(F.col("_s") + F.col("log_prior"), 6).alias("score"),
+        .agg(
+            F.round(
+                F.sum("lp") + F.max("log_prior"), 6
+            ).alias("score")
         )
     )
     w = Window.partitionBy("id").orderBy(

@@ -42,14 +42,21 @@ def fuzzy_token_pairs(
     typo — the retention decision is the caller's)."""
     vocab = (
         corpus.select(
-            F.explode(F.split(F.col(text_col), " ")).alias("tok")
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("tok")
         )
         .filter(F.length("tok") >= 1)
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
+    # carry the count THROUGH the key index: the postings structs hold
+    # (tok, n), so the pair expansion emits counts directly and the
+    # vocab aggregate's lineage (a corpus-scale tokenize + exchange)
+    # is consumed exactly once — no count-attach joins at the end.
     keys = vocab.select(
         "tok",
+        "n",
         F.explode(
             F.expr(
                 "array_union(array(tok),"
@@ -58,34 +65,25 @@ def fuzzy_token_pairs(
             )
         ).alias("key"),
     )
-    cand = (
+    return (
         keys.groupBy("key")
-        .agg(F.collect_list("tok").alias("_ts"))
+        .agg(F.collect_list(F.struct("tok", "n")).alias("_ts"))
         .filter(F.size("_ts") > 1)
         .select(
             F.explode(
                 F.expr(
                     """
                     flatten(transform(_ts, a ->
-                      transform(filter(_ts, b -> a < b),
-                                b -> struct(a AS tok_a, b AS tok_b))))
+                      transform(filter(_ts, b -> a.tok < b.tok),
+                                b -> struct(a.tok AS tok_a, b.tok AS tok_b,
+                                            a.n AS n_a, b.n AS n_b))))
                     """
                 )
             ).alias("_p")
         )
-        .select("_p.tok_a", "_p.tok_b")
+        .select("_p.tok_a", "_p.tok_b", "_p.n_a", "_p.n_b")
         .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
         .filter(F.col("dist") <= 1)
-        .join(
-            vocab.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a")),
-            "tok_a",
-        )
-        .join(
-            vocab.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b")),
-            "tok_b",
-        )
         .select("tok_a", "tok_b", "dist", "n_a", "n_b")
     )
