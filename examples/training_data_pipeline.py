@@ -78,6 +78,23 @@ def run(spark, sf_dir: str):
     flagged = G.decontaminate(train, bench)
     train = train.join(flagged.select("id"), "id", "left_anti")
 
+    # 4b. language-agreement gate: a bag-of-words classifier trained
+    # on the corpus's own lang tags; documents whose predicted
+    # language disagrees with their tag are suspect (mislabeled or
+    # mixed-language). The synthetic fixture's vocab overlaps across
+    # langs, so this gate is illustrative — real corpora separate far
+    # more cleanly.
+    model, classes = G.train_nb(
+        train.select("id", "text", F.col("lang").alias("label"))
+    )
+    mislabeled = (
+        G.score_nb(train.select("id", "text"), model, classes)
+        .select("id", F.col("label").alias("predicted"))
+        .join(train.select("id", "lang"), "id")
+        .filter(F.col("predicted") != F.col("lang"))
+    )
+    train = train.join(mislabeled.select("id"), "id", "left_anti")
+
     # 5. language-stratified downsampling (deterministic, retry-stable)
     sampled = G.stratified_sample(
         train, "lang",
