@@ -1784,6 +1784,27 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _mhidx_paths: dict[str, str] = {}
 
 
+def _q_weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-weighted quotas: the 30 best documents of
+    EACH lang by length-weighted exponential race — the mixture form
+    of weighted_sample (a global top-k would let one language starve
+    the others)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.corpus import weighted_sample_by_group
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+    )
+    return weighted_sample_by_group(
+        docs, "lang", "weight", k=30, seed=OR.SPLIT_SEED
+    )
+
+
 def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingest: the corpus split by id % 13 into
     an ingest batch and an indexed remainder; the batch deduped
@@ -2164,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_near_dups": _q_ingest_near_dups,
         "nb_classify": _q_nb_classify,
         "fuzzy_vocab": _q_fuzzy_vocab,
+        "weighted_sample_grouped": _q_weighted_sample_grouped,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2347,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_near_dups": OR.INGEST_NEAR_DUPS,
         "nb_classify": OR.NB_CLASSIFY,
         "fuzzy_vocab": OR.FUZZY_VOCAB,
+        "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,
         "match_cluster_twins": OR.MATCH_CLUSTER_TWINS,

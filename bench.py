@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "ingest_near_dups",
     "nb_classify",
     "fuzzy_vocab",
+    "weighted_sample_grouped",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

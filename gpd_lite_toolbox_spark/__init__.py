@@ -100,6 +100,7 @@ from .text.corpus import (  # noqa: F401
     split_corpus,
     stratified_sample,
     weighted_sample,
+    weighted_sample_by_group,
     tfidf_topk,
     unigram_logprob,
 )
@@ -222,6 +223,7 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "weighted_sample",
+    "weighted_sample_by_group",
     "sample_to_mixture",
     "shard_corpus",
     "sample_k_per_group",

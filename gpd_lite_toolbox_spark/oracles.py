@@ -2484,6 +2484,24 @@ WHERE abs(length(a.tok) - length(b.tok)) <= 1
   AND levenshtein(a.tok, b.tok) <= 1
 """
 
+# Per-group weighted sampling (text/corpus.py weighted_sample_by_group):
+# the same Efraimidis-Spirakis priority, top-k per lang.
+WEIGHTED_SAMPLE_GROUPED = f"""
+WITH keyed AS (
+  SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) AS weight,
+         ROUND(-LN((CAST(('0x' || substr(md5('{SPLIT_SEED}_'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                    + 0.5) / 4294967296.0) / CAST(n_chars AS BIGINT), 9)
+             AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY es_key, id) AS rn
+      FROM keyed)
+SELECT id, lang, weight, es_key FROM r WHERE rn <= 30
+"""
+
 # Naive Bayes language classification (text/classify.py nb_confusion):
 # the identical counting algebra — Laplace-smoothed per-(class, token)
 # log-probs, unseen-token fallback, document-share prior — with the

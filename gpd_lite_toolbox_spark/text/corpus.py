@@ -152,6 +152,42 @@ def weighted_sample(
     )
 
 
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-group weighted sample WITHOUT replacement: the
+    Efraimidis–Spirakis race of ``weighted_sample`` run independently
+    inside every group — the per-domain quota form (keep the best k
+    docs of EACH source/language by quality weight) a mixture-building
+    pipeline uses where the global top-k would let one domain starve
+    the others.
+
+    Same determinism contract as ``weighted_sample`` (seeded-md5
+    uniform, ROUND(priority, 9), id tiebreak); groups smaller than
+    ``k`` keep all their positive-weight rows. Executes as
+    WindowGroupLimit partial top-k heaps per group — no global sort,
+    one exchange on the group key.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        key_u32(seeded_key(seed, id_col)) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = Window.partitionBy(group_col).orderBy("es_key", id_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", F.round(-F.log(u) / F.col(weight_col), 9))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

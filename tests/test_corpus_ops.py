@@ -202,3 +202,30 @@ def test_weighted_sample_plan_is_takeordered_no_exchange(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_weighted_sample_by_group_quotas_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.corpus import weighted_sample_by_group
+
+    # 3 groups of 40 rows; one group has only 5 positive-weight rows
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(40):
+            rid = ord(g) * 1000 + i
+            w = 0.0 if g == "c" and i >= 5 else float(1 + i % 7)
+            rows.append((rid, g, w))
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    s1 = weighted_sample_by_group(df, "g", "w", k=10, seed=3).collect()
+    s2 = weighted_sample_by_group(df, "g", "w", k=10, seed=3).collect()
+    assert sorted(r.id for r in s1) == sorted(r.id for r in s2)
+    by_g = {}
+    for r in s1:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["a"]) == 10 and len(by_g["b"]) == 10
+    assert len(by_g["c"]) == 5  # only 5 positive-weight rows exist
+    # within each group the kept rows are the k smallest priorities
+    for g, rs in by_g.items():
+        keys = sorted((r.es_key, r.id) for r in rs)
+        assert keys == sorted(keys)
