@@ -478,7 +478,19 @@ def ingest_near_dups(
     by_band: dict[int, list[str]] = {}
     for r in probed:
         by_band.setdefault(r.band, []).append(r.bucket)
-    idx_bands = spark.read.parquet(f"{path}/bands")
+    try:
+        idx_bands = spark.read.parquet(f"{path}/bands")
+    except Exception:
+        # an index written over an EMPTY corpus has no part files
+        # (partitionBy writes nothing for zero rows) — a legitimate
+        # state for a day-1 pipeline; nothing can match, schema from
+        # the batch
+        sig_n.unpersist()
+        return batch.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("jaccard"),
+        ).limit(0)
     if by_band:
         cond = reduce(
             or_,

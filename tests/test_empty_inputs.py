@@ -148,3 +148,45 @@ def test_round4_text_ops_on_empty_corpus(spark):
     assert sample_k_per_group(g, "lang", 5).count() == 0
     emb = _empty(spark, "vec_id long, embedding array<float>")
     assert quantize_int8(emb).count() == 0
+
+
+def test_session4_ops_on_empty_inputs(spark, tmp_path):
+    from gpd_lite_toolbox_spark.text.classify import (
+        nb_confusion,
+        score_nb,
+        train_nb,
+    )
+    from gpd_lite_toolbox_spark.text.corpus import (
+        weighted_sample,
+        weighted_sample_by_group,
+    )
+    from gpd_lite_toolbox_spark.text.dedup import (
+        exact_substring_spans,
+        ingest_near_dups,
+        write_minhash_index,
+    )
+    from gpd_lite_toolbox_spark.text.fuzzy import fuzzy_token_pairs
+
+    corpus = _empty(spark, "id long, text string")
+    assert exact_substring_spans(corpus).count() == 0
+    assert fuzzy_token_pairs(corpus).count() == 0
+
+    wdf = _empty(spark, "id long, w double")
+    assert weighted_sample(wdf, "w", k=5).count() == 0
+    gdf = _empty(spark, "id long, g string, w double")
+    assert weighted_sample_by_group(gdf, "g", "w", k=5).count() == 0
+
+    labeled = _empty(spark, "id long, text string, label string")
+    model, classes = train_nb(labeled)
+    assert model.count() == 0 and classes.count() == 0
+    # scoring any corpus against an EMPTY model yields no predictions
+    # (no classes exist to assign) rather than crashing
+    probe = spark.createDataFrame([(1, "a b")], "id long, text string")
+    assert score_nb(probe, model, classes).count() == 0
+    assert nb_confusion(labeled).count() == 0
+
+    # an index built over an empty corpus still serves ingest lookups
+    path = str(tmp_path / "empty_idx")
+    write_minhash_index(corpus, path)
+    batch = spark.createDataFrame([(5, "some text here")], "id long, text string")
+    assert ingest_near_dups(spark, path, batch).count() == 0
