@@ -1219,6 +1219,25 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 + dense cosine fused by reciprocal-rank
+    fusion (text/search.py hybrid_topk) — the RAG-corpus query shape.
+    embeddings.vec_id is read as the embedding of corpus doc id."""
+    from gpd_lite_toolbox_spark.text.search import hybrid_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return hybrid_topk(
+        _corpus(s, sf_dir),
+        s.table("embeddings"),
+        query_terms=OR.BM25_TERMS,
+        query_vec_id=OR.HYBRID_QUERY_VEC,
+        k=OR.HYBRID_K,
+        depth=OR.HYBRID_DEPTH,
+        k_rrf=OR.HYBRID_RRF_K,
+    )
+
+
 def _q_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each error event, the most recent non-error
     event of the same user at-or-before it (union + running-last
@@ -2186,6 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": _q_nb_classify,
         "fuzzy_vocab": _q_fuzzy_vocab,
         "weighted_sample_grouped": _q_weighted_sample_grouped,
+        # --- round-4 session-5 additions (never-row) ---
+        "hybrid_topk": _q_hybrid_topk,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2369,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_near_dups": OR.INGEST_NEAR_DUPS,
         "nb_classify": OR.NB_CLASSIFY,
         "fuzzy_vocab": OR.FUZZY_VOCAB,
+        "hybrid_topk": OR.HYBRID_TOPK,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

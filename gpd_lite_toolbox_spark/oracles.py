@@ -1805,6 +1805,56 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT) AS rank,
 FROM r
 """
 
+# Hybrid retrieval: BM25 + exact dense cosine fused with reciprocal-
+# rank fusion (score = sum 1/(60+rank), absent list contributes 0).
+# Both input rankings are exactly checkable (the BM25 score fragments
+# and the cosine fold are shared with BM25_TOPK / ANN_TOPK above), so
+# the fused list is too: RRF only consumes integer ranks.
+HYBRID_K = 20
+HYBRID_DEPTH = 50
+HYBRID_RRF_K = 60
+HYBRID_QUERY_VEC = 0
+
+HYBRID_TOPK = f"""
+WITH {oracle_ctes('corpus')},
+d AS (SELECT id, string_split(text, ' ') AS toks FROM corpus),
+m AS (SELECT id, len(toks) AS dl{_BM25_TF} FROM d),
+st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl{_BM25_DF} FROM m),
+sc AS (SELECT id, {_BM25_SCORE} AS score, ({_BM25_ANY}) AS anym
+       FROM m CROSS JOIN st),
+lexr AS (SELECT id, ROUND(score, 6) AS score FROM sc WHERE anym
+         ORDER BY score DESC, id LIMIT {HYBRID_DEPTH}),
+lex AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id)
+                     AS INT) AS rank_0
+        FROM lexr),
+q AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+      FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}),
+v AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+      FROM embeddings),
+dsc AS (SELECT v.vec_id AS id,
+               ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+        FROM q, v),
+denr AS (SELECT id, cosine FROM dsc
+         ORDER BY cosine DESC, id LIMIT {HYBRID_DEPTH}),
+den AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id)
+                     AS INT) AS rank_1
+        FROM denr),
+f AS (SELECT COALESCE(l.id, de.id) AS id, l.rank_0, de.rank_1
+      FROM lex l FULL OUTER JOIN den de ON l.id = de.id),
+sco AS (SELECT id,
+               ROUND(COALESCE(1.0 / ({HYBRID_RRF_K}.0
+                                     + CAST(rank_0 AS DOUBLE)), 0.0)
+                     + COALESCE(1.0 / ({HYBRID_RRF_K}.0
+                                       + CAST(rank_1 AS DOUBLE)), 0.0),
+                     6) AS rrf,
+               rank_0, rank_1
+        FROM f),
+top AS (SELECT * FROM sco ORDER BY rrf DESC, id LIMIT {HYBRID_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
+       id, rrf, rank_0, rank_1
+FROM top
+"""
+
 # --- profiling / OLAP-shape additions (round 3) ---
 
 DOC_PROFILE = """

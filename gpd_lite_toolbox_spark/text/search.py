@@ -105,3 +105,112 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "id", "score"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al.):
+    ``score(d) = sum_i 1 / (k_rrf + rank_i(d))``, a document absent
+    from a list contributing 0 for that list.
+
+    Output: (rank, id, rrf, rank_0..rank_{N-1}) — the per-list ranks
+    kept (NULL where the list missed the document) so callers can see
+    WHICH signal surfaced each hit.
+
+    Scale design: each input is already a top-depth list (depth rows,
+    not corpus rows), so the N-way full-outer join is bounded by
+    N x depth regardless of corpus size; the final top-k is a sort
+    over <= N x depth rows. The expensive work — producing the input
+    rankings — stays in the upstream operators (bm25_topk's map-side
+    scan, cosine_topk / ann_lsh_topk's banded candidates), which are
+    each individually 100 TB-shaped. RRF itself adds no corpus-sized
+    shuffle.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("int").alias(f"rank_{i}"),
+        )
+        fused = (
+            side
+            if fused is None
+            else fused.join(side, on="id", how="full_outer")
+        )
+    rrf = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            1.0 / (F.lit(float(k_rrf)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0),
+        )
+        rrf = term if rrf is None else rrf + term
+    ranked = (
+        fused.select(
+            "id",
+            F.round(rrf, 6).alias("rrf"),
+            *[f"rank_{i}" for i in range(len(rankings))],
+        )
+        .orderBy(F.col("rrf").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "id",
+        "rrf",
+        *[f"rank_{i}" for i in range(len(rankings))],
+    )
+
+
+def hybrid_topk(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 over the text corpus and
+    exact cosine over the embedding table, fused with reciprocal-rank
+    fusion. ``embeddings.vec_id`` is the embedding of document
+    ``corpus.id`` (the RAG-corpus convention); the dense query is the
+    embedding row ``query_vec_id``.
+
+    Output: (rank, id, rrf, rank_0, rank_1) with rank_0 = BM25 rank,
+    rank_1 = dense rank (NULL where that signal missed the doc).
+
+    Scale: BM25 is one map-side scan + single-row stats broadcast;
+    the dense side broadcasts ONE query vector over the corpus with a
+    partial top-k (WindowGroupLimit) — swap in ann_lsh_topk /
+    ann_ivf_topk for the candidate-limited form at larger corpora and
+    the fusion is unchanged (rrf_fuse only sees depth-sized lists).
+    """
+    from ..vector.ann import cosine_topk
+
+    lex = bm25_topk(
+        corpus,
+        query_terms,
+        k=depth,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    dense = cosine_topk(
+        embeddings.filter(F.col(vec_id_col) == query_vec_id),
+        embeddings,
+        k=depth,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return rrf_fuse([lex, dense], k=k, k_rrf=k_rrf)

@@ -229,3 +229,55 @@ def test_weighted_sample_by_group_quotas_and_determinism(spark):
     for g, rs in by_g.items():
         keys = sorted((r.es_key, r.id) for r in rs)
         assert keys == sorted(keys)
+
+
+def test_rrf_fuse_closed_form_scores_and_missing_list_zero(spark):
+    from gpd_lite_toolbox_spark.text.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "id long, rank int")
+    out = rrf_fuse([a, b], k=10, k_rrf=60).collect()
+    rows = {r.id: r for r in out}
+    # id 2 appears in both lists; 1 and 3 in one each (other term = 0)
+    assert [r.id for r in out] == [2, 1, 3]
+    assert rows[2].rrf == round(1 / 62 + 1 / 61, 6)
+    assert rows[1].rrf == round(1 / 61, 6)
+    assert rows[3].rrf == round(1 / 62, 6)
+    assert rows[1].rank_1 is None and rows[3].rank_0 is None
+    assert (rows[2].rank_0, rows[2].rank_1) == (2, 1)
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_rrf_fuse_rejects_empty_ranking_list(spark):
+    import pytest as _pytest
+
+    from gpd_lite_toolbox_spark.text.search import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+
+
+def test_hybrid_topk_surfaces_both_signals(spark, sf_dir):
+    from gpd_lite_toolbox_spark import fixtures as FX
+    from gpd_lite_toolbox_spark import oracles as OR
+    from gpd_lite_toolbox_spark.text.search import hybrid_topk
+
+    FX.register_base_tables(spark, sf_dir)
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    out = hybrid_topk(
+        corpus,
+        spark.table("embeddings"),
+        query_terms=OR.BM25_TERMS,
+        query_vec_id=OR.HYBRID_QUERY_VEC,
+        k=OR.HYBRID_K,
+        depth=OR.HYBRID_DEPTH,
+    ).collect()
+    assert 0 < len(out) <= OR.HYBRID_K
+    # ranks are 1..n dense, ordering is (rrf desc, id asc)
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    pairs = [(-r.rrf, r.id) for r in out]
+    assert pairs == sorted(pairs)
+    # the dense query's own embedding is its rank-1 neighbor, so the
+    # fused list must carry at least one dense-ranked row
+    assert any(r.rank_1 is not None for r in out)
+    assert any(r.rank_0 is not None for r in out)
