@@ -1238,6 +1238,14 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality-rule audit per document (published
+    thresholds; text/analysis.py gopher_rules) — zero-shuffle."""
+    from gpd_lite_toolbox_spark.text.analysis import gopher_rules
+
+    return gopher_rules(_corpus(spark, sf_dir))
+
+
 def _q_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each error event, the most recent non-error
     event of the same user at-or-before it (union + running-last
@@ -2207,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_grouped": _q_weighted_sample_grouped,
         # --- round-4 session-5 additions (never-row) ---
         "hybrid_topk": _q_hybrid_topk,
+        "gopher_rules": _q_gopher_rules,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2391,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": OR.NB_CLASSIFY,
         "fuzzy_vocab": OR.FUZZY_VOCAB,
         "hybrid_topk": OR.HYBRID_TOPK,
+        "gopher_rules": OR.GOPHER_RULES,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

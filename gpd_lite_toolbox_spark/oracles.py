@@ -1855,6 +1855,56 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
 FROM top
 """
 
+# Gopher quality-rule audit (text/analysis.py gopher_rules): every
+# statistic is a shared-dialect string/list expression, the thresholds
+# are the published constants (Rae et al. 2021 Table A1).
+_GOPHER_STOP_SUM = " + ".join(
+    f"CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END"
+    for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+GOPHER_RULES = f"""
+WITH {oracle_ctes('corpus')},
+t AS (SELECT id, text,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lns
+      FROM corpus),
+m AS (SELECT id,
+             CAST(len(toks) AS INT) AS n_words,
+             CAST(len(lns) AS INT) AS n_lines,
+             length(text) AS n_chars,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_sym,
+             len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+             len(list_filter(lns,
+                 x -> x LIKE '- %' OR x LIKE '* %')) AS n_bullet,
+             len(list_filter(lns, x -> x LIKE '%...')) AS n_ell_line,
+             CAST({_GOPHER_STOP_SUM} AS INT) AS n_stop_distinct
+      FROM t),
+r AS (SELECT id, n_words,
+             ROUND((n_chars - (n_words - 1) - (n_lines - 1))
+                   / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+             ROUND(n_sym / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
+             ROUND(n_bullet / CAST(n_lines AS DOUBLE), 6) AS bullet_frac,
+             ROUND(n_ell_line / CAST(n_lines AS DOUBLE), 6)
+               AS ellipsis_frac,
+             ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+             n_stop_distinct
+      FROM m)
+SELECT id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stop_distinct,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio < 0.1
+        AND bullet_frac < 0.9
+        AND ellipsis_frac < 0.3
+        AND alpha_frac > 0.8
+        AND n_stop_distinct >= 2) AS passes
+FROM r
+"""
+
 # --- profiling / OLAP-shape additions (round 3) ---
 
 DOC_PROFILE = """

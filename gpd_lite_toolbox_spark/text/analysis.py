@@ -203,3 +203,94 @@ def regex_token_stats(
         n_re.alias("n_re_tokens"),
         F.round(n_re / n_ws.cast("double"), 6).alias("tokens_per_word"),
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models", Table A1) — the published thresholds, kept verbatim so the
+# report reads as the standard filter:
+GOPHER_WORD_MIN, GOPHER_WORD_MAX = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_MAX = 0.3
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_STOP_MIN = 2
+
+
+def gopher_rules(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality-rule report: the measured statistics
+    plus the pass/fail verdict of each published rule and their
+    conjunction. The single-rule ``quality_score`` above is the cheap
+    composite; this is the full audit a filtering pipeline logs before
+    dropping documents.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop_distinct, passes).
+
+    Scale design: a pure zero-shuffle projection — every statistic is a
+    native string/array expression (split + higher-order lambdas), so
+    the report is one codegen map pass over the corpus at any size. All
+    patterns live in the Java-regex/RE2 intersection so the DuckDB
+    oracle shares them verbatim.
+    """
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    lines = F.split(text, "\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    dn_words = n_words.cast("double")
+    # single-spaced convention (see token_stats): word chars = chars
+    # minus the n_words-1 space separators minus any embedded newline
+    # characters (line structure is kept only for the line rules)
+    mean_wl = F.round(
+        (F.length(text) - (n_words - 1) - (n_lines - 1)) / dn_words,
+        6,
+    )
+    n_sym = _occurrences(text, "#") + _occurrences(text, "...")
+    symbol_ratio = F.round(n_sym / dn_words, 6)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ") | ln.startswith("* "),
+            )
+        )
+        / n_lines.cast("double"),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+        / n_lines.cast("double"),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / dn_words,
+        6,
+    )
+    n_stop = None
+    for s in GOPHER_STOPWORDS:
+        c = F.array_contains(toks, s).cast("int")
+        n_stop = c if n_stop is None else n_stop + c
+    out = corpus.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_WORD_MIN, GOPHER_WORD_MAX)
+        & F.col("mean_word_len").between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+        & (F.col("symbol_ratio") < GOPHER_SYMBOL_MAX)
+        & (F.col("bullet_frac") < GOPHER_BULLET_MAX)
+        & (F.col("ellipsis_frac") < GOPHER_ELLIPSIS_MAX)
+        & (F.col("alpha_frac") > GOPHER_ALPHA_MIN)
+        & (F.col("n_stop_distinct") >= GOPHER_STOP_MIN)
+    )
+    return out.withColumn("passes", passes)

@@ -135,3 +135,45 @@ def test_dup_groups_long_chain_converges(_spark):
     rows = dup_groups(corpus, pairs=pairs).collect()
     assert {r.group_id for r in rows} == {0}
     assert all(r.group_size == 13 for r in rows)
+
+
+def test_gopher_rules_planted_branches(_spark):
+    """Each rule's failure branch fires on a planted document; the
+    fixture corpus (single-line word salad) can only exercise the
+    word-count / word-length / stopword rules."""
+    from gpd_lite_toolbox_spark.text.analysis import gopher_rules
+
+    good = " ".join(
+        ["the", "be", "of"] + ["word"] * 60
+    )  # 63 words, all alpha, 2+ stopwords
+    bullets = "\n".join(["- item one", "- item two", "* item three"])
+    ellipses = "\n".join(["trailing off...", "more..."] + ["plain line"])
+    symbols = "### " * 20 + "the be " + "w " * 50
+    numeric = "the be " + "123 456 " * 40
+    docs = [
+        (1, good),
+        (2, bullets),
+        (3, ellipses),
+        (4, symbols.strip()),
+        (5, numeric.strip()),
+        (6, "the be short doc"),
+    ]
+    df = _spark.createDataFrame(docs, "id long, text string")
+    out = {r.id: r for r in gopher_rules(df).collect()}
+
+    assert out[1].passes
+    assert out[1].n_words == 63 and out[1].n_stop_distinct == 3
+    assert out[1].alpha_frac == 1.0 and out[1].symbol_ratio == 0.0
+
+    assert out[2].bullet_frac == 1.0 and not out[2].passes
+    assert out[3].ellipsis_frac == round(2 / 3, 6) and not out[3].passes
+    # symbols doc: 60 '#' chars over 72 words -> ratio > 0.1
+    assert out[4].symbol_ratio > 0.1 and not out[4].passes
+    # numeric doc: 80 of 82 words lack an alphabetic char
+    assert out[5].alpha_frac < 0.8 and not out[5].passes
+    # short doc fails the word-count floor
+    assert out[6].n_words == 4 and not out[6].passes
+    # multi-line docs: newline chars are excluded from word-length chars
+    assert out[2].mean_word_len == round(
+        (len(bullets) - (out[2].n_words - 1) - 2) / out[2].n_words, 6
+    )
