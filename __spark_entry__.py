@@ -1238,6 +1238,17 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: LSH embedding near-dup pairs closed into
+    semantic clusters (text/dedup.py semantic_dedup); threshold shared
+    with embedding_dups so the pair fragment is the audited one."""
+    from gpd_lite_toolbox_spark.text.dedup import semantic_dedup
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return semantic_dedup(s.table("embeddings"), threshold=0.45, dims=64)
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher quality-rule audit per document (published
     thresholds; text/analysis.py gopher_rules) — zero-shuffle."""
@@ -2216,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 session-5 additions (never-row) ---
         "hybrid_topk": _q_hybrid_topk,
         "gopher_rules": _q_gopher_rules,
+        "semantic_dedup": _q_semantic_dedup,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2401,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_vocab": OR.FUZZY_VOCAB,
         "hybrid_topk": OR.HYBRID_TOPK,
         "gopher_rules": OR.GOPHER_RULES,
+        "semantic_dedup": OR.SEMANTIC_DEDUP,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

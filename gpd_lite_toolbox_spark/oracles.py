@@ -1385,6 +1385,40 @@ JOIN e v ON v.vec_id = c.id_b
 WHERE ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45
 """
 
+# SemDeDup composition (text/dedup.py semantic_dedup): the embedding
+# near-dup pair list above closed into connected components by the
+# SAME independent recursive-CTE walk the lexical DUP_GROUPS gate
+# uses — one cluster semantics across the lexical and semantic paths.
+SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+      FROM embeddings),
+proj AS (SELECT vec_id, {_LSH_PROJ} FROM embeddings),
+bands AS ({_LSH_BANDS}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN e q ON q.vec_id = c.id_a
+  JOIN e v ON v.vec_id = c.id_b
+  WHERE ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) >= 0.45),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(id, lbl) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT eg.dst, w.lbl FROM walk w JOIN edges eg ON eg.src = w.id
+)
+SELECT id, MIN(lbl) AS group_id,
+       CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT)
+         AS group_size
+FROM walk GROUP BY id
+"""
+
 # ------------------------------------------------- concave/holed geometry
 # Oracle for intersection_stats_table over the L-shaped + holed layers.
 # Unlike most oracles in this file, this is NOT an expression mirror of

@@ -1108,6 +1108,44 @@ def dedup_canonical(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    bucket_cap: int = 1024,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-composed pipeline (Abbas et al. 2023 shape): embedding
+    near-duplicate pairs -> connected components -> one representative
+    per semantic cluster. Returns ``(id, group_id, group_size)`` for
+    EVERY vector (singletons included); the retention rule is
+    ``id == group_id`` (the cluster's min id), mirroring
+    ``dup_groups``' contract so downstream accounting is shared
+    between the lexical and semantic dedup paths.
+
+    Scale design: candidate generation is the banded hyperplane LSH
+    (never all-pairs; ``bucket_cap`` salts degenerate buckets),
+    clustering is the flat-lineage label propagation of
+    ``dup_groups`` — each stage is individually 100 TB-shaped and the
+    composition adds no new shuffle beyond the component rounds.
+    """
+    prs = embedding_near_dups(
+        vectors,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        exact=False,
+        dims=dims,
+        bucket_cap=bucket_cap,
+    )
+    ids = vectors.select(F.col(id_col).alias("id"))
+    return dup_groups(
+        ids, pairs=prs.select("id_a", "id_b"), max_iter=max_iter
+    )
+
+
 def split_leakage(
     corpus: DataFrame,
     splits: DataFrame,

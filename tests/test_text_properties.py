@@ -177,3 +177,34 @@ def test_gopher_rules_planted_branches(_spark):
     assert out[2].mean_word_len == round(
         (len(bullets) - (out[2].n_words - 1) - 2) / out[2].n_words, 6
     )
+
+
+def test_semantic_dedup_contract_and_determinism(_spark, sf_dir):
+    """Cluster-label contract on the fixture embeddings: labels are
+    component minima, sizes sum to N, repeat runs agree."""
+    from gpd_lite_toolbox_spark import fixtures as FX
+    from gpd_lite_toolbox_spark.text.dedup import (
+        embedding_near_dups,
+        semantic_dedup,
+    )
+
+    FX.register_base_tables(_spark, sf_dir)
+    emb = _spark.table("embeddings")
+    n = emb.count()
+    rows = semantic_dedup(emb, threshold=0.45, dims=64).collect()
+    assert len(rows) == n
+    by_group = {}
+    for r in rows:
+        assert r.group_id <= r.id  # label is the component minimum
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, members in by_group.items():
+        assert min(m.id for m in members) == gid
+        assert all(m.group_size == len(members) for m in members)
+    # every LSH near-dup pair landed in one cluster
+    prs = embedding_near_dups(emb, threshold=0.45, dims=64).collect()
+    lbl = {r.id: r.group_id for r in rows}
+    assert all(lbl[p.id_a] == lbl[p.id_b] for p in prs)
+    again = semantic_dedup(emb, threshold=0.45, dims=64).collect()
+    assert sorted((r.id, r.group_id) for r in again) == sorted(
+        (r.id, r.group_id) for r in rows
+    )
