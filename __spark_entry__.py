@@ -1238,6 +1238,15 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 5-gram character coverage per document (Gopher's
+    heavy repetition rule; text/analysis.py dup_ngram_coverage) —
+    row-local zero-shuffle vs the oracle's relational recomputation."""
+    from gpd_lite_toolbox_spark.text.analysis import dup_ngram_coverage
+
+    return dup_ngram_coverage(_corpus(spark, sf_dir), n=OR.DUP_NGRAM_N)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition: LSH embedding near-dup pairs closed into
     semantic clusters (text/dedup.py semantic_dedup); threshold shared
@@ -2228,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "gopher_rules": _q_gopher_rules,
         "semantic_dedup": _q_semantic_dedup,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2414,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": OR.HYBRID_TOPK,
         "gopher_rules": OR.GOPHER_RULES,
         "semantic_dedup": OR.SEMANTIC_DEDUP,
+        "dup_ngram_coverage": OR.DUP_NGRAM_COVERAGE,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -1939,6 +1939,46 @@ SELECT id, n_words, mean_word_len, symbol_ratio, bullet_frac,
 FROM r
 """
 
+# Duplicate n-gram character coverage (text/analysis.py
+# dup_ngram_coverage, n=5): coverage recomputed RELATIONALLY — lateral
+# gram unnest, HAVING-count duplicates, distinct span indices — an
+# independent algorithm from Spark's row-local sorted-adjacency pass.
+DUP_NGRAM_N = 5
+
+DUP_NGRAM_COVERAGE = f"""
+WITH {oracle_ctes('corpus')},
+t AS (SELECT id, text, string_split(text, ' ') AS toks FROM corpus),
+base AS (SELECT id, toks, len(toks) AS m,
+                CAST(length(text) - (len(toks) - 1) AS BIGINT)
+                  AS tok_chars
+         FROM t),
+g AS (SELECT b.id, u.i,
+             array_to_string(b.toks[u.i + 1 : u.i + {DUP_NGRAM_N}], ' ')
+               AS gram
+      FROM base b,
+           UNNEST(generate_series(0, b.m - {DUP_NGRAM_N})) AS u(i)
+      WHERE b.m >= {DUP_NGRAM_N}),
+d AS (SELECT id, gram FROM g GROUP BY id, gram HAVING COUNT(*) >= 2),
+occ AS (SELECT g.id, g.i
+        FROM g JOIN d ON d.id = g.id AND d.gram = g.gram),
+cov AS (SELECT DISTINCT o.id, u.j
+        FROM occ o,
+             UNNEST(generate_series(o.i, o.i + {DUP_NGRAM_N} - 1))
+               AS u(j)),
+covch AS (SELECT c.id,
+                 CAST(SUM(length(b.toks[c.j + 1])) AS BIGINT)
+                   AS covered_chars
+          FROM cov c JOIN base b ON b.id = c.id
+          GROUP BY c.id)
+SELECT b.id, CAST(b.m AS BIGINT) AS n_tokens, b.tok_chars,
+       COALESCE(cc.covered_chars, 0) AS covered_chars,
+       CASE WHEN b.tok_chars > 0
+            THEN ROUND(COALESCE(cc.covered_chars, 0)
+                       / CAST(b.tok_chars AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_ngram_char_frac
+FROM base b LEFT JOIN covch cc ON cc.id = b.id
+"""
+
 # --- profiling / OLAP-shape additions (round 3) ---
 
 DOC_PROFILE = """

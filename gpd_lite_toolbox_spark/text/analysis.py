@@ -294,3 +294,87 @@ def gopher_rules(
         & (F.col("n_stop_distinct") >= GOPHER_STOP_MIN)
     )
     return out.withColumn("passes", passes)
+
+
+def dup_ngram_coverage(
+    corpus: DataFrame,
+    n: int = 5,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher's duplicate n-gram character coverage: the fraction of a
+    document's word characters lying inside at least one occurrence of
+    a token n-gram that appears >= 2 times in the SAME document (each
+    character counted once however many duplicated grams cover it —
+    interval union, not occurrence sum). The heavy repetition signal
+    Gopher/RefinedWeb gate on for n in 5..10; ``repetition_stats``
+    above covers the light ttr/top-bigram signals.
+
+    Output: (id, n_tokens, tok_chars, covered_chars,
+    dup_ngram_char_frac); ``tok_chars`` excludes the single-space
+    separators of the corpus convention.
+
+    Scale design: entirely ROW-LOCAL — grams, the sorted-neighbor
+    duplicate test, the span union, and the character sum are all
+    higher-order array expressions, so the report is a zero-shuffle
+    codegen+eval pass at any corpus size. Per row the sort is
+    O(m log m) in token count and the span union O(m * n) — linear
+    passes, no quadratic pair scan (the sorted-adjacency test replaces
+    count-per-gram lookups). The DuckDB gate recomputes coverage
+    RELATIONALLY (lateral unnest + group-by + distinct spans), so
+    agreement checks two independent algorithms.
+    """
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    m = F.size(toks)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        toks.alias("t"),
+        m.cast("bigint").alias("n_tokens"),
+        (F.length(text) - (m - 1)).cast("bigint").alias("tok_chars"),
+    )
+    grams = F.when(
+        F.col("n_tokens") >= n,
+        F.expr(
+            f"transform(sequence(0, size(t) - {n}),"
+            f" i -> named_struct("
+            f"'g', concat_ws(' ', slice(t, i + 1, {n})), 's', i))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<g:string,s:int>>"))
+    # struct sort orders by (g, s); an occurrence is duplicated iff a
+    # sorted neighbor shares its gram string
+    staged = base.withColumn("sg", F.array_sort(grams))
+    dup_starts = F.expr(
+        "transform("
+        "  filter(sequence(0, size(sg) - 1),"
+        "    i -> (i > 0 AND sg[i].g = sg[i - 1].g)"
+        "      OR (i < size(sg) - 1 AND sg[i].g = sg[i + 1].g)),"
+        "  i -> sg[i].s)"
+    )
+    covered_idx = F.array_distinct(
+        F.flatten(
+            F.expr(
+                f"transform(dup_starts, s -> sequence(s, s + {n} - 1))"
+            )
+        )
+    )
+    staged = staged.withColumn("dup_starts", dup_starts).withColumn(
+        "cov", covered_idx
+    )
+    covered_chars = F.expr(
+        "aggregate(cov, CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + length(element_at(t, i + 1)))"
+    )
+    return staged.select(
+        "id",
+        "n_tokens",
+        "tok_chars",
+        covered_chars.alias("covered_chars"),
+        # empty text has tok_chars = 0: emit 0.0 rather than tripping
+        # ANSI divide-by-zero (mirrored in the oracle)
+        F.when(F.col("tok_chars") > 0,
+            F.round(
+                covered_chars / F.col("tok_chars").cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_ngram_char_frac"),
+    )

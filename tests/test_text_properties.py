@@ -208,3 +208,24 @@ def test_semantic_dedup_contract_and_determinism(_spark, sf_dir):
     assert sorted((r.id, r.group_id) for r in again) == sorted(
         (r.id, r.group_id) for r in rows
     )
+
+
+def test_dup_ngram_coverage_hand_computed(_spark):
+    from gpd_lite_toolbox_spark.text.analysis import dup_ngram_coverage
+
+    docs = [
+        # "a b c d e" occurs at starts 0 and 5: tokens 0..9 covered
+        (1, "a b c d e a b c d e x"),
+        (2, "p q r s t u v"),  # no duplicated 5-gram
+        (3, "a b c"),  # shorter than n
+        (4, "a a a a a a a"),  # overlapping occurrences, full cover
+        (5, ""),  # empty text: tok_chars 0, frac 0.0
+    ]
+    df = _spark.createDataFrame(docs, "id long, text string")
+    out = {r.id: r for r in dup_ngram_coverage(df, n=5).collect()}
+    assert out[1].covered_chars == 10 and out[1].tok_chars == 11
+    assert out[1].dup_ngram_char_frac == round(10 / 11, 6)
+    assert out[2].covered_chars == 0 and out[2].dup_ngram_char_frac == 0.0
+    assert out[3].covered_chars == 0
+    assert out[4].covered_chars == 7 and out[4].dup_ngram_char_frac == 1.0
+    assert out[5].dup_ngram_char_frac == 0.0
