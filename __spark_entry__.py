@@ -1238,6 +1238,17 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) curation rollup over the documents table
+    (text/pipeline.py source_quality): exact integer quality points +
+    Gopher pass rate, one scan + one grouped exchange."""
+    from gpd_lite_toolbox_spark.text.pipeline import source_quality
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return source_quality(s.table("documents"))
+
+
 def _q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate 5-gram character coverage per document (Gopher's
     heavy repetition rule; text/analysis.py dup_ngram_coverage) —
@@ -2238,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "semantic_dedup": _q_semantic_dedup,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "source_quality": _q_source_quality,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2425,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": OR.GOPHER_RULES,
         "semantic_dedup": OR.SEMANTIC_DEDUP,
         "dup_ngram_coverage": OR.DUP_NGRAM_COVERAGE,
+        "source_quality": OR.SOURCE_QUALITY,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

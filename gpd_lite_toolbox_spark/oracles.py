@@ -1897,13 +1897,15 @@ _GOPHER_STOP_SUM = " + ".join(
     for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
 )
 
-GOPHER_RULES = f"""
-WITH {oracle_ctes('corpus')},
-t AS (SELECT id, text,
+def _gopher_ctes(src: str) -> str:
+    """The Gopher stat CTE chain over a (id, text) relation ``src`` —
+    shared by GOPHER_RULES and SOURCE_QUALITY so one rule text backs
+    both gates."""
+    return f"""gt AS (SELECT id, text,
              string_split(text, ' ') AS toks,
              string_split(text, chr(10)) AS lns
-      FROM corpus),
-m AS (SELECT id,
+      FROM {src}),
+gm AS (SELECT id,
              CAST(len(toks) AS INT) AS n_words,
              CAST(len(lns) AS INT) AS n_lines,
              length(text) AS n_chars,
@@ -1916,8 +1918,8 @@ m AS (SELECT id,
                  x -> x LIKE '- %' OR x LIKE '* %')) AS n_bullet,
              len(list_filter(lns, x -> x LIKE '%...')) AS n_ell_line,
              CAST({_GOPHER_STOP_SUM} AS INT) AS n_stop_distinct
-      FROM t),
-r AS (SELECT id, n_words,
+      FROM gt),
+gr AS (SELECT id, n_words,
              ROUND((n_chars - (n_words - 1) - (n_lines - 1))
                    / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
              ROUND(n_sym / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
@@ -1926,17 +1928,53 @@ r AS (SELECT id, n_words,
                AS ellipsis_frac,
              ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
              n_stop_distinct
-      FROM m)
-SELECT id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-       ellipsis_frac, alpha_frac, n_stop_distinct,
-       (n_words BETWEEN 50 AND 100000
+      FROM gm)"""
+
+
+_GOPHER_PASS = """(n_words BETWEEN 50 AND 100000
         AND mean_word_len BETWEEN 3.0 AND 10.0
         AND symbol_ratio < 0.1
         AND bullet_frac < 0.9
         AND ellipsis_frac < 0.3
         AND alpha_frac > 0.8
-        AND n_stop_distinct >= 2) AS passes
-FROM r
+        AND n_stop_distinct >= 2)"""
+
+GOPHER_RULES = f"""
+WITH {oracle_ctes('corpus')},
+{_gopher_ctes('corpus')}
+SELECT id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stop_distinct,
+       {_GOPHER_PASS} AS passes
+FROM gr
+"""
+
+# Per-source curation rollup (text/pipeline.py source_quality): exact
+# integer quality points (order-independent sums) + Gopher pass rate,
+# grouped by (source, lang) over the driver's documents table.
+_QPOINTS = (
+    "(CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 20000"
+    " THEN 1 ELSE 0 END"
+    f" + CASE WHEN ROUND(({_NSTOP}) / CAST({_NTOK} AS DOUBLE), 6)"
+    " >= 0.01 THEN 1 ELSE 0 END"
+    f" + CASE WHEN ROUND((LENGTH(text) - ({_NTOK} - 1))"
+    f" / CAST({_NTOK} AS DOUBLE), 6) BETWEEN 2.0 AND 12.0"
+    " THEN 1 ELSE 0 END)"
+)
+
+SOURCE_QUALITY = f"""
+WITH d AS (SELECT doc_id AS id, text, lang, source FROM documents),
+{_gopher_ctes('d')},
+p AS (SELECT id, {_QPOINTS} AS pts FROM d),
+j AS (SELECT d.source, d.lang, p.pts,
+             CASE WHEN {_GOPHER_PASS} THEN 1 ELSE 0 END AS pass
+      FROM d
+      JOIN gr ON gr.id = d.id
+      JOIN p ON p.id = d.id)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(pts) / (3.0 * COUNT(*)), 6) AS avg_quality,
+       CAST(SUM(pass) AS BIGINT) AS n_pass,
+       ROUND(SUM(pass) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+FROM j GROUP BY source, lang
 """
 
 # Duplicate n-gram character coverage (text/analysis.py

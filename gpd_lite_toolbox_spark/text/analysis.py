@@ -41,23 +41,40 @@ def token_stats(
     )
 
 
+def quality_points_expr(text_col: str = "text") -> Column:
+    """Integer 0..3 rule points behind ``quality_score`` (quality =
+    points / 3, rounded). Exposed as an expression so rollup reports
+    (``pipeline.source_quality``) can aggregate EXACT integer points —
+    order-independent across partitions — instead of averaging rounded
+    doubles. Comparisons run on the same ROUNDED intermediates as
+    ``token_stats`` so the two views cannot disagree; NULL text scores
+    0 points (matching the SQL oracle's CASE..ELSE 0)."""
+    text = F.col(text_col)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_chars = F.length(text)
+    n_tokens = _occurrences(text, " ") + 1
+    n_stop = _occurrences(padded, " the ") + _occurrences(padded, " a ")
+    stop_ratio = F.round(n_stop / n_tokens.cast("double"), 6)
+    atl = F.round((n_chars - (n_tokens - 1)) / n_tokens.cast("double"), 6)
+    len_ok = ((n_chars >= 100) & (n_chars <= 20000)).cast("int")
+    stop_ok = (stop_ratio >= 0.01).cast("int")
+    tok_ok = ((atl >= 2.0) & (atl <= 12.0)).cast("int")
+    pts = None
+    for ok in (len_ok, stop_ok, tok_ok):
+        ok = F.coalesce(ok, F.lit(0))
+        pts = ok if pts is None else pts + ok
+    return pts
+
+
 def quality_score(
     corpus: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:
     """Composite [0,1] quality heuristic: length band + stopword
     presence + token-length sanity (the shape of C4/Gopher-style rules,
     with thresholds as documented constants)."""
-    st = token_stats(corpus, id_col, text_col)
-    len_ok = F.when(
-        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000), 1.0
-    ).otherwise(0.0)
-    stop_ok = F.when(F.col("stopword_ratio") >= 0.01, 1.0).otherwise(0.0)
-    tok_ok = F.when(
-        (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), 1.0
-    ).otherwise(0.0)
-    return st.select(
-        "id",
-        F.round((len_ok + stop_ok + tok_ok) / 3.0, 6).alias("quality"),
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.round(quality_points_expr(text_col) / 3.0, 6).alias("quality"),
     )
 
 
@@ -236,6 +253,17 @@ def gopher_rules(
     patterns live in the Java-regex/RE2 intersection so the DuckDB
     oracle shares them verbatim.
     """
+    out = corpus.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(n) for n, c in gopher_stat_exprs(text_col)],
+    )
+    return out.withColumn("passes", gopher_passes_cond())
+
+
+def gopher_stat_exprs(text_col: str = "text") -> list[tuple[str, "F.Column"]]:
+    """The (name, expression) list behind ``gopher_rules`` — exposed so
+    rollup reports (``pipeline.source_quality``) share the SAME rounded
+    statistics and cannot drift from the per-document audit."""
     text = F.col(text_col)
     toks = F.split(text, " ")
     lines = F.split(text, "\n")
@@ -274,17 +302,23 @@ def gopher_rules(
     for s in GOPHER_STOPWORDS:
         c = F.array_contains(toks, s).cast("int")
         n_stop = c if n_stop is None else n_stop + c
-    out = corpus.select(
-        F.col(id_col).alias("id"),
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_frac.alias("alpha_frac"),
-        n_stop.alias("n_stop_distinct"),
-    )
-    passes = (
+    return [
+        ("n_words", n_words),
+        ("mean_word_len", mean_wl),
+        ("symbol_ratio", symbol_ratio),
+        ("bullet_frac", bullet_frac),
+        ("ellipsis_frac", ellipsis_frac),
+        ("alpha_frac", alpha_frac),
+        ("n_stop_distinct", n_stop),
+    ]
+
+
+def gopher_passes_cond() -> "F.Column":
+    """The rule conjunction over the NAMED ``gopher_stat_exprs``
+    columns (referencing the aliased columns pins one evaluation of
+    each array lambda — building it from raw expressions would make
+    project collapse re-evaluate them inside the conjunction)."""
+    return (
         F.col("n_words").between(GOPHER_WORD_MIN, GOPHER_WORD_MAX)
         & F.col("mean_word_len").between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
         & (F.col("symbol_ratio") < GOPHER_SYMBOL_MAX)
@@ -293,7 +327,6 @@ def gopher_rules(
         & (F.col("alpha_frac") > GOPHER_ALPHA_MIN)
         & (F.col("n_stop_distinct") >= GOPHER_STOP_MIN)
     )
-    return out.withColumn("passes", passes)
 
 
 def dup_ngram_coverage(

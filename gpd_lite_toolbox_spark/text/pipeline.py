@@ -264,3 +264,49 @@ def corpus_diff(
         .filter(F.col("status").isNotNull())
         .select("id", "status", "old_hash", "new_hash")
     )
+
+
+def source_quality(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation rollup (the RefinedWeb/CCNet crawl-ranking
+    shape): document volume, average composite quality, and Gopher
+    rule pass rate per group — the report that decides which sources
+    a crawl keeps, upweights, or drops.
+
+    Columns: ``(*group_cols, n_docs, avg_quality, n_pass,
+    pass_rate)``. ``avg_quality`` aggregates EXACT integer rule points
+    (``quality_points_expr``) with a single final division, so the
+    average is bit-identical across partitionings — never a float sum
+    whose order varies; the Gopher verdict reuses
+    ``gopher_stat_exprs``/``gopher_passes_cond`` so this report cannot
+    drift from the per-document ``gopher_rules`` audit.
+
+    Scale design: ONE scan — quality points and the Gopher stats are
+    row-local expressions; the only shuffle is the rollup keyed by the
+    group columns, partial-aggregated map-side (hot sources combine
+    before the exchange).
+    """
+    from .analysis import (
+        gopher_passes_cond,
+        gopher_stat_exprs,
+        quality_points_expr,
+    )
+
+    staged = docs.select(
+        *[F.col(c) for c in group_cols],
+        quality_points_expr(text_col).alias("_pts"),
+        *[c.alias(n) for n, c in gopher_stat_exprs(text_col)],
+    ).withColumn("_pass", gopher_passes_cond())
+    n = F.count("*")
+    return staged.groupBy(*[F.col(c) for c in group_cols]).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.round(F.sum("_pts") / (F.lit(3.0) * n), 6).alias("avg_quality"),
+        F.sum(F.col("_pass").cast("bigint")).alias("n_pass"),
+        F.round(
+            F.sum(F.col("_pass").cast("bigint")) / n.cast("double"), 6
+        ).alias("pass_rate"),
+    )

@@ -492,3 +492,54 @@ def test_prefix_jaccard_equals_exhaustive_inverted_index(spark):
         (r.id_a, r.id_b, r.jaccard)
         for r in ngram_jaccard_prefix_pairs(df, threshold=0.5).collect()
     }
+
+
+def test_source_quality_consistent_with_per_doc_audits(spark, sf_dir):
+    """The rollup's counts equal independent aggregation of the
+    per-document gopher_rules / quality_score views, and the plan has
+    exactly one exchange (the grouped rollup)."""
+    from gpd_lite_toolbox_spark.text.analysis import (
+        gopher_rules,
+        quality_score,
+    )
+    from gpd_lite_toolbox_spark.text.pipeline import source_quality
+
+    FX.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    out = {(r.source, r.lang): r for r in source_quality(docs).collect()}
+    base = docs.select(
+        F.col("doc_id").alias("id"), "text", "source", "lang"
+    )
+    g = {
+        r.id: r.passes
+        for r in gopher_rules(base.select("id", "text")).collect()
+    }
+    q = {
+        r.id: r.quality
+        for r in quality_score(base.select("id", "text")).collect()
+    }
+    meta = base.select("id", "source", "lang").collect()
+    assert sum(r.n_docs for r in out.values()) == len(meta)
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for r in meta:
+        by_grp[(r.source, r.lang)].append(r.id)
+    assert set(by_grp) == set(out)
+    for key, ids in by_grp.items():
+        r = out[key]
+        assert r.n_docs == len(ids)
+        assert r.n_pass == sum(1 for i in ids if g[i])
+        assert r.pass_rate == round(r.n_pass / r.n_docs, 6)
+        # exact-points average == mean of per-doc quality up to the
+        # final rounding
+        pts = sum(round(q[i] * 3) for i in ids)
+        assert r.avg_quality == round(pts / (3.0 * len(ids)), 6)
+    plan = (
+        source_quality(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # rollup + AQE final read
+    assert "Python" not in plan
