@@ -1238,6 +1238,19 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing plan over the documents table
+    (text/corpus.py mixture_plan): integer weights, exact aggregates,
+    per-stratum epoch/oversampling report."""
+    from gpd_lite_toolbox_spark.text.corpus import mixture_plan
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return mixture_plan(
+        s.table("documents"), OR.MIXTURE_TARGETS, OR.MIXTURE_BUDGET
+    )
+
+
 def _q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) curation rollup over the documents table
     (text/pipeline.py source_quality): exact integer quality points +
@@ -2250,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "source_quality": _q_source_quality,
+        "mixture_plan": _q_mixture_plan,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2438,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": OR.SEMANTIC_DEDUP,
         "dup_ngram_coverage": OR.DUP_NGRAM_COVERAGE,
         "source_quality": OR.SOURCE_QUALITY,
+        "mixture_plan": OR.MIXTURE_PLAN,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

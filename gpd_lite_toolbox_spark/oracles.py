@@ -1977,6 +1977,43 @@ SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM j GROUP BY source, lang
 """
 
+# Token-budget mixing plan (text/corpus.py mixture_plan): integer
+# weights keep every aggregate exact until the final divisions.
+MIXTURE_TARGETS = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+MIXTURE_BUDGET = 1_000_000
+_MIX_W = sum(MIXTURE_TARGETS.values())
+_MIX_VALUES = ", ".join(
+    f"('{s}', {v})" for s, v in MIXTURE_TARGETS.items()
+)
+_MIX_IN = ", ".join(f"'{s}'" for s in MIXTURE_TARGETS)
+_MIX_PLANNED = (
+    f"CAST(ROUND({MIXTURE_BUDGET} * w._w"
+    f" / CAST({_MIX_W} AS DOUBLE), 0) AS BIGINT)"
+)
+
+MIXTURE_PLAN = f"""
+WITH w(source, _w) AS (VALUES {_MIX_VALUES}),
+d AS (SELECT source, {_NTOK} AS ntok FROM documents
+      WHERE source IN ({_MIX_IN})),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+SELECT p.source, p.n_docs, p.n_tokens,
+       ROUND(p.n_tokens / CAST(tot.t AS DOUBLE), 6) AS natural_frac,
+       ROUND(w._w / CAST({_MIX_W} AS DOUBLE), 6) AS target_frac,
+       {_MIX_PLANNED} AS planned_tokens,
+       CASE WHEN p.n_tokens > 0
+            THEN ROUND({_MIX_PLANNED}
+                       / CAST(p.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs,
+       (CASE WHEN p.n_tokens > 0
+             THEN ROUND({_MIX_PLANNED}
+                        / CAST(p.n_tokens AS DOUBLE), 6)
+             ELSE 0.0 END) > 1.0 AS oversampled
+FROM per p JOIN w ON w.source = p.source CROSS JOIN tot
+"""
+
 # Duplicate n-gram character coverage (text/analysis.py
 # dup_ngram_coverage, n=5): coverage recomputed RELATIONALLY — lateral
 # gram unnest, HAVING-count duplicates, distinct span indices — an

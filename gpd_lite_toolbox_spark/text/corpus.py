@@ -569,3 +569,88 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_nll"), 6).alias("avg_neg_logprob"),
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: Mapping[str, int],
+    token_budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixing PLAN (the config artifact a pretraining run
+    is launched from, Dolma/DoReMi shape): given integer mixture
+    weights per stratum and a total token budget, report each
+    stratum's available tokens, its natural vs target share, the
+    planned token draw, and the epoch count that draw implies —
+    ``oversampled`` marks strata the run must repeat (epochs > 1),
+    the signal to either cap the weight or accept repetition.
+
+    ``sample_to_mixture`` above EXECUTES a row-level mixture; this is
+    the token-level planning report. Weights are integers so every
+    aggregate stays exact until the final divisions (cross-engine
+    reproducible); strata absent from ``targets`` are excluded.
+
+    Columns: ``(source, n_docs, n_tokens, natural_frac, target_frac,
+    planned_tokens, epochs, oversampled)``.
+
+    Scale design: one pruned scan (stratum filter pushed down) ->
+    per-stratum partial-aggregated rollup -> a one-row total broadcast
+    and a #strata-row weight broadcast. Nothing wider than #strata
+    rows past the single grouped exchange.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    w = {s: int(v) for s, v in targets.items()}
+    if not w or any(v <= 0 for v in w.values()):
+        raise ValueError("targets must be non-empty positive integers")
+    total_w = sum(w.values())
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        list(w.items()), f"{strata_col} string, _w int"
+    )
+    text = F.col(text_col)
+    ntok = (
+        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))))
+        + 1
+    ).cast("bigint")
+    per = (
+        docs.filter(F.col(strata_col).isin(*w.keys()))
+        .select(F.col(strata_col).alias("source"), ntok.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    planned = F.round(
+        F.lit(float(token_budget)) * F.col("_w")
+        / F.lit(float(total_w)),
+        0,
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(wdf.withColumnRenamed(strata_col, "source")),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("_tot").cast("double"), 6
+            ).alias("natural_frac"),
+            F.round(
+                F.col("_w") / F.lit(float(total_w)), 6
+            ).alias("target_frac"),
+            planned.alias("planned_tokens"),
+            F.when(F.col("n_tokens") > 0,
+                F.round(
+                    planned / F.col("n_tokens").cast("double"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("epochs"),
+        )
+        .withColumn("oversampled", F.col("epochs") > 1.0)
+    )

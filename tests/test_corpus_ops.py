@@ -281,3 +281,35 @@ def test_hybrid_topk_surfaces_both_signals(spark, sf_dir):
     # fused list must carry at least one dense-ranked row
     assert any(r.rank_1 is not None for r in out)
     assert any(r.rank_0 is not None for r in out)
+
+
+def test_mixture_plan_closed_form(spark):
+    from gpd_lite_toolbox_spark.text.corpus import mixture_plan
+
+    # src a: 2 docs x 4 tokens; src b: 1 doc x 8 tokens; c untargeted
+    rows = [
+        (1, "a", "w w w w"),
+        (2, "a", "x x x x"),
+        (3, "b", "y y y y y y y y"),
+        (4, "c", "z z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    out = {
+        r.source: r
+        for r in mixture_plan(df, {"a": 3, "b": 1}, 64).collect()
+    }
+    assert set(out) == {"a", "b"}  # untargeted stratum excluded
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_tokens) == (2, 8)
+    assert (b.n_docs, b.n_tokens) == (1, 8)
+    assert a.natural_frac == b.natural_frac == 0.5
+    assert a.target_frac == 0.75 and b.target_frac == 0.25
+    assert a.planned_tokens == 48 and b.planned_tokens == 16
+    assert a.epochs == 6.0 and a.oversampled
+    assert b.epochs == 2.0 and b.oversampled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_plan(df, {"a": 0}, 64)
+    with _pytest.raises(ValueError):
+        mixture_plan(df, {"a": 1}, 0)
