@@ -1238,6 +1238,28 @@ def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming quality gate over the bounded documents
+    source (streaming/grid_stream.py run_streaming_quality_gate):
+    append-mode row-local scoring == the batch projection."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_quality_gate,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return run_streaming_quality_gate(s, f"{sf_dir}/documents.parquet")
+
+
+def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop ledger over the planted-dup corpus
+    (text/pipeline.py drop_reasons): exact-dup argmin + Gopher gate +
+    quality points, one window exchange."""
+    from gpd_lite_toolbox_spark.text.pipeline import drop_reasons
+
+    return drop_reasons(_corpus(spark, sf_dir))
+
+
 def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixing plan over the documents table
     (text/corpus.py mixture_plan): integer weights, exact aggregates,
@@ -2264,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "source_quality": _q_source_quality,
         "mixture_plan": _q_mixture_plan,
+        "drop_reasons": _q_drop_reasons,
+        "stream_quality_gate": _q_stream_quality_gate,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2453,6 +2477,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_coverage": OR.DUP_NGRAM_COVERAGE,
         "source_quality": OR.SOURCE_QUALITY,
         "mixture_plan": OR.MIXTURE_PLAN,
+        "drop_reasons": OR.DROP_REASONS,
+        "stream_quality_gate": OR.STREAM_QUALITY_GATE,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

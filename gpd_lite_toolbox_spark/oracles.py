@@ -2014,6 +2014,36 @@ SELECT p.source, p.n_docs, p.n_tokens,
 FROM per p JOIN w ON w.source = p.source CROSS JOIN tot
 """
 
+# Drop-reason ledger (text/pipeline.py drop_reasons): exact-dup argmin
+# + Gopher conjunction + quality points, priority-cased.
+DROP_REASONS = f"""
+WITH {oracle_ctes('corpus')},
+{_gopher_ctes('corpus')},
+s AS (SELECT id, md5(text) AS fp, {_QPOINTS} AS pts FROM corpus),
+j AS (SELECT s.id, s.fp, s.pts, {_GOPHER_PASS} AS pass
+      FROM s JOIN gr ON gr.id = s.id),
+m AS (SELECT id, fp, pts, pass,
+             MIN(id) OVER (PARTITION BY fp) AS min_id
+      FROM j)
+SELECT id,
+       CASE WHEN id <> min_id THEN 'exact_dup'
+            WHEN NOT COALESCE(pass, FALSE) THEN 'gopher_fail'
+            WHEN pts < 2 THEN 'low_quality'
+            ELSE 'kept' END AS reason
+FROM m
+"""
+
+# Streaming quality gate (streaming/grid_stream.py
+# run_streaming_quality_gate): stateless scoring stream over the
+# documents table == the batch quality/Gopher projection.
+STREAM_QUALITY_GATE = f"""
+WITH d AS (SELECT doc_id AS id, text FROM documents),
+{_gopher_ctes('d')},
+p AS (SELECT id, ROUND({_QPOINTS} / 3.0, 6) AS quality FROM d)
+SELECT gr.id AS doc_id, p.quality, {_GOPHER_PASS} AS passes
+FROM gr JOIN p ON p.id = gr.id
+"""
+
 # Duplicate n-gram character coverage (text/analysis.py
 # dup_ngram_coverage, n=5): coverage recomputed RELATIONALLY — lateral
 # gram unnest, HAVING-count duplicates, distinct span indices — an

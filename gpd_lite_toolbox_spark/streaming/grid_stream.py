@@ -510,6 +510,49 @@ def run_streaming_decontaminate(
     return res.groupBy("doc_id").agg(F.max("n_hits").alias("n_hits"))
 
 
+def run_streaming_quality_gate(
+    spark,
+    parquet_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming document-quality gate: documents stream in and each
+    row is scored ROW-LOCALLY with the shared quality points and
+    Gopher rule expressions (text/analysis.py) — a fully STATELESS
+    append-mode query, so the streaming form is exactly the batch
+    projection executed per micro-batch: no watermark, no state store,
+    and the output is deterministic on any micro-batch partitioning
+    of the source. This is the shape a live ingest pipeline scores
+    arriving crawl data with before routing keep/drop.
+
+    Output: ``(doc_id, quality, passes)`` — equals the batch
+    ``quality_score`` + ``gopher_rules`` views row-for-row (DuckDB
+    hash gate + stream==batch pytest).
+    """
+    from ..text.analysis import (
+        gopher_passes_cond,
+        gopher_stat_exprs,
+        quality_points_expr,
+    )
+
+    parquet_dir = _stage_dir(parquet_dir, "quality_stream_")
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(parquet_dir)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.round(quality_points_expr(text_col) / 3.0, 6).alias(
+                "quality"
+            ),
+            *[c.alias(n) for n, c in gopher_stat_exprs(text_col)],
+        )
+        .withColumn("passes", gopher_passes_cond())
+        .select("doc_id", "quality", "passes")
+    )
+    return _drain_to_memory(spark, stream, "quality_stream_out", "append")
+
+
 def interval_join_events(
     errors: DataFrame, clicks: DataFrame, max_lag_s: int = 600
 ) -> DataFrame:

@@ -310,3 +310,50 @@ def source_quality(
             F.sum(F.col("_pass").cast("bigint")) / n.cast("double"), 6
         ).alias("pass_rate"),
     )
+
+
+DROP_REASON_ORDER = ("exact_dup", "gopher_fail", "low_quality", "kept")
+
+
+def drop_reasons(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document drop ledger: WHY does the cleaning pipeline drop
+    each document — the audit artifact reviewers ask for before a
+    filter change ships. One reason per document, first matching rule
+    in priority order:
+
+    1. ``exact_dup`` — not the minimum-id member of its exact-content
+       (md5) group;
+    2. ``gopher_fail`` — fails the Gopher rule conjunction
+       (``gopher_rules``);
+    3. ``low_quality`` — composite ``quality_score`` < 2/3 (fails more
+       than one of the three cheap rules);
+    4. ``kept``.
+
+    Scale design: the quality/Gopher signals are row-local
+    expressions; the only shuffle is the exact-dup group argmin — a
+    window keyed by the md5 fingerprint (WindowGroupLimit-free: min
+    over the group, partial-combined). No joins, no second scan.
+    """
+    from .analysis import (
+        gopher_passes_cond,
+        gopher_stat_exprs,
+        quality_points_expr,
+    )
+
+    staged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_fp"),
+        quality_points_expr(text_col).alias("_pts"),
+        *[c.alias(n) for n, c in gopher_stat_exprs(text_col)],
+    ).withColumn("_pass", gopher_passes_cond())
+    w = Window.partitionBy("_fp")
+    reason = (
+        F.when(F.col("id") != F.min("id").over(w), F.lit("exact_dup"))
+        .when(~F.coalesce(F.col("_pass"), F.lit(False)),
+              F.lit("gopher_fail"))
+        .when(F.col("_pts") < 2, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.select("id", reason.alias("reason"))

@@ -644,3 +644,29 @@ def test_tws_user_stats_gated_or_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The stateless gate equals the batch quality/Gopher projection,
+    including when the source arrives across multiple micro-batches."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_quality_gate,
+    )
+    from gpd_lite_toolbox_spark.text.analysis import (
+        gopher_rules,
+        quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # re-lay the source as 3 files and feed one per trigger
+    src = str(tmp_path / "docs3")
+    docs.repartition(3).write.parquet(src)
+    got = {
+        r.doc_id: (r.quality, r.passes)
+        for r in run_streaming_quality_gate(spark, src).collect()
+    }
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    q = {r.id: r.quality for r in quality_score(base).collect()}
+    g = {r.id: r.passes for r in gopher_rules(base).collect()}
+    assert got == {i: (q[i], g[i]) for i in q}
+    assert len(got) == docs.count()
