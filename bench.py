@@ -103,6 +103,14 @@ BENCH_QUERIES = [
     "nb_classify",
     "fuzzy_vocab",
     "weighted_sample_grouped",
+    "hybrid_topk",
+    "gopher_rules",
+    "semantic_dedup",
+    "dup_ngram_coverage",
+    "source_quality",
+    "mixture_plan",
+    "drop_reasons",
+    "stream_quality_gate",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

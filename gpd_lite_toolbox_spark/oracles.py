@@ -2026,7 +2026,7 @@ m AS (SELECT id, fp, pts, pass,
              MIN(id) OVER (PARTITION BY fp) AS min_id
       FROM j)
 SELECT id,
-       CASE WHEN id <> min_id THEN 'exact_dup'
+       CASE WHEN fp IS NOT NULL AND id <> min_id THEN 'exact_dup'
             WHEN NOT COALESCE(pass, FALSE) THEN 'gopher_fail'
             WHEN pts < 2 THEN 'low_quality'
             ELSE 'kept' END AS reason

@@ -349,11 +349,19 @@ def drop_reasons(
         *[c.alias(n) for n, c in gopher_stat_exprs(text_col)],
     ).withColumn("_pass", gopher_passes_cond())
     w = Window.partitionBy("_fp")
+    # md5(NULL) is NULL: NULL-text docs would otherwise all land in
+    # one "identical" group and be dropped as copies of each other —
+    # they must fall through to the quality rules instead
     reason = (
-        F.when(F.col("id") != F.min("id").over(w), F.lit("exact_dup"))
+        F.when(
+            F.col("_fp").isNotNull()
+            & (F.col("id") != F.min("id").over(w)),
+            F.lit("exact_dup"),
+        )
         .when(~F.coalesce(F.col("_pass"), F.lit(False)),
               F.lit("gopher_fail"))
         .when(F.col("_pts") < 2, F.lit("low_quality"))
         .otherwise(F.lit("kept"))
     )
     return staged.select("id", reason.alias("reason"))
+

@@ -131,3 +131,24 @@ def test_boilerplate_null_text_doc_keeps_contract_row(spark):
            for r in remove_boilerplate_lines(df, min_docs=2).collect()}
     assert set(out) == {1, 2}
     assert out[1] == "" and out[2] == "keep me"
+
+
+def test_drop_reasons_null_text_not_exact_dup(spark):
+    """Two NULL-text docs share md5(NULL)=NULL but must NOT be dropped
+    as copies of each other — they fall through to the quality rules;
+    planted exact copies still resolve to one kept representative."""
+    from gpd_lite_toolbox_spark.text.pipeline import drop_reasons
+
+    good = " ".join(["the", "be", "of"] + ["word"] * 60)
+    rows = [
+        (1, good),
+        (2, good),          # exact copy of 1
+        (3, None),
+        (4, None),
+        (5, "tiny doc the"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.reason for r in drop_reasons(df).collect()}
+    assert out[1] == "kept" and out[2] == "exact_dup"
+    assert out[3] == "gopher_fail" and out[4] == "gopher_fail"
+    assert out[5] == "gopher_fail"
