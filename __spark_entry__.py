@@ -1251,6 +1251,35 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_quality_gate(s, f"{sf_dir}/documents.parquet")
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph-level dedup over assembled multi-line
+    documents (text/dedup.py paragraph_dedup): first occurrence of
+    every paragraph survives, later ones drop, docs reassemble."""
+    from gpd_lite_toolbox_spark.text.dedup import paragraph_dedup
+
+    return paragraph_dedup(_mdoc_corpus(spark, sf_dir))
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles over the unigram-LM score
+    (text/corpus.py perplexity_buckets): broadcast percentile cutoffs,
+    no global sort."""
+    from gpd_lite_toolbox_spark.text.corpus import perplexity_buckets
+
+    return perplexity_buckets(_corpus(spark, sf_dir))
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the sourced corpus
+    (text/pipeline.py source_overlap): distinct (source, fp) collapse
+    first, fp-keyed self-join bounded by source count."""
+    from gpd_lite_toolbox_spark.text.pipeline import source_overlap
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return source_overlap(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
 def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document drop ledger over the planted-dup corpus
     (text/pipeline.py drop_reasons): exact-dup argmin + Gopher gate +
@@ -2288,6 +2317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "drop_reasons": _q_drop_reasons,
         "stream_quality_gate": _q_stream_quality_gate,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "source_overlap": _q_source_overlap,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2479,6 +2511,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": OR.MIXTURE_PLAN,
         "drop_reasons": OR.DROP_REASONS,
         "stream_quality_gate": OR.STREAM_QUALITY_GATE,
+        "paragraph_dedup": OR.PARAGRAPH_DEDUP,
+        "perplexity_buckets": OR.PERPLEXITY_BUCKETS,
+        "source_overlap": OR.SOURCE_OVERLAP,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

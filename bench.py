@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "mixture_plan",
     "drop_reasons",
     "stream_quality_gate",
+    "paragraph_dedup",
+    "perplexity_buckets",
+    "source_overlap",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

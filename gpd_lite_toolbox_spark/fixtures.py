@@ -249,6 +249,24 @@ SELECT doc_id + 2000000 AS id, text || ' zq extra' AS text
 FROM documents WHERE doc_id % 17 = 0
 """
 
+# Sourced corpus for cross-source overlap reports: the derived copies
+# land in a synthetic 'mirror' source, so the overlap matrix has
+# planted cross-source rows (srcN x mirror) on top of the natural
+# diagonal. Same derivation arithmetic as CORPUS_SQL.
+SCORPUS_SQL = """
+SELECT doc_id AS id, text, source FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS id, text, 'mirror' AS source
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS id, text, 'mirror' AS source
+FROM documents WHERE doc_id % 35 = 0
+UNION ALL
+SELECT doc_id + 3000000 AS id, text || ' zq extra' AS text,
+       'mirror' AS source
+FROM documents WHERE doc_id % 17 = 0
+"""
+
 # Mocked OSRM travel-time matrix (FIXTURES.md T5): one row per grid
 # point, with the reference's sentinel values (2147483647 unreachable,
 # 0 self) planted for the filter path (core.py:916).
@@ -264,6 +282,7 @@ FROM customer
 
 _FIXTURE_SQL = {
     "corpus": CORPUS_SQL,
+    "scorpus": SCORPUS_SQL,
     "cpolys": CPOLYS_SQL,
     "cpolys_b": CPOLYS_B_SQL,
     "osrm_matrix": OSRM_SQL,

@@ -2909,3 +2909,79 @@ SELECT t.id,
 FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total tt
 GROUP BY t.id
 """
+
+# Paragraph-level exact dedup (text/dedup.py paragraph_dedup): keep
+# the FIRST (min id, pos) occurrence of every paragraph corpus-wide,
+# drop later ones, reassemble. Runs on the same assembled multi-line
+# documents as BOILERPLATE_LINES (mdoc mirrors _mdoc_corpus). The
+# oracle's keeper comes from an independent ROW_NUMBER walk over the
+# raw paragraph text, the operator's from a min(struct) aggregate over
+# md5 fingerprints — agreement checks both the hashing and the
+# first-occurrence ordering.
+PARAGRAPH_DEDUP = f"""
+WITH {oracle_ctes('corpus')},
+mdoc AS (SELECT id % 193 AS id,
+                string_agg(text, chr(10) ORDER BY id) AS text
+         FROM corpus GROUP BY id % 193),
+p AS (SELECT id, string_split(text, chr(10)) AS parts FROM mdoc),
+paras AS (SELECT id, CAST(pos AS BIGINT) - 1 AS pos,
+                 list_extract(parts, CAST(pos AS INT)) AS para
+          FROM p, UNNEST(range(1, len(parts) + 1)) AS u(pos)),
+r AS (SELECT id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY id, pos) AS rn
+      FROM paras)
+SELECT id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM r GROUP BY id
+"""
+
+# CCNet-style head/middle/tail terciles over the unigram-LM score
+# (text/corpus.py perplexity_buckets). Cutoffs are exact interpolated
+# percentiles — quantile_cont and Spark's percentile share the
+# p*(n-1) linear-interpolation definition; both sides round cutoffs
+# AND scores to 6 decimals before the boundary comparison.
+PERPLEXITY_BUCKETS = f"""
+WITH {oracle_ctes('corpus')},
+toks AS (SELECT id, UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+total AS (SELECT SUM(n_tok) AS n_total FROM vocab),
+scored AS (SELECT t.id,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  ROUND(AVG(-LN(v.n_tok / CAST(tt.n_total AS DOUBLE))),
+                        6) AS avg_neg_logprob
+           FROM toks t JOIN vocab v ON v.tok = t.tok
+           CROSS JOIN total tt
+           GROUP BY t.id),
+cuts AS (SELECT ROUND(quantile_cont(avg_neg_logprob,
+                                    CAST(1 AS DOUBLE) / 3), 6) AS c1,
+                ROUND(quantile_cont(avg_neg_logprob,
+                                    CAST(2 AS DOUBLE) / 3), 6) AS c2
+         FROM scored)
+SELECT s.id, s.n_tokens, s.avg_neg_logprob,
+       CASE WHEN s.avg_neg_logprob <= c.c1 THEN 'head'
+            WHEN s.avg_neg_logprob <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN cuts c
+"""
+
+# Cross-source duplication matrix (text/pipeline.py source_overlap)
+# over the sourced corpus (scorpus fixture: derived copies live in a
+# synthetic 'mirror' source). Diagonal rows require the fingerprint
+# to repeat WITHIN the source.
+SOURCE_OVERLAP = f"""
+WITH {oracle_ctes('scorpus')},
+d AS (SELECT source, md5(text) AS fp, COUNT(*) AS n_occ
+      FROM scorpus WHERE text IS NOT NULL
+      GROUP BY source, fp)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp
+WHERE a.source < b.source
+   OR (a.source = b.source AND a.n_occ > 1)
+GROUP BY a.source, b.source
+"""

@@ -654,3 +654,47 @@ def mixture_plan(
         )
         .withColumn("oversampled", F.col("epochs") > 1.0)
     )
+
+
+def perplexity_buckets(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style quality bucketing: score every document with the
+    corpus-trained unigram model (`unigram_logprob`), then split the
+    corpus into head / middle / tail terciles by score — head being the
+    most-predictable (lowest mean negative log-likelihood) third, the
+    bucket CCNet keeps by default for training data.
+
+    Buckets come from TWO broadcast cutoffs (exact percentiles at 1/3
+    and 2/3), NOT a global ntile: a global rank window would sort the
+    whole corpus onto one partition, while the percentile is a single
+    one-row aggregate broadcast back — the assignment itself is a
+    map-side comparison. Spark's exact ``percentile`` holds a
+    value->count map per aggregation buffer, bounded here by distinct
+    ROUNDED scores (6 decimals), not document count; at extreme
+    cardinality swap in ``approx_percentile`` (its rank-error is
+    calibrated by the `approx_percentile_audit` query in this repo).
+
+    Cutoffs and scores are rounded to 6 decimals BEFORE comparison so
+    the bucket boundary is reproducible cross-engine.
+
+    Columns: ``(id, n_tokens, avg_neg_logprob, bucket)``.
+    """
+    scored = unigram_logprob(corpus, id_col=id_col, text_col=text_col)
+    cuts = scored.agg(
+        F.round(
+            F.percentile("avg_neg_logprob", F.lit(1.0 / 3.0)), 6
+        ).alias("_c1"),
+        F.round(
+            F.percentile("avg_neg_logprob", F.lit(2.0 / 3.0)), 6
+        ).alias("_c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "id",
+        "n_tokens",
+        "avg_neg_logprob",
+        F.when(F.col("avg_neg_logprob") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("avg_neg_logprob") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

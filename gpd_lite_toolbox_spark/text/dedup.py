@@ -1562,3 +1562,59 @@ def ngram_jaccard_prefix_pairs(
         .filter(F.col("_j") >= t)
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
+
+
+def paragraph_dedup(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma / RefinedWeb pass that
+    runs BELOW document granularity): every paragraph keeps exactly its
+    FIRST occurrence corpus-wide — first = smallest ``(id, pos)`` — and
+    every later occurrence is dropped, then each document's surviving
+    paragraphs reassemble in order. Distinct from C4 boilerplate
+    removal (`pipeline.remove_boilerplate_lines`), which drops ALL
+    occurrences of a repeated line including the first; here one copy
+    of repeated content always survives, so no information leaves the
+    corpus — only redundancy.
+
+    Returns ``(id, text, n_paragraphs, n_dropped)`` — one row per input
+    document (NULL text coalesces to one empty paragraph so the
+    contract row survives), ``text`` holding the kept paragraphs
+    ``sep``-joined.
+
+    Scale shape: three hash exchanges, all combinable or bounded —
+    (1) the first-occurrence aggregate keyed by paragraph md5
+    (``min(struct(id,pos))`` partial-combines map-side, so a paragraph
+    repeated in a million documents is ONE post-combine row per
+    partition — never a window, whose skew AQE cannot split);
+    (2) the fp -> first join (AQE skew-split handles a hot paragraph's
+    probe rows); (3) per-document reassembly keyed by id, state
+    bounded by document size. No Python anywhere.
+    """
+    paras = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "para"),
+    ).withColumn("_fp", F.md5("para"))
+    first = paras.groupBy("_fp").agg(
+        F.min(F.struct("id", "pos")).alias("_first")
+    )
+    keep = (F.col("id") == F.col("_first.id")) & (
+        F.col("pos") == F.col("_first.pos")
+    )
+    joined = paras.join(first, "_fp").select(
+        "id", "pos", "para", keep.alias("_keep")
+    )
+    parts = F.array_sort(F.collect_list(F.struct("pos", "para", "_keep")))
+    kept = F.filter(parts, lambda x: x["_keep"])
+    return joined.groupBy("id").agg(
+        F.concat_ws(
+            sep, F.transform(kept, lambda x: x["para"])
+        ).alias("text"),
+        F.count("*").alias("n_paragraphs"),
+        F.sum((~F.col("_keep")).cast("bigint")).alias("n_dropped"),
+    )

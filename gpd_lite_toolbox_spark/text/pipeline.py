@@ -365,3 +365,56 @@ def drop_reasons(
     )
     return staged.select("id", reason.alias("reason"))
 
+def source_overlap(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the curation report that says
+    "how much of source A is verbatim inside source B" (mirror sites,
+    re-crawls, dataset re-releases). For every unordered source pair
+    (including the diagonal, which counts content duplicated WITHIN a
+    source), counts distinct exact-content fingerprints present in
+    both.
+
+    Returns ``(source_a, source_b, n_shared)`` with
+    ``source_a <= source_b``; the diagonal row only appears when a
+    fingerprint occurs in the source at least twice (otherwise
+    "shared with itself" is every document).
+
+    Scale shape: the corpus collapses to distinct ``(source, fp)``
+    pairs FIRST (one combinable exchange — the join never sees raw
+    documents), then a self-join keyed by fp whose per-key fan-out is
+    bounded by the number of SOURCES carrying that content (sources
+    are few; documents are many), then a final matrix-sized aggregate.
+    NULL text is excluded: md5(NULL) is NULL and would otherwise
+    equi-join nothing anyway.
+    """
+    d = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("id"),
+            F.md5(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    a = d.select(
+        F.col("source").alias("source_a"), "fp",
+        F.col("n_occ").alias("_na"),
+    )
+    b = d.select(
+        F.col("source").alias("source_b"), "fp",
+        F.col("n_occ").alias("_nb"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter(
+            (F.col("source_a") < F.col("source_b"))
+            | ((F.col("source_a") == F.col("source_b")) & (F.col("_na") > 1))
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+    )

@@ -84,6 +84,12 @@ _SPOT = [
     # deletion-index completeness at 10x derived typos
     "nb_classify",
     "fuzzy_vocab",
+    # session-6: paragraph-frequency join fan-out over 10x paragraph
+    # occurrences; percentile-cutoff boundary drift over 10x scores;
+    # fp self-join density across sources
+    "paragraph_dedup",
+    "perplexity_buckets",
+    "source_overlap",
 ]
 
 

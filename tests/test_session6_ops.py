@@ -1,0 +1,94 @@
+"""Unit semantics for the session-6 curation ops: paragraph-level
+dedup (first occurrence wins), CCNet perplexity terciles (broadcast
+cutoffs, no global sort), and the cross-source overlap matrix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from gpd_lite_toolbox_spark.text.dedup import paragraph_dedup
+
+    rows = [
+        (1, "A\nB\nC"),
+        (2, "B\nD"),
+        (3, "A\nA"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].text == "A\nB\nC" and out[1].n_dropped == 0
+    assert out[2].text == "D" and out[2].n_dropped == 1
+    assert out[3].text == "" and out[3].n_dropped == 2
+    assert out[3].n_paragraphs == 2
+
+
+def test_paragraph_dedup_keeps_exactly_one_copy_per_paragraph(spark):
+    """Conservation: across the corpus every distinct paragraph
+    survives exactly once, and kept + dropped == total occurrences."""
+    from gpd_lite_toolbox_spark.text.dedup import paragraph_dedup
+
+    rows = [(i, "\n".join(f"p{j % 5}" for j in range(i % 4 + 1)))
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = paragraph_dedup(df)
+    kept = (
+        out.filter(F.col("text") != "")
+        .select(F.explode(F.split("text", "\n")).alias("p"))
+    )
+    # every distinct input paragraph appears exactly once among kept
+    assert kept.groupBy("p").count().filter("count > 1").count() == 0
+    n_in = df.select(
+        F.sum(F.size(F.split("text", "\n"))).alias("n")
+    ).collect()[0].n
+    agg = out.agg(
+        F.sum("n_paragraphs").alias("np"), F.sum("n_dropped").alias("nd")
+    ).collect()[0]
+    assert agg.np == n_in
+    assert agg.np - agg.nd == kept.count()
+
+
+def test_paragraph_dedup_null_text_keeps_contract_row(spark):
+    from gpd_lite_toolbox_spark.text.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "id long, text string"
+    )
+    out = {r.id: r for r in paragraph_dedup(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].text == "" and out[1].n_paragraphs == 1
+    assert out[1].n_dropped == 0
+
+
+def test_perplexity_buckets_are_ordered_terciles(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.queries()["perplexity_buckets"](spark, sf_dir).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in out:
+        by[r.bucket].append(r.avg_neg_logprob)
+    assert all(by.values()), "every tercile must be populated"
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+    n = len(out)
+    # cutoffs are exact percentiles: head holds >= floor(n/3) docs and
+    # can exceed it only through score ties at the boundary
+    assert len(by["head"]) >= n // 3
+    assert len(by["head"]) + len(by["middle"]) >= 2 * n // 3
+
+
+def test_source_overlap_planted_matrix(spark):
+    from gpd_lite_toolbox_spark.text.pipeline import source_overlap
+
+    rows = [
+        (1, "x", "A"),
+        (2, "x", "B"),
+        (3, "y", "A"),
+        (4, "y", "A"),
+        (5, "z", "C"),
+        (6, None, "A"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.n_shared
+           for r in source_overlap(df).collect()}
+    assert out == {("A", "B"): 1, ("A", "A"): 1}
