@@ -537,6 +537,31 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML corpus round-trip (Spark 4 native XML source, entity
+    escaping, NULL-vs-empty preserved): documents -> XML files ->
+    pinned-schema read; same md5 text gate as the CSV/ORC siblings."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.flat import read_xml, write_xml
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    cols = "doc_id bigint, lang string, source string, n_chars bigint, text string"
+    src = s.table("documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_xml_"), "docs")
+    write_xml(src, path)
+    return read_xml(s, path, cols).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def _q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpatiaLite file round-trip over the L-shaped/holed layer: WKB ->
     GAIA-blob SQLite file (driver-side export sink) -> rowid-range
@@ -1278,6 +1303,43 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _configure(spark)
     FX.register_base_tables(s, sf_dir)
     return source_overlap(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source -> target-domain edge list (text/web.py link_graph) over
+    an HTML corpus with planted anchors: absolute links (attribute
+    uppercased every 5th doc — exercises (?i)), single-quoted relative
+    links every 3rd."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.web import link_graph
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = s.table("documents")
+    html = d.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit("</p><a "),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HREF"))
+            .otherwise(F.lit("href")),
+            F.lit('="https://src'),
+            ((F.col("doc_id") * 7) % 20).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit('">x</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("<a href='/local/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("'>y</a>"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    return link_graph(html)
 
 
 def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2320,6 +2382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
         "source_overlap": _q_source_overlap,
+        "xml_roundtrip": _q_xml_roundtrip,
+        "link_graph": _q_link_graph,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2514,6 +2578,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": OR.PARAGRAPH_DEDUP,
         "perplexity_buckets": OR.PERPLEXITY_BUCKETS,
         "source_overlap": OR.SOURCE_OVERLAP,
+        "xml_roundtrip": OR.JSONL_ROUNDTRIP,
+        "link_graph": OR.LINK_GRAPH,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

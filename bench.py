@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "perplexity_buckets",
     "source_overlap",
+    "xml_roundtrip",
+    "link_graph",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -2985,3 +2985,35 @@ WHERE a.source < b.source
    OR (a.source = b.source AND a.n_occ > 1)
 GROUP BY a.source, b.source
 """
+
+# Source -> target-domain link graph (text/web.py link_graph) over an
+# HTML corpus with planted anchors: one absolute link per document
+# (attribute name uppercased for every 5th doc — the (?i) flag is load
+# bearing), a single-quoted relative link for every 3rd. Patterns are
+# the operator's verbatim (Java/RE2 intersection).
+LINK_GRAPH = """
+WITH html AS (
+  SELECT doc_id AS id, source,
+         '<p>' || text || '</p><a ' ||
+         CASE WHEN doc_id % 5 = 0 THEN 'HREF' ELSE 'href' END ||
+         '="https://src' || CAST((doc_id * 7) % 20 AS VARCHAR) ||
+         '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+         '">x</a>' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<a href=''/local/' || CAST(doc_id AS VARCHAR)
+                   || '''>y</a>'
+              ELSE '' END AS html
+  FROM documents),
+l AS (
+  SELECT source,
+         UNNEST(regexp_extract_all(html, '(?i)href="([^"]*)"', 1)
+                || regexp_extract_all(html, '(?i)href=''([^'']*)''', 1))
+             AS link
+  FROM html)
+SELECT source,
+       CASE WHEN regexp_matches(link, '^https?://')
+            THEN regexp_extract(link, 'https?://([^/]+)', 1)
+            ELSE '(relative)' END AS target_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM l GROUP BY 1, 2
+"""

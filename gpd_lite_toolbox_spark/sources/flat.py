@@ -90,3 +90,37 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Native XML sink (Spark 4 absorbed spark-xml into core): one
+    ``<row_tag>`` element per record, fields as child elements, markup
+    characters entity-escaped by the writer. NULL fields are OMITTED
+    from the element while empty strings serialize as an empty child —
+    so the NULL/empty distinction survives, mirroring the CSV dialect's
+    sentinel contract. Dialect limitation (loud, not silent): XML 1.0
+    cannot represent control characters (0x00-0x08, 0x0B/0x0C,
+    0x0E-0x1F) — the writer REJECTS such rows at write time rather
+    than emitting unparseable markup; strip or escape them upstream if
+    your corpus can contain them."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(
+        path
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema, row_tag: str = "row"
+) -> DataFrame:
+    """Read XML with an explicit schema (no inference pass — XML
+    inference reads everything twice at 100 TB) and
+    ``ignoreSurroundingSpaces`` disabled: corpus text is payload, and
+    the default trimming would silently eat leading/trailing
+    whitespace (the same reasoning as the CSV reader's
+    ignore*WhiteSpace=false)."""
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "false")
+        .load(path)
+    )

@@ -95,3 +95,76 @@ def url_stats(
             F.countDistinct("id").alias("n_docs"),
         )
     )
+
+
+# Anchor/resource link extraction from raw HTML. Both patterns sit in
+# the Java/RE2 intersection (inline (?i), negated char class, NO
+# backreference — the two quote styles are separate patterns instead
+# of a (["'])...\1 backreference, which RE2 cannot run) so the DuckDB
+# oracle shares them verbatim.
+HREF_DQ_PATTERN = r'(?i)href="([^"]*)"'
+HREF_SQ_PATTERN = r"(?i)href='([^']*)'"
+
+
+def extract_links(
+    html_corpus: DataFrame, id_col: str = "id", html_col: str = "html"
+) -> DataFrame:
+    """One row per anchor link occurrence: ``(id, link, domain)`` —
+    ``domain`` is the host for absolute http(s) links and the empty
+    string for relative ones. Zero-shuffle regexp projection; documents
+    without links emit nothing (explode of an empty concat)."""
+    links = html_corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.concat(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(HREF_DQ_PATTERN), F.lit(1)
+                ),
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(HREF_SQ_PATTERN), F.lit(1)
+                ),
+            )
+        ).alias("link"),
+    )
+    return links.withColumn(
+        "domain", F.regexp_extract("link", DOMAIN_PATTERN, 1)
+    )
+
+
+def link_graph(
+    html_corpus: DataFrame,
+    id_col: str = "id",
+    html_col: str = "html",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source -> target-domain edge list with link counts — the
+    crawl-frontier / domain-weighting report built on `extract_links`.
+    Relative links aggregate under target_domain='(relative)'.
+
+    Scale shape: extraction is map-side; the only exchange is the
+    edge aggregate keyed by (source, target_domain) — partial combine
+    caps it at |sources| x |domains| rows per partition, so a hot
+    domain (every crawl has one) never concentrates raw link rows.
+    """
+    links = html_corpus.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.concat(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(HREF_DQ_PATTERN), F.lit(1)
+                ),
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(HREF_SQ_PATTERN), F.lit(1)
+                ),
+            )
+        ).alias("link"),
+    )
+    target = F.when(
+        F.col("link").rlike("^https?://"),
+        F.regexp_extract("link", DOMAIN_PATTERN, 1),
+    ).otherwise(F.lit("(relative)"))
+    return (
+        links.select("source", target.alias("target_domain"))
+        .groupBy("source", "target_domain")
+        .agg(F.count("*").alias("n_links"))
+    )

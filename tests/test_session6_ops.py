@@ -92,3 +92,30 @@ def test_source_overlap_planted_matrix(spark):
     out = {(r.source_a, r.source_b): r.n_shared
            for r in source_overlap(df).collect()}
     assert out == {("A", "B"): 1, ("A", "A"): 1}
+
+
+def test_extract_links_and_graph_edges(spark):
+    from gpd_lite_toolbox_spark.text.web import extract_links, link_graph
+
+    rows = [
+        (1, '<a href="https://a.com/x">1</a><a HREF="https://b.com/">2</a>',
+         "s1"),
+        (2, "<a href='/rel/path'>r</a><a href='https://a.com/y'>3</a>",
+         "s1"),
+        (3, "no links here", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string, source string")
+    links = {(r.id, r.link, r.domain) for r in extract_links(df).collect()}
+    assert links == {
+        (1, "https://a.com/x", "a.com"),
+        (1, "https://b.com/", "b.com"),
+        (2, "/rel/path", ""),
+        (2, "https://a.com/y", "a.com"),
+    }
+    graph = {(r.source, r.target_domain): r.n_links
+             for r in link_graph(df).collect()}
+    assert graph == {
+        ("s1", "a.com"): 2,
+        ("s1", "b.com"): 1,
+        ("s1", "(relative)"): 1,
+    }

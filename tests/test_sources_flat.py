@@ -8,8 +8,10 @@ import pytest
 from gpd_lite_toolbox_spark.sources.flat import (
     read_csv,
     read_orc,
+    read_xml,
     write_csv,
     write_orc,
+    write_xml,
 )
 
 ADVERSARIAL = [
@@ -22,23 +24,37 @@ ADVERSARIAL = [
     (7, None),        # NULL, not empty string
     (8, "   leading and trailing   "),
     (9, "tab\tseparated\tvalues"),
+    (10, "angle <brackets> & ampersand &amp; entity"),
+    (11, "]]> cdata terminator <row> fake markup </row>"),
 ]
 SCHEMA = "id bigint, text string"
 
 
-@pytest.mark.parametrize("codec", ["csv", "orc"])
+@pytest.mark.parametrize("codec", ["csv", "orc", "xml"])
 def test_flat_roundtrip_adversarial(spark, tmp_path, codec):
     df = spark.createDataFrame(ADVERSARIAL, SCHEMA)
     path = str(tmp_path / codec)
     if codec == "csv":
         write_csv(df, path)
         back = read_csv(spark, path, SCHEMA)
+    elif codec == "xml":
+        write_xml(df, path)
+        back = read_xml(spark, path, SCHEMA)
     else:
         write_orc(df, path)
         back = read_orc(spark, path)
     got = {r["id"]: r["text"] for r in back.collect()}
     want = dict(ADVERSARIAL)
     assert got == want  # includes None vs "" distinction
+
+
+def test_xml_rejects_control_characters_loudly(spark, tmp_path):
+    """XML 1.0 cannot represent control characters: the writer must
+    FAIL the write (documented dialect limitation) rather than emit
+    unparseable markup that a downstream reader chokes on."""
+    df = spark.createDataFrame([(1, "a\x01b")], SCHEMA)
+    with pytest.raises(Exception):
+        write_xml(df, str(tmp_path / "ctrl"))
 
 
 def test_csv_null_sentinel_is_configurable(spark, tmp_path):
