@@ -1342,6 +1342,53 @@ def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_graph(html)
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (text/web.py url_dedup) over planted surface
+    variants — host case, :443 port, fragment, trailing '?', bare
+    authority — of shared canonical URLs."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.web import url_dedup
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = s.table("documents")
+    k = (F.col("doc_id") % 20).cast("string")
+    n = F.col("doc_id").cast("string")
+    variants = [
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit("https://SRC"), k, F.lit(".Example.com/page/"),
+                     n).alias("url"),
+        ),
+        d.select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.concat(F.lit("https://src"), k,
+                     F.lit(".example.com:443/page/"), n,
+                     F.lit("#section-2")).alias("url"),
+        ),
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("id"),
+            F.concat(F.lit("https://src"), k, F.lit(".example.com/page/"),
+                     n, F.lit("?")).alias("url"),
+        ),
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 3000000).alias("id"),
+            F.concat(F.lit("https://src"), k,
+                     F.lit(".example.com")).alias("url"),
+        ),
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 4000000).alias("id"),
+            F.concat(F.lit("https://src"), k,
+                     F.lit(".example.com/#x")).alias("url"),
+        ),
+    ]
+    urls = variants[0]
+    for v in variants[1:]:
+        urls = urls.unionAll(v)
+    return url_dedup(urls)
+
+
 def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document drop ledger over the planted-dup corpus
     (text/pipeline.py drop_reasons): exact-dup argmin + Gopher gate +
@@ -2384,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "xml_roundtrip": _q_xml_roundtrip,
         "link_graph": _q_link_graph,
+        "url_dedup": _q_url_dedup,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2580,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": OR.SOURCE_OVERLAP,
         "xml_roundtrip": OR.JSONL_ROUNDTRIP,
         "link_graph": OR.LINK_GRAPH,
+        "url_dedup": OR.URL_DEDUP,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

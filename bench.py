@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "xml_roundtrip",
     "link_graph",
+    "url_dedup",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

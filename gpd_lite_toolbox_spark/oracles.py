@@ -3017,3 +3017,66 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_links
 FROM l GROUP BY 1, 2
 """
+
+# URL-level dedup (text/web.py url_dedup) over planted surface
+# variants of shared canonical URLs: host case, default :443 port,
+# fragments, trailing empty query, bare authority. The canonical
+# chain uses only anchored regexes, so Spark's replace-all and
+# DuckDB's replace-first semantics agree by construction.
+URL_DEDUP = r"""
+WITH urls AS (
+  SELECT doc_id AS id,
+         'https://SRC' || CAST(doc_id % 20 AS VARCHAR)
+         || '.Example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'https://src' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com:443/page/' || CAST(doc_id AS VARCHAR)
+         || '#section-2'
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         'https://src' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id AS VARCHAR) || '?'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 4000000,
+         'https://src' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.com/#x'
+  FROM documents WHERE doc_id % 9 = 0),
+c AS (
+  SELECT id,
+         lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM urls),
+p AS (
+  SELECT id, scheme,
+         lower(regexp_extract(nofrag,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_replace(regexp_extract(nofrag,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+               '\?$', '') AS rest
+  FROM c),
+k AS (
+  SELECT id,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END ||
+         CASE WHEN rest = '' THEN '/'
+              WHEN rest LIKE '?%' THEN '/' || rest
+              ELSE rest END AS canonical_url
+  FROM p)
+SELECT canonical_url,
+       MIN(id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM k GROUP BY canonical_url
+"""

@@ -168,3 +168,62 @@ def link_graph(
         .groupBy("source", "target_domain")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+def canonical_url_expr(url: "F.Column") -> "F.Column":
+    """Canonical form of an http(s) URL for URL-level dedup (the
+    Common-Crawl-style pass that collapses surface variants of one
+    page BEFORE any content hashing): lowercase scheme and host, strip
+    the fragment, strip the scheme's default port (:80 / :443), drop a
+    trailing empty query, and give bare-authority URLs the '/' path.
+    Deliberately NOT done (lossy at web scale): stripping 'www.',
+    sorting query parameters, or percent-decoding — those collapse
+    URLs that may serve different content.
+
+    Pure native regex chain (anchored patterns, so Spark's
+    replace-all and DuckDB's replace-first agree); zero shuffle."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    hostport = F.lower(
+        F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(
+            scheme == F.lit("http"), F.regexp_replace(hostport, r":80$", "")
+        )
+        .when(
+            scheme == F.lit("https"),
+            F.regexp_replace(hostport, r":443$", ""),
+        )
+        .otherwise(hostport)
+    )
+    rest = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1
+    )
+    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = (
+        F.when(rest == F.lit(""), F.lit("/"))
+        .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+        .otherwise(rest)
+    )
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level dedup report: one row per canonical URL with the
+    kept (min-id) document and the surface-variant count. ONE
+    combinable hash exchange keyed by the canonical string — min and
+    count partial-aggregate map-side, so a hot URL (every crawl has
+    one) is a single post-combine row per partition at any scale."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        canonical_url_expr(F.col(url_col)).alias("canonical_url"),
+    )
+    return d.groupBy("canonical_url").agg(
+        F.min("id").alias("keep_id"),
+        F.count("*").alias("n_variants"),
+    )

@@ -190,3 +190,19 @@ def test_session4_ops_on_empty_inputs(spark, tmp_path):
     write_minhash_index(corpus, path)
     batch = spark.createDataFrame([(5, "some text here")], "id long, text string")
     assert ingest_near_dups(spark, path, batch).count() == 0
+
+
+def test_session6_ops_on_empty_inputs(spark):
+    from gpd_lite_toolbox_spark.text.corpus import perplexity_buckets
+    from gpd_lite_toolbox_spark.text.dedup import paragraph_dedup
+    from gpd_lite_toolbox_spark.text.pipeline import source_overlap
+    from gpd_lite_toolbox_spark.text.web import extract_links, link_graph
+
+    corpus = _empty(spark, "id long, text string")
+    assert paragraph_dedup(corpus).count() == 0
+    assert perplexity_buckets(corpus).count() == 0
+    sourced = _empty(spark, "id long, text string, source string")
+    assert source_overlap(sourced).count() == 0
+    html = _empty(spark, "id long, html string, source string")
+    assert extract_links(html).count() == 0
+    assert link_graph(html).count() == 0

@@ -90,6 +90,9 @@ _SPOT = [
     "paragraph_dedup",
     "perplexity_buckets",
     "source_overlap",
+    # regex volume over 10x planted links/URL variants
+    "link_graph",
+    "url_dedup",
 ]
 
 

@@ -119,3 +119,28 @@ def test_extract_links_and_graph_edges(spark):
         ("s1", "b.com"): 1,
         ("s1", "(relative)"): 1,
     }
+
+
+def test_canonical_url_variants_collapse(spark):
+    from gpd_lite_toolbox_spark.text.web import url_dedup
+
+    rows = [
+        (1, "https://WWW.Example.COM/A/b"),
+        (2, "https://www.example.com:443/A/b#frag"),
+        (3, "https://www.example.com/A/b?"),
+        (4, "http://host.net:80"),
+        (5, "http://host.net/#top"),
+        (6, "http://host.net:8080/"),      # NON-default port: distinct
+        (7, "https://www.example.com/A/b?x=1"),  # real query: distinct
+        (8, "ftp://Other.Org:21/f"),       # non-http scheme: port kept
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.canonical_url: (r.keep_id, r.n_variants)
+           for r in url_dedup(df).collect()}
+    assert out == {
+        "https://www.example.com/A/b": (1, 3),
+        "http://host.net/": (4, 2),
+        "http://host.net:8080/": (6, 1),
+        "https://www.example.com/A/b?x=1": (7, 1),
+        "ftp://other.org:21/f": (8, 1),
+    }
