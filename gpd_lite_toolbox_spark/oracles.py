@@ -1999,8 +1999,11 @@ per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(ntok) AS BIGINT) AS n_tokens
         FROM d GROUP BY source),
 tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
-SELECT p.source, p.n_docs, p.n_tokens,
-       ROUND(p.n_tokens / CAST(tot.t AS DOUBLE), 6) AS natural_frac,
+SELECT w.source,
+       COALESCE(p.n_docs, 0) AS n_docs,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       ROUND(COALESCE(p.n_tokens, 0) / CAST(tot.t AS DOUBLE), 6)
+           AS natural_frac,
        ROUND(w._w / CAST({_MIX_W} AS DOUBLE), 6) AS target_frac,
        {_MIX_PLANNED} AS planned_tokens,
        CASE WHEN p.n_tokens > 0
@@ -2011,7 +2014,7 @@ SELECT p.source, p.n_docs, p.n_tokens,
              THEN ROUND({_MIX_PLANNED}
                         / CAST(p.n_tokens AS DOUBLE), 6)
              ELSE 0.0 END) > 1.0 AS oversampled
-FROM per p JOIN w ON w.source = p.source CROSS JOIN tot
+FROM w LEFT JOIN per p ON p.source = w.source CROSS JOIN tot
 """
 
 # Drop-reason ledger (text/pipeline.py drop_reasons): exact-dup argmin
@@ -2932,11 +2935,11 @@ r AS (SELECT id, pos, para,
                                 ORDER BY id, pos) AS rn
       FROM paras)
 SELECT id,
-       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+       COALESCE(string_agg(CASE WHEN rn = 1 OR para = '' THEN para END,
                            chr(10) ORDER BY pos), '') AS text,
        CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
-       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_dropped
+       CAST(SUM(CASE WHEN rn > 1 AND para <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
 FROM r GROUP BY id
 """
 
@@ -3011,8 +3014,8 @@ l AS (
              AS link
   FROM html)
 SELECT source,
-       CASE WHEN regexp_matches(link, '^https?://')
-            THEN regexp_extract(link, 'https?://([^/]+)', 1)
+       CASE WHEN regexp_matches(link, '(?i)^https?://')
+            THEN lower(regexp_extract(link, '(?i)^https?://([^/]+)', 1))
             ELSE '(relative)' END AS target_domain,
        CAST(COUNT(*) AS BIGINT) AS n_links
 FROM l GROUP BY 1, 2
@@ -3050,13 +3053,13 @@ WITH urls AS (
          || '.example.com/#x'
   FROM documents WHERE doc_id % 9 = 0),
 c AS (
-  SELECT id,
+  SELECT id, url,
          lower(regexp_extract(url,
                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          regexp_replace(url, '#.*$', '') AS nofrag
   FROM urls),
 p AS (
-  SELECT id, scheme,
+  SELECT id, url, scheme,
          lower(regexp_extract(nofrag,
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
          regexp_replace(regexp_extract(nofrag,
@@ -3065,6 +3068,7 @@ p AS (
   FROM c),
 k AS (
   SELECT id,
+         CASE WHEN scheme = '' THEN url ELSE
          scheme || '://' ||
          CASE WHEN scheme = 'http'
               THEN regexp_replace(hostport, ':80$', '')
@@ -3073,7 +3077,8 @@ k AS (
               ELSE hostport END ||
          CASE WHEN rest = '' THEN '/'
               WHEN rest LIKE '?%' THEN '/' || rest
-              ELSE rest END AS canonical_url
+              ELSE rest END
+         END AS canonical_url
   FROM p)
 SELECT canonical_url,
        MIN(id) AS keep_id,

@@ -300,7 +300,15 @@ def gopher_stat_exprs(text_col: str = "text") -> list[tuple[str, "F.Column"]]:
     )
     n_stop = None
     for s in GOPHER_STOPWORDS:
-        c = F.array_contains(toks, s).cast("int")
+        # CASE-WHEN (not a bare cast): array_contains(NULL, s) is NULL,
+        # and the oracle's CASE WHEN list_contains THEN 1 ELSE 0 maps
+        # that to 0 — so a NULL-text doc gets n_stop_distinct = 0,
+        # which forces the pass conjunction FALSE (0 >= 2) on BOTH
+        # engines instead of a Spark-only NULL that quality filters
+        # would silently skip
+        c = F.when(F.array_contains(toks, s), F.lit(1)).otherwise(
+            F.lit(0)
+        )
         n_stop = c if n_stop is None else n_stop + c
     return [
         ("n_words", n_words),

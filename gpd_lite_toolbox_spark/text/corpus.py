@@ -590,6 +590,10 @@ def mixture_plan(
     the token-level planning report. Weights are integers so every
     aggregate stays exact until the final divisions (cross-engine
     reproducible); strata absent from ``targets`` are excluded.
+    Targeted strata with ZERO documents still get a plan row
+    (n_docs=0, n_tokens=0, epochs=0) — the weights frame drives the
+    join, so budget allocated to an impossible stratum is visible
+    instead of silently vanishing from the plan.
 
     Columns: ``(source, n_docs, n_tokens, natural_frac, target_frac,
     planned_tokens, epochs, oversampled)``.
@@ -630,17 +634,17 @@ def mixture_plan(
         0,
     ).cast("bigint")
     return (
-        per.crossJoin(F.broadcast(tot))
-        .join(
-            F.broadcast(wdf.withColumnRenamed(strata_col, "source")),
-            "source",
-        )
+        wdf.withColumnRenamed(strata_col, "source")
+        .join(F.broadcast(per), "source", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             "source",
-            "n_docs",
-            "n_tokens",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.round(
-                F.col("n_tokens") / F.col("_tot").cast("double"), 6
+                F.coalesce("n_tokens", F.lit(0))
+                / F.col("_tot").cast("double"),
+                6,
             ).alias("natural_frac"),
             F.round(
                 F.col("_w") / F.lit(float(total_w)), 6

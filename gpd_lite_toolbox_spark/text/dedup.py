@@ -1585,6 +1585,12 @@ def paragraph_dedup(
     contract row survives), ``text`` holding the kept paragraphs
     ``sep``-joined.
 
+    EMPTY paragraphs are exempt from the fingerprint group: a blank
+    line is document structure, not duplicated content — deduping it
+    globally would strip every blank line in the corpus after the
+    first and destroy paragraph boundaries. Empties are always kept
+    and never counted in ``n_dropped``.
+
     Scale shape: three hash exchanges, all combinable or bounded —
     (1) the first-occurrence aggregate keyed by paragraph md5
     (``min(struct(id,pos))`` partial-combines map-side, so a paragraph
@@ -1603,8 +1609,9 @@ def paragraph_dedup(
     first = paras.groupBy("_fp").agg(
         F.min(F.struct("id", "pos")).alias("_first")
     )
-    keep = (F.col("id") == F.col("_first.id")) & (
-        F.col("pos") == F.col("_first.pos")
+    keep = (F.col("para") == "") | (
+        (F.col("id") == F.col("_first.id"))
+        & (F.col("pos") == F.col("_first.pos"))
     )
     joined = paras.join(first, "_fp").select(
         "id", "pos", "para", keep.alias("_keep")

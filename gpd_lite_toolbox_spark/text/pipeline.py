@@ -269,7 +269,6 @@ def corpus_diff(
 def source_quality(
     docs: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Per-source curation rollup (the RefinedWeb/CCNet crawl-ranking
@@ -405,10 +404,7 @@ def source_overlap(
         F.col("source").alias("source_a"), "fp",
         F.col("n_occ").alias("_na"),
     )
-    b = d.select(
-        F.col("source").alias("source_b"), "fp",
-        F.col("n_occ").alias("_nb"),
-    )
+    b = d.select(F.col("source").alias("source_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(

@@ -104,17 +104,21 @@ def url_stats(
 # oracle shares them verbatim.
 HREF_DQ_PATTERN = r'(?i)href="([^"]*)"'
 HREF_SQ_PATTERN = r"(?i)href='([^']*)'"
+# scheme test + host extraction for EXTRACTED hrefs: case-insensitive
+# (markup authors uppercase schemes too) and only meaningful when
+# anchored — an embedded absolute URL inside a relative link
+# ('/redirect?to=https://x') must NOT donate its host.
+_ABS_LINK = r"(?i)^https?://"
+_ABS_DOMAIN = r"(?i)^https?://([^/]+)"
 
 
-def extract_links(
-    html_corpus: DataFrame, id_col: str = "id", html_col: str = "html"
+def _exploded_links(
+    html_corpus: DataFrame, html_col: str, carry: list
 ) -> DataFrame:
-    """One row per anchor link occurrence: ``(id, link, domain)`` —
-    ``domain`` is the host for absolute http(s) links and the empty
-    string for relative ones. Zero-shuffle regexp projection; documents
-    without links emit nothing (explode of an empty concat)."""
-    links = html_corpus.select(
-        F.col(id_col).alias("id"),
+    """One row per href occurrence with the ``carry`` columns kept:
+    both quote-style patterns, exploded from a single projection."""
+    return html_corpus.select(
+        *carry,
         F.explode(
             F.concat(
                 F.regexp_extract_all(
@@ -126,8 +130,22 @@ def extract_links(
             )
         ).alias("link"),
     )
+
+
+def extract_links(
+    html_corpus: DataFrame, id_col: str = "id", html_col: str = "html"
+) -> DataFrame:
+    """One row per anchor link occurrence: ``(id, link, domain)`` —
+    ``domain`` is the lowercased host for absolute http(s) links
+    (anchored, case-insensitive scheme) and the empty string for
+    relative ones. Zero-shuffle regexp projection; documents without
+    links emit nothing (explode of an empty concat)."""
+    links = _exploded_links(
+        html_corpus, html_col, [F.col(id_col).alias("id")]
+    )
     return links.withColumn(
-        "domain", F.regexp_extract("link", DOMAIN_PATTERN, 1)
+        "domain",
+        F.lower(F.regexp_extract("link", _ABS_DOMAIN, 1)),
     )
 
 
@@ -139,29 +157,20 @@ def link_graph(
 ) -> DataFrame:
     """Source -> target-domain edge list with link counts — the
     crawl-frontier / domain-weighting report built on `extract_links`.
-    Relative links aggregate under target_domain='(relative)'.
+    Relative links aggregate under target_domain='(relative)';
+    absolute-link hosts are lowercased (DNS is case-insensitive).
 
     Scale shape: extraction is map-side; the only exchange is the
     edge aggregate keyed by (source, target_domain) — partial combine
     caps it at |sources| x |domains| rows per partition, so a hot
     domain (every crawl has one) never concentrates raw link rows.
     """
-    links = html_corpus.select(
-        F.col(source_col).alias("source"),
-        F.explode(
-            F.concat(
-                F.regexp_extract_all(
-                    F.col(html_col), F.lit(HREF_DQ_PATTERN), F.lit(1)
-                ),
-                F.regexp_extract_all(
-                    F.col(html_col), F.lit(HREF_SQ_PATTERN), F.lit(1)
-                ),
-            )
-        ).alias("link"),
+    links = _exploded_links(
+        html_corpus, html_col, [F.col(source_col).alias("source")]
     )
     target = F.when(
-        F.col("link").rlike("^https?://"),
-        F.regexp_extract("link", DOMAIN_PATTERN, 1),
+        F.col("link").rlike(_ABS_LINK),
+        F.lower(F.regexp_extract("link", _ABS_DOMAIN, 1)),
     ).otherwise(F.lit("(relative)"))
     return (
         links.select("source", target.alias("target_domain"))
@@ -179,6 +188,11 @@ def canonical_url_expr(url: "F.Column") -> "F.Column":
     Deliberately NOT done (lossy at web scale): stripping 'www.',
     sorting query parameters, or percent-decoding — those collapse
     URLs that may serve different content.
+
+    URLs with no scheme://authority prefix (relative paths,
+    protocol-relative //host forms, garbage) pass through UNCHANGED —
+    canonicalizing them would collapse every such string onto one
+    ':///' key and url_dedup would silently merge unrelated rows.
 
     Pure native regex chain (anchored patterns, so Spark's
     replace-all and DuckDB's replace-first agree); zero shuffle."""
@@ -208,7 +222,9 @@ def canonical_url_expr(url: "F.Column") -> "F.Column":
         .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
         .otherwise(rest)
     )
-    return F.concat(scheme, F.lit("://"), host, rest)
+    return F.when(scheme == F.lit(""), url).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
 
 
 def url_dedup(

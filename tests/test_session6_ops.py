@@ -133,6 +133,9 @@ def test_canonical_url_variants_collapse(spark):
         (6, "http://host.net:8080/"),      # NON-default port: distinct
         (7, "https://www.example.com/A/b?x=1"),  # real query: distinct
         (8, "ftp://Other.Org:21/f"),       # non-http scheme: port kept
+        (9, "/relative/path"),             # no scheme: pass through
+        (10, "//host.net/protocol-relative"),
+        (11, "not a url at all"),
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = {r.canonical_url: (r.keep_id, r.n_variants)
@@ -143,4 +146,76 @@ def test_canonical_url_variants_collapse(spark):
         "http://host.net:8080/": (6, 1),
         "https://www.example.com/A/b?x=1": (7, 1),
         "ftp://other.org:21/f": (8, 1),
+        # schemeless inputs pass through unchanged — NOT collapsed
+        # onto one ':///' key
+        "/relative/path": (9, 1),
+        "//host.net/protocol-relative": (10, 1),
+        "not a url at all": (11, 1),
     }
+
+
+def test_paragraph_dedup_blank_lines_are_structure(spark):
+    """Blank lines are exempt from the fingerprint group — global
+    dedup of '' would strip every blank line after the corpus's
+    first and destroy paragraph boundaries."""
+    from gpd_lite_toolbox_spark.text.dedup import paragraph_dedup
+
+    rows = [(1, "a\n\nb"), (2, "c\n\nd")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].text == "a\n\nb" and out[1].n_dropped == 0
+    assert out[2].text == "c\n\nd" and out[2].n_dropped == 0
+
+
+def test_extract_links_embedded_absolute_and_upper_scheme(spark):
+    """A relative link carrying an embedded absolute URL must stay
+    relative (anchored domain extraction); uppercase schemes are
+    absolute (case-insensitive test) with a lowercased host."""
+    from gpd_lite_toolbox_spark.text.web import extract_links, link_graph
+
+    rows = [
+        (1, '<a href="/redirect?to=https://evil.com/x">r</a>'
+            '<a href="HTTPS://A.COM/x">u</a>', "s1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string, source string")
+    links = {(r.link, r.domain) for r in extract_links(df).collect()}
+    assert links == {
+        ("/redirect?to=https://evil.com/x", ""),
+        ("HTTPS://A.COM/x", "a.com"),
+    }
+    graph = {(r.target_domain): r.n_links for r in link_graph(df).collect()}
+    assert graph == {"(relative)": 1, "a.com": 1}
+
+
+def test_gopher_rules_null_text_fails_not_null(spark):
+    """NULL-text docs must report passes=False (matching the oracle's
+    CASE semantics), not NULL — a filter('passes = false') would
+    silently skip NULL."""
+    from gpd_lite_toolbox_spark.text.analysis import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the be of " + "word " * 60)],
+        "id long, text string",
+    )
+    out = {r.id: r.passes for r in gopher_rules(df).collect()}
+    assert out[1] is False
+    assert out[2] in (True, False)  # real text: definite verdict
+
+
+def test_mixture_plan_zero_doc_stratum_keeps_row(spark):
+    """A targeted stratum with no documents must appear in the plan
+    (n_docs=0, epochs=0) instead of silently vanishing with its
+    budget share."""
+    from gpd_lite_toolbox_spark.text.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "five words of source a", "a")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in
+           mixture_plan(docs, {"a": 1, "b": 1}, 1000).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"].n_docs == 0 and out["b"].n_tokens == 0
+    assert out["b"].planned_tokens == 500
+    assert out["b"].epochs == 0.0 and out["b"].oversampled is False
+    assert out["a"].n_tokens == 5 and out["a"].oversampled
