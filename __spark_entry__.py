@@ -1389,6 +1389,27 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(urls)
 
 
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by PMI (text/corpus.py bigram_pmi):
+    row-local bigram derivation, partial-combined counts, TakeOrdered
+    top-k."""
+    from gpd_lite_toolbox_spark.text.corpus import bigram_pmi
+
+    return bigram_pmi(
+        _corpus(spark, sf_dir),
+        min_count=OR.PMI_MIN_COUNT,
+        top_k=OR.PMI_TOP_K,
+    )
+
+
+def _q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies (text/corpus.py token_spectrum):
+    two combinable exchanges, the second over distinct counts only."""
+    from gpd_lite_toolbox_spark.text.corpus import token_spectrum
+
+    return token_spectrum(_corpus(spark, sf_dir))
+
+
 def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document drop ledger over the planted-dup corpus
     (text/pipeline.py drop_reasons): exact-dup argmin + Gopher gate +
@@ -2432,6 +2453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": _q_xml_roundtrip,
         "link_graph": _q_link_graph,
         "url_dedup": _q_url_dedup,
+        "bigram_pmi": _q_bigram_pmi,
+        "token_spectrum": _q_token_spectrum,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2629,6 +2652,8 @@ def oracle_sql() -> dict[str, str]:
         "xml_roundtrip": OR.JSONL_ROUNDTRIP,
         "link_graph": OR.LINK_GRAPH,
         "url_dedup": OR.URL_DEDUP,
+        "bigram_pmi": OR.BIGRAM_PMI,
+        "token_spectrum": OR.TOKEN_SPECTRUM,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

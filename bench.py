@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "xml_roundtrip",
     "link_graph",
     "url_dedup",
+    "bigram_pmi",
+    "token_spectrum",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

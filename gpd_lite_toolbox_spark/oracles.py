@@ -3085,3 +3085,45 @@ SELECT canonical_url,
        CAST(COUNT(*) AS BIGINT) AS n_variants
 FROM k GROUP BY canonical_url
 """
+
+# Bigram PMI phrase mining (text/corpus.py bigram_pmi): identical
+# association order in the PMI expression on both engines so round(6)
+# agrees; the top-k selection is tiebroken (pmi DESC, a, b).
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+BIGRAM_PMI = f"""
+WITH {oracle_ctes('corpus')},
+t AS (SELECT string_split(text, ' ') AS toks FROM corpus),
+uni AS (SELECT UNNEST(toks) AS tok FROM t),
+unic AS (SELECT tok, COUNT(*) AS n_uni FROM uni GROUP BY tok),
+nu AS (SELECT COUNT(*) AS c FROM uni),
+big AS (SELECT list_extract(toks, CAST(i AS INT)) AS a,
+               list_extract(toks, CAST(i AS INT) + 1) AS b
+        FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+bigc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+         FROM big GROUP BY a, b
+         HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+nb AS (SELECT COUNT(*) AS c FROM big)
+SELECT bc.a, bc.b, bc.n_ab,
+       ua.n_uni AS n_a, ub.n_uni AS n_b,
+       ROUND(LN((bc.n_ab / CAST(nb.c AS DOUBLE))
+                / ((ua.n_uni / CAST(nu.c AS DOUBLE))
+                   * (ub.n_uni / CAST(nu.c AS DOUBLE)))), 6) AS pmi
+FROM bigc bc
+JOIN unic ua ON ua.tok = bc.a
+JOIN unic ub ON ub.tok = bc.b
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, bc.a, bc.b
+LIMIT {PMI_TOP_K}
+"""
+
+# Token frequency-of-frequencies (text/corpus.py token_spectrum).
+TOKEN_SPECTRUM = f"""
+WITH {oracle_ctes('corpus')},
+toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+c AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+SELECT CAST(freq AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+FROM c GROUP BY freq
+"""

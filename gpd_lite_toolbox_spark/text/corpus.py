@@ -702,3 +702,100 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def bigram_pmi(
+    corpus: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase mining via pointwise mutual information over adjacent
+    token pairs — the classic collocation detector (word2vec-style
+    phrase joining, vocabulary curation): for every bigram seen at
+    least ``min_count`` times, PMI = ln(p(ab) / (p(a)p(b))) with
+    p(ab) over the bigram table and p(a) over the unigram table; the
+    global ``top_k`` by (pmi, a, b) is returned.
+
+    Scale shape: ONE pass explodes tokens; bigrams derive from the
+    same row-local arrays (slice+zip — no self-join of a positional
+    token table). Both count aggregates partial-combine map-side, so
+    stopword-heavy unigrams and boilerplate bigrams arrive
+    pre-reduced; the two count lookups are vocab-sized joins AQE
+    broadcasts when they fit, and the two totals are one-row
+    broadcasts. The final top-k is a global TakeOrdered (per-partition
+    k-heaps), never a full sort.
+
+    Columns: ``(a, b, n_ab, n_a, n_b, pmi)``; pmi rounded 6 and the
+    ordering tiebroken on (a, b) so the selected k rows are
+    deterministic cross-engine.
+    """
+    toks_arr = F.split(F.col(text_col), " ")
+    rows = corpus.select(toks_arr.alias("_t"))
+    uni = rows.select(F.explode("_t").alias("tok"))
+    unic = uni.groupBy("tok").agg(F.count("*").alias("n_uni"))
+    n_uni_total = uni.agg(F.count("*").alias("_nu"))
+    big = rows.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("a"),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("b"),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    bigc = (
+        big.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    n_big_total = big.agg(F.count("*").alias("_nb"))
+    scored = (
+        bigc.join(
+            unic.select(F.col("tok").alias("a"), F.col("n_uni").alias("n_a")),
+            "a",
+        )
+        .join(
+            unic.select(F.col("tok").alias("b"), F.col("n_uni").alias("n_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_uni_total))
+        .crossJoin(F.broadcast(n_big_total))
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("_nb").cast("double"))
+                    / (
+                        (F.col("n_a") / F.col("_nu").cast("double"))
+                        * (F.col("n_b") / F.col("_nu").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("a"), F.col("b")
+    ).limit(int(top_k))
+
+
+def token_spectrum(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Frequency-of-frequencies (the Zipf/Good-Turing spectrum): for
+    each occurrence count, how many distinct token types occur exactly
+    that often. The two-line corpus health check — a heavy singleton
+    tail means OCR noise/mojibake, a missing one means template text.
+
+    Two combinable exchanges (token counts, then count-of-counts —
+    the second over a |distinct counts|-sized input). Columns:
+    ``(freq, n_types)``.
+    """
+    toks = corpus.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    return counts.groupBy("freq").agg(
+        F.countDistinct("tok").alias("n_types")
+    )

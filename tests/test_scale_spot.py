@@ -93,6 +93,10 @@ _SPOT = [
     # regex volume over 10x planted links/URL variants
     "link_graph",
     "url_dedup",
+    # top-k boundary ties at 10x bigram density; spectrum over a
+    # 10x-shifted frequency distribution
+    "bigram_pmi",
+    "token_spectrum",
 ]
 
 

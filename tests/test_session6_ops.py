@@ -219,3 +219,33 @@ def test_mixture_plan_zero_doc_stratum_keeps_row(spark):
     assert out["b"].planned_tokens == 500
     assert out["b"].epochs == 0.0 and out["b"].oversampled is False
     assert out["a"].n_tokens == 5 and out["a"].oversampled
+
+
+def test_bigram_pmi_finds_planted_collocation(spark):
+    """'aa bb' always co-occur (every occurrence of aa precedes bb);
+    filler tokens pair randomly — the planted collocation must rank
+    first with the highest PMI."""
+    from gpd_lite_toolbox_spark.text.corpus import bigram_pmi
+
+    filler = ["x", "y", "z", "w"]
+    rows = []
+    for i in range(40):
+        toks = [filler[(i + j) % 4] for j in range(6)]
+        toks[2:2] = ["aa", "bb"]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = bigram_pmi(df, min_count=3, top_k=5).collect()
+    assert (out[0].a, out[0].b) == ("aa", "bb")
+    assert out[0].pmi == max(r.pmi for r in out)
+    assert out[0].n_ab == 40
+
+
+def test_token_spectrum_counts_types_per_frequency(spark):
+    from gpd_lite_toolbox_spark.text.corpus import token_spectrum
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b d")], "id long, text string"
+    )
+    out = {r.freq: r.n_types for r in token_spectrum(df).collect()}
+    # a:3, b:3, c:1, d:1
+    assert out == {3: 2, 1: 2}
