@@ -1410,6 +1410,66 @@ def _q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_spectrum(_corpus(spark, sf_dir))
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture weights per source
+    (text/corpus.py temperature_mixture): sqrt-share weights derived
+    from the corpus itself; one combinable rollup + one-row totals
+    broadcast."""
+    from gpd_lite_toolbox_spark.text.corpus import temperature_mixture
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return temperature_mixture(
+        s.table("documents"), token_budget=OR.TEMP_BUDGET, alpha=0.5
+    )
+
+
+def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed JL random projection of the embeddings table to 16 dims
+    (vector/project.py random_projection), long-form (vec_id, j, val):
+    the md5-derived +/-1 matrix and the left-to-right sum make the
+    values bit-identical cross-engine; zero-shuffle projection."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.project import random_projection
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    proj = random_projection(s.table("embeddings"), out_dims=16, dims=64)
+    return proj.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("proj").alias("j", "_v"),
+    ).select(
+        "vec_id", F.col("j").cast("int").alias("j"),
+        F.round("_v", 6).alias("val"),
+    )
+
+
+def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration weighted PageRank over a deterministic
+    domain graph derived from documents (text/web.py pagerank):
+    node 'd20' is planted dangling (appears only as a target), so the
+    dangling-mass redistribution path is exercised; sum(rank) == 1 by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.web import pagerank
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = s.table("documents")
+    edges = d.select(
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 7) % 20).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 13) % 21).cast("string")
+        ).alias("dst"),
+    )
+    out = pagerank(edges, iters=5, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document drop ledger over the planted-dup corpus
     (text/pipeline.py drop_reasons): exact-dup argmin + Gopher gate +
@@ -2455,6 +2515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "bigram_pmi": _q_bigram_pmi,
         "token_spectrum": _q_token_spectrum,
+        "temperature_mix": _q_temperature_mix,
+        "jl_project": _q_jl_project,
+        "domain_pagerank": _q_domain_pagerank,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2654,6 +2717,9 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": OR.URL_DEDUP,
         "bigram_pmi": OR.BIGRAM_PMI,
         "token_spectrum": OR.TOKEN_SPECTRUM,
+        "temperature_mix": OR.TEMPERATURE_MIX,
+        "jl_project": OR.JL_PROJECT,
+        "domain_pagerank": OR.DOMAIN_PAGERANK,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

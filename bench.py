@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "url_dedup",
     "bigram_pmi",
     "token_spectrum",
+    "temperature_mix",
+    "jl_project",
+    "domain_pagerank",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -3127,3 +3127,125 @@ SELECT CAST(freq AS BIGINT) AS freq,
        CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
 FROM c GROUP BY freq
 """
+
+# Temperature-scaled mixture weights (text/corpus.py
+# temperature_mixture, alpha=0.5): sqrt is correctly rounded under
+# IEEE-754 on both engines so per-stratum power terms are
+# bit-identical; the share rounds to 6dp BEFORE planned_tokens'
+# floor, so the floor cannot straddle engines on a last-ulp sum
+# difference. oversampled compares the ROUNDED epoch ratio, the
+# MIXTURE_PLAN convention.
+TEMP_BUDGET = 1_000_000
+
+TEMPERATURE_MIX = f"""
+WITH d AS (SELECT source, {_NTOK} AS ntok FROM documents),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+               SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS tp
+        FROM per)
+SELECT per.source, per.n_docs, per.n_tokens,
+       ROUND(per.n_tokens / CAST(tot.tt AS DOUBLE), 6) AS natural_frac,
+       ROUND(SQRT(CAST(per.n_tokens AS DOUBLE)) / tot.tp, 6) AS weight,
+       CAST(FLOOR(ROUND(SQRT(CAST(per.n_tokens AS DOUBLE)) / tot.tp, 6)
+                  * {TEMP_BUDGET}.0) AS BIGINT) AS planned_tokens,
+       CASE WHEN per.n_tokens > 0
+            THEN ROUND(CAST(FLOOR(
+                     ROUND(SQRT(CAST(per.n_tokens AS DOUBLE)) / tot.tp, 6)
+                     * {TEMP_BUDGET}.0) AS BIGINT)
+                 / CAST(per.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs,
+       (CASE WHEN per.n_tokens > 0
+             THEN ROUND(CAST(FLOOR(
+                      ROUND(SQRT(CAST(per.n_tokens AS DOUBLE)) / tot.tp, 6)
+                      * {TEMP_BUDGET}.0) AS BIGINT)
+                  / CAST(per.n_tokens AS DOUBLE), 6)
+             ELSE 0.0 END) > 1.0 AS oversampled
+FROM per CROSS JOIN tot
+"""
+
+
+def _jl_project_sql() -> str:
+    """Full oracle for the JL random projection: the sign matrix is
+    the same md5-derived +/-1 literal set, the per-element sum is the
+    same left-to-right operation sequence, and the 1/sqrt(k) scale is
+    the same driver-computed literal — so projected values are
+    bit-identical cross-engine before the 6dp display rounding."""
+    import math
+
+    from .vector.project import jl_sign
+
+    k, dims = 16, 64
+    scale = 1.0 / math.sqrt(k)
+    exprs = []
+    for j in range(k):
+        # fold seeded at 0.0, left-to-right — the exact operation
+        # sequence of the Spark side's aggregate()
+        acc = "0.0"
+        for d in range(dims):
+            acc = (
+                f"({acc} + (CAST(embedding[{d + 1}] AS DOUBLE)"
+                f" * ({jl_sign(d, j)!r})))"
+            )
+        exprs.append(f"WHEN {j} THEN ({acc}) * ({scale!r})")
+    case = "CASE j " + " ".join(exprs) + " END"
+    dim_vals = ", ".join(f"({j})" for j in range(k))
+    return f"""
+WITH dims(j) AS (VALUES {dim_vals})
+SELECT vec_id, CAST(j AS INT) AS j, ROUND({case}, 6) AS val
+FROM embeddings CROSS JOIN dims
+"""
+
+
+JL_PROJECT = _jl_project_sql()
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank mirror (text/web.py
+    pagerank): same edge fixture, same transition fractions, same
+    conserving update ((1-d)/N + d*(contrib + dangling/N)); literals
+    are reprs of the SAME driver-side Python floats Spark ships, so
+    the only cross-engine difference is double-sum order (absorbed by
+    the final 6dp rounding)."""
+    base = (1.0 - damping) / 1.0  # per-N division stays in SQL
+    ctes = [
+        """edges AS (SELECT 'd' || CAST((doc_id * 7) % 20 AS VARCHAR) AS src,
+                 'd' || CAST((doc_id * 13) % 21 AS VARCHAR) AS dst
+          FROM documents)""",
+        """e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM edges GROUP BY src, dst)""",
+        """nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        """n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes)""",
+        """outw AS (SELECT src, SUM(w) AS wout FROM e GROUP BY src)""",
+        """trans AS (SELECT e.src, e.dst, e.w / o.wout AS frac
+           FROM e JOIN outw o ON o.src = e.src)""",
+        """r0 AS (SELECT node, 1.0 / n.c AS rank FROM nodes CROSS JOIN n)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""c{i} AS (SELECT t.dst AS node, SUM(t.frac * r.rank) AS contrib
+         FROM trans t JOIN r{i} r ON r.node = t.src GROUP BY t.dst)"""
+        )
+        ctes.append(
+            f"""d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS ds
+         FROM r{i} r LEFT JOIN outw o ON o.src = r.node
+         WHERE o.src IS NULL)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (SELECT nodes.node,
+                ({base!r} / n.c)
+                + ({damping!r}) * (COALESCE(c{i}.contrib, 0.0)
+                                   + d{i}.ds / CAST(n.c AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN n CROSS JOIN d{i}
+           LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}\n"
+    )
+
+
+DOMAIN_PAGERANK = _pagerank_sql()

@@ -799,3 +799,80 @@ def token_spectrum(
     return counts.groupBy("freq").agg(
         F.countDistinct("tok").alias("n_types")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual/multi-
+    source sampling rule of XLM-R / mT5 / Gopher): each stratum's
+    sampling share is ``n_tokens^alpha / sum_j n_tokens_j^alpha``, so
+    ``alpha < 1`` up-weights small sources relative to their natural
+    share and ``alpha = 1`` recovers natural sampling. Complements
+    ``mixture_plan`` (explicit hand-set integer weights) — here the
+    weights are DERIVED from the corpus itself.
+
+    Cross-engine float discipline: the default ``alpha = 0.5`` makes
+    the power a ``sqrt`` — correctly rounded under IEEE-754 on both
+    engines, so per-stratum terms are bit-identical (general ``pow``
+    may differ in the last ulp between libm implementations; any alpha
+    is accepted, but the hash-gated query uses 0.5). The share is
+    rounded to 6 decimals FIRST and ``planned_tokens`` derived from
+    the rounded share, so the floor cannot straddle engines on a
+    last-ulp difference.
+
+    Columns: ``(source, n_docs, n_tokens, natural_frac, weight,
+    planned_tokens, epochs, oversampled)``.
+
+    Scale shape: one scan -> per-stratum combinable rollup (the only
+    corpus-sized exchange) -> one-row totals broadcast back. Nothing
+    past the grouped aggregate is wider than #strata rows.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    text = F.col(text_col)
+    ntok = (
+        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))))
+        + 1
+    ).cast("bigint")
+    per = (
+        docs.select(F.col(strata_col).alias("source"), ntok.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+    )
+    pow_ = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    per = per.withColumn("_pw", pow_)
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tok"), F.sum("_pw").alias("_tot_pw")
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    weight = F.round(F.col("_pw") / F.col("_tot_pw"), 6)
+    planned = F.floor(weight * F.lit(float(token_budget))).cast("bigint")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("_tot_tok").cast("double"), 6
+        ).alias("natural_frac"),
+        weight.alias("weight"),
+        planned.alias("planned_tokens"),
+        F.when(F.col("n_tokens") > 0, F.round(planned / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+        (
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(planned / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            > 1.0
+        ).alias("oversampled"),
+    )

@@ -243,3 +243,110 @@ def url_dedup(
         F.min("id").alias("keep_id"),
         F.count("*").alias("n_variants"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a domain/link graph for a FIXED number
+    of power iterations — the crawl-curation ranker (Common-Crawl
+    publishes exactly this artifact per crawl: a domain-level rank
+    table driving frontier priority and per-domain quality weights).
+    A fixed ``iters`` keeps the result deterministic and
+    oracle-replayable (the DuckDB gate unrolls the same iterations);
+    rank mass is conserved every step (dangling mass redistributed
+    uniformly), so sum(rank) == 1 is a standing invariant.
+
+    Returns ``(node, rank)`` — rank unrounded; gate queries round.
+
+    Scale shape (this is the one operator here that is iterative):
+
+    - edges pre-aggregate to ``(src, dst, w)`` — partial combine
+      caps a hot domain pair at one row per partition;
+    - out-weight totals are one more combinable aggregate; the
+      transition fraction ``w / w_out(src)`` is computed ONCE and the
+      edge table with fractions persisted — every iteration reuses the
+      same shuffle-ready table rather than re-deriving it;
+    - each iteration is one join (ranks is |nodes|-sized — AQE
+      broadcasts it under the threshold, shuffled-hash above; the
+      EDGE side never re-shuffles when bucketed/pre-partitioned by
+      src) plus one partial-combined aggregate keyed by dst;
+    - the dangling-mass term is a ONE-ROW aggregate crossJoin'd back
+      (broadcast), never a driver collect;
+    - ranks are ``localCheckpoint``-ed each round: 5 iterations of
+      join+agg otherwise compound into one mega-plan whose
+      re-analysis dominates (same discipline as dup_groups' label
+      propagation, the GraphFrames/GraphX pattern).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            w.alias("_w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outw = e.groupBy("src").agg(F.sum("_w").alias("_wout"))
+    trans = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("_w") / F.col("_wout")).alias("frac"))
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    has_out = outw.select(F.col("src").alias("node"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .select("dst", (F.col("frac") * F.col("rank")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    trans.unpersist()
+    return ranks

@@ -97,6 +97,10 @@ _SPOT = [
     # 10x-shifted frequency distribution
     "bigram_pmi",
     "token_spectrum",
+    # iterative joins at 10x edge volume; HOF fold at 10x rows
+    "temperature_mix",
+    "jl_project",
+    "domain_pagerank",
 ]
 
 

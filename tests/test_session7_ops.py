@@ -1,0 +1,167 @@
+"""Unit semantics for the session-7 ops: fixed-iteration PageRank
+(mass conservation, dangling redistribution, hub dominance), the
+signed JL projection (shape, NULL handling, distance preservation),
+and temperature-scaled mixture weights (alpha=1 natural recovery,
+alpha<1 small-source upweighting)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_pagerank_conserves_mass_and_handles_dangling(spark):
+    from gpd_lite_toolbox_spark.text.web import pagerank
+
+    # b is dangling (no out-edges): its mass must be redistributed,
+    # not lost — total rank stays 1 every iteration.
+    out = pagerank(
+        _edges(spark, [("a", "b"), ("c", "b"), ("c", "a")]), iters=5
+    ).collect()
+    total = sum(r["rank"] for r in out)
+    assert abs(total - 1.0) < 1e-9
+    assert {r["node"] for r in out} == {"a", "b", "c"}
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    from gpd_lite_toolbox_spark.text.web import pagerank
+
+    out = pagerank(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]), iters=7
+    ).collect()
+    ranks = [r["rank"] for r in out]
+    assert max(ranks) - min(ranks) < 1e-12
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from gpd_lite_toolbox_spark.text.web import pagerank
+
+    # every leaf points at the hub; the hub links back to one leaf
+    rows = [(f"l{i}", "hub") for i in range(5)] + [("hub", "l0")]
+    out = {r["node"]: r["rank"] for r in pagerank(_edges(spark, rows)).collect()}
+    assert out["hub"] == max(out.values())
+    assert out["l0"] > out["l1"]  # hub's backlink boosts l0
+
+
+def test_pagerank_respects_edge_weights(spark):
+    from gpd_lite_toolbox_spark.text.web import pagerank
+
+    w = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0)], "src string, dst string, w double"
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(w, iters=3, weight_col="w").collect()
+    }
+    assert out["b"] > out["c"]
+
+
+def test_pagerank_empty_and_zero_iters(spark):
+    from gpd_lite_toolbox_spark.text.web import pagerank
+
+    empty = _edges(spark, []).filter(F.lit(False))
+    assert pagerank(empty, iters=2).count() == 0
+    out = pagerank(_edges(spark, [("a", "b")]), iters=0).collect()
+    assert all(abs(r["rank"] - 0.5) < 1e-12 for r in out)
+
+
+def test_random_projection_shape_and_nulls(spark):
+    from gpd_lite_toolbox_spark.vector.project import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r["proj"] for r in random_projection(df, out_dims=8).collect()}
+    assert len(out[1]) == 8
+    assert out[2] is None
+
+
+def test_random_projection_preserves_pairwise_distances(spark):
+    """JL guarantee, loose form: with k=16 over d=64, relative squared
+    distance distortion across planted random vectors stays within a
+    generous bound (the +/-1 ensemble has the JL moment bounds)."""
+    import random
+
+    from gpd_lite_toolbox_spark.vector.project import random_projection
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    proj = {
+        r["id"]: r["proj"]
+        for r in random_projection(df, out_dims=16).collect()
+    }
+    raw = dict(vecs)
+
+    def d2(u, v):
+        return sum((a - b) ** 2 for a, b in zip(u, v))
+
+    ratios = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            ratios.append(d2(proj[i], proj[j]) / d2(raw[i], raw[j]))
+    # eps ~ sqrt(8 ln n / k) is >1 at k=16; just pin a sane envelope
+    assert 0.2 < min(ratios) and max(ratios) < 3.0
+    assert 0.6 < sum(ratios) / len(ratios) < 1.6
+
+
+def test_random_projection_is_linear(spark):
+    from gpd_lite_toolbox_spark.vector.project import random_projection
+
+    u = [float(i % 5) for i in range(16)]
+    v = [float((i * 3) % 7) for i in range(16)]
+    s = [a + b for a, b in zip(u, v)]
+    df = spark.createDataFrame(
+        [(0, u), (1, v), (2, s)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["id"]: r["proj"]
+        for r in random_projection(df, out_dims=4).collect()
+    }
+    for a, b, c in zip(out[0], out[1], out[2]):
+        assert abs((a + b) - c) < 1e-9
+
+
+def test_temperature_alpha_one_recovers_natural_shares(spark):
+    from gpd_lite_toolbox_spark.text.corpus import temperature_mixture
+
+    rows = [(i, "w " * (10 if i % 3 else 40), f"s{i % 2}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string, source string")
+    out = temperature_mixture(df, token_budget=1000, alpha=1.0).collect()
+    for r in out:
+        assert abs(r["weight"] - r["natural_frac"]) < 2e-6
+
+
+def test_temperature_upweights_small_sources(spark):
+    from gpd_lite_toolbox_spark.text.corpus import temperature_mixture
+
+    rows = [(0, "w " * 1000, "big"), (1, "w " * 10, "small")]
+    df = spark.createDataFrame(rows, "id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in temperature_mixture(df, token_budget=10_000).collect()
+    }
+    assert out["small"].weight > out["small"].natural_frac
+    assert out["big"].weight < out["big"].natural_frac
+    # sqrt-temperature: weight ratio is sqrt of token ratio
+    got = out["big"].weight / out["small"].weight
+    want = math.sqrt(out["big"].n_tokens / out["small"].n_tokens)
+    assert abs(got - want) < 1e-3
+    assert out["small"].oversampled  # 10k budget vs ~11 tokens
+
+
+def test_temperature_mixture_rejects_bad_budget(spark):
+    from gpd_lite_toolbox_spark.text.corpus import temperature_mixture
+
+    df = spark.createDataFrame([(0, "a b", "s")], "id long, text string, source string")
+    with pytest.raises(ValueError):
+        temperature_mixture(df, token_budget=0)
