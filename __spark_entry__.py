@@ -1470,6 +1470,91 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+_small_files_paths: dict[str, str] = {}
+
+
+def _small_files_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately fragmented copy of documents — partitionBy
+    (doc_id % 8) — for the compaction-planner query (memoized;
+    process-private tempdir, removed at exit, the _cdc_feed
+    discipline)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if sf_dir in _small_files_paths:
+        return _small_files_paths[sf_dir]
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = tempfile.mkdtemp(prefix="spark_graft_small_files_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = f"{d}/docs"
+    (
+        s.table("documents")
+        .withColumn("pbin", (F.col("doc_id") % 8).cast("int"))
+        .write.partitionBy("pbin")
+        .parquet(path)
+    )
+    _small_files_paths[sf_dir] = path
+    return path
+
+
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (sources/maintenance.py file_stats +
+    compaction_plan) over a deliberately fragmented documents copy:
+    per-file row counts come from the hidden _metadata scan column,
+    aggregate up to the 8 partition directories, then greedy
+    target-row bins. The oracle re-derives the expected per-partition
+    counts from raw documents — so the gate ALSO proves the physical
+    write dropped no rows."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.sources.maintenance import (
+        compaction_plan,
+        file_stats,
+    )
+
+    s = _configure(spark)
+    path = _small_files_dir(s, sf_dir)
+    stats = file_stats(s, path)
+    per_dir = (
+        stats.select(
+            F.regexp_extract("file_path", r"pbin=(\d+)", 1)
+            .cast("int")
+            .alias("part"),
+            "n_rows",
+        )
+        .groupBy("part")
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+    return compaction_plan(
+        per_dir, target_rows=150, key_col="part", rows_col="n_rows"
+    )
+
+
+def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token features over the corpus (text/classify.py
+    hash_features): md5-bucketed token counts, long form — one
+    explode + one combinable aggregate, vocabulary-free."""
+    from gpd_lite_toolbox_spark.text.classify import hash_features
+
+    return hash_features(_corpus(spark, sf_dir), n_features=OR.HASH_FEATURES_DIM)
+
+
+def _q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id (operators/
+    skew.py skew_stats): top-10 hottest keys with share-of-total and
+    multiple-of-mean — the report that picks between plain hash join,
+    broadcast, and salting."""
+    from gpd_lite_toolbox_spark.operators.skew import skew_stats
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return skew_stats(s.table("events"), "user_id", top_k=10)
+
+
 def _q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document drop ledger over the planted-dup corpus
     (text/pipeline.py drop_reasons): exact-dup argmin + Gopher gate +
@@ -2518,6 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "jl_project": _q_jl_project,
         "domain_pagerank": _q_domain_pagerank,
+        "compaction_plan": _q_compaction_plan,
+        "hash_features": _q_hash_features,
+        "skew_stats": _q_skew_stats,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2720,6 +2808,9 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": OR.TEMPERATURE_MIX,
         "jl_project": OR.JL_PROJECT,
         "domain_pagerank": OR.DOMAIN_PAGERANK,
+        "compaction_plan": OR.COMPACTION_PLAN,
+        "hash_features": OR.HASH_FEATURES,
+        "skew_stats": OR.SKEW_STATS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "temperature_mix",
     "jl_project",
     "domain_pagerank",
+    "compaction_plan",
+    "hash_features",
+    "skew_stats",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

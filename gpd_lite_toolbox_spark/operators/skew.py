@@ -18,7 +18,7 @@ observed key share x parallelism, not thousands).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,3 +62,55 @@ def salted_join(
     return salted_left.join(
         replicated_right, on + ["_salt"], how
     ).drop("_salt")
+
+
+def skew_stats(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic — the report that decides BETWEEN the
+    mitigation strategies this module and AQE offer: per-key row
+    counts summarized as the share of total rows held by each of the
+    ``top_k`` hottest keys, plus that key's multiple of the mean key
+    size. A key holding >~5% of rows (or >>10x the mean) is the salt
+    /broadcast candidate; a flat report says plain hash join is fine.
+
+    Columns: ``(rnk, key, n_rows, frac_of_total, x_mean)`` —
+    ``key`` stringified so the report is schema-stable across key
+    types; ``rnk`` the 1-based hotness rank (count desc, key asc).
+
+    Scale shape: per-key counts partial-combine map-side (a hot key
+    arrives at the exchange as one row per partition — counting is
+    never itself skewed); the top-k is a global TakeOrdered over
+    |keys| rows, and the totals are a one-row broadcast. Nothing
+    driver-side."""
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("_tot"),
+        F.count("*").alias("_nkeys"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "rnk",
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_tot").cast("double"), 6).alias(
+                "frac_of_total"
+            ),
+            F.round(
+                F.col("n_rows")
+                / (F.col("_tot") / F.col("_nkeys").cast("double")),
+                6,
+            ).alias("x_mean"),
+        )
+    )

@@ -3249,3 +3249,60 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
 
 
 DOMAIN_PAGERANK = _pagerank_sql()
+
+# Small-file compaction plan (sources/maintenance.py): the oracle
+# re-derives per-partition-dir row counts from RAW documents and
+# replays the greedy running-total binning — matching the engine's
+# _metadata-derived counts proves the fragmented physical write also
+# dropped no rows.
+COMPACTION_TARGET = 150
+
+COMPACTION_PLAN = f"""
+WITH per AS (SELECT CAST(doc_id % 8 AS INT) AS key,
+                    CAST(COUNT(*) AS BIGINT) AS n_rows
+             FROM documents GROUP BY 1),
+b AS (SELECT key, n_rows,
+             CAST(FLOOR(COALESCE(SUM(n_rows) OVER (
+                      ORDER BY key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / {COMPACTION_TARGET}) AS INT) AS bin
+      FROM per)
+SELECT key, n_rows, bin,
+       CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows
+FROM b
+"""
+
+# Hashing-trick featurization (text/classify.py hash_features): same
+# md5-bucket identity as the dedup family; NULL text coalesces to ''
+# (one empty-string token), the classifier-input convention.
+HASH_FEATURES_DIM = 64
+
+HASH_FEATURES = f"""
+WITH {oracle_ctes('corpus')},
+t AS (SELECT id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+      FROM corpus)
+SELECT id,
+       CAST(CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT)
+            % {HASH_FEATURES_DIM} AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2
+"""
+
+# Join-key skew diagnostic (operators/skew.py skew_stats) over
+# events.user_id: top-10 by (count desc, stringified key asc) with
+# 6dp share and multiple-of-mean.
+SKEW_STATS = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS nk FROM c),
+top AS (SELECT key, n_rows,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key)
+                 AS INT) AS rnk
+        FROM c ORDER BY n_rows DESC, key LIMIT 10)
+SELECT top.rnk, top.key, top.n_rows,
+       ROUND(top.n_rows / CAST(tot.t AS DOUBLE), 6) AS frac_of_total,
+       ROUND(top.n_rows / (tot.t / CAST(tot.nk AS DOUBLE)), 6) AS x_mean
+FROM top CROSS JOIN tot
+"""

@@ -181,3 +181,40 @@ def nb_confusion(
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def hash_features(
+    corpus: DataFrame,
+    n_features: int = 64,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick featurization (the HashingTF / Vowpal-Wabbit
+    scheme): every token maps to ``md5-hash mod n_features`` and the
+    per-(doc, bucket) counts are the feature values — the fixed-width,
+    vocabulary-free representation that feeds linear quality
+    classifiers at corpus scale (no fit pass, no vocab broadcast, new
+    tokens never resize the space).
+
+    Long-form output ``(id, bucket, n)`` — only occupied buckets
+    emit a row, so the frame stays sparse regardless of
+    ``n_features``; densify downstream with a row-local
+    ``map_from_entries``/``transform`` when a fixed array is needed.
+
+    Scale shape: one token explode + ONE combinable (id, bucket)
+    aggregate; hash bucketing is a native md5 expression (the same
+    cross-engine ``conv(substr(md5))`` identity the dedup family
+    uses), so the whole operator is JVM-side."""
+    if n_features <= 0:
+        raise ValueError("n_features must be positive")
+    toks = _tokens(corpus, id_col, text_col)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(int(n_features))
+    ).cast("int")
+    return (
+        toks.select("id", bucket.alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -101,6 +101,11 @@ _SPOT = [
     "temperature_mix",
     "jl_project",
     "domain_pagerank",
+    # 10x file fragments; 10x token volume through md5 buckets;
+    # 10x key cardinality under the top-k
+    "compaction_plan",
+    "hash_features",
+    "skew_stats",
 ]
 
 

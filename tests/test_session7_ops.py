@@ -165,3 +165,82 @@ def test_temperature_mixture_rejects_bad_budget(spark):
     df = spark.createDataFrame([(0, "a b", "s")], "id long, text string, source string")
     with pytest.raises(ValueError):
         temperature_mixture(df, token_budget=0)
+
+
+def test_random_projection_plans_zero_shuffle(spark):
+    """The JL projection's contract: ONE native projection, no
+    exchange, no Python node of any kind."""
+    from gpd_lite_toolbox_spark.vector.project import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        random_projection(df, out_dims=4, dims=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_skew_stats_flags_planted_hot_key(spark):
+    from gpd_lite_toolbox_spark.operators.skew import skew_stats
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = skew_stats(df, "k", top_k=3).collect()
+    assert out[0].rnk == 1 and out[0].key == "hot"
+    assert out[0].n_rows == 50 and abs(out[0].frac_of_total - 0.5) < 1e-9
+    # 51 distinct keys, mean ~1.96 rows -> hot is ~25.5x mean
+    assert out[0].x_mean > 20
+    assert len(out) == 3 and [r.rnk for r in out] == [1, 2, 3]
+
+
+def test_hash_features_bucket_range_and_counts(spark):
+    from gpd_lite_toolbox_spark.text.classify import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, None)], "id long, text string"
+    )
+    out = hash_features(df, n_features=8).collect()
+    assert all(0 <= r.bucket < 8 for r in out)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, 0)
+        by_id[r.id] += r.n
+    assert by_id[1] == 3      # token occurrences conserved
+    assert by_id[2] == 1      # NULL text -> one '' token (pipeline convention)
+
+
+def test_compaction_plan_greedy_bins(spark):
+    from gpd_lite_toolbox_spark.sources.maintenance import compaction_plan
+
+    stats = spark.createDataFrame(
+        [("a", 40), ("b", 40), ("c", 40), ("d", 500), ("e", 10)],
+        "file_path string, n_rows long",
+    )
+    out = {r.key: r for r in compaction_plan(stats, 100).collect()}
+    # a+b+c fill bin 0 (120 rows; c starts at cum 80 < 100);
+    # d starts at cum 120 -> bin 1; e starts at 620 -> bin 6
+    assert out["a"].bin == 0 and out["b"].bin == 0 and out["c"].bin == 0
+    assert out["a"].bin_rows == 120
+    assert out["d"].bin == 1 and out["d"].bin_rows == 500
+    assert out["e"].bin == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compaction_plan(stats, 0)
+
+
+def test_file_stats_counts_match_table(spark, sf_dir, tmp_path):
+    from gpd_lite_toolbox_spark.sources.maintenance import file_stats
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "frag")
+    src.repartition(4).write.parquet(p)
+    stats = file_stats(spark, p).collect()
+    assert sum(r.n_rows for r in stats) == src.count()
+    assert all(r.file_bytes > 0 for r in stats)
+    assert len(stats) >= 2
