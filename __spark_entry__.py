@@ -1435,7 +1435,11 @@ def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _configure(spark)
     FX.register_base_tables(s, sf_dir)
-    proj = random_projection(s.table("embeddings"), out_dims=16, dims=64)
+    # NULL vectors filtered IDENTICALLY on both sides: the operator
+    # projects them to NULL, which posexplode would silently drop
+    # while the oracle's CROSS JOIN would keep 16 NULL-val rows
+    vecs = s.table("embeddings").filter(F.col("embedding").isNotNull())
+    proj = random_projection(vecs, out_dims=16, dims=64)
     return proj.select(
         F.col("id").alias("vec_id"),
         F.posexplode("proj").alias("j", "_v"),

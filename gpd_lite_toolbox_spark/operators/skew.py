@@ -92,11 +92,15 @@ def skew_stats(
         F.sum("n_rows").alias("_tot"),
         F.count("*").alias("_nkeys"),
     )
+    # NULL keys sort LAST on the tiebreak (asc_nulls_last) — Spark's
+    # ascending default is NULLS FIRST, DuckDB's is NULLS LAST; a NULL
+    # join key is exactly the hot-key case this report exists for, so
+    # the ordering must be pinned, not dialect-default.
     top = (
-        counts.orderBy(F.col("n_rows").desc(), F.col("key"))
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(int(top_k))
     )
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
     return (
         top.crossJoin(F.broadcast(tot))
         .withColumn("rnk", F.row_number().over(w).cast("int"))

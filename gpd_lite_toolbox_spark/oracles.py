@@ -3195,6 +3195,7 @@ def _jl_project_sql() -> str:
 WITH dims(j) AS (VALUES {dim_vals})
 SELECT vec_id, CAST(j AS INT) AS j, ROUND({case}, 6) AS val
 FROM embeddings CROSS JOIN dims
+WHERE embedding IS NOT NULL
 """
 
 

@@ -571,6 +571,17 @@ def unigram_logprob(
     )
 
 
+def _ntok_expr(text_col: str) -> "F.Column":
+    """Whitespace token count shared by BOTH mixture reports (and
+    mirrored by oracles._NTOK) — one definition so the plans cannot
+    drift on e.g. NULL-text handling."""
+    text = F.col(text_col)
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))))
+        + 1
+    ).cast("bigint")
+
+
 def mixture_plan(
     docs: DataFrame,
     targets: Mapping[str, int],
@@ -613,11 +624,7 @@ def mixture_plan(
     wdf = spark.createDataFrame(
         list(w.items()), f"{strata_col} string, _w int"
     )
-    text = F.col(text_col)
-    ntok = (
-        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))))
-        + 1
-    ).cast("bigint")
+    ntok = _ntok_expr(text_col)
     per = (
         docs.filter(F.col(strata_col).isin(*w.keys()))
         .select(F.col(strata_col).alias("source"), ntok.alias("_nt"))
@@ -708,7 +715,6 @@ def bigram_pmi(
     corpus: DataFrame,
     min_count: int = 5,
     top_k: int = 100,
-    id_col: str = "id",
     text_col: str = "text",
 ) -> DataFrame:
     """Phrase mining via pointwise mutual information over adjacent
@@ -781,7 +787,7 @@ def bigram_pmi(
 
 
 def token_spectrum(
-    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+    corpus: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Frequency-of-frequencies (the Zipf/Good-Turing spectrum): for
     each occurrence count, how many distinct token types occur exactly
@@ -796,8 +802,11 @@ def token_spectrum(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    # tokens are unique per group after the first aggregate — a plain
+    # count IS the distinct-type count, without a distinct-agg's
+    # per-group hash-set pass over the vocabulary
     return counts.groupBy("freq").agg(
-        F.countDistinct("tok").alias("n_types")
+        F.count("*").alias("n_types")
     )
 
 
@@ -834,11 +843,7 @@ def temperature_mixture(
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
-    text = F.col(text_col)
-    ntok = (
-        (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))))
-        + 1
-    ).cast("bigint")
+    ntok = _ntok_expr(text_col)
     per = (
         docs.select(F.col(strata_col).alias("source"), ntok.alias("_nt"))
         .groupBy("source")
@@ -847,7 +852,13 @@ def temperature_mixture(
             F.sum("_nt").alias("n_tokens"),
         )
     )
-    pow_ = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    # alpha=0.5 routes through sqrt EXPLICITLY: sqrt is correctly
+    # rounded under IEEE-754 while Math.pow only promises 1 ulp — the
+    # documented bit-identity must not rest on a JVM pow special case
+    if float(alpha) == 0.5:
+        pow_ = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        pow_ = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
     per = per.withColumn("_pw", pow_)
     tot = per.agg(
         F.sum("n_tokens").alias("_tot_tok"), F.sum("_pw").alias("_tot_pw")

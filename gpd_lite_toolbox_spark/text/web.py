@@ -313,13 +313,19 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.select(
+        out = nodes.select(
             "node", F.lit(None).cast("double").alias("rank")
         )
+        nodes.unpersist()
+        trans.unpersist()
+        return out
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()
-    has_out = outw.select(F.col("src").alias("node"))
+    # dangling test rides the PERSISTED transition table (its distinct
+    # src set), not outw — outw's lineage re-runs the edge aggregation
+    # per iteration
+    has_out = trans.select(F.col("src").alias("node")).distinct()
     for _ in range(iters):
         contrib = (
             trans.join(ranks, trans["src"] == ranks["node"])

@@ -244,3 +244,16 @@ def test_file_stats_counts_match_table(spark, sf_dir, tmp_path):
     assert sum(r.n_rows for r in stats) == src.count()
     assert all(r.file_bytes > 0 for r in stats)
     assert len(stats) >= 2
+
+
+def test_skew_stats_null_key_sorts_last_on_ties(spark):
+    """A NULL join key is the classic hot key; on a count tie the
+    NULL row must take the LATER rank on both engines (asc_nulls_last
+    pins Spark to DuckDB's default)."""
+    from gpd_lite_toolbox_spark.operators.skew import skew_stats
+
+    rows = [(i, None) for i in range(5)] + [(10 + i, "z") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = skew_stats(df, "k", top_k=2).collect()
+    assert out[0].key == "z" and out[0].rnk == 1
+    assert out[1].key is None and out[1].rnk == 2
