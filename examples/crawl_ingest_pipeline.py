@@ -30,10 +30,14 @@ def run(spark, sf_dir: str):
     # archive it as WARC segments (one per partition)
     html = docs.select(
         F.col("doc_id").alias("id"),
+        F.col("source"),
         F.concat(
             F.lit("<html><head><title>d</title></head><body><p>"),
             F.col("text"),
-            F.lit("</p><script>track();</script></body></html>"),
+            F.lit('</p><a href="https://out'),
+            ((F.col("doc_id") * 3) % 7).cast("string"),
+            F.lit('.example.com/p">next</a>'),
+            F.lit("<script>track();</script></body></html>"),
         ).alias("text"),
     )
     warc_path = os.path.join(
@@ -57,6 +61,18 @@ def run(spark, sf_dir: str):
     # 4. exact dedup: keep the canonical copy per content hash
     dup = G.exact_dedup(extracted)
 
+    # 5. crawl-frontier curation: outlink graph per source domain,
+    # then fixed-iteration PageRank over the domain->domain edges —
+    # the rank table that weights tomorrow's fetch priorities
+    links = G.link_graph(html, html_col="text")
+    ranks = G.pagerank(
+        links.filter(F.col("target_domain") != "(relative)"),
+        iters=5,
+        src_col="source",
+        dst_col="target_domain",
+        weight_col="n_links",
+    )
+
     summary = manifest.agg(
         F.count("*").alias("n_segments"),
         F.sum("n_records").alias("n_records"),
@@ -69,17 +85,19 @@ def run(spark, sf_dir: str):
         dup.agg(F.coalesce(F.sum("n_copies") - F.count("*"), F.lit(0))
                 .alias("n_dropped_dups"))
     )
-    return funnel, summary
+    return funnel, summary, ranks
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = G.get_spark("crawl-ingest-pipeline")
-    funnel, summary = run(spark, sf_dir)
+    funnel, summary, ranks = run(spark, sf_dir)
     print("quality funnel:")
     funnel.show(truncate=False)
     print("ingest summary:")
     summary.show(truncate=False)
+    print("top domains by PageRank:")
+    ranks.orderBy(F.col("rank").desc()).show(5, truncate=False)
 
 
 if __name__ == "__main__":

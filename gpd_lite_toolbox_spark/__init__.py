@@ -59,7 +59,7 @@ from .operators.audit import (  # noqa: F401
     uniqueness_violations,
 )
 from .operators.cdc import apply_changes  # noqa: F401
-from .operators.skew import salted_join  # noqa: F401
+from .operators.skew import salted_join, skew_stats  # noqa: F401
 from .operators.points import knn_to_vertices  # noqa: F401
 from .operators.spatial_join import bbox_join  # noqa: F401
 from .operators.temporal import (  # noqa: F401
@@ -76,6 +76,8 @@ from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
 from .sources.flat import (  # noqa: F401
+    read_xml,
+    write_xml,
     read_csv,
     read_orc,
     write_csv,
@@ -103,12 +105,22 @@ from .text.corpus import (  # noqa: F401
     weighted_sample_by_group,
     tfidf_topk,
     unigram_logprob,
+    bigram_pmi,
+    mixture_plan,
+    perplexity_buckets,
+    temperature_mixture,
+    token_spectrum,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
     dedup_canonical,
     append_to_minhash_index,
+    dup_groups,
+    embedding_near_dups,
     exact_dedup,
+    minhash_signatures,
+    paragraph_dedup,
+    semantic_dedup,
     exact_substring_spans,
     ingest_near_dups,
     minhash_lsh_pairs,
@@ -120,6 +132,7 @@ from .text.dedup import (  # noqa: F401
     write_minhash_index,
 )
 from .text.classify import (  # noqa: F401
+    hash_features,
     nb_confusion,
     score_nb,
     train_nb,
@@ -129,17 +142,36 @@ from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
     corpus_diff,
+    drop_reasons,
     normalize_corpus,
     normalize_text_expr,
     quality_funnel,
     remove_boilerplate_lines,
+    source_overlap,
+    source_quality,
 )
-from .text.search import bm25_topk  # noqa: F401
+from .text.search import bm25_topk, hybrid_topk, rrf_fuse  # noqa: F401
+from .text.analysis import (  # noqa: F401
+    dup_ngram_coverage,
+    fingerprint,
+    gopher_rules,
+    lang_id,
+    quality_score,
+    repetition_stats,
+    token_stats,
+)
+from .sources.maintenance import compaction_plan, file_stats  # noqa: F401
+from .vector.project import random_projection  # noqa: F401
 from .sources.warc import read_warc, write_warc  # noqa: F401
 from .text.web import (  # noqa: F401
+    canonical_url_expr,
     extract_html_text,
+    extract_links,
     extract_urls,
     html_to_text_expr,
+    link_graph,
+    pagerank,
+    url_dedup,
     url_stats,
 )
 from .vector.ann import (  # noqa: F401
@@ -287,5 +319,40 @@ __all__ = [
     "st_fromwkt",
     "osrm_table_times",
     "osrm_times_distributed",
+    # curation reports + web family (round-4 sessions 5-7)
+    "hybrid_topk",
+    "rrf_fuse",
+    "gopher_rules",
+    "dup_ngram_coverage",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "repetition_stats",
+    "source_quality",
+    "drop_reasons",
+    "source_overlap",
+    "semantic_dedup",
+    "paragraph_dedup",
+    "embedding_near_dups",
+    "dup_groups",
+    "minhash_signatures",
+    "mixture_plan",
+    "temperature_mixture",
+    "perplexity_buckets",
+    "bigram_pmi",
+    "token_spectrum",
+    "extract_links",
+    "link_graph",
+    "canonical_url_expr",
+    "url_dedup",
+    "pagerank",
+    "hash_features",
+    "random_projection",
+    "skew_stats",
+    "file_stats",
+    "compaction_plan",
+    "read_xml",
+    "write_xml",
 ]
 __version__ = "0.1.0"

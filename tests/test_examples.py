@@ -46,7 +46,7 @@ def test_crawl_ingest_pipeline(spark, sf_dir):
     sys.path.insert(0, "/root/repo/examples")
     from crawl_ingest_pipeline import run
 
-    funnel, summary = run(spark, sf_dir)
+    funnel, summary, ranks = run(spark, sf_dir)
     rows = {r["stage"]: r for r in funnel.collect()}
     s = summary.collect()[0]
     assert s["n_segments"] >= 1
@@ -54,3 +54,7 @@ def test_crawl_ingest_pipeline(spark, sf_dir):
     assert s["n_records"] == s["n_docs"] > 0
     assert rows["has_text"]["n_in"] == s["n_docs"]
     assert s["n_chars"] > 0 and s["n_dropped_dups"] >= 0
+    # frontier ranks: mass conserved over the planted outlink domains
+    rk = ranks.collect()
+    assert abs(sum(r["rank"] for r in rk) - 1.0) < 1e-9
+    assert len(rk) >= 7  # 7 planted out-domains + source nodes
