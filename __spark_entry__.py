@@ -1538,6 +1538,30 @@ def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-1 BPE pair counts over the corpus word vocabulary
+    (text/bpe.py) — the first merge's argmax input, hash-gated; the
+    oracle re-derives pairs via substring instead of char arrays."""
+    from gpd_lite_toolbox_spark.text.bpe import _pair_counts, word_vocab
+    from pyspark.sql import functions as F
+
+    seqs = word_vocab(_corpus(spark, sf_dir)).select(
+        F.split("w", "").alias("syms"), "n"
+    )
+    return _pair_counts(seqs)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 8-step BPE merge table (text/bpe.py bpe_train): iterative
+    — each step's state depends on the previous argmax, so this is
+    rows-only for the driver; pytest pins it EXACTLY against an
+    independent pure-Python reference, and `bpe_pair_counts` is the
+    hash-gated twin for the counting substrate."""
+    from gpd_lite_toolbox_spark.text.bpe import bpe_train
+
+    return bpe_train(_corpus(spark, sf_dir), n_merges=8)
+
+
 def _q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick token features over the corpus (text/classify.py
     hash_features): md5-bucketed token counts, long form — one
@@ -2610,6 +2634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "hash_features": _q_hash_features,
         "skew_stats": _q_skew_stats,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2815,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": OR.COMPACTION_PLAN,
         "hash_features": OR.HASH_FEATURES,
         "skew_stats": OR.SKEW_STATS,
+        "bpe_pair_counts": OR.BPE_PAIR_COUNTS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

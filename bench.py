@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "compaction_plan",
     "hash_features",
     "skew_stats",
+    "bpe_pair_counts",
+    "bpe_merges",
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

@@ -151,6 +151,7 @@ from .text.pipeline import (  # noqa: F401
     source_quality,
 )
 from .text.search import bm25_topk, hybrid_topk, rrf_fuse  # noqa: F401
+from .text.bpe import bpe_segment_expr, bpe_train, word_vocab  # noqa: F401
 from .text.analysis import (  # noqa: F401
     dup_ngram_coverage,
     fingerprint,
@@ -354,5 +355,8 @@ __all__ = [
     "compaction_plan",
     "read_xml",
     "write_xml",
+    "bpe_train",
+    "bpe_segment_expr",
+    "word_vocab",
 ]
 __version__ = "0.1.0"

@@ -3307,3 +3307,22 @@ SELECT top.rnk, top.key, top.n_rows,
        ROUND(top.n_rows / (tot.t / CAST(tot.nk AS DOUBLE)), 6) AS x_mean
 FROM top CROSS JOIN tot
 """
+
+# BPE iteration-1 pair counts (text/bpe.py _pair_counts over the char
+# seed): the argmax input of the first merge, re-derived RELATIONALLY
+# from raw words via substring pairs (the Spark side walks exploded
+# char arrays — two independent derivations must agree). The full
+# merge table is non-SQL-expressible (each step's state depends on
+# the previous argmax) and is pinned exactly against a pure-Python
+# reference in pytest instead.
+BPE_PAIR_COUNTS = f"""
+WITH {oracle_ctes('corpus')},
+wrd AS (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM corpus),
+v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM wrd WHERE w <> '' GROUP BY w),
+p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+             substr(w, CAST(i AS INT) + 1, 1) AS b, n
+      FROM v, UNNEST(range(1, length(w))) AS u(i))
+SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY a, b
+"""

@@ -1,0 +1,147 @@
+"""Distributed BPE tokenizer training: iterative merge-pair learning.
+
+Extension beyond gpd_lite_toolbox (LLM-pipeline family): the tokenizer
+IS part of the training-data pipeline — merge tables are learned from
+the corpus the model will train on, and at 100 TB that counting job is
+a cluster job (HuggingFace tokenizers / SentencePiece train
+single-node on a SAMPLE; the distributed formulation counts the full
+corpus exactly).
+
+Structure (why this scales):
+
+- The corpus collapses to the WORD VOCABULARY first — ``(word, n)``
+  via one combinable aggregate. Every subsequent iteration runs over
+  the vocab table (|distinct words|, Zipf-bounded), never the corpus:
+  the classic Sennrich et al. formulation, which is what makes BPE
+  training tractable at all.
+- Each merge step is: row-local adjacent-pair explode over the
+  current symbol arrays -> combinable (a, b) count weighted by word
+  frequency -> argmax via a 1-row TakeOrdered collect. The single-row
+  collect per iteration is the algorithm's nature — the winning pair
+  must become a LITERAL in the next step's rewrite plan (exactly how
+  a driver program coordinates any iterative refinement on Spark).
+- The merge applies as a row-local left-to-right fold over each
+  symbol array (greedy non-overlapping, the reference BPE semantics),
+  and the vocab table ``localCheckpoint``s per round — the dup_groups
+  / pagerank lineage discipline.
+
+Evidence: the full merge table is pinned EXACTLY against a pure-Python
+reference implementation in pytest (two independent algorithms); the
+iteration-1 pair-count table is additionally hash-gated against DuckDB
+(``oracles.BPE_PAIR_COUNTS``) — the argmax input, checked
+relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_vocab(
+    corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(w, n)`` — whitespace word frequencies, the BPE training
+    state seed. One combinable exchange; empty tokens dropped."""
+    return (
+        corpus.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over ``(syms, n)`` weighted by word
+    frequency: row-local slice+zip pair derivation (the bigram_pmi
+    shape — no positional self-join), then one combinable aggregate."""
+    pairs = seqs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+            )
+        ).alias("_p"),
+        "n",
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "n")
+    return pairs.groupBy("a", "b").agg(F.sum("n").alias("cnt"))
+
+
+def _apply_merge(syms_col: "F.Column", left: str, right: str) -> "F.Column":
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol — a row-local fold; a freshly merged symbol is atomic (its
+    tail cannot re-trigger the same pair), matching reference BPE."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (t == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    merge table ``(step, left, right, cnt)`` in learned order —
+    the artifact a tokenizer ships. Stops early when no pair reaches
+    ``min_count``. Ties break (cnt desc, left, right) so the learned
+    table is deterministic across partitionings and engines."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    spark = corpus.sparkSession
+    seqs = (
+        word_vocab(corpus, text_col=text_col)
+        .select(F.split("w", "").alias("syms"), "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(int(n_merges)):
+        best = (
+            _pair_counts(seqs)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((step, a, b, cnt))
+        seqs = seqs.select(
+            _apply_merge(F.col("syms"), a, b).alias("syms"), "n"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, cnt bigint"
+    )
+
+
+def bpe_segment_expr(
+    text_col: str, merges: list[tuple[str, str]]
+) -> "F.Column":
+    """Apply a learned merge list to whitespace words of ``text_col``,
+    returning the symbol array per document — the tokenize side of the
+    trainer, as a pure row-local expression chain (streaming-legal):
+    chars -> each merge folded in learned order."""
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    def seg(word):
+        syms = F.split(word, "")
+        for left, right in merges:
+            syms = _apply_merge(syms, left, right)
+        return syms
+    return F.flatten(
+        F.transform(F.filter(words, lambda w: w != ""), seg)
+    )

@@ -106,6 +106,8 @@ _SPOT = [
     "compaction_plan",
     "hash_features",
     "skew_stats",
+    # char-pair volume at 10x vocab
+    "bpe_pair_counts",
 ]
 
 

@@ -257,3 +257,97 @@ def test_skew_stats_null_key_sorts_last_on_ties(spark):
     out = skew_stats(df, "k", top_k=2).collect()
     assert out[0].key == "z" and out[0].rnk == 1
     assert out[1].key is None and out[1].rnk == 2
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Pure-Python reference BPE trainer (Sennrich formulation) — the
+    independent algorithm bpe_train is pinned against."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                vocab[w] += 1
+    seqs = [(list(w), n) for w, n in vocab.items()]
+    merges = []
+    for step in range(n_merges):
+        pc = Counter()
+        for syms, n in seqs:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += n
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((step, a, b, cnt))
+        merged = a + b
+        nxt = []
+        for syms, n in seqs:
+            out = []
+            for t in syms:
+                if out and out[-1] == a and t == b:
+                    out[-1] = merged
+                else:
+                    out.append(t)
+            nxt.append((out, n))
+        seqs = nxt
+    return merges
+
+
+def test_bpe_train_matches_python_reference_small(spark):
+    from gpd_lite_toolbox_spark.text.bpe import bpe_train
+
+    texts = ["low lower lowest", "low low newer newest", "wider new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.cnt)
+        for r in bpe_train(df, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, 6)
+    assert len(got) >= 3  # 'lo' and 'ow' family merges exist
+
+
+def test_bpe_train_matches_python_reference_fixture(spark, sf_dir):
+    """Two independent implementations agree EXACTLY on the real
+    corpus fixture (order, pairs, and counts)."""
+    import gpd_lite_toolbox_spark.fixtures as FX
+    from gpd_lite_toolbox_spark.text.bpe import bpe_train
+
+    FX.register_base_tables(spark, sf_dir)
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    texts = [r.text for r in corpus.select("text").collect()]
+    got = [
+        (r.step, r.left, r.right, r.cnt)
+        for r in bpe_train(corpus, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(texts, 8)
+
+
+def test_bpe_segment_expr_applies_learned_merges(spark):
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.bpe import bpe_segment_expr
+
+    df = spark.createDataFrame([(0, "aaab aa")], "id long, text string")
+    out = df.select(
+        bpe_segment_expr("text", [("a", "a"), ("aa", "a")]).alias("s")
+    ).collect()[0]["s"]
+    # 'aaab': aa+a -> 'aaa', b stays; 'aa' -> 'aa'
+    assert out == ["aaa", "b", "aa"]
+
+
+def test_bpe_train_zero_merges_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "a b")], "id long, text string")
+    assert bpe_train(df, n_merges=0).count() == 0
+    empty = df.filter(F.lit(False))
+    assert bpe_train(empty, n_merges=3).count() == 0
