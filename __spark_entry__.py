@@ -1542,13 +1542,9 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iteration-1 BPE pair counts over the corpus word vocabulary
     (text/bpe.py) — the first merge's argmax input, hash-gated; the
     oracle re-derives pairs via substring instead of char arrays."""
-    from gpd_lite_toolbox_spark.text.bpe import _pair_counts, word_vocab
-    from pyspark.sql import functions as F
+    from gpd_lite_toolbox_spark.text.bpe import _pair_counts, char_seqs
 
-    seqs = word_vocab(_corpus(spark, sf_dir)).select(
-        F.split("w", "").alias("syms"), "n"
-    )
-    return _pair_counts(seqs)
+    return _pair_counts(char_seqs(_corpus(spark, sf_dir)))
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,7 +2631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_features": _q_hash_features,
         "skew_stats": _q_skew_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
-        "bpe_merges": _q_bpe_merges,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2698,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
         # rows-only (no_oracle) queries LAST
+        "bpe_merges": _q_bpe_merges,
         "match_line_cluster": _q_match_line_cluster,
         "ann_ivf_topk": _q_ann_ivf,
         "grid_cut_hull": _q_grid_cut_hull,

@@ -126,7 +126,10 @@ BENCH_QUERIES = [
     "hash_features",
     "skew_stats",
     "bpe_pair_counts",
-    "bpe_merges",
+    # bpe_merges deliberately NOT benched: the iterative training runs
+    # eagerly at query construction (argmax collect per merge), so a
+    # timed noop-write of the 8-row result would be bench dishonesty;
+    # bpe_pair_counts times the real counting substrate instead
     "dq_audit",
     "ann_topk",
     "ann_lsh_topk",

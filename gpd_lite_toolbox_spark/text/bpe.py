@@ -55,6 +55,16 @@ def word_vocab(
     )
 
 
+def char_seqs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(syms, n)`` — the character-split word vocabulary, the shared
+    iteration-0 state of ``bpe_train`` AND the hash-gated
+    ``bpe_pair_counts`` query (one seeding definition, so the gate
+    covers the trained path's substrate by construction)."""
+    return word_vocab(corpus, text_col=text_col).select(
+        F.split("w", "").alias("syms"), "n"
+    )
+
+
 def _pair_counts(seqs: DataFrame) -> DataFrame:
     """Adjacent symbol-pair counts over ``(syms, n)`` weighted by word
     frequency: row-local slice+zip pair derivation (the bigram_pmi
@@ -104,11 +114,7 @@ def bpe_train(
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     spark = corpus.sparkSession
-    seqs = (
-        word_vocab(corpus, text_col=text_col)
-        .select(F.split("w", "").alias("syms"), "n")
-        .localCheckpoint()
-    )
+    seqs = char_seqs(corpus, text_col=text_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for step in range(int(n_merges)):
         best = (
@@ -121,6 +127,10 @@ def bpe_train(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((step, a, b, cnt))
+        # rebinding drops the only reference to the previous round's
+        # checkpoint — ContextCleaner reclaims its blocks (the
+        # dup_groups discipline); at most two vocab-sized checkpoint
+        # generations are live at once
         seqs = seqs.select(
             _apply_merge(F.col("syms"), a, b).alias("syms"), "n"
         ).localCheckpoint()
