@@ -123,6 +123,21 @@ def run(spark, sf_dir: str):
         F.col("chunk_text").alias("text"),
     )
 
+    # 6b. tokenizer: learn a merge table FROM the curated corpus (the
+    # artifact a tokenizer ships), and a temperature-scaled source
+    # mixture for the sampler config
+    merges = G.bpe_train(sampled, n_merges=6)
+    mixture = G.temperature_mixture(
+        sampled.join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                F.col("doc_id").alias("id"), "source"
+            ),
+            "id",
+        ),
+        token_budget=100_000,
+        alpha=0.5,
+    )
+
     # 7. pack into fixed token-budget shards (pretraining layout)
     packed = G.pack_sequences(chunks, budget=512)
 
@@ -140,17 +155,21 @@ def run(spark, sf_dir: str):
             F.count("*").alias("n_shuffled_rows"),
         )
     )
-    return audit, shards
+    return audit, shards, merges, mixture
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = G.get_spark("training-data-pipeline")
-    audit, shards = run(spark, sf_dir)
+    audit, shards, merges, mixture = run(spark, sf_dir)
     print("audit:")
     audit.show(truncate=False)
     print("shard accounting:")
     shards.show(truncate=False)
+    print("learned BPE merges:")
+    merges.orderBy("step").show(truncate=False)
+    print("temperature mixture:")
+    mixture.orderBy("source").show(truncate=False)
 
 
 if __name__ == "__main__":

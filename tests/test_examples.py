@@ -8,12 +8,16 @@ def test_training_data_pipeline(spark, sf_dir):
     sys.path.insert(0, "/root/repo/examples")
     from training_data_pipeline import run
 
-    audit, shards = run(spark, sf_dir)
+    audit, shards, merges, mixture = run(spark, sf_dir)
     a = audit.toPandas().set_index("rule")["n_violations"]
     assert a["empty_text"] == 0 and a["dup_id"] == 0
     row = shards.collect()[0]
     assert row.n_docs > 0 and row.n_shards >= 1
     assert row.n_tokens > row.n_docs  # multi-token docs
+    m = merges.collect()
+    assert len(m) >= 1 and all(r.cnt >= 2 for r in m)
+    mx = mixture.collect()
+    assert abs(sum(r.weight for r in mx) - 1.0) < 1e-4
 
 
 def test_geospatial_pipeline(spark, sf_dir, tmp_path):
