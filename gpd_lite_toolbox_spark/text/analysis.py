@@ -419,3 +419,61 @@ def dup_ngram_coverage(
             ),
         ).otherwise(F.lit(0.0)).alias("dup_ngram_char_frac"),
     )
+
+
+# Unicode script classes, ordered by dominance priority (earlier wins
+# ties). Java regex (Spark) spells scripts \p{IsXxx}; RE2 (DuckDB)
+# spells them \p{Xxx} — oracles.SCRIPT_PROFILE mirrors this table with
+# the RE2 spelling, verified char-for-char identical on mixed-script
+# probes (tests/test_session8_ops.py).
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("kana", r"[\p{IsHiragana}\p{IsKatakana}]"),
+]
+
+
+def script_profile(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unicode-script composition: character counts for
+    the six major script classes plus decimal digits, and the dominant
+    script (most characters; ties broken by the fixed SCRIPT_CLASSES
+    priority; ``none`` when no scripted character occurs). The
+    script-level complement of ``lang_id`` — marker tokens separate
+    same-script languages, script counts separate writing systems and
+    catch mixed-script mojibake/spam that a language marker misses.
+
+    Columns: ``(id, n_chars, n_latin, n_cyrillic, n_han, n_arabic,
+    n_hangul, n_kana, n_digit, dominant)``.
+
+    Scale shape: zero-shuffle row-local regexp projection (one
+    codegen stage); nothing leaves the scan task but the profile row.
+    """
+    text = F.col(text_col)
+    counts = [
+        (name, F.regexp_count(text, F.lit(pat)))
+        for name, pat in SCRIPT_CLASSES
+    ]
+    best = counts[0][1]
+    for _name, c in counts[1:]:
+        best = F.greatest(best, c)
+    dominant = F.lit("none")
+    for name, c in reversed(counts):
+        dominant = F.when(c == best, F.lit(name)).otherwise(dominant)
+    dominant = F.when(best == 0, F.lit("none")).otherwise(dominant)
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        *[
+            c.cast("bigint").alias(f"n_{name}")
+            for (name, _p), (_n, c) in zip(SCRIPT_CLASSES, counts)
+        ],
+        F.regexp_count(text, F.lit(r"\p{Nd}")).cast("bigint").alias(
+            "n_digit"
+        ),
+        dominant.alias("dominant"),
+    )

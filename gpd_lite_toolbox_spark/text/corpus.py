@@ -23,6 +23,7 @@ plan the local test runs:
 
 from __future__ import annotations
 
+import math
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
@@ -886,4 +887,201 @@ def temperature_mixture(
             .otherwise(F.lit(0.0))
             > 1.0
         ).alias("oversampled"),
+    )
+
+
+def kmv_vocab_sketch(
+    docs: DataFrame,
+    k: int = 64,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) over
+    the whitespace vocabulary of each stratum: keep the ``k`` smallest
+    60-bit token hashes per stratum; the k-th minimum estimates the
+    stratum's distinct-token count as ``(k-1) * 2^60 / h_k``. The
+    counting substrate for "how big is each source's vocabulary"
+    without an exact distinct over the full token table.
+
+    Unlike HLL (whose register layout is engine-private and therefore
+    unverifiable cross-engine), KMV with a fixed deterministic hash is
+    exactly reproducible: the same k hashes, the same k-th minimum,
+    the same estimate, in any engine — which is what makes this sketch
+    hash-gateable against DuckDB while remaining a genuine sublinear
+    sketch (state per stratum is k values, mergeable by min-merge).
+
+    When a stratum's true vocabulary has fewer than ``k`` distinct
+    tokens the sketch IS the vocabulary and the exact count is
+    reported (``est_distinct = n_kept``, the estimator's standard
+    small-range fallback).
+
+    Columns: ``(source, n_kept, kth_hash, est_distinct)``.
+
+    Scale shape: explode -> distinct (source, hash) [one exchange,
+    partial-combined] -> rank window per stratum. Spark rewrites the
+    ``row_number <= k`` filter into WindowGroupLimit, so every map
+    task keeps only its local k smallest hashes before the shuffle —
+    state per task is k rows per stratum, never the vocabulary.
+    """
+    from .dedup import _widen
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator uses k-1)")
+    w = Window.partitionBy("source").orderBy("h")
+    hashes = (
+        _widen(docs).select(
+            F.col(strata_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    kept = hashes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(2**60)) / F.col("kth_hash"),
+            4,
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select("source", "n_kept", "kth_hash", est.alias("est_distinct"))
+    )
+
+
+def length_buckets(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching: assign
+    each document to the smallest power-of-two token-length bucket
+    that holds it, then report per bucket how many tokens a batch
+    padded to the bucket width wastes. The report a data loader's
+    bucket boundaries are tuned from (dynamic batching / bucketed
+    sharding — the fixed-shape complement of ``pack_sequences``).
+
+    The bucket edge is computed with INTEGER bit arithmetic
+    (``1 << bitlength(n - 1)``), not ``ceil(log2(n))`` — a float log
+    at an exact power of two straddles engines on the last ulp and
+    flips a document across buckets; bit length cannot.
+
+    NULL text counts as zero tokens and lands in a ``bucket_max = 0``
+    diagnostic row (never silently dropped — same discipline as
+    ``drop_reasons``).
+
+    Columns: ``(bucket_max, n_docs, total_tokens, padded_tokens,
+    waste_frac)``.
+
+    Scale shape: zero-shuffle row-local projection, then ONE
+    partial-combined aggregate over ~log2(max_len) buckets.
+    """
+    text = F.col(text_col)
+    ntok = F.when(text.isNull(), F.lit(0)).otherwise(_ntok_expr(text_col))
+    bucket = (
+        F.when(F.col("_nt") <= 0, F.lit(0))
+        .when(F.col("_nt") == 1, F.lit(1))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(_nt - 1)))"))
+        .cast("bigint")
+    )
+    per = (
+        docs.select(ntok.alias("_nt"))
+        .select(bucket.alias("bucket_max"), F.col("_nt"))
+        .groupBy("bucket_max")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+    )
+    padded = (F.col("n_docs") * F.col("bucket_max")).alias("padded_tokens")
+    waste = F.when(
+        F.col("bucket_max") == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens")
+            / (F.col("n_docs") * F.col("bucket_max")).cast("double"),
+            6,
+        )
+    )
+    return per.select(
+        "bucket_max", "n_docs", "total_tokens", padded, waste.alias("waste_frac")
+    )
+
+
+def unigram_divergence(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-drift monitor: Jensen-Shannon divergence between
+    each stratum's unigram distribution and the global corpus
+    distribution — the standing dashboard number for "did this
+    source/day/shard drift away from the mixture" (0 = identical,
+    ln 2 = disjoint vocabularies; natural-log form).
+
+    The JSD's second sum runs over ALL global tokens, including those
+    ABSENT from the stratum — naively |strata| x |vocab| rows. Absent
+    tokens contribute exactly ``Q·ln 2`` each (P=0 ⇒ M=Q/2), so the
+    absent-token mass collapses to ``ln 2 · (1 - coverage)`` where
+    ``coverage`` is the global probability mass of the tokens the
+    stratum DOES have — the whole statistic computes from the
+    stratum-token join alone, never a strata x vocab expansion.
+
+    Columns: ``(source, n_tokens, n_types, coverage, jsd)``.
+
+    Scale shape: one (stratum, token) partial-combined aggregate; the
+    global token table derives from it by a second combinable rollup;
+    per-stratum totals and the one-row grand total broadcast back.
+    """
+    from .dedup import _widen
+
+    toks = _widen(docs).select(
+        F.col(strata_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    stc = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    st = stc.groupBy("source").agg(
+        F.sum("n").alias("_st"), F.count("*").alias("n_types")
+    )
+    g = stc.groupBy("tok").agg(F.sum("n").alias("gn"))
+    gt = g.agg(F.sum("gn").alias("_gt"))
+    j = (
+        stc.join(g, "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(gt))
+    )
+    p = F.col("n") / F.col("_st").cast("double")
+    q = F.col("gn") / F.col("_gt").cast("double")
+    m = (p + q) / F.lit(2.0)
+    per = j.groupBy("source").agg(
+        F.first("_st").alias("n_tokens"),
+        F.first("n_types").alias("n_types"),
+        F.sum(q).alias("_cov"),
+        F.sum(p * F.log(p / m)).alias("_ps"),
+        F.sum(q * F.log(q / m)).alias("_qs"),
+    )
+    ln2 = float(math.log(2.0))
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("_cov"), 6).alias("coverage"),
+        F.round(
+            F.lit(0.5) * F.col("_ps")
+            + F.lit(0.5)
+            * (F.col("_qs") + F.lit(ln2) * (F.lit(1.0) - F.col("_cov"))),
+            6,
+        ).alias("jsd"),
     )

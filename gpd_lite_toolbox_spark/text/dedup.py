@@ -852,49 +852,83 @@ def ngram_jaccard_pairs(
             .distinct()
         )
     else:
-        # bounded path: with df capped at max_df a shingle's postings
-        # list holds <= max_df ids, so candidates come from ONE
-        # collect_list aggregate plus a row-local <= max_df^2/2 pair
-        # expansion — no self-join (its build/probe of the full
-        # instance table), no persist. The df window filters hot
-        # shingles BEFORE the aggregate so a stop-shingle's postings
-        # array never materializes in an aggregation buffer (window
-        # rows spill; a collect_list buffer does not) — and both the
-        # window and the groupBy ride the one repartition("shingle")
-        # already inside shingles().
-        from pyspark.sql import Window
-
-        cand = (
-            sh.withColumn(
-                "_df", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .filter((F.col("_df") > 1) & (F.col("_df") <= int(max_df)))
-            .drop("_df")
-            .groupBy("shingle")
-            .agg(F.collect_list("id").alias("_ids"))
-            .select(
-                F.explode(
-                    F.expr(
-                        """
-                        flatten(transform(_ids, a ->
-                          transform(filter(_ids, b -> a < b),
-                                    b -> struct(a AS id_a, b AS id_b))))
-                        """
-                    )
-                ).alias("_p")
-            )
-            .select("_p.id_a", "_p.id_b")
-            .distinct()
+        cand = _df_capped_candidates(sh, max_df)
+    scored = _pair_overlap(cand, corpus, id_col, text_col)
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ),
         )
-    # full sorted shingle-set + size per doc as a ROW-LOCAL projection
-    # (same sets as the former collect_set aggregate over the shingle
-    # table, without exchanging the shingle table by id at all); the
-    # verify is then a native array_intersect on the joined arrays.
-    # At this SF the doc-sized fsets broadcast; at 100 TB AQE keeps
-    # them shuffled hash joins on the pair keys — no replan needed.
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _df_capped_candidates(sh: DataFrame, max_df: int) -> DataFrame:
+    """Bounded candidate generation shared by the n-gram pair family:
+    with df capped at max_df a shingle's postings list holds <= max_df
+    ids, so candidates come from ONE collect_list aggregate plus a
+    row-local <= max_df^2/2 pair expansion — no self-join (its
+    build/probe of the full instance table), no persist. The df window
+    filters hot shingles BEFORE the aggregate so a stop-shingle's
+    postings array never materializes in an aggregation buffer (window
+    rows spill; a collect_list buffer does not) — and both the window
+    and the groupBy ride the one repartition("shingle") already inside
+    shingles()."""
+    from pyspark.sql import Window
+
+    return (
+        sh.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter((F.col("_df") > 1) & (F.col("_df") <= int(max_df)))
+        .drop("_df")
+        .groupBy("shingle")
+        .agg(F.collect_list("id").alias("_ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(_ids, a ->
+                      transform(filter(_ids, b -> a < b),
+                                b -> struct(a AS id_a, b AS id_b))))
+                    """
+                )
+            ).alias("_p")
+        )
+        .select("_p.id_a", "_p.id_b")
+        .distinct()
+    )
+
+
+def _pair_overlap(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    set_expr=None,
+) -> DataFrame:
+    """(id_a, id_b, na, nb, n_inter) overlap accounting shared by the
+    n-gram pair family: full sorted shingle-set + size per doc as a
+    ROW-LOCAL projection (same sets as the former collect_set
+    aggregate over the shingle table, without exchanging the shingle
+    table by id at all); the verify is then a native array_intersect
+    on the joined arrays. At this SF the doc-sized fsets broadcast;
+    at 100 TB AQE keeps them shuffled hash joins on the pair keys —
+    no replan needed. ``set_expr`` swaps the per-doc set definition
+    (default: strided char shingles; containment passes word
+    n-grams)."""
+    if set_expr is None:
+        set_expr = shingle_array_expr
     fsets = _widen(corpus).select(
         F.col(id_col).alias("id"),
-        F.array_sort(shingle_array_expr(text_col)).alias("_fs"),
+        F.array_sort(set_expr(text_col)).alias("_fs"),
     ).withColumn("n_sh", F.size("_fs").cast("bigint"))
     return (
         cand.join(
@@ -916,18 +950,7 @@ def ngram_jaccard_pairs(
         .withColumn(
             "n_inter", F.size(F.array_intersect("_fa", "_fb")).cast("long")
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
-                    "double"
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "na", "nb", "n_inter")
     )
 
 
@@ -1624,4 +1647,142 @@ def paragraph_dedup(
         ).alias("text"),
         F.count("*").alias("n_paragraphs"),
         F.sum((~F.col("_keep")).cast("bigint")).alias("n_dropped"),
+    )
+
+
+def semantic_decontaminate(
+    corpus_vectors: DataFrame,
+    benchmark_vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training
+    vectors whose cosine similarity to ANY benchmark vector reaches
+    ``threshold``, reporting the closest benchmark item per flagged
+    row. The semantic complement of ``decontaminate`` (which catches
+    n-gram overlap): paraphrased or translated eval leakage shares no
+    shingles but sits next to the benchmark in embedding space.
+
+    Output: ``(train_id, eval_id, cosine)`` — one row per flagged
+    training vector, ``eval_id`` the nearest benchmark vector (ties on
+    rounded cosine break to the smallest eval_id).
+
+    Scale shape: benchmark sets are small by nature (10^3-10^5 rows),
+    so the benchmark side is BROADCAST and the corpus pays one
+    map-side nested-loop scan — no shuffle touches the corpus until
+    the per-train-id argmax, which runs over the near-threshold
+    SURVIVORS only (WindowGroupLimit keeps map-local top-1 per id
+    before that exchange). The Arrow Gram kernel (`dims` known) or the
+    fold (`dims` None) scores with the same accumulation order as the
+    DuckDB oracle, so the gate is bit-exact. For corpora where the
+    benchmark outgrows broadcast, swap the candidate step for
+    ``embedding_near_dups``-style banded LSH — the argmax tail is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    from ..vector.ann import _cosine_col, _norm_col
+
+    train = corpus_vectors.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("_tv"),
+    ).withColumn("_tn", _norm_col(F.col("_tv"), dims))
+    bench = benchmark_vectors.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("_bv"),
+    ).withColumn("_bn", _norm_col(F.col("_bv"), dims))
+    scored = (
+        train.join(F.broadcast(bench))
+        .withColumn(
+            "cosine",
+            _cosine_col(
+                F.col("_tv"), F.col("_bv"), F.col("_tn"), F.col("_bn"), dims
+            ),
+        )
+        .filter(F.col("cosine") >= float(threshold))
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("train_id", "eval_id", "cosine")
+    )
+
+
+WORD_NGRAM_N = 3
+
+
+def word_ngram_array_expr(text_col: str) -> "F.Column":
+    """Row-local distinct hashed word-3-gram array, stride 1: the
+    OFFSET-INVARIANT set sketch (any 3 consecutive words hash the same
+    wherever they sit), required by containment scoring where strided
+    char shingles would never align. Same 60-bit md5-prefix hash
+    domain as ``shingle_array_expr``; empty/short documents (< 3
+    words) produce an empty set."""
+    t = f"filter(split({text_col}, ' '), x -> x <> '')"
+    return F.expr(
+        f"""
+        array_distinct(CASE WHEN size({t}) >= {WORD_NGRAM_N} THEN
+          transform(sequence(1, size({t}) - {WORD_NGRAM_N - 1}),
+            i -> CAST(conv(substr(md5(concat_ws(' ',
+                   element_at({t}, i), element_at({t}, i + 1),
+                   element_at({t}, i + 2))), 1, 15), 16, 10) AS BIGINT))
+          ELSE CAST(array() AS array<bigint>) END)
+        """
+    )
+
+
+def ngram_containment_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram containment pairs: (id_a, id_b, containment) with
+    id_a < id_b and ``|A ∩ B| / min(|A|, |B|)`` >= threshold — the
+    ASYMMETRIC sibling of ngram_jaccard_pairs. Jaccard misses partial
+    copies by construction: a 100-shingle quote embedded in a
+    10000-shingle page has J ~ 0.01 but containment 1.0. This is the
+    signal for quote/boilerplate inclusion and subset-duplication
+    (the "document A is inside document B" case every corpus audit
+    needs alongside symmetric near-dup).
+
+    The set definition differs from the Jaccard family on purpose:
+    STRIDED char shingles (the near-dup sketch) are alignment-
+    sensitive — a quote at an arbitrary offset samples entirely
+    different stride positions in the two documents and overlaps
+    nothing. Containment therefore uses stride-1 WORD n-grams
+    (``word_ngram_array_expr``), which are offset-invariant by
+    construction (the standard containment/quote-detection shingle).
+
+    Same two-phase shape as the Jaccard bounded path — df-capped
+    inverted-index candidates expanded row-locally from one
+    collect_list aggregate (no self-join), then one map-side
+    array_intersect verify over per-doc n-gram sets. ``max_df`` is
+    the identical scale lever; containment pairs whose ONLY shared
+    n-grams are stop-phrases are unreachable, like every df-capped
+    family member (documented loss, bounded fan-out).
+    """
+    sh = _widen(corpus).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngram_array_expr(text_col)).alias("shingle"),
+    ).repartition("shingle")
+    cand = _df_capped_candidates(sh, max_df)
+    scored = _pair_overlap(
+        cand, corpus, id_col, text_col, set_expr=word_ngram_array_expr
+    )
+    return (
+        scored.withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter") / F.least("na", "nb").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )

@@ -11,7 +11,7 @@ the DuckDB oracle (oracles.URL_STATS) shares it verbatim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?"
@@ -356,3 +356,77 @@ def pagerank(
     nodes.unpersist()
     trans.unpersist()
     return ranks
+
+
+# Full-anchor patterns: href + the anchor's inner text in one match,
+# so the two regexp_extract_all calls (group 1 = href, group 2 = text)
+# produce POSITIONALLY ALIGNED arrays from the same scan. RE2-safe (no
+# backreferences), one per quote style like HREF_*_PATTERN above.
+ANCHOR_DQ_PATTERN = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+ANCHOR_SQ_PATTERN = r"(?i)<a\s[^>]*href='([^']*)'[^>]*>([^<]*)</a>"
+
+
+def anchor_stats(
+    html_corpus: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Anchor-text profile per target domain: how the web DESCRIBES
+    each domain — the classic relevance/quality signal (anchor text is
+    a human-written label for the target, used from early web search
+    through modern quality classifiers). Relative links aggregate
+    under ``(relative)``, the ``link_graph`` convention.
+
+    Columns: ``(domain, n_anchors, n_distinct_texts, top_text,
+    top_text_n)`` — ``top_text`` is the most frequent trimmed anchor
+    text for the domain (ties break to the lexicographically smallest
+    text).
+
+    Scale shape: extraction is map-side (two aligned extract_all
+    arrays zipped then exploded); the (domain, text) aggregate
+    partial-combines, so a hot domain concentrates at most
+    |distinct texts| rows per task, never raw anchor rows; the
+    argmax window runs over the aggregated table with map-local
+    top-1 (WindowGroupLimit), and the per-domain rollup reuses the
+    same aggregated input.
+    """
+    h = F.col(html_col)
+    pairs = F.concat(
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(ANCHOR_DQ_PATTERN), F.lit(1)).alias("l"),
+            F.regexp_extract_all(h, F.lit(ANCHOR_DQ_PATTERN), F.lit(2)).alias("t"),
+        ),
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(ANCHOR_SQ_PATTERN), F.lit(1)).alias("l"),
+            F.regexp_extract_all(h, F.lit(ANCHOR_SQ_PATTERN), F.lit(2)).alias("t"),
+        ),
+    )
+    exploded = html_corpus.select(F.explode(pairs).alias("p")).select(
+        F.col("p.l").alias("link"), F.trim(F.col("p.t")).alias("text")
+    )
+    domain = F.when(
+        F.col("link").rlike(_ABS_LINK),
+        F.lower(F.regexp_extract("link", _ABS_DOMAIN, 1)),
+    ).otherwise(F.lit("(relative)"))
+    per_text = (
+        exploded.select(domain.alias("domain"), "text")
+        .groupBy("domain", "text")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n").desc(), F.col("text")
+    )
+    top = (
+        per_text.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "domain",
+            F.col("text").alias("top_text"),
+            F.col("n").alias("top_text_n"),
+        )
+    )
+    roll = per_text.groupBy("domain").agg(
+        F.sum("n").alias("n_anchors"),
+        F.count("*").alias("n_distinct_texts"),
+    )
+    return roll.join(top, "domain").select(
+        "domain", "n_anchors", "n_distinct_texts", "top_text", "top_text_n"
+    )

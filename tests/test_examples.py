@@ -62,3 +62,21 @@ def test_crawl_ingest_pipeline(spark, sf_dir):
     rk = ranks.collect()
     assert abs(sum(r["rank"] for r in rk) - 1.0) < 1e-9
     assert len(rk) >= 7  # 7 planted out-domains + source nodes
+
+
+def test_corpus_health_report(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from corpus_health_report import run
+
+    vocab, drift, scripts, summary = run(spark, sf_dir)
+    v = vocab.collect()
+    assert len(v) >= 1 and all(r.est_distinct > 0 for r in v)
+    d = drift.collect()
+    # sources share the generator distribution: all drift small
+    assert all(0.0 <= r.jsd < 0.2 for r in d)
+    sc = {r["source"]: r for r in scripts.collect()}
+    assert all(r.n_non_latin == 0 for r in sc.values())  # ASCII corpus
+    s = summary.collect()[0]
+    assert s.n_docs > 0 and 0.0 < s.padding_waste < 1.0
+    # the raw documents table carries no planted duplicates
+    assert s.n_contained_pairs >= 0

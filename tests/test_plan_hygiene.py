@@ -22,7 +22,9 @@ import __spark_entry__ as E
 # queries whose plans legitimately contain Arrow-batched Python nodes
 _ARROW_OK = {
     "embedding_dups",     # bucket-local Gram kernel (applyInPandas)
+    "semantic_decontaminate",  # Arrow dot kernel vs broadcast eval side
     "media_pipeline",     # image meta decode (mapInPandas)
+    "frame_dedup",        # payload attach + meta decode (mapInPandas)
     "media_features",     # fake-pixel feature kernel
     "audio_chunks",       # chunk planning over binary meta
     "ann_topk",           # vectorized dot product (pandas_udf)
