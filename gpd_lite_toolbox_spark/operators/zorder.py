@@ -89,13 +89,19 @@ def write_zordered(
     y_col: str = "y",
     n_files: int = 8,
     bits: int = ZBITS,
+    curve: str = "morton",
 ) -> None:
-    """Materialize the layer Z-ordered: range-partition by the Morton
-    key into ``n_files`` output files, sorted within each — ONE
-    exchange, after which every file covers a compact curve segment
-    and its parquet x/y min/max stats prune bbox scans."""
+    """Materialize the layer space-filling-curve ordered:
+    range-partition by the curve key into ``n_files`` output files,
+    sorted within each — ONE exchange, after which every file covers
+    a compact curve segment and its parquet x/y min/max stats prune
+    bbox scans. ``curve='hilbert'`` swaps the Morton key for the
+    Hilbert key (tighter per-file bboxes, same write cost)."""
+    if curve not in ("morton", "hilbert"):
+        raise ValueError("curve must be 'morton' or 'hilbert'")
+    key = zorder_key_expr if curve == "morton" else hilbert_key_expr
     keyed = df.withColumn(
-        "_z", zorder_key_expr(F.col(x_col), F.col(y_col), bounds, bits)
+        "_z", key(F.col(x_col), F.col(y_col), bounds, bits)
     )
     (
         keyed.repartitionByRange(n_files, "_z")

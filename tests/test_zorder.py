@@ -83,3 +83,30 @@ def test_zordered_files_have_tight_extents(spark, sf_dir, tmp_path):
     # random layout: every file spans ~the whole extent; z-order: a
     # curve segment. 4x is a conservative floor (measured ~8-30x).
     assert z_area * 4 < r_area, (z_area, r_area)
+
+
+def test_hilbert_files_at_least_as_tight_as_morton(spark, sf_dir, tmp_path):
+    """curve='hilbert' must not lose to Morton on the pruning proxy:
+    mean per-file bbox area <= Morton's (Hilbert has no diagonal
+    jumps, so curve segments stay spatially compact)."""
+    pts = FX.points(spark, sf_dir, with_geometry=False).select("id", "x", "y")
+    hpath = str(tmp_path / "hilbert")
+    zpath = str(tmp_path / "morton")
+    write_zordered(pts, hpath, BOUNDS, n_files=8, curve="hilbert")
+    write_zordered(pts, zpath, BOUNDS, n_files=8, curve="morton")
+    h_area = _mean_file_extent_area(hpath)
+    z_area = _mean_file_extent_area(zpath)
+    assert h_area <= z_area * 1.05, (h_area, z_area)
+    # same rows either way
+    assert (
+        spark.read.parquet(hpath).count()
+        == spark.read.parquet(zpath).count()
+    )
+
+
+def test_write_zordered_rejects_unknown_curve(spark, sf_dir, tmp_path):
+    import pytest
+
+    pts = FX.points(spark, sf_dir, with_geometry=False).select("id", "x", "y")
+    with pytest.raises(ValueError):
+        write_zordered(pts, str(tmp_path / "x"), BOUNDS, curve="peano")
