@@ -2699,6 +2699,22 @@ def _q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (vector/pq.py ann_pq_topk) with
+    the md5-derived default codebooks — the compressed-domain ANN
+    tier, fully hash-gated (codes via strict-first argmin, LUT
+    lookups summed in fold order). Trained codebooks (fit_pq) are
+    pytest-pinned instead (iterative Lloyd, not SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.pq import ann_pq_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return ann_pq_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -2826,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_keys": _q_hilbert_keys,
         "unigram_divergence": _q_unigram_divergence,
         "frame_dedup": _q_frame_dedup,
+        "ann_pq_topk": _q_ann_pq,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3042,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_keys": OR.HILBERT_KEYS,
         "unigram_divergence": OR.UNIGRAM_DIVERGENCE,
         "frame_dedup": OR.FRAME_DEDUP,
+        "ann_pq_topk": OR.ANN_PQ_TOPK,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

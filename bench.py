@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "hilbert_keys",
     "unigram_divergence",
     "frame_dedup",
+    "ann_pq_topk",
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
     # timed noop-write of the 8-row result would be bench dishonesty;

@@ -178,6 +178,13 @@ from .media.multimodal import (  # noqa: F401
     frame_signature_expr,
 )
 from .vector.project import random_projection  # noqa: F401
+from .vector.pq import (  # noqa: F401
+    ann_pq_topk,
+    default_codebooks,
+    encode_pq_expr,
+    fit_pq,
+    pq_distortion,
+)
 from .sources.warc import read_warc, write_warc  # noqa: F401
 from .text.web import (  # noqa: F401
     canonical_url_expr,
@@ -385,6 +392,10 @@ __all__ = [
     "word_ngram_array_expr",
     "unigram_divergence",
     "dedup_frames",
+    "ann_pq_topk",
+    "fit_pq",
+    "encode_pq_expr",
+    "pq_distortion",
     "frame_signature_expr",
 ]
 __version__ = "0.1.0"

@@ -3657,3 +3657,67 @@ SELECT frame_sig, CAST(COUNT(*) AS BIGINT) AS n_frames,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM s GROUP BY frame_sig HAVING COUNT(DISTINCT doc_id) > 1
 """
+
+
+# Product-quantization ADC top-k (vector/pq.py ann_pq_topk) with the
+# md5-derived default codebooks — the full encode + ADC search path
+# replayed relationally: per-vector codes via list_position(list_min)
+# (the fold's strict-first-min tie rule), per-query LUTs, score =
+# left-assoc sum of LUT lookups (the fold's 0.0-init order). Trained
+# codebooks (fit_pq) are iterative and not SQL-expressible — their
+# quality is pytest-pinned (distortion + recall vs this baseline).
+from .vector import pq as _pq  # noqa: E402
+
+_PQ_CB = _pq.default_codebooks()
+_PQ_M = len(_PQ_CB)
+_PQ_K = len(_PQ_CB[0])
+_PQ_SD = len(_PQ_CB[0][0])
+
+
+def _pq_cast_cols() -> str:
+    return ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS e{i + 1}"
+        for i in range(_PQ_M * _PQ_SD)
+    )
+
+
+def _pq_d2_sql(j: int, c: int) -> str:
+    terms = " + ".join(
+        f"(e{j * _PQ_SD + d + 1} - {_PQ_CB[j][c][d]!r})"
+        f" * (e{j * _PQ_SD + d + 1} - {_PQ_CB[j][c][d]!r})"
+        for d in range(_PQ_SD)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _pq_dlist(j: int) -> str:
+    return "[" + ", ".join(_pq_d2_sql(j, c) for c in range(_PQ_K)) + "]"
+
+
+_PQ_VENC = ", ".join(
+    f"list_position(l{j}, list_min(l{j})) - 1 AS c{j}"
+    for j in range(_PQ_M)
+)
+_PQ_LISTS = ", ".join(f"{_pq_dlist(j)} AS l{j}" for j in range(_PQ_M))
+_PQ_SCORE = "0.0 + " + " + ".join(
+    f"q.l{j}[v.c{j} + 1]" for j in range(_PQ_M)
+)
+
+ANN_PQ_TOPK = f"""
+WITH vcast AS (SELECT vec_id, {_pq_cast_cols()} FROM embeddings),
+vlists AS (SELECT vec_id, {_PQ_LISTS} FROM vcast),
+venc AS (SELECT vec_id, {_PQ_VENC} FROM vlists),
+qlut AS (SELECT vec_id, {", ".join(f"l{j}" for j in range(_PQ_M))}
+         FROM vlists WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND({_PQ_SCORE}, 6) AS adc_d2
+  FROM qlut q CROSS JOIN venc v),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+           AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 10
+"""

@@ -30,6 +30,7 @@ _ARROW_OK = {
     "ann_topk",           # vectorized dot product (pandas_udf)
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",       # Arrow PQ encoder (pandas_udf)
     "warc_roundtrip",     # segment parse (mapInPandas)
     "dorling_cartogram",  # driver-relaxation placements
     "dorling_stats",

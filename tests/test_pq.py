@@ -1,0 +1,135 @@
+"""Product quantization: encode determinism (fold == Arrow kernel
+bit-for-bit), ADC ranking sanity, trained-codebook quality (Lloyd
+distortion descent, trained beats md5 codebooks on distortion AND
+recall vs the exact L2 baseline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    FX.register_base_tables(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def test_fold_and_arrow_encoders_are_bit_identical(spark, emb):
+    from gpd_lite_toolbox_spark.vector.pq import (
+        _encode_arrow,
+        default_codebooks,
+        encode_pq_expr,
+    )
+
+    cbs = default_codebooks()
+    a = emb.select(
+        encode_pq_expr("embedding", cbs).alias("c1"),
+        _encode_arrow(cbs)(F.col("embedding")).alias("c2"),
+    )
+    assert a.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_adc_self_rank_and_shape(spark, emb):
+    from gpd_lite_toolbox_spark.vector.pq import ann_pq_topk
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ann_pq_topk(q, emb, k=10)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 10
+        rs = sorted(rs, key=lambda r: r["rank"])
+        # ascending approximate distance
+        assert all(
+            rs[i]["adc_d2"] <= rs[i + 1]["adc_d2"] for i in range(9)
+        )
+
+
+def _exact_topk_ids(emb, k=10):
+    """Exact L2 top-k per query (the recall reference)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("nv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    w = Window.partitionBy("query_id").orderBy("_d", "neighbor_id")
+    ranked = (
+        v.join(F.broadcast(q))
+        .withColumn("_d", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    out = {}
+    for r in ranked.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(topk_df, exact):
+    got = {}
+    for r in topk_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    return hits / total
+
+
+def test_trained_codebooks_beat_md5_on_distortion_and_recall(spark, emb):
+    from gpd_lite_toolbox_spark.vector.pq import (
+        ann_pq_topk,
+        default_codebooks,
+        fit_pq,
+        pq_distortion,
+    )
+
+    trained = fit_pq(emb, iters=3)
+    md5_cbs = default_codebooks()
+    d_tr = pq_distortion(emb, trained)
+    d_md = pq_distortion(emb, md5_cbs)
+    assert d_tr < d_md * 0.9, (d_tr, d_md)
+
+    exact = _exact_topk_ids(emb)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    r_tr = _recall(ann_pq_topk(q, emb, trained, k=10), exact)
+    r_md = _recall(ann_pq_topk(q, emb, md5_cbs, k=10), exact)
+    assert r_tr >= r_md, (r_tr, r_md)
+    # 32-bit codes (m=8, k=16) are a 64x compression of the 64-dim
+    # float vectors — on the near-isotropic fixture embeddings the
+    # quantization noise bounds recall@10 around ~0.3; the floor pins
+    # regressions, the trained>=md5 assertion pins the training value
+    assert r_tr >= 0.25, r_tr
+
+
+def test_lloyd_distortion_descends(spark, emb):
+    from gpd_lite_toolbox_spark.vector.pq import fit_pq, pq_distortion
+
+    d1 = pq_distortion(emb, fit_pq(emb, iters=1))
+    d3 = pq_distortion(emb, fit_pq(emb, iters=3))
+    assert d3 <= d1 + 1e-9, (d1, d3)
+
+
+def test_fit_pq_deterministic(spark, emb):
+    from gpd_lite_toolbox_spark.vector.pq import fit_pq
+
+    a = fit_pq(emb, iters=1, seed=7)
+    b = fit_pq(emb, iters=1, seed=7)
+    assert a == b
