@@ -2715,6 +2715,20 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + residual PQ (vector/pq.py ann_ivfpq_topk) with md5
+    coarse centroids + codebooks — routing, residual encoding, and
+    ADC scoring all hash-gated; queries scan only n_probe cells."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.pq import ann_ivfpq_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return ann_ivfpq_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -2843,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_divergence": _q_unigram_divergence,
         "frame_dedup": _q_frame_dedup,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3060,6 +3075,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_divergence": OR.UNIGRAM_DIVERGENCE,
         "frame_dedup": OR.FRAME_DEDUP,
         "ann_pq_topk": OR.ANN_PQ_TOPK,
+        "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -179,7 +179,9 @@ from .media.multimodal import (  # noqa: F401
 )
 from .vector.project import random_projection  # noqa: F401
 from .vector.pq import (  # noqa: F401
+    ann_ivfpq_topk,
     ann_pq_topk,
+    fit_ivfpq,
     default_codebooks,
     encode_pq_expr,
     fit_pq,
@@ -393,7 +395,9 @@ __all__ = [
     "unigram_divergence",
     "dedup_frames",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "fit_pq",
+    "fit_ivfpq",
     "encode_pq_expr",
     "pq_distortion",
     "frame_signature_expr",

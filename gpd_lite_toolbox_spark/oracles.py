@@ -3681,17 +3681,19 @@ def _pq_cast_cols() -> str:
     )
 
 
-def _pq_d2_sql(j: int, c: int) -> str:
+def _pq_d2_sql(j: int, c: int, var: str = "e") -> str:
     terms = " + ".join(
-        f"(e{j * _PQ_SD + d + 1} - {_PQ_CB[j][c][d]!r})"
-        f" * (e{j * _PQ_SD + d + 1} - {_PQ_CB[j][c][d]!r})"
+        f"({var}{j * _PQ_SD + d + 1} - {_PQ_CB[j][c][d]!r})"
+        f" * ({var}{j * _PQ_SD + d + 1} - {_PQ_CB[j][c][d]!r})"
         for d in range(_PQ_SD)
     )
     return f"(0.0 + {terms})"
 
 
-def _pq_dlist(j: int) -> str:
-    return "[" + ", ".join(_pq_d2_sql(j, c) for c in range(_PQ_K)) + "]"
+def _pq_dlist(j: int, var: str = "e") -> str:
+    return (
+        "[" + ", ".join(_pq_d2_sql(j, c, var) for c in range(_PQ_K)) + "]"
+    )
 
 
 _PQ_VENC = ", ".join(
@@ -3713,6 +3715,79 @@ scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
          ROUND({_PQ_SCORE}, 6) AS adc_d2
   FROM qlut q CROSS JOIN venc v),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+           AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# IVF + residual PQ (vector/pq.py ann_ivfpq_topk) with md5-derived
+# coarse centroids AND codebooks — the full route-residual-encode-ADC
+# path replayed relationally: cell via first-min argmin over the
+# coarse d2 list, residuals by indexing the coarse literal with the
+# computed cell, PQ code lists over residual aliases, probe rank per
+# query, fold-order score sums. Trained layers (fit_ivfpq) are
+# iterative — pytest-pinned.
+_IVF_CC = _pq.default_coarse_centroids()
+_IVF_NC = len(_IVF_CC)
+_IVF_NP = _pq.N_PROBE
+
+_IVF_CLIT = (
+    "CAST(["
+    + ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in _IVF_CC
+    )
+    + "] AS DOUBLE[][])"
+)
+
+
+def _ivf_cd_sql(var: str = "e") -> str:
+    """List of full-dim d2 to every coarse centroid (fold order)."""
+    lists = []
+    for i in range(_IVF_NC):
+        terms = " + ".join(
+            f"({var}{d + 1} - {_IVF_CC[i][d]!r})"
+            f" * ({var}{d + 1} - {_IVF_CC[i][d]!r})"
+            for d in range(_PQ_M * _PQ_SD)
+        )
+        lists.append(f"(0.0 + {terms})")
+    return "[" + ", ".join(lists) + "]"
+
+
+_IVF_RES = ", ".join(
+    f"e{d + 1} - {_IVF_CLIT}[cell + 1][{d + 1}] AS r{d + 1}"
+    for d in range(_PQ_M * _PQ_SD)
+)
+_PQ_RLISTS = ", ".join(
+    f"{_pq_dlist(j, 'r')} AS l{j}" for j in range(_PQ_M)
+)
+
+ANN_IVFPQ_TOPK = f"""
+WITH vcast AS (SELECT vec_id, {_pq_cast_cols()} FROM embeddings),
+vcell AS (SELECT *, CAST(list_position(cd, list_min(cd)) - 1 AS INT)
+                 AS cell
+          FROM (SELECT *, {_ivf_cd_sql('e')} AS cd FROM vcast)),
+vres AS (SELECT vec_id, cell, {_IVF_RES} FROM vcell),
+venc AS (SELECT vec_id, cell, {_PQ_VENC}
+         FROM (SELECT vec_id, cell, {_PQ_RLISTS} FROM vres)),
+qprobe AS (
+  SELECT vec_id, CAST(i.n - 1 AS INT) AS cell
+  FROM (SELECT *, {_ivf_cd_sql('e')} AS cd FROM vcast
+        WHERE vec_id % 50 = 0) qc,
+       (SELECT UNNEST(range(1, {_IVF_NC + 1})) AS n) i
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cd[i.n], i.n) <= {_IVF_NP}),
+qres AS (SELECT p.vec_id, p.cell, {_IVF_RES}
+         FROM qprobe p JOIN vcast USING (vec_id)),
+qlut AS (SELECT vec_id, cell, {_PQ_RLISTS} FROM qres),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND({_PQ_SCORE}, 6) AS adc_d2
+  FROM qlut q JOIN venc v ON v.cell = q.cell),
 ranked AS (
   SELECT query_id, neighbor_id, adc_d2,
          CAST(ROW_NUMBER() OVER (

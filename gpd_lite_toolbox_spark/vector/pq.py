@@ -368,3 +368,210 @@ def pq_distortion(vectors: DataFrame, codebooks, vec_col: str = "embedding") -> 
         .collect()[0]
     )
     return float(row["d"])
+
+
+# ------------------------------------------------------------ IVF+PQ
+N_COARSE = 8
+N_PROBE = 2
+
+
+def default_coarse_centroids(c: int = N_COARSE, dims: int = DIMS) -> list:
+    """md5-derived deterministic coarse centroids (the IVF routing
+    layer of the hash-gated IVFPQ path; ``fit_ivfpq`` is the quality
+    path). Range matches the fixture's per-dim spread."""
+    return [
+        [
+            ((int(hashlib.md5(f"ivf_{i}_{d}".encode())
+                  .hexdigest()[:8], 16) % 251) - 125) / 1000.0
+            for d in range(dims)
+        ]
+        for i in range(c)
+    ]
+
+
+def _ivfpq_arrow(coarse, codebooks):
+    """Arrow kernel for the corpus side of IVFPQ: coarse cell (argmin
+    over full-dim L2², sequential accumulation), residual against the
+    chosen coarse centroid, then PQ codes of the RESIDUAL — one pass,
+    one Python crossing. Same op order as the fold forms / the DuckDB
+    oracle (first-min ties throughout)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sd = len(codebooks[0][0])
+    C = np.asarray(coarse, dtype=np.float64)     # (c, dims)
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sd)
+    nc, dims = C.shape
+
+    @pandas_udf("struct<cell: int, codes: array<int>>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "codes": []})
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        cd = np.zeros((n, nc), dtype=np.float64)
+        for i in range(nc):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dims):
+                t = X[:, d] - C[i, d]
+                acc = acc + t * t
+            cd[:, i] = acc
+        cells = np.argmin(cd, axis=1)
+        R = X - C[cells]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            S = R[:, j * sd : (j + 1) * sd]
+            d2 = np.zeros((n, k), dtype=np.float64)
+            for c in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(sd):
+                    t = S[:, d] - cb[j, c, d]
+                    acc = acc + t * t
+                d2[:, c] = acc
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(codes)}
+        )
+
+    return enc.asNondeterministic()
+
+
+def ann_ivfpq_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    coarse=None,
+    codebooks=None,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + residual PQ — the production composition at 100 TB: the
+    coarse quantizer routes every vector to a cell (the inverted
+    file), PQ codes quantize the RESIDUAL (vector minus its coarse
+    centroid — residuals are small, so the same code budget buys far
+    less distortion than raw-vector PQ), and a query ADC-scans only
+    its ``n_probe`` nearest cells instead of the corpus.
+
+    Plan shape: corpus side is one Arrow projection (cell + codes) —
+    at scale the codes table is partitioned/pruned BY cell (the
+    write_ivf_index layout applies unchanged); the query side
+    broadcasts (query, probed-cell, residual-LUT) rows — |Q|·n_probe
+    of them — and the join on ``cell`` touches only probed cells.
+    Top-k ranks across a query's probed cells together.
+
+    With the default md5-derived coarse centroids + codebooks the
+    whole path is hash-gated in DuckDB (oracles.ANN_IVFPQ_TOPK);
+    ``fit_ivfpq`` supplies trained layers, quality pytest-pinned.
+
+    Columns: ``(query_id, neighbor_id, adc_d2, rank)``.
+    """
+    if coarse is None:
+        coarse = default_coarse_centroids()
+    if codebooks is None:
+        codebooks = default_codebooks()
+    m = len(codebooks)
+    nc = len(coarse)
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+    venc = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _ivfpq_arrow(coarse, codebooks)(F.col(vec_col)).alias("_s"),
+    ).select("neighbor_id", F.col("_s.cell").alias("cell"),
+             F.col("_s.codes").alias("_codes"))
+
+    # query routing: d2 to every coarse centroid (fold — |Q| is small),
+    # n_probe nearest cells, residual LUT per probed cell
+    cell_d2 = lambda cent: _sub_d2(F.col(vec_col), cent)  # noqa: E731
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nc - 1)),
+                lambda i: _sub_d2(
+                    F.col(vec_col), F.element_at(coarse_lit, (i + 1).cast("int"))
+                ),
+            )
+        ).alias("cell", "_cd"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("_cd", "cell")
+    probed = (
+        probes.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= int(n_probe))
+        .select(
+            "query_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.zip_with(
+                F.col("_qv"),
+                F.element_at(coarse_lit, (F.col("cell") + 1).cast("int")),
+                lambda x, y: x.cast("double") - y,
+            ).alias("_qres"),
+        )
+        .select(
+            "query_id", "cell",
+            query_lut_expr(F.col("_qres"), codebooks).alias("_lut"),
+        )
+    )
+    score = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), (j + 1).cast("int")),
+                (F.element_at(F.col("_codes"), (j + 1).cast("int")) + 1)
+                .cast("int"),
+            ),
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        venc.join(F.broadcast(probed), "cell")
+        .withColumn("adc_d2", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def fit_ivfpq(
+    vectors: DataFrame,
+    n_coarse: int = N_COARSE,
+    m: int = M_SUB,
+    k: int = K_CODES,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+    seed: int = 0,
+):
+    """(coarse, codebooks) trained layers: the coarse quantizer via
+    ml.KMeans (the _fit_ivf discipline), then PQ codebooks trained on
+    the RESIDUALS — the composition the search assumes."""
+    from .ann import _fit_ivf
+
+    inverted, centers = _fit_ivf(
+        vectors, n_coarse, id_col, vec_col, seed, 5, None
+    )
+    coarse_rows = {r["cell"]: r["cv"] for r in centers.collect()}
+    coarse = [coarse_rows[i] for i in range(len(coarse_rows))]
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+    residuals = inverted.select(
+        F.col("neighbor_id").alias(id_col),
+        F.zip_with(
+            F.col("nv"),
+            F.element_at(coarse_lit, (F.col("cell") + 1).cast("int")),
+            lambda x, y: x.cast("double") - y,
+        ).alias(vec_col),
+    )
+    codebooks = fit_pq(
+        residuals, m=m, k=k, iters=iters, id_col=id_col,
+        vec_col=vec_col, dims=dims, seed=seed,
+    )
+    return coarse, codebooks

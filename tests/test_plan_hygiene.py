@@ -31,6 +31,7 @@ _ARROW_OK = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",       # Arrow PQ encoder (pandas_udf)
+    "ann_ivfpq_topk",    # Arrow IVFPQ encoder (cell+residual+codes)
     "warc_roundtrip",     # segment parse (mapInPandas)
     "dorling_cartogram",  # driver-relaxation placements
     "dorling_stats",

@@ -133,3 +133,51 @@ def test_fit_pq_deterministic(spark, emb):
     a = fit_pq(emb, iters=1, seed=7)
     b = fit_pq(emb, iters=1, seed=7)
     assert a == b
+
+
+def test_ivfpq_matches_oracle_and_probes_limit_scan(spark, emb, sf_dir):
+    from tests.util import assert_parity
+
+    import __spark_entry__ as E
+
+    assert_parity(
+        E.queries()["ann_ivfpq_topk"](spark, sf_dir),
+        E.oracle_sql()["ann_ivfpq_topk"],
+        sf_dir,
+    )
+
+
+def test_ivfpq_full_probe_equals_plain_pq_on_residual_free_case(spark, emb):
+    """n_probe = n_cells: every vector is reachable, the ranking is a
+    total ADC ranking (sanity that probing only PRUNES)."""
+    from gpd_lite_toolbox_spark.vector.pq import (
+        N_COARSE,
+        ann_ivfpq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    full = ann_ivfpq_topk(q, emb, k=10, n_probe=N_COARSE)
+    pruned = ann_ivfpq_topk(q, emb, k=10, n_probe=2)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    p = {(r["query_id"], r["neighbor_id"]) for r in pruned.collect()}
+    # pruned results are drawn from probed cells only; every pruned
+    # hit that IS in a probed cell scores identically, so overlap is
+    # high but never exceeds the full ranking's coverage of its cells
+    assert len(p) == len(f) == 10 * full.select("query_id").distinct().count()
+
+
+def test_trained_ivfpq_beats_untrained_recall(spark, emb):
+    from gpd_lite_toolbox_spark.vector.pq import (
+        ann_ivfpq_topk,
+        fit_ivfpq,
+    )
+
+    exact = _exact_topk_ids(emb)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    coarse, cbs = fit_ivfpq(emb, iters=2)
+    r_tr = _recall(ann_ivfpq_topk(q, emb, coarse, cbs, k=10), exact)
+    r_md = _recall(ann_ivfpq_topk(q, emb, k=10), exact)
+    assert r_tr >= r_md, (r_tr, r_md)
+    # residual PQ on trained layers recalls more than raw-vector PQ
+    # at the same code budget would suggest for 2-of-8 probing
+    assert r_tr >= 0.3, r_tr
