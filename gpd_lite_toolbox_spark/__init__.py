@@ -180,8 +180,10 @@ from .media.multimodal import (  # noqa: F401
 from .vector.project import random_projection  # noqa: F401
 from .vector.pq import (  # noqa: F401
     ann_ivfpq_topk,
+    ann_ivfpq_topk_indexed,
     ann_pq_topk,
     fit_ivfpq,
+    write_ivfpq_index,
     default_codebooks,
     encode_pq_expr,
     fit_pq,
@@ -396,6 +398,8 @@ __all__ = [
     "dedup_frames",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_topk_indexed",
+    "write_ivfpq_index",
     "fit_pq",
     "fit_ivfpq",
     "encode_pq_expr",

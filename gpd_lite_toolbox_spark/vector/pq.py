@@ -575,3 +575,134 @@ def fit_ivfpq(
         vec_col=vec_col, dims=dims, seed=seed,
     )
     return coarse, codebooks
+
+
+def write_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    coarse=None,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFPQ index: the coded corpus written as parquet
+    PARTITIONED BY cell — m small codes per vector instead of the
+    float vector, so the index is ~32x smaller than the IVF inverted
+    file AND every query batch reads only its probed cells via
+    partition pruning. The encode shuffle is paid once at write time
+    (the write_ivf_index discipline); the layers themselves persist
+    alongside so search rebinds to exactly the index's quantizers.
+
+    Layout: ``<path>/cells/cell=<i>/...`` with (neighbor_id, codes)
+    and ``<path>/layers`` with one row (coarse, codebooks) as nested
+    arrays.
+    """
+    if coarse is None:
+        coarse = default_coarse_centroids()
+    if codebooks is None:
+        codebooks = default_codebooks()
+    venc = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _ivfpq_arrow(coarse, codebooks)(F.col(vec_col)).alias("_s"),
+    ).select(
+        "neighbor_id",
+        F.col("_s.cell").alias("cell"),
+        F.col("_s.codes").alias("codes"),
+    )
+    venc.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(coarse, codebooks)],
+        "coarse array<array<double>>, "
+        "codebooks array<array<array<double>>>",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/layers")
+
+
+def ann_ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ADC search against a persisted IVFPQ index: routes each
+    query to its n_probe nearest stored coarse centroids, restricts
+    the codes scan to the probed cell set with a STATIC partition
+    filter (bounded by n_cells, never query count — the
+    ann_ivf_topk_indexed discipline), and scores codes against
+    broadcast residual LUTs. Results are identical to
+    ``ann_ivfpq_topk`` with the same layers."""
+    row = spark.read.parquet(f"{path}/layers").collect()[0]
+    coarse = [[float(x) for x in c] for c in row["coarse"]]
+    codebooks = [
+        [[float(x) for x in cent] for cent in sub]
+        for sub in row["codebooks"]
+    ]
+    m = len(codebooks)
+    nc = len(coarse)
+    coarse_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nc - 1)),
+                lambda i: _sub_d2(
+                    F.col(vec_col),
+                    F.element_at(coarse_lit, (i + 1).cast("int")),
+                ),
+            )
+        ).alias("cell", "_cd"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("_cd", "cell")
+    probed = (
+        probes.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= int(n_probe))
+        .select(
+            "query_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.zip_with(
+                F.col("_qv"),
+                F.element_at(coarse_lit, (F.col("cell") + 1).cast("int")),
+                lambda x, y: x.cast("double") - y,
+            ).alias("_qres"),
+        )
+        .select(
+            "query_id", "cell",
+            query_lut_expr(F.col("_qres"), codebooks).alias("_lut"),
+        )
+    )
+    cells = [
+        r["cell"] for r in probed.select("cell").distinct().collect()
+    ]
+    venc = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(cells)
+    ).select("neighbor_id", F.col("cell").cast("int").alias("cell"),
+             F.col("codes").alias("_codes"))
+    score = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), (j + 1).cast("int")),
+                (F.element_at(F.col("_codes"), (j + 1).cast("int")) + 1)
+                .cast("int"),
+            ),
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        venc.join(F.broadcast(probed), "cell")
+        .withColumn("adc_d2", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

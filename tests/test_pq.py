@@ -181,3 +181,26 @@ def test_trained_ivfpq_beats_untrained_recall(spark, emb):
     # residual PQ on trained layers recalls more than raw-vector PQ
     # at the same code budget would suggest for 2-of-8 probing
     assert r_tr >= 0.3, r_tr
+
+
+def test_indexed_ivfpq_matches_inmemory_and_prunes_partitions(
+    spark, emb, tmp_path
+):
+    from gpd_lite_toolbox_spark.vector.pq import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_indexed,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    mem = ann_ivfpq_topk(q, emb, k=10)
+    idx = ann_ivfpq_topk_indexed(spark, path, q, k=10)
+    a = sorted(map(tuple, mem.collect()))
+    b = sorted(map(tuple, idx.collect()))
+    assert a == b
+    # the probed-cell restriction reaches the scan as a static
+    # PartitionFilters entry (not a post-scan filter)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("\n", " "), plan[:2000]

@@ -171,3 +171,39 @@ def test_jsd_range_and_zero_law(_spark, strata):
         assert 0.0 < r["coverage"] <= 1.0 + 1e-9
     if len(strata) == 1:
         assert out[0]["jsd"] == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=64, max_size=64,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_pq_fold_and_arrow_agree_on_arbitrary_vectors(_spark, vecs):
+    """The Arrow PQ encoder and the Catalyst fold produce identical
+    codes on arbitrary float vectors — the bit-identity the hash gate
+    rests on, probed beyond the fixture distribution."""
+    from gpd_lite_toolbox_spark.vector.pq import (
+        _encode_arrow,
+        default_codebooks,
+        encode_pq_expr,
+    )
+
+    cbs = default_codebooks()
+    df = _spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<float>",
+    )
+    out = df.select(
+        encode_pq_expr("embedding", cbs).alias("c1"),
+        _encode_arrow(cbs)(F.col("embedding")).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"]
