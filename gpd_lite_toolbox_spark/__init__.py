@@ -182,6 +182,7 @@ from .vector.pq import (  # noqa: F401
     ann_ivfpq_topk,
     ann_ivfpq_topk_indexed,
     ann_pq_topk,
+    append_to_ivfpq_index,
     fit_ivfpq,
     write_ivfpq_index,
     default_codebooks,
@@ -400,6 +401,7 @@ __all__ = [
     "ann_ivfpq_topk",
     "ann_ivfpq_topk_indexed",
     "write_ivfpq_index",
+    "append_to_ivfpq_index",
     "fit_pq",
     "fit_ivfpq",
     "encode_pq_expr",

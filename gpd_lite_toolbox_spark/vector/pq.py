@@ -706,3 +706,34 @@ def ann_ivfpq_topk_indexed(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+def append_to_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Day-2 ingest for the persisted IVFPQ index: encode a NEW batch
+    with the index's OWN stored layers (never retrain on append —
+    codes from different codebooks cannot share an ADC scan) and
+    append the cell-partitioned code rows. The encode is one Arrow
+    projection over the batch; existing cells' files are untouched
+    (parquet append), so ingest cost scales with the batch, not the
+    index — the append_to_minhash_index discipline."""
+    spark = vectors.sparkSession
+    row = spark.read.parquet(f"{path}/layers").collect()[0]
+    coarse = [[float(x) for x in c] for c in row["coarse"]]
+    codebooks = [
+        [[float(x) for x in cent] for cent in sub]
+        for sub in row["codebooks"]
+    ]
+    venc = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _ivfpq_arrow(coarse, codebooks)(F.col(vec_col)).alias("_s"),
+    ).select(
+        "neighbor_id",
+        F.col("_s.cell").alias("cell"),
+        F.col("_s.codes").alias("codes"),
+    )
+    venc.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
