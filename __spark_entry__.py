@@ -2729,6 +2729,17 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source (text/bpe.py bpe_fertility,
+    pinned FERTILITY_MERGES): segmentation runs once per distinct
+    word; the oracle replays the greedy merge fold with a recursive
+    CTE — two independent BPE implementations must agree."""
+    from gpd_lite_toolbox_spark.text.bpe import bpe_fertility
+
+    s = _configure(spark)
+    return bpe_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -2858,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_dedup": _q_frame_dedup,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "bpe_fertility": _q_bpe_fertility,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3076,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_dedup": OR.FRAME_DEDUP,
         "ann_pq_topk": OR.ANN_PQ_TOPK,
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
+        "bpe_fertility": OR.BPE_FERTILITY,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

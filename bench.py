@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "frame_dedup",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "bpe_fertility",
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
     # timed noop-write of the 8-row result would be bench dishonesty;

@@ -161,7 +161,12 @@ from .text.pipeline import (  # noqa: F401
     source_quality,
 )
 from .text.search import bm25_topk, hybrid_topk, rrf_fuse  # noqa: F401
-from .text.bpe import bpe_segment_expr, bpe_train, word_vocab  # noqa: F401
+from .text.bpe import (  # noqa: F401
+    bpe_fertility,
+    bpe_segment_expr,
+    bpe_train,
+    word_vocab,
+)
 from .text.analysis import (  # noqa: F401
     dup_ngram_coverage,
     fingerprint,
@@ -386,6 +391,7 @@ __all__ = [
     "write_xml",
     "bpe_train",
     "bpe_segment_expr",
+    "bpe_fertility",
     "word_vocab",
     # sketch/profile/layout breadth (round-4 session 8)
     "kmv_vocab_sketch",

@@ -3796,3 +3796,61 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 10
 """
+
+
+# Tokenizer fertility per source (text/bpe.py bpe_fertility with the
+# pinned FERTILITY_MERGES): the DuckDB side replays the greedy
+# left-to-right merge fold with a RECURSIVE CTE over the distinct-word
+# vocabulary (state = (word, merge step, position, symbols, acc)) —
+# an independent implementation of reference BPE semantics, exact on
+# runs ('aaaa' -> [aa, aa]) where a regex-replace replay diverges.
+from .text import bpe as _bpe  # noqa: E402
+
+_FERT_N = len(_bpe.FERTILITY_MERGES)
+_FERT_MG = ", ".join(
+    f"({i + 1}, '{l}', '{r}')"
+    for i, (l, r) in enumerate(_bpe.FERTILITY_MERGES)
+)
+
+BPE_FERTILITY = f"""
+WITH RECURSIVE {oracle_ctes('scorpus')},
+wrd AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM scorpus),
+wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM wrd WHERE w <> '' GROUP BY source, w),
+dw AS (SELECT DISTINCT w FROM wc),
+mg AS (SELECT * FROM (VALUES {_FERT_MG}) m(step, l, r)),
+seed AS (SELECT w, regexp_extract_all(w, '.') AS syms,
+                1 AS step, 1 AS pos, CAST([] AS VARCHAR[]) AS acc
+         FROM dw),
+fold AS (
+  SELECT w, syms, step, pos, acc FROM seed
+  UNION ALL
+  SELECT w,
+    CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
+    CASE WHEN pos <= len(syms) THEN f.step ELSE f.step + 1 END,
+    CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END,
+    CASE WHEN pos <= len(syms) THEN
+      CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND syms[pos] = m.r
+           THEN acc[1:len(acc)-1] || [m.l || m.r]
+           ELSE acc || [syms[pos]] END
+    ELSE CAST([] AS VARCHAR[]) END
+  FROM fold f JOIN mg m ON m.step = f.step
+  WHERE NOT (pos > len(syms) AND f.step >= {_FERT_N})
+),
+vocab AS (SELECT w, CAST(len(acc) AS BIGINT) AS n_sym,
+                 CAST(length(w) AS BIGINT) AS n_chr
+          FROM fold WHERE pos > len(syms) AND step = {_FERT_N}),
+per AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
+               CAST(SUM(n * n_sym) AS BIGINT) AS n_tokens,
+               CAST(SUM(n * n_chr) AS BIGINT) AS chars
+        FROM wc JOIN vocab USING (w) GROUP BY source)
+SELECT source, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN ROUND(n_tokens / CAST(n_words AS DOUBLE), 6)
+            ELSE 0.0 END AS fertility,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(chars / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS avg_token_chars
+FROM per
+"""

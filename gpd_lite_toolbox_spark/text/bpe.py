@@ -155,3 +155,81 @@ def bpe_segment_expr(
     return F.flatten(
         F.transform(F.filter(words, lambda w: w != ""), seg)
     )
+
+
+# pinned merge list for the fertility report's hash gate (any learned
+# table works; the gate needs a FIXED one so both engines replay the
+# same tokenizer)
+FERTILITY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("e", "r"),
+    ("o", "r"), ("s", "t"), ("a", "t"), ("i", "n"),
+]
+
+
+def bpe_fertility(
+    docs: "DataFrame",
+    merges: list[tuple[str, str]] | None = None,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Tokenizer fertility report per stratum: words, BPE tokens,
+    tokens-per-word (fertility — THE number that prices a source's
+    training cost under a given tokenizer; high-fertility languages
+    cost more tokens per sentence) and mean token length in chars.
+
+    Scale shape: segmentation runs once per DISTINCT word (the
+    vocabulary table — bounded by |vocab|, not |corpus|), then joins
+    back to the word instances; the greedy merge fold never touches
+    corpus-sized data. The DuckDB oracle replays the SAME greedy fold
+    with a recursive CTE over the same distinct-word table — two
+    independent implementations of reference BPE semantics must agree
+    (runs like 'aaaa' -> [aa, aa] are the divergence-prone case; the
+    regex-replace replay was tried and REJECTED for exactly that).
+
+    Columns: ``(source, n_words, n_tokens, fertility,
+    avg_token_chars)``.
+    """
+    if merges is None:
+        merges = FERTILITY_MERGES
+    words = docs.select(
+        F.col(strata_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    seg = F.split(F.col("w"), "")
+    for left, right in merges:
+        seg = _apply_merge(seg, left, right)
+    vocab = (
+        wc.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(seg).cast("bigint").alias("n_sym"),
+            F.length("w").cast("bigint").alias("n_chr"),
+        )
+    )
+    per = (
+        wc.join(F.broadcast(vocab), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sym")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chr")).alias("_chars"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_tokens",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_tokens") / F.col("n_words").cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("fertility"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("_chars") / F.col("n_tokens").cast("double"), 6))
+        .otherwise(F.lit(0.0)).alias("avg_token_chars"),
+    )

@@ -451,3 +451,41 @@ def test_frame_signature_matches_generator_arithmetic(spark):
         (hashlib.md5(b"7").hexdigest() + "_3").encode()
     ).hexdigest()
     assert row["sig"] == expect
+
+
+# -------------------------------------------------- bpe fertility
+def test_bpe_fertility_hand_computed(spark):
+    from gpd_lite_toolbox_spark.text.bpe import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [("a", "the the"), ("b", "xyz")], "source string, text string"
+    )
+    rows = {r["source"]: r for r in
+            bpe_fertility(docs, merges=[("t", "h"), ("th", "e")]).collect()}
+    # 'the' -> [the]: 2 words, 2 tokens, fertility 1.0, 3 chars/token
+    assert rows["a"]["n_words"] == 2 and rows["a"]["n_tokens"] == 2
+    assert rows["a"]["fertility"] == 1.0
+    assert rows["a"]["avg_token_chars"] == 3.0
+    # 'xyz' unmerged -> 3 single-char tokens
+    assert rows["b"]["n_tokens"] == 3 and rows["b"]["fertility"] == 3.0
+
+
+def test_bpe_fertility_run_semantics_match_segmenter(spark):
+    """Runs are the divergence-prone case: the report's per-word
+    token counts must equal the row-level segmenter's output."""
+    import pyspark.sql.functions as F
+
+    from gpd_lite_toolbox_spark.text.bpe import (
+        bpe_fertility,
+        bpe_segment_expr,
+    )
+
+    merges = [("a", "a"), ("aa", "b")]
+    docs = spark.createDataFrame(
+        [("s", "aaaa aaab baaab aab")], "source string, text string"
+    )
+    row = bpe_fertility(docs, merges=merges).collect()[0]
+    direct = docs.select(
+        F.size(bpe_segment_expr("text", merges)).alias("n")
+    ).collect()[0]["n"]
+    assert row["n_tokens"] == direct
