@@ -2379,6 +2379,20 @@ def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(_corpus(spark, sf_dir), min_len=40)
 
 
+def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, APPLY half (Lee et al. 2021): excise
+    every maximal shared span >= 40 chars from the larger doc id
+    (keep-first), merging overlapping/touching intervals; returns the
+    rebuilt text plus removal accounting for affected docs only."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        exact_substring_spans,
+        remove_spans,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    return remove_spans(corpus, exact_substring_spans(corpus, min_len=40))
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -2870,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "bpe_fertility": _q_bpe_fertility,
+        # --- round-4 session-9 additions (never-row) ---
+        "span_removal": _q_span_removal,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3089,6 +3105,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": OR.ANN_PQ_TOPK,
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
+        "span_removal": OR.SPAN_REMOVAL,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -2866,8 +2866,7 @@ WHERE a.split <> b.split
 # identical relational algebra — stride-1 L-gram md5-prefix hashes,
 # diagonal gaps-and-islands merge — so spans agree row-for-row.
 _SPAN_L = 40
-EXACT_SUBSTRING_SPANS = f"""
-WITH {oracle_ctes('corpus')},
+_SPAN_CTES = f"""
 g AS (SELECT id, CAST(pos AS BIGINT) AS pos,
              CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT),
                                              {_SPAN_L})), 1, 15))::UBIGINT
@@ -2887,13 +2886,20 @@ runs AS (SELECT id_a, id_b, MIN(pos_a) AS start_a,
                 MIN(pos_a) - diag AS start_b,
                 COUNT(*) + {_SPAN_L - 1} AS length
          FROM r
-         GROUP BY id_a, id_b, diag, isl)
-SELECT rn.id_a, rn.id_b, rn.start_a, rn.start_b, rn.length
-FROM runs rn
-JOIN corpus ca ON ca.id = rn.id_a
-JOIN corpus cb ON cb.id = rn.id_b
-WHERE substr(ca.text, CAST(rn.start_a AS INT), CAST(rn.length AS INT))
-    = substr(cb.text, CAST(rn.start_b AS INT), CAST(rn.length AS INT))
+         GROUP BY id_a, id_b, diag, isl),
+spans AS (
+  SELECT rn.id_a, rn.id_b, rn.start_a, rn.start_b, rn.length
+  FROM runs rn
+  JOIN corpus ca ON ca.id = rn.id_a
+  JOIN corpus cb ON cb.id = rn.id_b
+  WHERE substr(ca.text, CAST(rn.start_a AS INT), CAST(rn.length AS INT))
+      = substr(cb.text, CAST(rn.start_b AS INT), CAST(rn.length AS INT)))
+"""
+
+EXACT_SUBSTRING_SPANS = f"""
+WITH {oracle_ctes('corpus')},
+{_SPAN_CTES}
+SELECT id_a, id_b, start_a, start_b, length FROM spans
 """
 
 # Unigram LM scoring (text/corpus.py unigram_logprob): the vocabulary
@@ -3853,4 +3859,51 @@ SELECT source, n_words, n_tokens,
             THEN ROUND(chars / CAST(n_tokens AS DOUBLE), 6)
             ELSE 0.0 END AS avg_token_chars
 FROM per
+"""
+
+
+# Span-excision transform (text/dedup.py remove_spans composed over
+# exact_substring_spans): keep-first policy — every maximal shared
+# span is removed from the LARGER id; overlapping/touching intervals
+# merge (islands), the kept text is the ordered concat of complement
+# segments. Shares _SPAN_CTES with EXACT_SUBSTRING_SPANS, so the
+# detect and apply gates cannot drift on the span definition.
+SPAN_REMOVAL = f"""
+WITH {oracle_ctes('corpus')},
+{_SPAN_CTES},
+iv AS (SELECT DISTINCT id_b AS id, start_b AS s,
+              start_b + length - 1 AS e
+       FROM spans),
+brks AS (SELECT id, s, e,
+                CASE WHEN s <= COALESCE(
+                         MAX(e) OVER (PARTITION BY id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) + 1
+                     THEN 0 ELSE 1 END AS brk
+         FROM iv),
+grp AS (SELECT id, s, e,
+               SUM(brk) OVER (PARTITION BY id ORDER BY s, e) AS g
+        FROM brks),
+mi AS (SELECT id, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY id, g),
+segs AS (
+  SELECT id,
+         COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 0) + 1 AS ks,
+         s - 1 AS ke
+  FROM mi
+  UNION ALL
+  SELECT id, MAX(e) + 1 AS ks, 2147483647 AS ke FROM mi GROUP BY id),
+kept AS (SELECT s.id,
+                string_agg(
+                    substr(c.text, CAST(s.ks AS INT),
+                           CAST(GREATEST(
+                               LEAST(s.ke, length(c.text)) - s.ks + 1,
+                               0) AS INT)),
+                    '' ORDER BY s.ks) AS text
+         FROM segs s JOIN corpus c ON c.id = s.id
+         GROUP BY s.id),
+stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(e - s + 1) AS BIGINT) AS n_chars_removed
+          FROM mi GROUP BY id)
+SELECT k.id, COALESCE(k.text, '') AS text, st.n_spans, st.n_chars_removed
+FROM kept k JOIN stats st USING (id)
 """

@@ -1786,3 +1786,93 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def remove_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY exact-substring dedup (the transform half of
+    ``exact_substring_spans`` — Lee et al. 2021 remove duplicated
+    spans, keep one copy): every shared span is excised from the
+    LARGER id (keep-first policy), overlapping or touching intervals
+    merge, and the document is rebuilt as the ordered concatenation
+    of the kept segments. Only affected documents are returned.
+
+    Columns: ``(id, text, n_spans, n_chars_removed)`` — ``n_spans``
+    counts MERGED intervals, ``n_chars_removed`` their total width.
+
+    Scale shape: one distinct + one groupBy on the (tiny relative to
+    corpus) span table, then a broadcast-friendly join to the corpus;
+    interval merge and text reconstruction are row-local folds over
+    each doc's merged-interval array (bounded by spans-per-doc, not
+    text length).
+    """
+    iv = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("length") - 1).alias("e"),
+    ).distinct()
+    ivs = iv.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+    )
+    empty = F.array().cast("array<struct<s: bigint, e: bigint>>")
+    merged = F.aggregate(
+        F.col("_ivs").cast("array<struct<s: bigint, e: bigint>>"),
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x["s"] <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], x["e"]
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    joined = (
+        ivs.withColumn("_m", merged)
+        .drop("_ivs")
+        .join(corpus.select(id_col, text_col), id_col)
+    )
+    text = F.col(text_col)
+    rebuilt = F.aggregate(
+        F.col("_m"),
+        F.struct(
+            F.lit(1).cast("bigint").alias("cur"),
+            F.lit("").alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            (x["e"] + 1).alias("cur"),
+            F.concat(
+                acc["out"],
+                text.substr(acc["cur"], x["s"] - acc["cur"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            text.substr(
+                acc["cur"],
+                F.greatest(
+                    F.length(text) - acc["cur"] + 1, F.lit(0).cast("bigint")
+                ),
+            ),
+        ),
+    )
+    return joined.select(
+        F.col(id_col).alias("id"),
+        rebuilt.alias("text"),
+        F.size("_m").cast("bigint").alias("n_spans"),
+        F.aggregate(
+            F.col("_m"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + (x["e"] - x["s"] + 1),
+        ).alias("n_chars_removed"),
+    )
