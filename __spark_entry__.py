@@ -2393,6 +2393,52 @@ def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_spans(corpus, exact_substring_spans(corpus, min_len=40))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via the lossless pigeonhole
+    band join; the oracle re-derives the SAME pair set all-pairs."""
+    from gpd_lite_toolbox_spark.text.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a broadcast Bloom bit-array (2^18 bits,
+    k=3 double-hashed probes) — same id%13 train/benchmark split as
+    `decontaminate`, constant-size sketch instead of the dictionary
+    join."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import bloom_decontaminate
+
+    corpus = _corpus(spark, sf_dir)
+    return bloom_decontaminate(
+        corpus.filter(F.col("id") % 13 != 0),
+        corpus.filter(F.col("id") % 13 == 0),
+        log2_bits=18,
+        n_hashes=3,
+    )
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (depth 4, width 64 — width chosen so the
+    fixture vocabulary actually collides and the min-over-rows
+    estimate diverges from exact on at least one token)."""
+    from gpd_lite_toolbox_spark.text.corpus import cms_heavy_hitters
+
+    return cms_heavy_hitters(_corpus(spark, sf_dir), depth=4, width=64, k=40)
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance z-score outliers over the embeddings
+    table (the semantic quality-pruning filter), z > 2 on 6dp-rounded
+    values."""
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    from gpd_lite_toolbox_spark.vector.centroids import embedding_outliers
+
+    return embedding_outliers(s.table("embeddings"), z_threshold=2.0, dims=64)
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -2886,6 +2932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         # --- round-4 session-9 additions (never-row) ---
         "span_removal": _q_span_removal,
+        "simhash_pairs": _q_simhash_pairs,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "embedding_outliers": _q_embedding_outliers,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3106,6 +3156,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
         "span_removal": OR.SPAN_REMOVAL,
+        "simhash_pairs": OR.SIMHASH_PAIRS,
+        "bloom_decontaminate": OR.BLOOM_DECONTAMINATE,
+        "cms_heavy_hitters": OR.CMS_HEAVY_HITTERS,
+        "embedding_outliers": OR.EMBEDDING_OUTLIERS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

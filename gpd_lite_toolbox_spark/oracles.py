@@ -3907,3 +3907,114 @@ stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_spans,
 SELECT k.id, COALESCE(k.text, '') AS text, st.n_spans, st.n_chars_removed
 FROM kept k JOIN stats st USING (id)
 """
+
+
+# SimHash Hamming near-dup pairs (text/dedup.py simhash_hamming_pairs):
+# the Spark side generates candidates through the pigeonhole band join;
+# the oracle is the genuinely independent ALL-PAIRS formulation over
+# the same fingerprints — the two agree only if the banding is
+# lossless (any Hamming<=k pair shares an exact band).
+_SH_MAX_HAMMING = 3
+SIMHASH_PAIRS = f"""
+WITH {oracle_ctes('corpus')},
+toks AS (SELECT id, CAST(('0x' || substr(md5(t.tok), 1, 8))::UBIGINT AS BIGINT) AS th
+         FROM corpus, UNNEST(string_split(text, ' ')) AS t(tok)),
+sums AS (SELECT id, {_SIM_SUMS} FROM toks GROUP BY id),
+fp AS (SELECT id, CAST({_SIM_FP} AS BIGINT) AS sh FROM sums)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {_SH_MAX_HAMMING}
+"""
+
+# Bloom-filter decontamination (text/dedup.py bloom_decontaminate):
+# Kirsch-Mitzenmacher double hashing g_i = (h1 + i*h2) mod m over the
+# 60-bit shingle hash. Bit-array membership is relationally identical
+# to "every one of the gram's k positions is in the benchmark's
+# distinct position set", which is how the oracle states it — an
+# independent formulation of the same filter.
+_BLOOM_LOG2, _BLOOM_K = 18, 3
+_BLOOM_M = 1 << _BLOOM_LOG2
+_BLOOM_MASK = _BLOOM_M - 1
+_BLOOM_POS = (
+    f"((shingle & {_BLOOM_MASK}) "
+    f"+ i.i * (((shingle >> 30) & {_BLOOM_MASK}) | 1)) % {_BLOOM_M}"
+)
+BLOOM_DECONTAMINATE = f"""
+WITH {oracle_ctes('corpus')}, {_SHINGLE_HASHED_CTE},
+ii AS (SELECT UNNEST(range({_BLOOM_K})) AS i),
+bp AS (SELECT DISTINCT {_BLOOM_POS} AS pos
+       FROM (SELECT DISTINCT shingle FROM shh WHERE id % 13 = 0)
+            CROSS JOIN ii i),
+tp AS (SELECT id, shingle, {_BLOOM_POS} AS pos
+       FROM (SELECT * FROM shh WHERE id % 13 <> 0) CROSS JOIN ii i),
+hits AS (SELECT t.id, t.shingle
+         FROM tp t JOIN bp ON bp.pos = t.pos
+         GROUP BY t.id, t.shingle
+         HAVING COUNT(*) = {_BLOOM_K})
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY id
+"""
+
+# Count-Min heavy hitters (text/corpus.py cms_heavy_hitters): same
+# md5-derived row hashes, counter table, min-estimate, and rank
+# tiebreak — the sketch is deterministic, so 'approximate' is exactly
+# checkable (est >= exact one-sidedness is implied by agreement).
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 64, 40
+CMS_HEAVY_HITTERS = f"""
+WITH {oracle_ctes('corpus')},
+cnt AS (SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM corpus, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY 1),
+rws AS (SELECT token, exact, d.d AS rw,
+               CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || token),
+                                    1, 15))::UBIGINT AS BIGINT)
+                   % {_CMS_WIDTH} AS bucket
+        FROM cnt CROSS JOIN (SELECT UNNEST(range({_CMS_DEPTH})) AS d) d),
+sk AS (SELECT rw, bucket, SUM(exact) AS cell FROM rws GROUP BY 1, 2),
+est AS (SELECT token, exact, CAST(MIN(cell) AS BIGINT) AS est
+        FROM rws JOIN sk USING (rw, bucket) GROUP BY 1, 2)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY est DESC, exact DESC, token) AS INT)
+           AS rank,
+       token, est, exact
+FROM est
+QUALIFY rank <= {_CMS_TOPK}
+"""
+
+# Embedding outliers (vector/centroids.py embedding_outliers): group
+# centroid = LABEL_CENTROIDS' 6dp-rounded per-dim mean reassembled to
+# a list; dist2 mirrors the Spark side's three-dot decomposition with
+# left-to-right per-dim folds (the _dot_arrow bit-identity recipe);
+# the flag tests the 6dp-rounded z.
+_OUT_XC = " + ".join(
+    f"CAST(e.embedding[{i + 1}] AS DOUBLE) * c.cvec[{i + 1}]"
+    for i in range(_EMB_DIM)
+)
+_OUT_CC = " + ".join(
+    f"c.cvec[{i + 1}] * c.cvec[{i + 1}]" for i in range(_EMB_DIM)
+)
+_OUT_XX = " + ".join(
+    f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+    for i in range(_EMB_DIM)
+)
+EMBEDDING_OUTLIERS = f"""
+WITH cent AS (SELECT label AS grp,
+                     CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                     CAST(UNNEST(range(len(embedding))) AS INT) AS pos
+              FROM embeddings WHERE embedding IS NOT NULL),
+cm AS (SELECT grp, pos, ROUND(AVG(val), 6) AS mean
+       FROM cent GROUP BY 1, 2),
+cv AS (SELECT grp, list(mean ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+d AS (SELECT e.vec_id, c.grp AS "group",
+             ROUND(({_OUT_XX}) - 2.0 * ({_OUT_XC}) + ({_OUT_CC}), 6)
+                 AS dist2
+      FROM embeddings e JOIN cv c ON c.grp = e.label
+      WHERE e.embedding IS NOT NULL),
+st AS (SELECT "group", AVG(dist2) AS mu, STDDEV_POP(dist2) AS sd
+       FROM d GROUP BY 1)
+SELECT d.vec_id, d."group", d.dist2,
+       ROUND((d.dist2 - st.mu)
+             / (CASE WHEN st.sd > 0 THEN st.sd END), 6) AS z
+FROM d JOIN st USING ("group")
+WHERE ROUND((d.dist2 - st.mu)
+            / (CASE WHEN st.sd > 0 THEN st.sd END), 6) > 2.0
+"""

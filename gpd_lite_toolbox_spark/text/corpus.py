@@ -1085,3 +1085,83 @@ def unigram_divergence(
             6,
         ).alias("jsd"),
     )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 2048,
+    k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy-hitter report through a Count-Min sketch (Cormode &
+    Muthukrishnan 2005): token frequencies estimated as the MINIMUM
+    over ``depth`` hash rows of ``width`` counters each, reported next
+    to the exact count so the sketch's one-sided error (est >= exact,
+    overestimate = collision mass) is visible per token. The top-``k``
+    rows by estimate are the tokens a streaming budgeter would keep.
+
+    Like the KMV sketch, CMS with fixed md5-derived row hashes is
+    exactly reproducible cross-engine — the counter table, the
+    per-token minimum, and the ranking all hash-gate against DuckDB
+    while the sketch stays genuinely sublinear (depth x width counters
+    regardless of corpus size, mergeable by cell-wise addition).
+
+    Columns: ``(rank, token, est, exact)`` ordered by the estimate.
+
+    Scale shape: the token explode partial-combines into per-token
+    counts (one exchange, vocabulary-sized); the counter table is a
+    second vocabulary-sized aggregate down to depth*width rows, which
+    then BROADCAST back onto the vocabulary for the min-estimate; the
+    top-k runs as a WindowGroupLimit partial heap. Nothing after the
+    first combine scales with corpus volume, and the sketch itself
+    (the broadcast side) is a few KB.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact"))
+    )
+
+    def bucket(d: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("token"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket")
+
+    rows = counts.select(
+        "token",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("row"), bucket(d)
+                    )
+                    for d in range(int(depth))
+                ]
+            )
+        ).alias("_rb"),
+    ).select("token", "exact", F.col("_rb.row"), F.col("_rb.bucket"))
+    sketch = rows.groupBy("row", "bucket").agg(
+        F.sum("exact").alias("cell")
+    )
+    est = (
+        rows.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("cell").cast("bigint").alias("est"))
+    )
+    w = Window.orderBy(
+        F.col("est").desc(), F.col("exact").desc(), F.col("token")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", "token", "est", "exact")
+    )

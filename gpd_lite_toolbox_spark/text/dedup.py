@@ -1876,3 +1876,155 @@ def remove_spans(
             lambda acc, x: acc + (x["e"] - x["s"] + 1),
         ).alias("n_chars_removed"),
     )
+
+
+def simhash_hamming_pairs(
+    corpus: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance: every
+    unordered pair whose 32-bit fingerprints differ in at most
+    ``max_hamming`` bits — the Charikar/Manku-Jain-Sarma web-dedup
+    formulation (the fingerprint-table rotation trick expressed
+    relationally as a banded self-join).
+
+    Candidate generation is EXACT, not approximate: the fingerprint is
+    split into ``max_hamming + 1`` disjoint bit bands, and by
+    pigeonhole any pair within the Hamming budget agrees exactly on at
+    least one band, so the band equi-join loses nothing; the
+    ``bit_count(xor)`` verify then drops the false candidates. Output
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Scale shape: one fingerprint aggregate (the ``simhash`` operator's
+    shuffle), then a self-equi-join on (band, band_key) — work is
+    sum over keys of |bucket|^2, never corpus^2. Bucket population is
+    n / 2^band_bits per band; at larger corpora widen the fingerprint
+    (64-bit SimHash, 16-bit bands) so buckets stay small — the 32-bit
+    default matches the ``simhash`` operator and its oracle.
+    """
+    n_bands = int(max_hamming) + 1
+    bounds = [SIMHASH_BITS * b // n_bands for b in range(n_bands + 1)]
+    sig = simhash(corpus, id_col, text_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bounds[b])
+                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
+                .cast("bigint")
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keys = sig.select(
+        "id", "simhash", F.explode(entries).alias("_bk")
+    ).select("id", "simhash", F.col("_bk.band"), F.col("_bk.key"))
+    a = keys.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash").alias("_sa"),
+        "band",
+        "key",
+    )
+    b = keys.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash").alias("_sb"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("_sa").bitwiseXOR(F.col("_sb"))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    log2_bits: int = 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: the benchmark
+    shingle dictionary is folded into an m = 2^``log2_bits`` bit array
+    and training documents are flagged by how many of their distinct
+    shingles the filter claims (``decontaminate`` with the exact
+    dictionary join replaced by the constant-size sketch — the shape a
+    pipeline uses when the eval suite is large or must ship to every
+    executor as a few hundred KB instead of a join side).
+
+    Bit positions use the Kirsch-Mitzenmacher double-hashing
+    construction g_i(x) = (h1 + i*h2) mod m over the 60-bit md5
+    shingle hash (h2 forced odd), so k positions cost ONE digest.
+    Output ``(id, n_hits)`` for flagged docs — a superset of
+    ``decontaminate``'s at the filter's false-positive rate
+    (deterministic given the hash construction, so exactly
+    reproducible by the oracle).
+
+    Scale shape: the filter is a (word_idx, bits) table of at most
+    m/64 rows (2^18 bits -> 4096 rows, 64 KB) built by one bit_or
+    aggregate over benchmark positions and BROADCAST to the probe
+    side; the corpus pays its shingle projection, a k-way position
+    explode, the broadcast hash join, and two partial-combined
+    aggregates. Nothing scales with |benchmark| x |corpus|.
+    """
+    m = 1 << int(log2_bits)
+    mask = m - 1
+    word = F.floor(F.col("pos") / 64).cast("bigint").alias("word_idx")
+    # shiftleft's Python wrapper takes only a literal shift amount;
+    # the SQL form accepts the column-valued bit offset
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+
+    def positions(sh_df: DataFrame) -> DataFrame:
+        h1 = F.col("shingle").bitwiseAND(F.lit(mask))
+        h2 = F.shiftrightunsigned(F.col("shingle"), 30).bitwiseAND(
+            F.lit(mask)
+        ).bitwiseOR(F.lit(1))
+        return sh_df.select(
+            *sh_df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        ((h1 + F.lit(i) * h2) % m).cast("bigint").alias("p")
+                        for i in range(int(n_hashes))
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bloom = (
+        positions(
+            shingles(benchmark, id_col, text_col, hashed=True)
+            .select("shingle")
+            .distinct()
+        )
+        .select(word, bit.alias("b"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    probe = positions(shingles(corpus, id_col, text_col, hashed=True))
+    hits = (
+        probe.withColumn("word_idx", word)
+        .join(F.broadcast(bloom), "word_idx")
+        .filter(bit.bitwiseAND(F.col("bits")) != 0)
+        .groupBy("id", "shingle")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") == int(n_hashes))
+    )
+    return (
+        hits.groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
