@@ -2439,6 +2439,47 @@ def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(s.table("embeddings"), z_threshold=2.0, dims=64)
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-5 most-cosine-similar
+    CROSS-label vectors per anchor (vec_id % 50 anchors, the ANN query
+    convention)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.mining import hard_negatives
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return hard_negatives(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, dims=64
+    )
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quality stages easy-first with a
+    deterministic within-stage shuffle; positions from the distributed
+    two-level prefix sum, oracle-checked against the direct sort."""
+    from gpd_lite_toolbox_spark.text.corpus import curriculum_order
+
+    return curriculum_order(_corpus(spark, sf_dir))
+
+
+def _q_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc weak-supervision votes (quality / gopher / lang rules)
+    and majority keep-drop label."""
+    from gpd_lite_toolbox_spark.text.labeling import weak_labels
+
+    return weak_labels(_corpus(spark, sf_dir))
+
+
+def _q_lf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeling-function coverage/overlap/conflict rollup (the
+    Snorkel-style diagnostic) — 3 rows from one combinable aggregate."""
+    from gpd_lite_toolbox_spark.text.labeling import lf_diagnostics
+
+    return lf_diagnostics(_corpus(spark, sf_dir))
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -2936,6 +2977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "embedding_outliers": _q_embedding_outliers,
+        "hard_negatives": _q_hard_negatives,
+        "curriculum_order": _q_curriculum_order,
+        "weak_labels": _q_weak_labels,
+        "lf_diagnostics": _q_lf_diagnostics,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3160,6 +3205,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": OR.BLOOM_DECONTAMINATE,
         "cms_heavy_hitters": OR.CMS_HEAVY_HITTERS,
         "embedding_outliers": OR.EMBEDDING_OUTLIERS,
+        "hard_negatives": OR.HARD_NEGATIVES,
+        "curriculum_order": OR.CURRICULUM_ORDER,
+        "weak_labels": OR.WEAK_LABELS,
+        "lf_diagnostics": OR.LF_DIAGNOSTICS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -4018,3 +4018,97 @@ FROM d JOIN st USING ("group")
 WHERE ROUND((d.dist2 - st.mu)
             / (CASE WHEN st.sd > 0 THEN st.sd END), 6) > 2.0
 """
+
+
+# Hard-negative mining (vector/mining.py hard_negatives): ANN_TOPK's
+# exact scoring/ranking contract restricted to cross-label pairs.
+HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id, embedding, label, SQRT({_NORM_SELF}) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id, embedding, label, SQRT({_NORM_SELF}) AS nrm
+      FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+  FROM q JOIN v ON q.label <> v.label),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+# Curriculum ordering (text/corpus.py curriculum_order): the oracle is
+# the DIRECT global sort the Spark side deliberately avoids (two-level
+# prefix sum) — agreement proves the distributed rank equals the
+# single-node one.
+CURRICULUM_ORDER = f"""
+WITH {oracle_ctes('corpus')},
+t AS (SELECT id, CAST(3 - {_QPOINTS} AS INT) AS stage,
+             CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::UBIGINT
+                  AS BIGINT) AS h
+      FROM corpus)
+SELECT id, stage,
+       CAST(ROW_NUMBER() OVER (ORDER BY stage, h, id) - 1 AS BIGINT)
+           AS position
+FROM t
+"""
+
+# Weak-supervision votes (text/labeling.py): the three labeling
+# functions re-derived from the SAME rule substrate the individual
+# audits use (_QPOINTS, the Gopher CTE chain, the lang-marker argmax),
+# so the vote table cannot drift from quality / gopher_rules / lang_id.
+_WEAK_VOTES = f"""
+vq AS (SELECT id,
+              CASE WHEN {_QPOINTS} >= 3 THEN 1
+                   WHEN {_QPOINTS} <= 1 THEN -1 ELSE 0 END AS v_quality,
+              {_occ(' the ')} AS c_en,
+              {_occ(' data ')} AS c_es,
+              {_occ(' spark ')} AS c_zh
+       FROM corpus),
+vg AS (SELECT id, CASE WHEN {_GOPHER_PASS} THEN 1 ELSE -1 END AS v_gopher
+       FROM gr),
+vv AS (SELECT vq.id, v_quality, v_gopher,
+              CASE WHEN GREATEST(c_en, c_es, c_zh) = 0 THEN 0
+                   WHEN c_en = GREATEST(c_en, c_es, c_zh) THEN 1
+                   ELSE -1 END AS v_lang
+       FROM vq JOIN vg USING (id))
+"""
+
+WEAK_LABELS = f"""
+WITH {oracle_ctes('corpus')},
+{_gopher_ctes('corpus')},
+{_WEAK_VOTES}
+SELECT id, CAST(v_quality AS INT) AS v_quality,
+       CAST(v_gopher AS INT) AS v_gopher,
+       CAST(v_lang AS INT) AS v_lang,
+       CASE WHEN v_quality + v_gopher + v_lang > 0 THEN 'keep'
+            WHEN v_quality + v_gopher + v_lang < 0 THEN 'drop'
+            ELSE 'abstain' END AS label
+FROM vv
+"""
+
+LF_DIAGNOSTICS = f"""
+WITH {oracle_ctes('corpus')},
+{_gopher_ctes('corpus')},
+{_WEAK_VOTES},
+u AS (
+  SELECT 'quality' AS rule, v_quality AS me, v_gopher AS o1, v_lang AS o2
+  FROM vv
+  UNION ALL
+  SELECT 'gopher', v_gopher, v_quality, v_lang FROM vv
+  UNION ALL
+  SELECT 'lang', v_lang, v_quality, v_gopher FROM vv)
+SELECT rule,
+       ROUND(SUM(CASE WHEN me <> 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+       ROUND(SUM(CASE WHEN me <> 0 AND (o1 <> 0 OR o2 <> 0)
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS overlap,
+       ROUND(SUM(CASE WHEN me <> 0 AND (me * o1 < 0 OR me * o2 < 0)
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS conflict
+FROM u GROUP BY rule
+"""

@@ -1165,3 +1165,62 @@ def cms_heavy_hitters(
         .filter(F.col("rank") <= int(k))
         .select("rank", "token", "est", "exact")
     )
+
+
+def curriculum_order(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Curriculum data ordering: every document gets a global training
+    ``position`` such that higher-quality (easier) documents come
+    first, in quality ``stage``s, with a deterministic pseudo-random
+    shuffle INSIDE each stage (the standard curriculum-learning layout:
+    stages easy -> hard, i.i.d. within a stage).
+
+    ``stage`` = 3 - quality points (text/analysis.py
+    quality_points_expr), so stage 0 is the cleanest band; the
+    within-stage order is the md5 hash of the id (reshuffling is a
+    seed change away from being a different permutation).
+
+    Columns: ``(id, stage, position)`` — position is 0-based over the
+    whole corpus.
+
+    Scale shape: positions come from the two-level distributed prefix
+    sum (the ``pack_sequences`` discipline): per-(stage, hash-bucket)
+    counts are one tiny combinable aggregate, the running offset is a
+    window over at most 4 * ``n_buckets`` rows broadcast back, and the
+    final rank is a PER-BUCKET window — no global single-partition
+    sort anywhere. A writer materializing the curriculum would
+    range-partition by (stage, hash) and inherit this exact order.
+    """
+    from .analysis import quality_points_expr
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    bucket_width = (1 << 60) // int(n_buckets)
+    t = corpus.select(
+        F.col(id_col).alias("id"),
+        (3 - quality_points_expr(text_col)).cast("int").alias("stage"),
+        h.alias("_h"),
+    ).withColumn("_bk", F.expr(f"_h div {bucket_width}"))
+    totals = t.groupBy("stage", "_bk").agg(F.count("*").alias("_n"))
+    wo = Window.orderBy("stage", "_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "stage",
+        "_bk",
+        F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
+    )
+    wl = Window.partitionBy("stage", "_bk").orderBy("_h", "id")
+    return (
+        t.join(F.broadcast(offsets), ["stage", "_bk"])
+        .withColumn(
+            "position",
+            (F.col("_off") + F.row_number().over(wl) - 1).cast("bigint"),
+        )
+        .select("id", "stage", "position")
+    )
