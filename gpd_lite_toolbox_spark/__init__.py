@@ -117,6 +117,8 @@ from .text.corpus import (  # noqa: F401
     kmv_vocab_sketch,
     length_buckets,
     unigram_divergence,
+    cms_heavy_hitters,
+    curriculum_order,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
@@ -140,6 +142,9 @@ from .text.dedup import (  # noqa: F401
     split_leakage,
     word_ngram_array_expr,
     write_minhash_index,
+    remove_spans,
+    simhash_hamming_pairs,
+    bloom_decontaminate,
 )
 from .text.classify import (  # noqa: F401
     hash_features,
@@ -148,6 +153,7 @@ from .text.classify import (  # noqa: F401
     train_nb,
 )
 from .text.fuzzy import fuzzy_token_pairs  # noqa: F401
+from .text.labeling import lf_diagnostics, weak_labels  # noqa: F401
 from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
@@ -215,7 +221,12 @@ from .vector.ann import (  # noqa: F401
     cosine_topk,
     write_ivf_index,
 )
-from .vector.centroids import assemble_vectors, group_centroids  # noqa: F401
+from .vector.centroids import (  # noqa: F401
+    assemble_vectors,
+    embedding_outliers,
+    group_centroids,
+)
+from .vector.mining import hard_negatives  # noqa: F401
 from .vector.quantize import dequantize_expr, quantize_int8  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
@@ -413,5 +424,15 @@ __all__ = [
     "encode_pq_expr",
     "pq_distortion",
     "frame_signature_expr",
+    # dedup/sketch/curation breadth (round-4 session 9)
+    "remove_spans",
+    "simhash_hamming_pairs",
+    "bloom_decontaminate",
+    "cms_heavy_hitters",
+    "curriculum_order",
+    "weak_labels",
+    "lf_diagnostics",
+    "embedding_outliers",
+    "hard_negatives",
 ]
 __version__ = "0.1.0"

@@ -1906,7 +1906,9 @@ def simhash_hamming_pairs(
     """
     n_bands = int(max_hamming) + 1
     bounds = [SIMHASH_BITS * b // n_bands for b in range(n_bands + 1)]
-    sig = simhash(corpus, id_col, text_col)
+    # both self-join sides read the fingerprint table: persist it so
+    # the token explode + 32-bit-sum aggregate runs once, not twice
+    sig = simhash(corpus, id_col, text_col).persist()
     entries = F.array(
         *[
             F.struct(
@@ -2015,7 +2017,16 @@ def bloom_decontaminate(
         .groupBy("word_idx")
         .agg(F.bit_or("b").alias("bits"))
     )
-    probe = positions(shingles(corpus, id_col, text_col, hashed=True))
+    # probe side inlines the shingle projection WITHOUT shingles()'s
+    # repartition("shingle") — the bloom join keys on word_idx against
+    # a broadcast side, so shingle co-location would be a wasted
+    # corpus-sized shuffle here
+    probe = positions(
+        _widen(corpus).select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_array_expr(text_col)).alias("shingle"),
+        )
+    )
     hits = (
         probe.withColumn("word_idx", word)
         .join(F.broadcast(bloom), "word_idx")

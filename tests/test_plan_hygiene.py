@@ -28,6 +28,8 @@ _ARROW_OK = {
     "media_features",     # fake-pixel feature kernel
     "audio_chunks",       # chunk planning over binary meta
     "ann_topk",           # vectorized dot product (pandas_udf)
+    "hard_negatives",     # same Arrow dot kernel, cross-label pairs
+    "embedding_outliers",  # three-dot centroid distance (pandas_udf)
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",       # Arrow PQ encoder (pandas_udf)
