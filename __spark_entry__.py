@@ -2480,6 +2480,48 @@ def _q_lf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lf_diagnostics(_corpus(spark, sf_dir))
 
 
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration HITS hubs/authorities over a SPARSE domain
+    graph (doc_id%7<3 filter, wide moduli — the pagerank fixture is
+    complete after HITS's DISTINCT collapse and would degenerate to
+    the uniform init vector); oracle unrolls the same iterations."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.web import hits
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    d = s.table("documents").filter(F.col("doc_id") % 7 < 3)
+    edges = d.select(
+        F.concat(
+            F.lit("d"), (F.col("doc_id") % 37).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 13) % 41).cast("string")
+        ).alias("dst"),
+    )
+    out = hits(edges, iters=5)
+    return out.select(
+        "node", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-keyed train/val/test assignment: whole near-dup clusters
+    move together, so eval leakage is impossible by construction."""
+    from gpd_lite_toolbox_spark.text.corpus import leakage_safe_split
+
+    return leakage_safe_split(_corpus(spark, sf_dir), seed=OR.SPLIT_SEED)
+
+
+def _q_rabin_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined (Rabin) chunking of the corpus: boundaries from
+    an 8-gram hash test, so chunk identity survives insertions."""
+    from gpd_lite_toolbox_spark.text.dedup import rabin_chunks
+
+    return rabin_chunks(_corpus(spark, sf_dir), divisor=16)
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -2981,6 +3023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "weak_labels": _q_weak_labels,
         "lf_diagnostics": _q_lf_diagnostics,
+        "hits_scores": _q_hits_scores,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "rabin_chunks": _q_rabin_chunks,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3209,6 +3254,9 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": OR.CURRICULUM_ORDER,
         "weak_labels": OR.WEAK_LABELS,
         "lf_diagnostics": OR.LF_DIAGNOSTICS,
+        "hits_scores": OR.HITS_SCORES,
+        "leakage_safe_split": OR.LEAKAGE_SAFE_SPLIT,
+        "rabin_chunks": OR.RABIN_CHUNKS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

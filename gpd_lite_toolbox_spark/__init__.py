@@ -119,6 +119,8 @@ from .text.corpus import (  # noqa: F401
     unigram_divergence,
     cms_heavy_hitters,
     curriculum_order,
+    leakage_safe_split,
+    split_expr,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
@@ -145,6 +147,7 @@ from .text.dedup import (  # noqa: F401
     remove_spans,
     simhash_hamming_pairs,
     bloom_decontaminate,
+    rabin_chunks,
 )
 from .text.classify import (  # noqa: F401
     hash_features,
@@ -209,6 +212,7 @@ from .text.web import (  # noqa: F401
     extract_urls,
     html_to_text_expr,
     anchor_stats,
+    hits,
     link_graph,
     pagerank,
     url_dedup,
@@ -434,5 +438,8 @@ __all__ = [
     "lf_diagnostics",
     "embedding_outliers",
     "hard_negatives",
+    "hits",
+    "leakage_safe_split",
+    "rabin_chunks",
 ]
 __version__ = "0.1.0"

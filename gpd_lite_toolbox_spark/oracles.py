@@ -4112,3 +4112,119 @@ SELECT rule,
              / CAST(COUNT(*) AS DOUBLE), 6) AS conflict
 FROM u GROUP BY rule
 """
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration HITS mirror (text/web.py hits): same
+    edge fixture as DOMAIN_PAGERANK, DISTINCT adjacency, L1-normalized
+    auth/hub half-steps; the only cross-engine difference is
+    double-sum order (absorbed by the final 6dp rounding)."""
+    ctes = [
+        # SPARSE graph (unlike pagerank's weighted dense one):
+        # HITS collapses parallel edges, and the dense fixture is a
+        # complete bipartite graph after DISTINCT — scores degenerate
+        # to the uniform init vector and the gate would pass a broken
+        # implementation. The %7 filter + wide moduli keep degrees
+        # varied at every sf.
+        """edges AS (SELECT DISTINCT
+             'd' || CAST(doc_id % 37 AS VARCHAR) AS src,
+             'd' || CAST((doc_id * 13) % 41 AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 7 < 3)""",
+        """nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))""",
+        """n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes)""",
+        """h0 AS (SELECT node, 1.0 / n.c AS s FROM nodes CROSS JOIN n)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""ar{i} AS (SELECT nodes.node, COALESCE(x.r, 0.0) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, SUM(h.s) AS r
+            FROM edges e JOIN h{i} h ON h.node = e.src
+            GROUP BY e.dst) x ON x.node = nodes.node)"""
+        )
+        # window normalization, NOT a scalar subquery: a second CTE
+        # reference doubles DuckDB's inline expansion per half-step
+        # (2^20 replays at 5 iterations — measured, it never returned)
+        ctes.append(
+            f"""a{i + 1} AS (SELECT node,
+              r / SUM(r) OVER () AS s FROM ar{i})"""
+        )
+        ctes.append(
+            f"""hr{i} AS (SELECT nodes.node, COALESCE(x.r, 0.0) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.src AS node, SUM(a.s) AS r
+            FROM edges e JOIN a{i + 1} a ON a.node = e.dst
+            GROUP BY e.src) x ON x.node = nodes.node)"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (SELECT node,
+              r / SUM(r) OVER () AS s FROM hr{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.node, ROUND(a.s, 6) AS auth, ROUND(h.s, 6) AS hub
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+"""
+    )
+
+
+HITS_SCORES = _hits_sql()
+
+# Leakage-safe splitting (text/corpus.py leakage_safe_split): the
+# duplicate groups come from the independent recursive-CTE walk (the
+# DUP_GROUPS gate), the split from the shared seeded-key threshold —
+# keyed by GROUP_ID, so a whole near-dup cluster moves together.
+LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+{_WALK_CTES},
+g AS ({_WALK_GROUPS})
+SELECT id, group_id,
+       CASE WHEN CAST(('0x' || substr(md5('{SPLIT_SEED}_'
+                 || CAST(group_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0 < 0.9 THEN 'train'
+            WHEN CAST(('0x' || substr(md5('{SPLIT_SEED}_'
+                 || CAST(group_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0 < {0.9 + 0.05} THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+# Content-defined chunking (text/dedup.py rabin_chunks): same 8-gram
+# md5 boundary test, cut-point assembly stated explicitly (append the
+# text end only when it is not already a boundary — the relational
+# form of the Spark side's array_distinct on an ascending list).
+_RABIN_K, _RABIN_D = 8, 16
+RABIN_CHUNKS = f"""
+WITH {oracle_ctes('corpus')},
+b AS (SELECT id, text,
+             list_filter(range({_RABIN_K}, GREATEST(length(text),
+                                                    {_RABIN_K}) + 1),
+                         p -> p <= length(text) AND
+                              CAST(('0x' || substr(md5(substr(text,
+                                        CAST(p - {_RABIN_K - 1} AS INT),
+                                        {_RABIN_K})), 1, 15))::UBIGINT
+                                   AS BIGINT) % {_RABIN_D} = 0) AS bnds
+      FROM corpus),
+c AS (SELECT id, text,
+             [CAST(0 AS BIGINT)] || bnds ||
+             (CASE WHEN length(text) > 0
+                        AND (len(bnds) = 0
+                             OR bnds[len(bnds)] <> length(text))
+                   THEN [CAST(length(text) AS BIGINT)]
+                   ELSE [] END) AS cuts
+      FROM b),
+ch AS (SELECT id, text, cuts,
+              UNNEST(range(2, len(cuts) + 1)) AS j
+       FROM c)
+SELECT id, CAST(j - 2 AS INT) AS chunk_idx,
+       CAST(cuts[CAST(j - 1 AS INT)] + 1 AS BIGINT) AS start,
+       CAST(cuts[CAST(j AS INT)] - cuts[CAST(j - 1 AS INT)] AS BIGINT)
+           AS length,
+       md5(substr(text, CAST(cuts[CAST(j - 1 AS INT)] + 1 AS INT),
+                  CAST(cuts[CAST(j AS INT)]
+                       - cuts[CAST(j - 1 AS INT)] AS INT))) AS chunk_hash
+FROM ch
+"""

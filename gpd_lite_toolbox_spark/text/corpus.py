@@ -506,12 +506,25 @@ def split_corpus(
     fractions, in the dict's iteration order. Zero-shuffle projection
     at any scale. Columns: ``(id, split)``.
     """
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        split_expr(seed, id_col, fractions).alias("split"),
+    )
+
+
+def split_expr(
+    seed: int, key_col: str, fractions: "dict[str, float] | None" = None
+) -> Column:
+    """The split-name column expression behind ``split_corpus``: the
+    32-bit md5 fraction of ``(seed, key)`` thresholded against the
+    cumulative ``fractions`` — shared with ``leakage_safe_split`` so
+    the two assignment rules can never drift."""
     if fractions is None:
         fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    frac = key_u32(seeded_key(seed, id_col)).cast("double") / F.lit(
+    frac = key_u32(seeded_key(seed, key_col)).cast("double") / F.lit(
         float(1 << 32)
     )
     names = list(fractions)
@@ -523,7 +536,7 @@ def split_corpus(
         branches.append((cum, name))
     for cum, name in reversed(branches):
         expr = F.when(frac < F.lit(float(cum)), F.lit(name)).otherwise(expr)
-    return corpus.select(F.col(id_col).alias("id"), expr.alias("split"))
+    return expr
 
 
 def unigram_logprob(
@@ -1223,4 +1236,38 @@ def curriculum_order(
             (F.col("_off") + F.row_number().over(wl) - 1).cast("bigint"),
         )
         .select("id", "stage", "position")
+    )
+
+
+def leakage_safe_split(
+    corpus: DataFrame,
+    fractions: "dict[str, float] | None" = None,
+    seed: int = 0,
+    threshold: float = 0.5,
+    id_col: str = "id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: documents are first clustered into duplicate groups
+    (``dedup.dup_groups`` — MinHash-LSH pair graph closed by label
+    propagation) and the WHOLE GROUP is assigned by the hash fraction
+    of its ``group_id``, so a near-copy of a training document cannot
+    land in the eval split (the failure mode ``split_leakage`` audits
+    after the fact; this op prevents it by construction).
+
+    Columns: ``(id, group_id, split)`` — every member of a group
+    carries the same split by definition of the key.
+
+    Scale shape: dup_groups' cost dominates (documented there); the
+    assignment itself is one zero-shuffle projection over its output.
+    """
+    from .dedup import dup_groups
+
+    groups = dup_groups(
+        corpus, id_col=id_col, threshold=threshold, pairs=pairs
+    )
+    return groups.select(
+        "id",
+        "group_id",
+        split_expr(seed, "group_id", fractions).alias("split"),
     )

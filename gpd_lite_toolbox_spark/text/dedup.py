@@ -2039,3 +2039,84 @@ def bloom_decontaminate(
         hits.groupBy("id")
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
+
+
+RABIN_K = 8  # gram width of the content-defined boundary test
+
+
+def rabin_chunks(
+    corpus: DataFrame,
+    divisor: int = 16,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): a chunk boundary falls
+    AFTER every position whose trailing ``RABIN_K``-gram hashes to
+    ``0 mod divisor`` — so chunk boundaries are a function of CONTENT,
+    not offset, and an insertion near the head of a document changes
+    only the chunk it lands in while every later chunk keeps its
+    identity (the property fixed-size chunking lacks, and the basis of
+    storage/CDN dedup and sub-document near-dup at corpus scale).
+    Expected chunk length is ``divisor`` characters; no min/max length
+    clamp (the clamped FastCDC variant makes each boundary depend on
+    the previous one — inherently sequential — while the pure content
+    test is position-local and fully parallel).
+
+    Columns: ``(id, chunk_idx, start, length, chunk_hash)`` — start
+    1-based, ``chunk_hash`` the md5 of the chunk text (join chunks
+    across documents on it to find shared content). Empty documents
+    yield no chunks.
+
+    Scale shape: boundary detection, chunk assembly, and hashing are
+    ONE zero-shuffle projection (higher-order filter/transform over
+    the position sequence + explode); nothing leaves the row until
+    the explode, and the output inherits the scan's partitioning.
+    """
+    k = RABIN_K
+    d = int(divisor)
+    bounds = F.expr(
+        f"""
+        filter(sequence({k}, greatest(length({text_col}), {k})),
+               p -> p <= length({text_col}) AND
+                    CAST(conv(substr(md5(substring({text_col},
+                                                   p - {k - 1}, {k})),
+                              1, 15), 16, 10) AS BIGINT) % {d} = 0)
+        """
+    )
+    # cut points: 0, every boundary, and the text end (distinct keeps
+    # the ascending order; a boundary at the end must not double-cut)
+    cuts = F.array_distinct(
+        F.concat(
+            F.array(F.lit(0).cast("bigint")),
+            bounds.cast("array<bigint>"),
+            F.array(F.length(text_col).cast("bigint")),
+        )
+    )
+    chunks = F.expr(
+        "transform(slice(_cuts, 2, size(_cuts) - 1), "
+        "(c, i) -> struct(element_at(_cuts, i + 1) + 1 AS start, "
+        "c - element_at(_cuts, i + 1) AS length))"
+    )
+    return (
+        _widen(corpus)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            cuts.alias("_cuts"),
+        )
+        .withColumnRenamed("_t", text_col)
+        .select(
+            "id",
+            F.col(text_col),
+            F.posexplode(chunks).alias("chunk_idx", "_c"),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("_c.start").alias("start"),
+            F.col("_c.length").alias("length"),
+            F.md5(
+                F.expr(f"substring({text_col}, _c.start, _c.length)")
+            ).alias("chunk_hash"),
+        )
+    )

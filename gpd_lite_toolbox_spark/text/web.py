@@ -430,3 +430,91 @@ def anchor_stats(
     return roll.join(top, "domain").select(
         "domain", "n_anchors", "n_distinct_texts", "top_text", "top_text_n"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a link graph
+    for a FIXED number of power iterations — the companion ranker to
+    ``pagerank`` for crawl curation: authorities are the pages worth
+    fetching, hubs the listing pages worth re-crawling for frontier
+    expansion. Scores are L1-normalized each half-step (sum to 1,
+    mirroring pagerank's mass convention), parallel edges collapse
+    (HITS is defined on the unweighted adjacency), and a fixed
+    ``iters`` keeps the result deterministic and oracle-replayable
+    (the DuckDB gate unrolls the same iterations).
+
+    Returns ``(node, auth, hub)`` — unrounded; gate queries round.
+
+    Scale shape follows ``pagerank`` exactly: the distinct edge table
+    is persisted and reused every iteration; each half-step is one
+    join (the score frame is |nodes|-sized — AQE broadcasts it) plus
+    one partial-combined aggregate; the norm is a ONE-ROW aggregate
+    crossJoin'd back (broadcast); scores are ``localCheckpoint``-ed
+    per iteration so the plan never compounds.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        out = nodes.select(
+            "node",
+            F.lit(None).cast("double").alias("auth"),
+            F.lit(None).cast("double").alias("hub"),
+        )
+        e.unpersist()
+        nodes.unpersist()
+        return out
+
+    def _half(score: DataFrame, join_on: str, out_key: str) -> DataFrame:
+        """One half-step: raw = adjacency-sum of the other score over
+        ``join_on`` grouped by ``out_key``, then L1 normalize."""
+        raw = (
+            e.join(score, e[join_on] == score["node"])
+            .groupBy(out_key)
+            .agg(F.sum("s").alias("_r"))
+        )
+        full = nodes.join(
+            raw, nodes["node"] == raw[out_key], "left"
+        ).select("node", F.coalesce(F.col("_r"), F.lit(0.0)).alias("_r"))
+        norm = full.agg(F.sum("_r").alias("_n"))
+        return (
+            full.crossJoin(F.broadcast(norm))
+            .select("node", (F.col("_r") / F.col("_n")).alias("s"))
+            .localCheckpoint()
+        )
+
+    hub = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("s")
+    ).localCheckpoint()
+    auth = hub
+    for _ in range(iters):
+        # auth(v) <- sum of hub over in-edges (u, v), normalized
+        auth = _half(hub, "src", "dst")
+        # hub(u) <- sum of auth over out-edges (u, v), normalized
+        hub = _half(auth, "dst", "src")
+    out = (
+        nodes.join(auth.withColumnRenamed("s", "auth"), "node")
+        .join(hub.withColumnRenamed("s", "hub"), "node")
+        .select("node", "auth", "hub")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
