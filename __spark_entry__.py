@@ -2522,6 +2522,32 @@ def _q_rabin_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rabin_chunks(_corpus(spark, sf_dir), divisor=16)
 
 
+def _q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage-dedup accounting over content-defined
+    chunks: chars kept if every repeated chunk stored once."""
+    from gpd_lite_toolbox_spark.text.dedup import chunk_dedup_stats
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return chunk_dedup_stats(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram LM scoring (context-aware perplexity
+    proxy, one order up from unigram_logprob)."""
+    from gpd_lite_toolbox_spark.text.corpus import bigram_logprob
+
+    return bigram_logprob(_corpus(spark, sf_dir))
+
+
+def _q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation score: z-scored rule points blended with the
+    negated z-scored unigram NLL; keep flag on the rounded blend."""
+    from gpd_lite_toolbox_spark.text.corpus import quality_blend
+
+    return quality_blend(_corpus(spark, sf_dir))
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3026,6 +3052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits_scores,
         "leakage_safe_split": _q_leakage_safe_split,
         "rabin_chunks": _q_rabin_chunks,
+        "chunk_dedup_stats": _q_chunk_dedup_stats,
+        "bigram_logprob": _q_bigram_logprob,
+        "quality_blend": _q_quality_blend,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3257,6 +3286,9 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": OR.HITS_SCORES,
         "leakage_safe_split": OR.LEAKAGE_SAFE_SPLIT,
         "rabin_chunks": OR.RABIN_CHUNKS,
+        "chunk_dedup_stats": OR.CHUNK_DEDUP_STATS,
+        "bigram_logprob": OR.BIGRAM_LOGPROB,
+        "quality_blend": OR.QUALITY_BLEND,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

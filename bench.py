@@ -183,6 +183,26 @@ BENCH_QUERIES = [
     "tpch_pricing",
     "revenue_by_nation",
     "top_customers",
+    # round-4 session-9 additions
+    "span_removal",
+    "simhash_pairs",
+    "bloom_decontaminate",
+    "cms_heavy_hitters",
+    "embedding_outliers",
+    "hard_negatives",
+    "curriculum_order",
+    "weak_labels",
+    "lf_diagnostics",
+    "rabin_chunks",
+    "chunk_dedup_stats",
+    "bigram_logprob",
+    "quality_blend",
+    # hits_scores / leakage_safe_split deliberately NOT benched: like
+    # bpe_merges, their iterative work (HITS power steps / dup-group
+    # label propagation) runs eagerly at query construction via
+    # localCheckpoint, so a timed noop-write of the small result would
+    # be bench dishonesty; domain_pagerank / dup_groups time the same
+    # substrates.
 ]
 
 

@@ -121,6 +121,8 @@ from .text.corpus import (  # noqa: F401
     curriculum_order,
     leakage_safe_split,
     split_expr,
+    bigram_logprob,
+    quality_blend,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
@@ -148,6 +150,7 @@ from .text.dedup import (  # noqa: F401
     simhash_hamming_pairs,
     bloom_decontaminate,
     rabin_chunks,
+    chunk_dedup_stats,
 )
 from .text.classify import (  # noqa: F401
     hash_features,
@@ -441,5 +444,8 @@ __all__ = [
     "hits",
     "leakage_safe_split",
     "rabin_chunks",
+    "chunk_dedup_stats",
+    "bigram_logprob",
+    "quality_blend",
 ]
 __version__ = "0.1.0"

@@ -4197,9 +4197,14 @@ FROM g
 # text end only when it is not already a boundary — the relational
 # form of the Spark side's array_distinct on an ascending list).
 _RABIN_K, _RABIN_D = 8, 16
-RABIN_CHUNKS = f"""
-WITH {oracle_ctes('corpus')},
-b AS (SELECT id, text,
+
+
+def _rabin_ctes(src: str) -> str:
+    """The content-defined chunk CTE chain over a (id, text) relation
+    ``src``, ending in ``chunks(id, chunk_idx, start, length,
+    chunk_hash)`` — shared by RABIN_CHUNKS and CHUNK_DEDUP_STATS so
+    one boundary/assembly rule backs both gates."""
+    return f"""b AS (SELECT id, text,
              list_filter(range({_RABIN_K}, GREATEST(length(text),
                                                     {_RABIN_K}) + 1),
                          p -> p <= length(text) AND
@@ -4207,7 +4212,7 @@ b AS (SELECT id, text,
                                         CAST(p - {_RABIN_K - 1} AS INT),
                                         {_RABIN_K})), 1, 15))::UBIGINT
                                    AS BIGINT) % {_RABIN_D} = 0) AS bnds
-      FROM corpus),
+      FROM {src}),
 c AS (SELECT id, text,
              [CAST(0 AS BIGINT)] || bnds ||
              (CASE WHEN length(text) > 0
@@ -4218,13 +4223,91 @@ c AS (SELECT id, text,
       FROM b),
 ch AS (SELECT id, text, cuts,
               UNNEST(range(2, len(cuts) + 1)) AS j
-       FROM c)
-SELECT id, CAST(j - 2 AS INT) AS chunk_idx,
+       FROM c),
+chunks AS (SELECT id, CAST(j - 2 AS INT) AS chunk_idx,
        CAST(cuts[CAST(j - 1 AS INT)] + 1 AS BIGINT) AS start,
        CAST(cuts[CAST(j AS INT)] - cuts[CAST(j - 1 AS INT)] AS BIGINT)
            AS length,
        md5(substr(text, CAST(cuts[CAST(j - 1 AS INT)] + 1 AS INT),
                   CAST(cuts[CAST(j AS INT)]
                        - cuts[CAST(j - 1 AS INT)] AS INT))) AS chunk_hash
-FROM ch
+FROM ch)"""
+
+
+RABIN_CHUNKS = f"""
+WITH {oracle_ctes('corpus')},
+{_rabin_ctes('corpus')}
+SELECT id, chunk_idx, start, length, chunk_hash FROM chunks
+"""
+
+
+# Per-source chunk-dedup accounting (text/dedup.py chunk_dedup_stats):
+# the sourced corpus, the SAME chunk CTE chain, two-grain rollup.
+CHUNK_DEDUP_STATS = f"""
+WITH {oracle_ctes('scorpus')},
+cc AS (SELECT id, text FROM scorpus),
+{_rabin_ctes('cc')},
+jn AS (SELECT s.source, k.chunk_hash, k.length
+       FROM chunks k JOIN scorpus s ON s.id = k.id),
+ph AS (SELECT source, chunk_hash, COUNT(*) AS n,
+              MIN(length) AS len, SUM(length) AS chars
+       FROM jn GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_chunks,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(len) AS BIGINT) AS distinct_chars,
+       ROUND(SUM(len) / CAST(SUM(chars) AS DOUBLE), 6) AS dedup_ratio
+FROM ph GROUP BY source
+"""
+
+# Bigram LM scoring (text/corpus.py bigram_logprob): add-1 smoothed
+# conditional bigram model trained on the corpus itself; docs with
+# fewer than two tokens yield no bigrams and are not scored.
+BIGRAM_LOGPROB = f"""
+WITH {oracle_ctes('corpus')},
+tk AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+bg AS (SELECT id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+       FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+vs AS (SELECT COUNT(DISTINCT tok) AS v FROM
+       (SELECT UNNEST(string_split(text, ' ')) AS tok FROM corpus))
+SELECT b.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LN((c2.n2 + 1)
+                     / CAST(c1.n1 + 1 * vs.v AS DOUBLE))), 6)
+           AS avg_neg_logprob
+FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+GROUP BY b.id
+"""
+
+# Composite curation score (text/corpus.py quality_blend): z-scored
+# rule points blended with the negated z-scored unigram NLL; keep
+# tested on the ROUNDED blend.
+QUALITY_BLEND = f"""
+WITH {oracle_ctes('corpus')},
+q AS (SELECT id, CAST({_QPOINTS} AS DOUBLE) AS qv FROM corpus),
+toks AS (SELECT id, UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+total AS (SELECT SUM(n_tok) AS n_total FROM vocab),
+lm AS (SELECT t.id,
+              ROUND(AVG(-LN(v.n_tok / CAST(tt.n_total AS DOUBLE))), 6)
+                  AS nv
+       FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total tt
+       GROUP BY t.id),
+sig AS (SELECT q.id, q.qv, lm.nv FROM q JOIN lm ON lm.id = q.id),
+st AS (SELECT AVG(qv) AS mq, STDDEV_POP(qv) AS sq,
+              AVG(nv) AS mn, STDDEV_POP(nv) AS sn
+       FROM sig),
+zz AS (SELECT id,
+              (qv - mq) / (CASE WHEN sq > 0 THEN sq END) AS zq,
+              (nv - mn) / (CASE WHEN sn > 0 THEN sn END) AS zn
+       FROM sig CROSS JOIN st),
+-- blend averages the UNROUNDED z-scores (halving 6dp-rounded values
+-- sits exactly on 7th-decimal midpoints where engine rounding splits)
+bl AS (SELECT id, ROUND(zq, 6) AS z_quality, ROUND(zn, 6) AS z_lm,
+              ROUND((COALESCE(zq, 0.0) - COALESCE(zn, 0.0)) / 2.0, 6)
+                  AS blend
+       FROM zz)
+SELECT id, z_quality, z_lm, blend, blend > 0.0 AS keep FROM bl
 """

@@ -1271,3 +1271,132 @@ def leakage_safe_split(
         "group_id",
         split_expr(seed, "group_id", fractions).alias("split"),
     )
+
+
+def bigram_logprob(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: train the
+    conditional model P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V) on the
+    corpus itself and score each document by its mean negative
+    log-likelihood over bigrams — one order up from
+    ``unigram_logprob`` (the CCNet-style perplexity filter's shape:
+    context-aware, so shuffled word salad scores WORSE than fluent
+    repetition even when the unigram mix is identical).
+
+    Documents with fewer than two tokens have no bigrams and are not
+    scored (mirrored by the oracle). Columns: ``(id, n_bigrams,
+    avg_neg_logprob)``, score rounded 6.
+
+    Scale shape: bigram assembly is a row-local higher-order transform
+    (no position self-join); the two count tables partial-combine to
+    at most |bigram vocab| rows per partition; count lookups are joins
+    AQE sizes (broadcast under the threshold, shuffled-hash above);
+    the smoothing vocab size V is a one-row broadcast. The per-doc
+    aggregate is the only corpus-wide exchange — the same plan family
+    as ``unigram_logprob``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # sequence(1, 0) steps DOWN ([1, 0]) rather than yielding an empty
+    # range — a single-token doc then indexes element_at(arr, 2) and
+    # dies under ANSI; the CASE guards the degenerate doc explicitly
+    bg = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) < 2"
+                f" THEN CAST(array() AS array<struct<w1: string, w2: string>>)"
+                f" ELSE transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+                f" i -> struct(element_at(split({text_col}, ' '), i) AS w1,"
+                f"             element_at(split({text_col}, ' '), i + 1) AS w2))"
+                f" END"
+            )
+        ).alias("_b"),
+    ).select("id", F.col("_b.w1"), F.col("_b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    vsize = corpus.select(
+        F.explode(toks).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    k = int(add_k)
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "id",
+            (
+                -F.log(
+                    (F.col("n2") + F.lit(k))
+                    / (F.col("n1") + F.lit(k) * F.col("v")).cast("double")
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_nll"), 6).alias("avg_neg_logprob"),
+    )
+
+
+def quality_blend(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Composite curation score: the corpus-wide z-score of the rule
+    quality points BLENDED with the (negated) z-score of the unigram
+    LM negative log-likelihood — the standard trick for combining
+    heterogeneous quality signals on one scale before thresholding
+    (rule points reward structure, the LM penalizes corpus-atypical
+    token mixes; averaging their z-scores keeps either from dominating
+    by units).
+
+    Columns: ``(id, z_quality, z_lm, blend, keep)`` — z-scores and
+    blend rounded 6, ``keep`` = blend > 0 tested on the ROUNDED blend.
+
+    Scale shape: two per-doc signal projections (one reusing
+    ``unigram_logprob``'s plan), ONE one-row stats aggregate broadcast
+    back, and a zero-shuffle blend projection.
+    """
+    from .analysis import quality_points_expr
+
+    q = corpus.select(
+        F.col(id_col).alias("id"),
+        quality_points_expr(text_col).cast("double").alias("_q"),
+    )
+    lm = unigram_logprob(corpus, id_col, text_col).select(
+        "id", F.col("avg_neg_logprob").alias("_n")
+    )
+    sig = q.join(lm, "id")
+    st = sig.agg(
+        F.avg("_q").alias("_mq"),
+        F.stddev_pop("_q").alias("_sq"),
+        F.avg("_n").alias("_mn"),
+        F.stddev_pop("_n").alias("_sn"),
+    )
+    zq = (F.col("_q") - F.col("_mq")) / F.when(
+        F.col("_sq") > 0, F.col("_sq")
+    )
+    zn = (F.col("_n") - F.col("_mn")) / F.when(
+        F.col("_sn") > 0, F.col("_sn")
+    )
+    # the blend averages the UNROUNDED z-scores: halving two
+    # 6dp-rounded values lands exactly on 7th-decimal midpoints, where
+    # Spark's and DuckDB's double rounding disagree (found by the
+    # cross-engine gate: 5/580 rows flipped by 1e-6)
+    out = (
+        sig.crossJoin(F.broadcast(st))
+        .select(
+            "id",
+            F.round(zq, 6).alias("z_quality"),
+            F.round(zn, 6).alias("z_lm"),
+            F.round(
+                (F.coalesce(zq, F.lit(0.0)) - F.coalesce(zn, F.lit(0.0)))
+                / 2.0,
+                6,
+            ).alias("blend"),
+        )
+    )
+    return out.withColumn("keep", F.col("blend") > 0.0)

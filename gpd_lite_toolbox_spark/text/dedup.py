@@ -2120,3 +2120,55 @@ def rabin_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+def chunk_dedup_stats(
+    corpus: DataFrame,
+    divisor: int = 16,
+    id_col: str = "id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source content-dedup accounting over ``rabin_chunks``: how
+    many chars each source would occupy if every repeated
+    content-defined chunk were stored once — the storage-dedup /
+    repeated-boilerplate signal at sub-document granularity (a mirror
+    site shows a low ratio even when no two whole documents are equal).
+
+    Columns: ``(source, n_chunks, n_chars, n_distinct_chunks,
+    distinct_chars, dedup_ratio)`` with ``dedup_ratio =
+    distinct_chars / n_chars`` rounded 6 (1.0 = nothing shared).
+
+    Scale shape: the chunk table is one zero-shuffle projection; both
+    rollups partial-combine ((source, chunk_hash) grain first — a hot
+    boilerplate chunk collapses map-side), so the exchanges carry
+    distinct-chunk rows, never the raw chunk stream.
+    """
+    chunks = rabin_chunks(
+        corpus.select(id_col, text_col), divisor, id_col, text_col
+    ).join(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(strata_col).alias("source")
+        ),
+        "id",
+    )
+    per_hash = chunks.groupBy("source", "chunk_hash").agg(
+        F.count("*").alias("_n"),
+        F.min("length").alias("_len"),
+        F.sum("length").alias("_chars"),
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_chunks"),
+            F.sum("_chars").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct_chunks"),
+            F.sum("_len").cast("bigint").alias("distinct_chars"),
+        )
+        .withColumn(
+            "dedup_ratio",
+            F.round(
+                F.col("distinct_chars") / F.col("n_chars").cast("double"), 6
+            ),
+        )
+    )
