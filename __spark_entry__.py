@@ -2548,6 +2548,33 @@ def _q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_blend(_corpus(spark, sf_dir))
 
 
+def _q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel over a %11-thinned event
+    slice (the raw fixture is dense — every rate would be 1.0 and the
+    gate couldn't catch a broken funnel)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import conversion_funnel
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").filter(F.col("event_id") % 11 < 2)
+    return conversion_funnel(ev, ("view", "click", "purchase"))
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (fixed 7-day Unix epochs) over a
+    %13-thinned event slice for genuine cohort variance."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import retention_cohorts
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    ev = s.table("events").filter(F.col("event_id") % 13 < 3)
+    return retention_cohorts(ev)
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3055,6 +3082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "bigram_logprob": _q_bigram_logprob,
         "quality_blend": _q_quality_blend,
+        "conversion_funnel": _q_conversion_funnel,
+        "retention_cohorts": _q_retention_cohorts,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3289,6 +3318,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_stats": OR.CHUNK_DEDUP_STATS,
         "bigram_logprob": OR.BIGRAM_LOGPROB,
         "quality_blend": OR.QUALITY_BLEND,
+        "conversion_funnel": OR.CONVERSION_FUNNEL,
+        "retention_cohorts": OR.RETENTION_COHORTS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

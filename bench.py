@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "chunk_dedup_stats",
     "bigram_logprob",
     "quality_blend",
+    "conversion_funnel",
+    "retention_cohorts",
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

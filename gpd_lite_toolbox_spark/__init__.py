@@ -64,9 +64,11 @@ from .operators.points import knn_to_vertices  # noqa: F401
 from .operators.spatial_join import bbox_join  # noqa: F401
 from .operators.temporal import (  # noqa: F401
     asof_join,
+    conversion_funnel,
     event_transitions,
     range_join_binned,
     resample_ffill,
+    retention_cohorts,
 )
 from .operators.classify import (  # noqa: F401
     classify_equal_interval,
@@ -447,5 +449,7 @@ __all__ = [
     "chunk_dedup_stats",
     "bigram_logprob",
     "quality_blend",
+    "conversion_funnel",
+    "retention_cohorts",
 ]
 __version__ = "0.1.0"

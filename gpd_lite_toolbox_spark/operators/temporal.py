@@ -303,3 +303,137 @@ def resample_ffill(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("_v", ignorenulls=True).over(w).alias(value),
     )
+
+
+def conversion_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each step k, how many users
+    performed step k STRICTLY AFTER their first qualifying occurrence
+    of step k-1 (the product-analytics funnel — ordering matters, so
+    a purchase before the first view does not convert).
+
+    Columns: ``(step, event_type, n_users, conv_rate)`` — step
+    1-based, ``conv_rate`` = n_users / previous step's n_users
+    rounded 6 (1.0 for the first step).
+
+    Scale shape: one user-keyed aggregate per step over the
+    pre-filtered event slice (partial-combined min), joined to the
+    previous step's user-count-sized timestamp table (AQE broadcasts
+    it under the threshold). Work is steps x one pass over that
+    step's events — never a self-join of the raw stream.
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    user = F.col(user_col)
+    reached: DataFrame | None = None
+    stage_counts: list[DataFrame] = []
+    for k, step in enumerate(steps):
+        sliced = events.filter(F.col(type_col) == step).select(
+            user.alias("user_id"), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            stage = sliced.groupBy("user_id").agg(
+                F.min("_ts").alias("_t")
+            )
+        else:
+            stage = (
+                sliced.join(
+                    reached.select("user_id", F.col("_t").alias("_prev")),
+                    "user_id",
+                )
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy("user_id")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        # each stage feeds BOTH the next stage's join and its own
+        # count — persist so the shared prefix evaluates once; the
+        # whole funnel stays lazy (no driver-side counts)
+        reached = stage.persist()
+        stage_counts.append(
+            reached.agg(
+                F.count("*").cast("bigint").alias("n_users")
+            ).select(
+                F.lit(k + 1).cast("int").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = stage_counts[0]
+    for df in stage_counts[1:]:
+        out = out.unionByName(df)
+    w = Window.orderBy("step")
+    return out.withColumn(
+        "conv_rate",
+        F.round(
+            F.col("n_users")
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")).cast(
+                "double"
+            ),
+            6,
+        ),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_us: int = 7 * 86_400 * 1_000_000,
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-activity
+    week, tracked by what fraction are active in each later week — the
+    standing engagement report of any event pipeline.
+
+    Weeks are FIXED 7-day epochs from the Unix epoch (integer division
+    of microseconds), not ISO calendar weeks: pure integer arithmetic
+    is engine-independent, while calendar week truncation invites
+    locale/week-start drift between engines.
+
+    Columns: ``(cohort_week, week_offset, n_active, retention)`` —
+    ``retention`` = n_active / cohort size (offset 0 row) rounded 6.
+
+    Scale shape: the raw stream collapses to distinct (user, week)
+    [one partial-combined exchange]; the cohort table is a user-keyed
+    min over that; the join back and both rollups are (user x weeks)-
+    sized — never the raw event volume. The cohort-size lookup joins
+    a |cohorts|-row table (broadcast).
+    """
+    uw = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            # integer div, not floor(x / y): double division can flip
+            # the floor at exact week boundaries
+            F.expr(f"unix_micros({ts_col}) div {int(week_us)}")
+            .cast("bigint")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    size = act.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("_size")
+    )
+    return (
+        act.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

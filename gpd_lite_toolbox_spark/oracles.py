@@ -4311,3 +4311,56 @@ bl AS (SELECT id, ROUND(zq, 6) AS z_quality, ROUND(zn, 6) AS z_lm,
        FROM zz)
 SELECT id, z_quality, z_lm, blend, blend > 0.0 AS keep FROM bl
 """
+
+
+# Ordered conversion funnel (operators/temporal.py conversion_funnel):
+# step k's first qualifying time must be strictly after step k-1's.
+_FUNNEL_STEPS = ("view", "click", "purchase")
+# The raw fixture is dense (every user does everything): the %11<2
+# thinning plants real funnel dropout, otherwise every rate is 1.0
+# and the gate cannot distinguish a broken funnel from a working one.
+CONVERSION_FUNNEL = f"""
+WITH ev AS (SELECT * FROM events WHERE event_id % 11 < 2),
+s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+            WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM ev e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM ev e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t
+       GROUP BY 1),
+c AS (
+  SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+         (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM s3))
+SELECT CAST(step AS INT) AS step, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(n_users / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step),
+                                     n_users) AS DOUBLE), 6) AS conv_rate
+FROM c
+"""
+
+# Weekly retention cohorts (operators/temporal.py retention_cohorts):
+# fixed 7-day Unix epochs by integer division — no calendar weeks.
+_WEEK_US = 7 * 86_400 * 1_000_000
+# Same density problem as the funnel: thin to %13<3 so cohorts and
+# weekly activity genuinely vary.
+RETENTION_COHORTS = f"""
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // {_WEEK_US} AS week
+            FROM events WHERE event_id % 13 < 3),
+coh AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+act AS (SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+        FROM uw u JOIN coh c ON c.user_id = u.user_id
+        GROUP BY 1, 2),
+sz AS (SELECT cohort_week, n_active AS size FROM act WHERE week_offset = 0)
+SELECT a.cohort_week, a.week_offset, a.n_active,
+       ROUND(a.n_active / CAST(s.size AS DOUBLE), 6) AS retention
+FROM act a JOIN sz s ON s.cohort_week = a.cohort_week
+"""
