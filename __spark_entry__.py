@@ -2575,6 +2575,63 @@ def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev)
 
 
+def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-repeated 40-char grams across the corpus — the
+    memorization/boilerplate audit (top 20 by occurrences)."""
+    from gpd_lite_toolbox_spark.text.dedup import repeated_ngrams
+
+    return repeated_ngrams(_corpus(spark, sf_dir), length=40, top_k=20)
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic one-pass column profile (nulls / exact distincts /
+    numeric extrema) of the TPC-H lineitem snapshot."""
+    from gpd_lite_toolbox_spark.operators.audit import table_profile
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return table_profile(s.table("lineitem"))
+
+
+def _q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue as of 1995-03-15; customer dim broadcast."""
+    from pyspark.sql import functions as F
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = F.broadcast(
+        s.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = s.table("orders").filter(F.col("o_orderdate") < cutoff)
+    li = s.table("lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # o_orderdate arrives TIMESTAMP_NTZ; unix_micros wants
+            # TIMESTAMP (session TZ is UTC, so the cast is value-exact)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), "orderdate_us", "l_orderkey"
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate_us", "o_orderpriority")
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3084,6 +3141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_blend": _q_quality_blend,
         "conversion_funnel": _q_conversion_funnel,
         "retention_cohorts": _q_retention_cohorts,
+        "repeated_ngrams": _q_repeated_ngrams,
+        "table_profile": _q_table_profile,
+        "tpch_shipping": _q_tpch_shipping,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3320,6 +3380,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_blend": OR.QUALITY_BLEND,
         "conversion_funnel": OR.CONVERSION_FUNNEL,
         "retention_cohorts": OR.RETENTION_COHORTS,
+        "repeated_ngrams": OR.REPEATED_NGRAMS,
+        "table_profile": OR.TABLE_PROFILE,
+        "tpch_shipping": OR.TPCH_SHIPPING,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

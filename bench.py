@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "quality_blend",
     "conversion_funnel",
     "retention_cohorts",
+    "repeated_ngrams",
+    "table_profile",
+    "tpch_shipping",
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

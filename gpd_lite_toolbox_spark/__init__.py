@@ -57,6 +57,7 @@ from .operators.audit import (  # noqa: F401
     predicate_violations,
     quality_report,
     uniqueness_violations,
+    table_profile,
 )
 from .operators.cdc import apply_changes  # noqa: F401
 from .operators.skew import salted_join, skew_stats  # noqa: F401
@@ -153,6 +154,7 @@ from .text.dedup import (  # noqa: F401
     bloom_decontaminate,
     rabin_chunks,
     chunk_dedup_stats,
+    repeated_ngrams,
 )
 from .text.classify import (  # noqa: F401
     hash_features,
@@ -451,5 +453,7 @@ __all__ = [
     "quality_blend",
     "conversion_funnel",
     "retention_cohorts",
+    "repeated_ngrams",
+    "table_profile",
 ]
 __version__ = "0.1.0"

@@ -290,3 +290,65 @@ def json_field_stats(
         )
         .withColumnRenamed("grp", group_by)
     )
+
+
+_NUMERIC_KINDS = ("int", "bigint", "smallint", "tinyint", "double",
+                  "float", "decimal")
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """Generic one-pass column profile of ANY table: per column the
+    null count, exact distinct count, and (for numeric columns) the
+    min/max — the schema-drift / ingest-sanity report a pipeline logs
+    for every new snapshot before trusting it.
+
+    Columns: ``(column, n_rows, n_nulls, n_distinct, min_num,
+    max_num)`` — ``min_num``/``max_num`` NULL for non-numeric columns
+    (string/timestamp extrema are formatting-dependent across engines,
+    so they are deliberately not part of the hashable contract).
+
+    Scale shape: ONE aggregate pass; the exact multi-column distinct
+    uses Spark's Expand rewrite (k columns -> k-fold map-side
+    expansion, each partial-combined) — the standard exact-profile
+    cost; swap in approx_count_distinct when profiling petabyte
+    snapshots where 2% error is acceptable. The long form is a
+    row-local explode of the single aggregate row.
+    """
+    cols = df.dtypes
+    aggs = [F.count("*").cast("bigint").alias("_n")]
+    for c, t in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"_nd_{c}"))
+        if any(t.startswith(k) for k in _NUMERIC_KINDS):
+            aggs.append(
+                F.round(F.min(F.col(c).cast("double")), 6).alias(f"_mn_{c}")
+            )
+            aggs.append(
+                F.round(F.max(F.col(c).cast("double")), 6).alias(f"_mx_{c}")
+            )
+    one = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"_mn_{c}")
+                    if any(t.startswith(k) for k in _NUMERIC_KINDS)
+                    else null_d
+                ).alias("min_num"),
+                (
+                    F.col(f"_mx_{c}")
+                    if any(t.startswith(k) for k in _NUMERIC_KINDS)
+                    else null_d
+                ).alias("max_num"),
+            )
+            for c, t in cols
+        ]
+    )
+    return one.select(F.explode(entries).alias("_e")).select("_e.*")

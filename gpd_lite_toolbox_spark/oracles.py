@@ -4364,3 +4364,69 @@ SELECT a.cohort_week, a.week_offset, a.n_active,
        ROUND(a.n_active / CAST(s.size AS DOUBLE), 6) AS retention
 FROM act a JOIN sz s ON s.cohort_week = a.cohort_week
 """
+
+
+# Repeated-ngram memorization audit (text/dedup.py repeated_ngrams):
+# stride-1 40-grams, top 20 by occurrences (same md5-hash grouping —
+# min(gram) example rides the aggregate on both sides).
+_RPT_L, _RPT_K = 40, 20
+REPEATED_NGRAMS = f"""
+WITH {oracle_ctes('corpus')},
+g AS (SELECT id, substr(text, CAST(p AS INT), {_RPT_L}) AS gram
+      FROM corpus,
+           UNNEST(range(1, GREATEST(length(text) - {_RPT_L - 1}, 1) + 1))
+               AS u(p)),
+h AS (SELECT id, gram,
+             CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT AS BIGINT)
+                 AS hh
+      FROM g),
+a AS (SELECT hh, MIN(gram) AS gram,
+             CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM h GROUP BY hh
+      HAVING COUNT(*) > 1)
+SELECT gram, n_docs, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, n_docs DESC,
+                               gram) AS INT) AS rank
+FROM a
+QUALIFY rank <= {_RPT_K}
+"""
+
+# Generic table profile (operators/audit.py table_profile) over the
+# TPC-H lineitem snapshot: nulls / exact distincts / numeric extrema.
+_LI_COLS = (
+    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+    ("l_linenumber", True), ("l_quantity", True),
+    ("l_extendedprice", True), ("l_discount", True), ("l_tax", True),
+    ("l_returnflag", False), ("l_linestatus", False),
+    ("l_shipdate", False),
+)
+TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f'ROUND(MIN(CAST({c} AS DOUBLE)), 6)' if num else 'CAST(NULL AS DOUBLE)'} AS min_num,
+       {f'ROUND(MAX(CAST({c} AS DOUBLE)), 6)' if num else 'CAST(NULL AS DOUBLE)'} AS max_num
+FROM lineitem"""
+    for c, num in _LI_COLS
+)
+
+# TPC-H Q3 shape (shipping priority): unshipped-order revenue for one
+# market segment, top 10.
+TPCH_SHIPPING = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate_us, l_orderkey
+LIMIT 10
+"""

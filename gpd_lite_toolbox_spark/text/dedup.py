@@ -2172,3 +2172,67 @@ def chunk_dedup_stats(
             ),
         )
     )
+
+
+def repeated_ngrams(
+    corpus: DataFrame,
+    length: int = 40,
+    top_k: int = 20,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Most-repeated character L-grams across the corpus — the
+    memorization/boilerplate audit (Lee et al.'s observation: the
+    substrings a model memorizes are the ones the corpus repeats;
+    this reports the worst offenders BEFORE training, where
+    ``exact_substring_spans`` finds pairwise overlaps).
+
+    Columns: ``(gram, n_docs, n_occurrences, rank)`` — top ``top_k``
+    by occurrences (ties: more docs first, then lexicographic gram).
+
+    Scale shape: stride-1 grams are grouped by their 60-bit md5 hash
+    (8-byte shuffle keys instead of L-char strings — the shingle
+    family's trick); the example text rides along as a min() aggregate
+    so no second pass re-extracts it; the top-k runs as a
+    WindowGroupLimit partial heap over the (already tiny) repeated
+    subset.
+    """
+    ln = int(length)
+    grams = _widen(corpus).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(1, greatest(length({text_col}) - {ln - 1}, 1)),
+                  p -> substring({text_col}, p, {ln}))
+                """
+            )
+        ).alias("gram"),
+    )
+    hashed = grams.select(
+        "id",
+        "gram",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
+    )
+    agg = (
+        hashed.groupBy("_h")
+        .agg(
+            F.min("gram").alias("gram"),
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("n_docs").desc(), F.col("gram")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(top_k))
+        .select("gram", "n_docs", "n_occurrences", "rank")
+    )

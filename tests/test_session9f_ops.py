@@ -1,0 +1,76 @@
+"""Session-9 batch 6: repeated-ngram audit, generic table profile,
+TPC-H Q3 shape (query-level, via the declared entry)."""
+
+from __future__ import annotations
+
+from gpd_lite_toolbox_spark.operators.audit import table_profile
+from gpd_lite_toolbox_spark.text.dedup import repeated_ngrams
+
+
+def _corpus(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "id long, text string"
+    )
+
+
+class TestRepeatedNgrams:
+    def test_planted_repeat_tops_the_list(self, spark):
+        import hashlib
+
+        boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE DAILY"  # 42 chars
+        docs = {
+            i: " ".join(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(4)
+            )
+            for i in range(10)
+        }
+        for i in range(5):  # plant the boilerplate in half the docs
+            docs[i] = docs[i] + " " + boiler
+        out = repeated_ngrams(_corpus(spark, docs), length=40, top_k=5)
+        rows = sorted(out.collect(), key=lambda r: r.rank)
+        # the shared suffix is " " + boiler (43 chars, the joining
+        # space is common too) -> exactly 4 stride-1 40-grams, each in
+        # all 5 planted docs; grams spanning the doc-specific prefix
+        # differ per doc and never repeat
+        assert len(rows) == 4
+        for r in rows:
+            assert r.gram in " " + boiler
+            assert r.n_docs == 5 and r.n_occurrences == 5
+
+    def test_unique_corpus_reports_nothing(self, spark):
+        import hashlib
+
+        docs = {
+            i: " ".join(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(4)
+            )
+            for i in range(6)
+        }
+        assert repeated_ngrams(_corpus(spark, docs)).count() == 0
+
+
+class TestTableProfile:
+    def test_counts_and_extrema(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, None), (3, 0.5, "a")],
+            "k long, v double, s string",
+        )
+        out = {r.column: r for r in table_profile(df).collect()}
+        assert set(out) == {"k", "v", "s"}
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["k"].n_nulls == 0 and out["k"].n_distinct == 3
+        assert out["k"].min_num == 1.0 and out["k"].max_num == 3.0
+        assert out["v"].n_nulls == 1 and out["v"].n_distinct == 3
+        assert out["v"].min_num == 0.5 and out["v"].max_num == 7.5
+        # string column: no numeric extrema in the contract
+        assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+        assert out["s"].min_num is None and out["s"].max_num is None
+
+    def test_single_pass_plan(self, spark):
+        df = spark.createDataFrame([(1, "x")], "k long, s string")
+        plan = (
+            table_profile(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        # one aggregate pass (Expand rewrite), no join or union of scans
+        assert "Union" not in plan
+        assert "Join" not in plan
