@@ -80,3 +80,27 @@ def test_corpus_health_report(spark, sf_dir):
     assert s.n_docs > 0 and 0.0 < s.padding_waste < 1.0
     # the raw documents table carries no planted duplicates
     assert s.n_contained_pairs >= 0
+
+
+def test_curation_gate_pipeline(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from curation_gate_pipeline import run
+
+    split, diag, curriculum, audit, summary = run(spark, sf_dir)
+    sp = split.collect()
+    # every clean doc gets exactly one split; groups never straddle
+    assert len(sp) == len({r.id for r in sp})
+    by_group: dict[int, set] = {}
+    for r in sp:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    d = {r.rule: r for r in diag.collect()}
+    assert set(d) == {"quality", "gopher", "lang"}
+    cur = curriculum.collect()
+    assert sorted(r.position for r in cur) == list(range(len(cur)))
+    s = summary.collect()[0]
+    assert s.n_input > s.n_kept > 0
+    assert s.n_contaminated > 0  # planted duplicates guarantee hits
+    assert s.max_position == len(cur) - 1
+    # the audit only ever reports grams that repeat
+    assert all(r.n_occurrences > 1 for r in audit.collect())
