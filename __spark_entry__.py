@@ -2632,6 +2632,25 @@ def _q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k / MRR of the LSH search path against the exact top-10
+    ground truth — both pipelines replayed in full by the oracle."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.ann import ann_lsh_topk, cosine_topk
+    from gpd_lite_toolbox_spark.vector.mining import retrieval_metrics
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return retrieval_metrics(
+        ann_lsh_topk(qs, emb, k=10, dims=64),
+        cosine_topk(qs, emb, k=10, dims=64),
+        ks=(1, 5, 10),
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3144,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "table_profile": _q_table_profile,
         "tpch_shipping": _q_tpch_shipping,
+        "retrieval_metrics": _q_retrieval_metrics,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3383,6 +3403,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_ngrams": OR.REPEATED_NGRAMS,
         "table_profile": OR.TABLE_PROFILE,
         "tpch_shipping": OR.TPCH_SHIPPING,
+        "retrieval_metrics": OR.RETRIEVAL_METRICS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "repeated_ngrams",
     "table_profile",
     "tpch_shipping",
+    "retrieval_metrics",
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

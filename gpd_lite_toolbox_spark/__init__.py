@@ -237,7 +237,10 @@ from .vector.centroids import (  # noqa: F401
     embedding_outliers,
     group_centroids,
 )
-from .vector.mining import hard_negatives  # noqa: F401
+from .vector.mining import (  # noqa: F401
+    hard_negatives,
+    retrieval_metrics,
+)
 from .vector.quantize import dequantize_expr, quantize_int8  # noqa: F401
 from .sources.geotable import read_geo_jdbc, read_geoparquet  # noqa: F401
 
@@ -455,5 +458,6 @@ __all__ = [
     "retention_cohorts",
     "repeated_ngrams",
     "table_profile",
+    "retrieval_metrics",
 ]
 __version__ = "0.1.0"

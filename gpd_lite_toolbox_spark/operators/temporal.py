@@ -367,14 +367,14 @@ def conversion_funnel(
     for df in stage_counts[1:]:
         out = out.unionByName(df)
     w = Window.orderBy("step")
+    prev = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
     return out.withColumn(
         "conv_rate",
-        F.round(
-            F.col("n_users")
-            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")).cast(
-                "double"
-            ),
-            6,
+        # NULL, not 0/0, when the previous stage is empty (ANSI errors
+        # on the zero division; NaN would be engine-dependent anyway)
+        F.when(
+            prev > 0,
+            F.round(F.col("n_users") / prev.cast("double"), 6),
         ),
     )
 

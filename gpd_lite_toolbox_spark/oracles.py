@@ -4340,8 +4340,11 @@ c AS (
   SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM s3))
 SELECT CAST(step AS INT) AS step, event_type,
        CAST(n_users AS BIGINT) AS n_users,
-       ROUND(n_users / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step),
-                                     n_users) AS DOUBLE), 6) AS conv_rate
+       CASE WHEN COALESCE(LAG(n_users) OVER (ORDER BY step), n_users) > 0
+            THEN ROUND(n_users
+                       / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step),
+                                       n_users) AS DOUBLE), 6)
+            END AS conv_rate
 FROM c
 """
 
@@ -4430,3 +4433,39 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, orderdate_us, l_orderkey
 LIMIT 10
 """
+
+
+def _retrieval_metrics_sql() -> str:
+    """Retrieval eval of the LSH path against the exact top-10
+    (vector/mining.py retrieval_metrics): both search pipelines
+    re-derived in full (the existing LSH and exact oracles as derived
+    tables), then the same recall@k / mrr arithmetic."""
+    ks = (1, 5, 10)
+    recs = []
+    for k in ks:
+        recs.append(f"""
+  SELECT 'recall@{k}' AS metric,
+         ROUND(AVG(COALESCE(x.r, 0.0)), 6) AS value
+  FROM qs LEFT JOIN (
+    SELECT query_id,
+           SUM(CASE WHEN rr <= {k} THEN 1 ELSE 0 END) / {float(k)} AS r
+    FROM j WHERE tr <= {k} GROUP BY query_id) x USING (query_id)""")
+    recs.append("""
+  SELECT 'mrr' AS metric, ROUND(AVG(COALESCE(x.r, 0.0)), 6) AS value
+  FROM qs LEFT JOIN (
+    SELECT query_id,
+           CASE WHEN rr IS NOT NULL THEN 1.0 / rr ELSE 0.0 END AS r
+    FROM j WHERE tr = 1) x USING (query_id)""")
+    body = "\nUNION ALL\n".join(recs)
+    return f"""
+WITH res AS (SELECT * FROM ({_ann_lsh_sql()})),
+tr AS (SELECT * FROM ({ANN_TOPK})),
+qs AS (SELECT DISTINCT query_id FROM tr),
+j AS (SELECT t.query_id, t.rank AS tr, r.rank AS rr
+      FROM tr t LEFT JOIN res r
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id)
+{body}
+"""
+
+
+RETRIEVAL_METRICS = _retrieval_metrics_sql()

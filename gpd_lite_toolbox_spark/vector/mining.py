@@ -56,3 +56,83 @@ def hard_negatives(
     ).withColumn("nn", _norm_col(F.col("nv"), dims))
     pairs = v.join(F.broadcast(q), F.col("_ql") != F.col("_nl"))
     return _rank_topk(_score_pairs(pairs, dims), k)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    ks: "tuple[int, ...]" = (1, 5, 10),
+) -> DataFrame:
+    """Retrieval evaluation of an approximate search against an exact
+    ground truth: ``recall@k`` (overlap of the two top-k lists / k)
+    for each ``k`` plus ``mrr`` (mean reciprocal rank of the ground
+    truth's #1 neighbor inside the results; 0 when missed) — the
+    numbers an ANN deployment is actually judged by.
+
+    Inputs are two ``(query_id, neighbor_id, rank)`` frames — the ANN
+    family's shared output contract — so any pair of search paths
+    (LSH vs exact, IVFPQ vs exact, index vs in-memory) composes here.
+    Output ``(metric, value)``, value rounded 6, averaged over the
+    ground truth's query set (a query the approximate side missed
+    entirely counts as 0 everywhere, not as absent).
+
+    Scale shape: one equi-join on (query_id, neighbor_id) + per-query
+    partial-combined aggregates over rank-capped slices; every table
+    after the join is |queries|-sized.
+    """
+    q = truth.select("query_id").distinct().persist()
+    j = truth.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("_tr"),
+    ).join(
+        results.select(
+            "query_id", "neighbor_id", F.col("rank").alias("_rr")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    outs = []
+    for k in ks:
+        per_q = (
+            j.filter(F.col("_tr") <= int(k))
+            .groupBy("query_id")
+            .agg(
+                (
+                    F.sum(
+                        (F.col("_rr") <= int(k)).cast("int")
+                    )
+                    / F.lit(float(k))
+                ).alias("_r")
+            )
+        )
+        outs.append(
+            q.join(per_q, "query_id", "left")
+            .agg(
+                F.round(
+                    F.avg(F.coalesce(F.col("_r"), F.lit(0.0))), 6
+                ).alias("value")
+            )
+            .select(F.lit(f"recall@{int(k)}").alias("metric"), "value")
+        )
+    rr = (
+        j.filter(F.col("_tr") == 1)
+        .select(
+            "query_id",
+            F.when(
+                F.col("_rr").isNotNull(), 1.0 / F.col("_rr")
+            ).otherwise(F.lit(0.0)).alias("_rr1"),
+        )
+    )
+    outs.append(
+        q.join(rr, "query_id", "left")
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("_rr1"), F.lit(0.0))), 6)
+            .alias("value")
+        )
+        .select(F.lit("mrr").alias("metric"), "value")
+    )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

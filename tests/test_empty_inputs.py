@@ -206,3 +206,64 @@ def test_session6_ops_on_empty_inputs(spark):
     html = _empty(spark, "id long, html string, source string")
     assert extract_links(html).count() == 0
     assert link_graph(html).count() == 0
+
+
+def test_session9_ops_on_empty_inputs(spark):
+    from gpd_lite_toolbox_spark.operators.audit import table_profile
+    from gpd_lite_toolbox_spark.operators.temporal import (
+        conversion_funnel,
+        retention_cohorts,
+    )
+    from gpd_lite_toolbox_spark.text.corpus import (
+        bigram_logprob,
+        cms_heavy_hitters,
+        curriculum_order,
+        leakage_safe_split,
+        quality_blend,
+    )
+    from gpd_lite_toolbox_spark.text.dedup import (
+        bloom_decontaminate,
+        chunk_dedup_stats,
+        rabin_chunks,
+        remove_spans,
+        repeated_ngrams,
+        simhash_hamming_pairs,
+    )
+    from gpd_lite_toolbox_spark.text.labeling import lf_diagnostics, weak_labels
+    from gpd_lite_toolbox_spark.text.web import hits
+    from gpd_lite_toolbox_spark.vector.centroids import embedding_outliers
+    from gpd_lite_toolbox_spark.vector.mining import hard_negatives
+
+    corpus = _empty(spark, "id long, text string")
+    assert simhash_hamming_pairs(corpus).count() == 0
+    assert bloom_decontaminate(corpus, corpus).count() == 0
+    docs = spark.createDataFrame([(1, "some text")], "id long, text string")
+    assert bloom_decontaminate(docs, corpus).count() == 0
+    assert cms_heavy_hitters(corpus).count() == 0
+    assert curriculum_order(corpus).count() == 0
+    assert leakage_safe_split(corpus).count() == 0
+    assert quality_blend(corpus).count() == 0
+    assert bigram_logprob(corpus).count() == 0
+    assert weak_labels(corpus).count() == 0
+    # the diagnostic still emits its 3 rule rows (zero coverage)
+    d = lf_diagnostics(corpus).collect()
+    assert len(d) == 3 and all(r.coverage is None or r.coverage == 0.0
+                               for r in d)
+    assert rabin_chunks(corpus).count() == 0
+    assert repeated_ngrams(corpus).count() == 0
+    spans = _empty(spark, "id_a long, id_b long, start_a long, "
+                          "start_b long, length long")
+    assert remove_spans(corpus, spans).count() == 0
+    sc = _empty(spark, "id long, text string, source string")
+    assert chunk_dedup_stats(sc).count() == 0
+    edges = _empty(spark, "src string, dst string")
+    assert hits(edges).count() == 0
+    emb = _empty(spark, "vec_id long, embedding array<double>, label int")
+    assert embedding_outliers(emb, dims=4).count() == 0
+    assert hard_negatives(emb, emb, dims=4).count() == 0
+    ev = _empty(spark, "event_id long, user_id long, ts timestamp, "
+                       "event_type string")
+    f = conversion_funnel(ev, ("view", "click")).collect()
+    assert [r.n_users for r in sorted(f, key=lambda r: r.step)] == [0, 0]
+    assert retention_cohorts(ev).count() == 0
+    assert table_profile(_empty(spark, "k long")).count() == 1

@@ -31,6 +31,7 @@ _ARROW_OK = {
     "hard_negatives",     # same Arrow dot kernel, cross-label pairs
     "embedding_outliers",  # three-dot centroid distance (pandas_udf)
     "ann_lsh_topk",
+    "retrieval_metrics",  # composes LSH + exact paths (Arrow kernels)
     "ann_ivf_topk",
     "ann_pq_topk",       # Arrow PQ encoder (pandas_udf)
     "ann_ivfpq_topk",    # Arrow IVFPQ encoder (cell+residual+codes)

@@ -74,3 +74,47 @@ class TestTableProfile:
         # one aggregate pass (Expand rewrite), no join or union of scans
         assert "Union" not in plan
         assert "Join" not in plan
+
+
+class TestRetrievalMetrics:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank int"
+        )
+
+    def test_perfect_results(self, spark):
+        truth = self._frame(
+            spark, [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)]
+        )
+        from gpd_lite_toolbox_spark.vector.mining import retrieval_metrics
+
+        out = {r.metric: r.value
+               for r in retrieval_metrics(truth, truth, ks=(1, 2)).collect()}
+        assert out == {"recall@1": 1.0, "recall@2": 1.0, "mrr": 1.0}
+
+    def test_hand_computed_partial(self, spark):
+        from gpd_lite_toolbox_spark.vector.mining import retrieval_metrics
+
+        truth = self._frame(
+            spark, [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)]
+        )
+        # query 1: finds the true #2 at rank 1 and the true #1 at rank
+        # 2 (swapped); query 2: misses everything
+        res = self._frame(spark, [(1, 11, 1), (1, 10, 2), (2, 99, 1)])
+        out = {r.metric: r.value
+               for r in retrieval_metrics(res, truth, ks=(1, 2)).collect()}
+        # recall@1: q1 overlap {10}&{11}=0, q2 0 -> 0
+        assert out["recall@1"] == 0.0
+        # recall@2: q1 2/2, q2 0/2 -> 0.5
+        assert out["recall@2"] == 0.5
+        # mrr: true #1 of q1 found at rank 2 -> 1/2; q2 missed -> 0
+        assert out["mrr"] == 0.25
+
+    def test_missing_query_counts_as_zero(self, spark):
+        from gpd_lite_toolbox_spark.vector.mining import retrieval_metrics
+
+        truth = self._frame(spark, [(1, 10, 1), (2, 20, 1)])
+        res = self._frame(spark, [(1, 10, 1)])  # query 2 absent
+        out = {r.metric: r.value
+               for r in retrieval_metrics(res, truth, ks=(1,)).collect()}
+        assert out["recall@1"] == 0.5 and out["mrr"] == 0.5
