@@ -108,6 +108,25 @@ _SPOT = [
     "skew_stats",
     # char-pair volume at 10x vocab
     "bpe_pair_counts",
+    # session-9: band-bucket fan-out at 10x fingerprints; bloom probe
+    # join at 10x shingles; span excision islands at 10x span density;
+    # prefix-sum blocking of the curriculum rank at 10x docs; LM count
+    # joins over a 10x bigram vocabulary; chunk-hash grouping at 10x
+    # chunk volume; funnel/retention stage joins at 10x events
+    "simhash_pairs",
+    "bloom_decontaminate",
+    "span_removal",
+    "curriculum_order",
+    "bigram_logprob",
+    "quality_blend",
+    "rabin_chunks",
+    "chunk_dedup_stats",
+    "repeated_ngrams",
+    "conversion_funnel",
+    "retention_cohorts",
+    "leakage_safe_split",
+    "cms_heavy_hitters",
+    "retrieval_metrics",
 ]
 
 
