@@ -1,0 +1,137 @@
+"""Property tests for the session-9 operators on arbitrary inputs:
+Rabin chunking vs a pure-Python reference (reconstruction +
+boundary-local insertion robustness), Bloom decontamination's
+one-sided-error law vs the exact dictionary join, CMS est>=exact
+dominance with a wide-sketch equality law, SimHash Hamming pairs vs
+brute force, and curriculum position-permutation."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+word = st.text(
+    alphabet=st.sampled_from("abcdefgh theankspark"), min_size=1, max_size=8
+).filter(lambda w: " " not in w)
+texts = st.lists(word, min_size=1, max_size=25).map(" ".join)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+def _df(_spark, docs):
+    return _spark.createDataFrame(
+        pd.DataFrame({"id": range(len(docs)), "text": docs}),
+        schema="id long, text string",
+    )
+
+
+def _py_rabin(text, k=8, d=16):
+    """Reference content-defined chunker (1-based [start, length))."""
+    bounds = [
+        p
+        for p in range(k, len(text) + 1)
+        if int(hashlib.md5(text[p - k : p].encode()).hexdigest()[:15], 16)
+        % d == 0
+    ]
+    cuts = [0] + bounds
+    if len(text) > 0 and (not bounds or bounds[-1] != len(text)):
+        cuts.append(len(text))
+    return [
+        (cuts[i - 1] + 1, cuts[i] - cuts[i - 1])
+        for i in range(1, len(cuts))
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=4))
+def test_rabin_chunks_match_python_reference(_spark, docs):
+    from gpd_lite_toolbox_spark.text.dedup import rabin_chunks
+
+    out = rabin_chunks(_df(_spark, docs)).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id, []).append((r.chunk_idx, r.start, r.length))
+    for i, text in enumerate(docs):
+        want = _py_rabin(text)
+        rows = sorted(got.get(i, []))
+        assert [(s, ln) for _, s, ln in rows] == want
+        # chunks reconstruct the text exactly
+        assert "".join(
+            text[s - 1 : s - 1 + ln] for _, s, ln in rows
+        ) == text
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(texts, min_size=2, max_size=6))
+def test_bloom_is_one_sided_vs_exact(_spark, docs):
+    from gpd_lite_toolbox_spark.text.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    df = _df(_spark, docs)
+    train = df.filter("id % 2 = 0")
+    bench = df.filter("id % 2 = 1")
+    exact = {r.id: r.n_hits for r in decontaminate(train, bench).collect()}
+    bloom = {r.id: r.n_hits
+             for r in bloom_decontaminate(train, bench).collect()}
+    assert set(exact) <= set(bloom)
+    for i, n in exact.items():
+        assert bloom[i] >= n
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_cms_dominance_and_wide_equality(_spark, docs):
+    from gpd_lite_toolbox_spark.text.corpus import cms_heavy_hitters
+
+    df = _df(_spark, docs)
+    narrow = cms_heavy_hitters(df, depth=2, width=4, k=1000).collect()
+    assert all(r.est >= r.exact for r in narrow)
+    wide = cms_heavy_hitters(df, depth=2, width=1 << 20, k=1000).collect()
+    assert all(r.est == r.exact for r in wide)
+    # both views agree on the exact counts themselves
+    assert {r.token: r.exact for r in narrow} == {
+        r.token: r.exact for r in wide
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=2, max_size=8))
+def test_simhash_pairs_equal_bruteforce(_spark, docs):
+    from gpd_lite_toolbox_spark.text.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    df = _df(_spark, docs)
+    sigs = {r.id: r.simhash for r in simhash(df).collect()}
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_pairs(df, max_hamming=3).collect()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_curriculum_is_a_stage_sorted_permutation(_spark, docs):
+    from gpd_lite_toolbox_spark.text.corpus import curriculum_order
+
+    out = curriculum_order(_df(_spark, docs), n_buckets=4).collect()
+    assert sorted(r.position for r in out) == list(range(len(docs)))
+    # positions never decrease across stage boundaries
+    by_pos = sorted(out, key=lambda r: r.position)
+    stages = [r.stage for r in by_pos]
+    assert stages == sorted(stages)
