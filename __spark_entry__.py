@@ -2651,6 +2651,32 @@ def _q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-mixture plan: whole copies per
+    integer epoch + a seeded-hash fraction for the remainder."""
+    from gpd_lite_toolbox_spark.text.corpus import epoch_expand
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return epoch_expand(
+        s.table("documents"),
+        token_budget=OR.TEMP_BUDGET,
+        alpha=0.5,
+        id_col="doc_id",
+    )
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top within-session event trigram paths (6 h gap — the fixture's
+    ~40 min event spacing makes 30 min sessions singletons and every
+    count 1, which could not catch a broken counter)."""
+    from gpd_lite_toolbox_spark.operators.temporal import session_paths
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return session_paths(s.table("events"), n=3, top_k=15, gap_s=21_600)
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3164,6 +3190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "tpch_shipping": _q_tpch_shipping,
         "retrieval_metrics": _q_retrieval_metrics,
+        "epoch_expand": _q_epoch_expand,
+        "session_paths": _q_session_paths,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3404,6 +3432,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": OR.TABLE_PROFILE,
         "tpch_shipping": OR.TPCH_SHIPPING,
         "retrieval_metrics": OR.RETRIEVAL_METRICS,
+        "epoch_expand": OR.EPOCH_EXPAND,
+        "session_paths": OR.SESSION_PATHS,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

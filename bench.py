@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "table_profile",
     "tpch_shipping",
     "retrieval_metrics",
+    "epoch_expand",
+    "session_paths",
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

@@ -67,6 +67,7 @@ from .operators.temporal import (  # noqa: F401
     asof_join,
     conversion_funnel,
     event_transitions,
+    session_paths,
     range_join_binned,
     resample_ffill,
     retention_cohorts,
@@ -126,6 +127,7 @@ from .text.corpus import (  # noqa: F401
     split_expr,
     bigram_logprob,
     quality_blend,
+    epoch_expand,
 )
 from .text.dedup import (  # noqa: F401
     decontaminate,
@@ -459,5 +461,7 @@ __all__ = [
     "repeated_ngrams",
     "table_profile",
     "retrieval_metrics",
+    "epoch_expand",
+    "session_paths",
 ]
 __version__ = "0.1.0"

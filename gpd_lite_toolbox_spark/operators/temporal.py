@@ -437,3 +437,80 @@ def retention_cohorts(
             ).alias("retention"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 15,
+    gap_s: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top event-type n-gram paths within user sessions — the "what do
+    people actually do" report of product analytics (the n-step
+    generalization of ``event_transitions``, scoped to sessions so a
+    path never spans a return visit).
+
+    Columns: ``(path, n_sessions, n_occurrences, rank)`` — path as
+    ``a>b>c``, top ``top_k`` by occurrences (ties: more sessions, then
+    lexicographic).
+
+    Scale shape: session numbering is the ``sessionize`` lag +
+    cumulative-break window (one user-keyed exchange); the per-session
+    type sequence is a bounded collect (sessions are gap-bounded by
+    construction); n-gram assembly is row-local; the count partial-
+    combines and the top-k runs as a WindowGroupLimit heap.
+    """
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        SESSION_GAP_S,
+    )
+
+    gap = SESSION_GAP_S if gap_s is None else int(gap_s)
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    gap_break = F.when(
+        (us - F.lag(us).over(w)) >= gap * 1_000_000, 1
+    ).otherwise(0)
+    sess = events.withColumn(
+        "_sid",
+        F.sum(gap_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seq = sess.groupBy(F.col(user_col).alias("_u"), "_sid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    us.alias("_us"),
+                    F.col(order_tiebreak).alias("_tb"),
+                    F.col(type_col).alias("_t"),
+                )
+            )
+        ).alias("_evs")
+    )
+    k = int(n)
+    paths = seq.select(
+        "_u",
+        "_sid",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_evs) < {k} THEN array()"
+                f" ELSE transform(sequence(1, size(_evs) - {k - 1}),"
+                f"  i -> concat_ws('>', transform(sequence(0, {k - 1}),"
+                f"       j -> _evs[i + j - 1]._t))) END"
+            )
+        ).alias("path"),
+    )
+    agg = paths.groupBy("path").agg(
+        F.countDistinct("_u", "_sid").cast("bigint").alias("n_sessions"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+    )
+    rw = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("n_sessions").desc(), "path"
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= int(top_k))
+        .select("path", "n_sessions", "n_occurrences", "rank")
+    )

@@ -4469,3 +4469,64 @@ j AS (SELECT t.query_id, t.rank AS tr, r.rank AS rr
 
 
 RETRIEVAL_METRICS = _retrieval_metrics_sql()
+
+
+# Epoch materialization (text/corpus.py epoch_expand): the
+# temperature-mixture plan replayed as a derived table, whole copies
+# for the integer epochs plus a seeded-hash-selected extra copy for
+# the fractional part.
+EPOCH_EXPAND = f"""
+WITH w AS (SELECT source, epochs FROM ({TEMPERATURE_MIX})),
+d AS (SELECT dd.doc_id AS id, dd.source, w.epochs,
+             CAST(('0x' || substr(md5('0_' || CAST(dd.doc_id AS VARCHAR)),
+                                  1, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0 AS h
+      FROM documents dd JOIN w ON w.source = dd.source),
+c AS (SELECT id, source,
+             CAST(FLOOR(epochs) AS BIGINT)
+             + (CASE WHEN h < epochs - FLOOR(epochs) THEN 1 ELSE 0 END)
+                 AS nc
+      FROM d)
+SELECT id, source, CAST(u.e AS BIGINT) AS epoch
+FROM c, UNNEST(range(1, nc + 1)) AS u(e)
+"""
+
+# Session path report (operators/temporal.py session_paths): the
+# SESSIONIZE numbering, per-session ordered type sequences, trigram
+# paths, top 15.
+_PATH_K = 15
+# 6 h gap, not SESSIONIZE's 30 min: fixture events are ~40 min apart,
+# so the default gap gives singleton sessions, every trigram count is
+# 1, and the gate could not catch a broken counter.
+_PATH_GAP_US = 21_600_000_000
+SESSION_PATHS = f"""
+WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              AS prev
+      FROM s),
+b AS (SELECT *, CASE WHEN prev IS NOT NULL AND us - prev >= {_PATH_GAP_US}
+                     THEN 1 ELSE 0 END AS brk
+      FROM l),
+cs AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+       FROM b),
+seq AS (SELECT user_id, session_id,
+               list(event_type ORDER BY us, event_id) AS evs
+        FROM cs GROUP BY 1, 2),
+p AS (SELECT user_id, session_id,
+             evs[CAST(i AS INT)] || '>' || evs[CAST(i + 1 AS INT)]
+                 || '>' || evs[CAST(i + 2 AS INT)] AS path
+      FROM seq, UNNEST(range(1, len(evs) - 1)) AS u(i)
+      WHERE len(evs) >= 3),
+a AS (SELECT path,
+             CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT)
+                 AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM p GROUP BY path)
+SELECT path, n_sessions, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                               n_sessions DESC, path) AS INT) AS rank
+FROM a
+QUALIFY rank <= {_PATH_K}
+"""

@@ -1400,3 +1400,52 @@ def quality_blend(
         )
     )
     return out.withColumn("keep", F.col("blend") > 0.0)
+
+
+def epoch_expand(
+    docs: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    strata_col: str = "source",
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the ``temperature_mixture`` plan: every document is
+    repeated according to its source's epoch factor — whole copies for
+    the integer part, and a DETERMINISTIC hash-selected fraction of
+    the source's documents gets one extra copy for the fractional part
+    (so the realized token count tracks ``planned_tokens`` without any
+    randomness to reproduce). This is the planning -> training-stream
+    step: the output (id, source, epoch) rows are what a shuffled
+    shard writer consumes.
+
+    Scale shape: the weights table is |sources| rows BROADCAST back;
+    the per-doc copy count and the sequence explode are row-local, so
+    the op is one map pass whose output volume is exactly the planned
+    oversampling.
+    """
+    w = temperature_mixture(
+        docs, token_budget, alpha, strata_col, text_col
+    ).select(F.col("source").alias(strata_col), "epochs")
+    # the hash keys the RENAMED output id column (its value is the
+    # caller's id_col verbatim, so oracle derivations agree)
+    h = key_u32(seeded_key(seed, "id")).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    full = F.floor(F.col("epochs")).cast("bigint")
+    frac = F.col("epochs") - full
+    n_copies = (full + (h < frac).cast("bigint")).alias("_nc")
+    # sequence(1, 0) steps DOWN, not empty — zero-copy docs must take
+    # the empty-array branch explicitly
+    copies = F.when(
+        F.col("_nc") >= 1, F.sequence(F.lit(1).cast("bigint"), F.col("_nc"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), F.col(strata_col).alias("source")
+        )
+        .join(F.broadcast(w.withColumnRenamed(strata_col, "source")), "source")
+        .withColumn("_nc", n_copies)
+        .select("id", "source", F.explode(copies).alias("epoch"))
+    )

@@ -1,0 +1,105 @@
+"""Session-9 batch 8: epoch materialization and session path mining."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark.operators.temporal import session_paths
+from gpd_lite_toolbox_spark.text.corpus import epoch_expand, temperature_mixture
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+class TestEpochExpand:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, text string, source string"
+        )
+
+    def test_copies_track_planned_epochs(self, spark):
+        # big source: 10 docs x 100 tokens; small source: 2 docs x 10
+        rows = [(i, "w " * 99 + "w", "big") for i in range(10)]
+        rows += [(100 + i, "w " * 9 + "w", "small") for i in range(2)]
+        docs = self._docs(spark, rows)
+        budget = 500
+        out = epoch_expand(docs, token_budget=budget).collect()
+        w = {r.source: r for r in
+             temperature_mixture(docs, budget).collect()}
+        from collections import Counter
+
+        per_source = Counter(r.source for r in out)
+        for src in ("big", "small"):
+            n_docs = 10 if src == "big" else 2
+            eps = w[src].epochs
+            lo, hi = n_docs * int(eps), n_docs * (int(eps) + 1)
+            assert lo <= per_source.get(src, 0) <= hi
+        # per doc, epochs are 1..n with no gaps
+        by_id: dict[int, list] = {}
+        for r in out:
+            by_id.setdefault(r.id, []).append(r.epoch)
+        for eps in by_id.values():
+            assert sorted(eps) == list(range(1, len(eps) + 1))
+
+    def test_deterministic(self, spark):
+        rows = [(i, "a b c d e", "s") for i in range(6)]
+        docs = self._docs(spark, rows)
+        a = sorted((r.id, r.epoch) for r in
+                   epoch_expand(docs, 100).collect())
+        b = sorted((r.id, r.epoch) for r in
+                   epoch_expand(docs, 100).collect())
+        assert a == b
+
+    def test_zero_weight_source_emits_nothing_extra(self, spark):
+        # a source whose planned epochs < 1 may drop docs entirely —
+        # every emitted row still has epoch >= 1
+        rows = [(i, "w " * 199 + "w", "big") for i in range(20)]
+        rows += [(100, "tiny", "small")]
+        out = epoch_expand(self._docs(spark, rows), token_budget=100)
+        assert out.filter(F.col("epoch") < 1).count() == 0
+
+
+class TestSessionPaths:
+    def _events(self, spark, rows):
+        data = [
+            (i, u, T0 + dt.timedelta(minutes=m), t)
+            for i, (u, m, t) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data,
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+
+    def test_paths_respect_session_breaks(self, spark):
+        rows = [
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),   # session 1: a>b>c
+            (1, 600, "x"), (1, 601, "y"), (1, 602, "z"),  # new session
+        ]
+        ev = self._events(spark, rows)
+        out = {r.path for r in
+               session_paths(ev, n=3, top_k=10, gap_s=1800).collect()}
+        assert out == {"a>b>c", "x>y>z"}  # never a path spanning the gap
+
+    def test_counts_and_rank_order(self, spark):
+        rows = []
+        for u in range(3):  # 3 users each doing a>b>c
+            rows += [(u, 0, "a"), (u, 1, "b"), (u, 2, "c")]
+        rows += [(9, 0, "b"), (9, 1, "c"), (9, 2, "a")]  # one b>c>a
+        out = session_paths(self._events(spark, rows), n=3, top_k=10,
+                            gap_s=1800).collect()
+        out.sort(key=lambda r: r.rank)
+        assert out[0].path == "a>b>c" and out[0].n_occurrences == 3
+        assert out[0].n_sessions == 3
+        assert {r.path for r in out} == {"a>b>c", "b>c>a"}
+
+    def test_short_sessions_yield_no_paths(self, spark):
+        rows = [(1, 0, "a"), (1, 1, "b")]
+        assert session_paths(self._events(spark, rows), n=3).count() == 0
+
+    def test_overlapping_occurrences_counted(self, spark):
+        rows = [(1, i, "a") for i in range(5)]  # a a a a a -> 3 trigrams
+        out = session_paths(self._events(spark, rows), n=3, gap_s=1800)
+        r = out.collect()[0]
+        assert r.path == "a>a>a" and r.n_occurrences == 3
+        assert r.n_sessions == 1
