@@ -2677,6 +2677,24 @@ def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_paths(s.table("events"), n=3, top_k=15, gap_s=21_600)
 
 
+def _q_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the SimHash Hamming pass against the
+    exhaustive exact-Jaccard pair set (the LSH pass verifies with
+    exact Jaccard and would equal the truth — P=R=1.0 tells nothing;
+    the fingerprint proxy has real two-sided error)."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        ngram_jaccard_prefix_pairs,
+        pair_pr,
+        simhash_hamming_pairs,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    return pair_pr(
+        simhash_hamming_pairs(corpus, max_hamming=3),
+        ngram_jaccard_prefix_pairs(corpus, threshold=OR.NGRAM_PREFIX_T),
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3192,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": _q_retrieval_metrics,
         "epoch_expand": _q_epoch_expand,
         "session_paths": _q_session_paths,
+        "dedup_pr": _q_dedup_pr,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3434,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_metrics": OR.RETRIEVAL_METRICS,
         "epoch_expand": OR.EPOCH_EXPAND,
         "session_paths": OR.SESSION_PATHS,
+        "dedup_pr": OR.DEDUP_PR,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "retrieval_metrics",
     "epoch_expand",
     "session_paths",
+    "dedup_pr",
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

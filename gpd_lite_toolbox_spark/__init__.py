@@ -157,6 +157,7 @@ from .text.dedup import (  # noqa: F401
     rabin_chunks,
     chunk_dedup_stats,
     repeated_ngrams,
+    pair_pr,
 )
 from .text.classify import (  # noqa: F401
     hash_features,
@@ -463,5 +464,6 @@ __all__ = [
     "retrieval_metrics",
     "epoch_expand",
     "session_paths",
+    "pair_pr",
 ]
 __version__ = "0.1.0"

@@ -4530,3 +4530,36 @@ SELECT path, n_sessions, n_occurrences,
 FROM a
 QUALIFY rank <= {_PATH_K}
 """
+
+
+# Dedup precision/recall (text/dedup.py pair_pr): the cheap SimHash
+# Hamming pass scored against the exhaustive exact-Jaccard pair set —
+# both pipelines replayed as derived tables. SimHash was chosen over
+# MinHash-LSH as the candidate side ON PURPOSE: LSH's exact-Jaccard
+# verify step makes its output EQUAL the truth set on this fixture
+# (P = R = 1.0 — a broken metric would pass); the 32-bit fingerprint
+# proxy has genuine two-sided error (measured P ~ 0.11, R ~ 0.97).
+DEDUP_PR = f"""
+WITH cand AS (SELECT DISTINCT LEAST(id_a, id_b) AS a,
+                     GREATEST(id_a, id_b) AS b
+              FROM ({SIMHASH_PAIRS})),
+tr AS (SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+       FROM ({NGRAM_JACCARD_EXHAUSTIVE})),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tr),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp
+      FROM cand JOIN tr USING (a, b)),
+w AS (SELECT * FROM x CROSS JOIN c CROSS JOIN t)
+SELECT 'precision' AS metric,
+       CASE WHEN nc > 0 THEN ROUND(tp / CAST(nc AS DOUBLE), 6) END AS value
+FROM w
+UNION ALL
+SELECT 'recall',
+       CASE WHEN nt > 0 THEN ROUND(tp / CAST(nt AS DOUBLE), 6) END
+FROM w
+UNION ALL
+SELECT 'f1',
+       CASE WHEN nc > 0 AND nt > 0 AND tp > 0
+            THEN ROUND(2.0 * tp / CAST(nc + nt AS DOUBLE), 6) END
+FROM w
+"""

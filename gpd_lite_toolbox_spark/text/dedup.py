@@ -2236,3 +2236,62 @@ def repeated_ngrams(
         .filter(F.col("rank") <= int(top_k))
         .select("gram", "n_docs", "n_occurrences", "rank")
     )
+
+
+def pair_pr(
+    candidates: DataFrame,
+    truth: DataFrame,
+) -> DataFrame:
+    """Pair-set precision / recall / F1 of a candidate near-dup pass
+    against a ground-truth pair set — the methodology number a dedup
+    deployment reports ("how much does the LSH shortcut miss, and how
+    much junk does it admit"). Inputs are any two ``(id_a, id_b)``
+    frames (extra columns ignored); orientation is normalized so
+    (a, b) and (b, a) are the same pair.
+
+    Output ``(metric, value)`` rows — precision, recall, f1 — rounded
+    6; a metric with a zero denominator is NULL (no candidates /
+    no truth), never a crash.
+
+    Scale shape: both sides collapse to distinct normalized pairs
+    (combinable), the true-positive count is one equi-join, and the
+    three counts are one-row frames crossJoined — nothing after the
+    distinct is larger than a scalar.
+    """
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).distinct()
+
+    c = _norm(candidates).persist()
+    t = _norm(truth).persist()
+    n_c = c.agg(F.count("*").alias("nc"))
+    n_t = t.agg(F.count("*").alias("nt"))
+    n_tp = c.join(t, ["a", "b"]).agg(F.count("*").alias("tp"))
+    base = n_tp.crossJoin(F.broadcast(n_c)).crossJoin(F.broadcast(n_t))
+    prec = F.when(
+        F.col("nc") > 0, F.round(F.col("tp") / F.col("nc").cast("double"), 6)
+    )
+    rec = F.when(
+        F.col("nt") > 0, F.round(F.col("tp") / F.col("nt").cast("double"), 6)
+    )
+    f1 = F.when(
+        (F.col("nc") > 0) & (F.col("nt") > 0) & (F.col("tp") > 0),
+        F.round(
+            2.0
+            * F.col("tp")
+            / (F.col("nc") + F.col("nt")).cast("double"),
+            6,
+        ),
+    )
+    wide = base.select(
+        prec.alias("_p"), rec.alias("_r"), f1.alias("_f")
+    )
+    entries = F.array(
+        F.struct(F.lit("precision").alias("metric"), F.col("_p").alias("value")),
+        F.struct(F.lit("recall").alias("metric"), F.col("_r").alias("value")),
+        F.struct(F.lit("f1").alias("metric"), F.col("_f").alias("value")),
+    )
+    return wide.select(F.explode(entries).alias("_e")).select("_e.*")

@@ -103,3 +103,36 @@ class TestSessionPaths:
         r = out.collect()[0]
         assert r.path == "a>a>a" and r.n_occurrences == 3
         assert r.n_sessions == 1
+
+
+class TestPairPr:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def test_hand_computed(self, spark):
+        from gpd_lite_toolbox_spark.text.dedup import pair_pr
+
+        cand = self._pairs(spark, [(1, 2), (3, 4), (5, 6), (7, 8)])
+        truth = self._pairs(spark, [(2, 1), (3, 4), (9, 10)])
+        out = {r.metric: r.value for r in pair_pr(cand, truth).collect()}
+        assert out["precision"] == 0.5  # 2 of 4
+        assert abs(out["recall"] - round(2 / 3, 6)) < 1e-9
+        # f1 = 2*2/(4+3)
+        assert abs(out["f1"] - round(4 / 7, 6)) < 1e-9
+
+    def test_orientation_and_dups_normalize(self, spark):
+        from gpd_lite_toolbox_spark.text.dedup import pair_pr
+
+        cand = self._pairs(spark, [(1, 2), (2, 1), (1, 2)])
+        truth = self._pairs(spark, [(2, 1)])
+        out = {r.metric: r.value for r in pair_pr(cand, truth).collect()}
+        assert out == {"precision": 1.0, "recall": 1.0, "f1": 1.0}
+
+    def test_empty_sides_give_null_not_crash(self, spark):
+        from gpd_lite_toolbox_spark.text.dedup import pair_pr
+
+        empty = self._pairs(spark, [])
+        truth = self._pairs(spark, [(1, 2)])
+        out = {r.metric: r.value for r in pair_pr(empty, truth).collect()}
+        assert out["precision"] is None and out["recall"] == 0.0
+        assert out["f1"] is None
