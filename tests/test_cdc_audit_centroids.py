@@ -326,7 +326,9 @@ def test_seeded_key_shared_across_family(spark):
 
     from gpd_lite_toolbox_spark.text import corpus as C
 
-    for fn in (C.shard_corpus, C.sample_k_per_group, C.split_corpus):
+    # split_corpus delegates to split_expr (shared with
+    # leakage_safe_split) — the key derivation lives in the helper
+    for fn in (C.shard_corpus, C.sample_k_per_group, C.split_expr):
         src = inspect.getsource(fn)
         assert "seeded_key(" in src and "F.md5(" not in src
 
