@@ -205,7 +205,10 @@ BENCH_QUERIES = [
     "retrieval_metrics",
     "epoch_expand",
     "session_paths",
-    "dedup_pr",
+    # dedup_pr deliberately NOT benched: its ground-truth side IS the
+    # exhaustive ngram_jaccard_prefix baseline excluded above (12 s at
+    # sf0.1 — the quadratic-ish truth, not the operator under test);
+    # simhash_pairs times the candidate substrate.
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

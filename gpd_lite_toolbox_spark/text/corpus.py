@@ -1316,8 +1316,13 @@ def bigram_logprob(
             )
         ).alias("_b"),
     ).select("id", F.col("_b.w1"), F.col("_b.w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2")).persist()
+    # c1 folds from c2 (sum of n2 per w1 == bigram count per w1
+    # exactly) — deriving it from bg would re-run the corpus-sized
+    # bigram explode a third time (A/B at sf0.1: 5.9 -> 5.5 s; the
+    # saving scales with corpus volume, the two remaining explode
+    # evaluations are the floor)
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vsize = corpus.select(
         F.explode(toks).alias("tok")
     ).agg(F.countDistinct("tok").alias("v"))
