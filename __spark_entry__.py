@@ -2695,6 +2695,19 @@ def _q_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per observed day over a %17-thinned event
+    slice (raw events keep every user weekly-active and WAU saturates
+    at the user count — a broken WAU would pass)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import dau_wau
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return dau_wau(s.table("events").filter(F.col("event_id") % 17 < 2))
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3211,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_expand": _q_epoch_expand,
         "session_paths": _q_session_paths,
         "dedup_pr": _q_dedup_pr,
+        "dau_wau": _q_dau_wau,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3454,6 +3468,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_expand": OR.EPOCH_EXPAND,
         "session_paths": OR.SESSION_PATHS,
         "dedup_pr": OR.DEDUP_PR,
+        "dau_wau": OR.DAU_WAU,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

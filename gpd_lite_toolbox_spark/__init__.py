@@ -66,6 +66,7 @@ from .operators.spatial_join import bbox_join  # noqa: F401
 from .operators.temporal import (  # noqa: F401
     asof_join,
     conversion_funnel,
+    dau_wau,
     event_transitions,
     session_paths,
     range_join_binned,
@@ -465,5 +466,6 @@ __all__ = [
     "epoch_expand",
     "session_paths",
     "pair_pr",
+    "dau_wau",
 ]
 __version__ = "0.1.0"

@@ -514,3 +514,52 @@ def session_paths(
         .filter(F.col("rank") <= int(top_k))
         .select("path", "n_sessions", "n_occurrences", "rank")
     )
+
+
+def dau_wau(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Daily / weekly active users and stickiness (DAU/WAU) per
+    observed day — the standing engagement rollup. Days are fixed
+    Unix-epoch buckets (integer division, same rationale as
+    ``retention_cohorts``); WAU of day d counts distinct users active
+    in [d-6, d].
+
+    Columns: ``(day, dau, wau, stickiness)`` for days with any
+    activity; stickiness rounded 6.
+
+    Scale shape: the raw stream collapses to distinct (user, day)
+    ONCE (one partial-combined exchange); the windowed distinct is
+    NOT a window function (count-distinct frames don't partial-
+    combine) but the bounded fan-out rewrite — each user-day
+    contributes to exactly 7 target days, so the WAU aggregate is a
+    7x explode of the already-tiny per-day distinct table.
+    """
+    du = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"unix_micros({ts_col}) div {int(day_us)}").alias("day"),
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("u").cast("bigint").alias("dau"))
+    contrib = du.select(
+        "u", F.explode(F.expr("sequence(day, day + 6)")).alias("day")
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("u").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

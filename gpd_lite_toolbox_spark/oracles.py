@@ -4563,3 +4563,24 @@ SELECT 'f1',
             THEN ROUND(2.0 * tp / CAST(nc + nt AS DOUBLE), 6) END
 FROM w
 """
+
+
+# DAU/WAU engagement rollup (operators/temporal.py dau_wau): fixed
+# Unix-epoch days, WAU via the 7x bounded fan-out (each user-day
+# contributes to exactly the next 7 target days).
+_DAY_US = 86_400_000_000
+# %17<2 thinning: on raw events every user is active every week, so
+# wau saturates at the user count and a broken WAU would pass.
+DAU_WAU = f"""
+WITH du AS (SELECT DISTINCT user_id AS u,
+                   epoch_us(ts) // {_DAY_US} AS day
+            FROM events WHERE event_id % 17 < 2),
+dau AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+        FROM du GROUP BY 1),
+wau AS (SELECT day + k.k AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
+        FROM du CROSS JOIN (SELECT UNNEST(range(7)) AS k) k
+        GROUP BY 1)
+SELECT d.day, d.dau, w.wau,
+       ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""

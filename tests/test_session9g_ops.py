@@ -136,3 +136,47 @@ class TestPairPr:
         out = {r.metric: r.value for r in pair_pr(empty, truth).collect()}
         assert out["precision"] is None and out["recall"] == 0.0
         assert out["f1"] is None
+
+
+class TestDauWau:
+    def _events(self, spark, rows):
+        data = [
+            (i, u, T0 + dt.timedelta(days=d), "view")
+            for i, (u, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data,
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+
+    def test_hand_computed_window(self, spark):
+        from gpd_lite_toolbox_spark.operators.temporal import dau_wau
+
+        # user 1 active day 0 and 3; user 2 active day 3 only
+        ev = self._events(spark, [(1, 0.1), (1, 3.1), (2, 3.2)])
+        out = {r.day - min(x.day for x in rows): r
+               for rows in [dau_wau(ev).collect()]
+               for r in rows}
+        assert out[0].dau == 1 and out[0].wau == 1
+        # day 3: both users active; WAU window [d-6, d] includes day 0
+        assert out[3].dau == 2 and out[3].wau == 2
+        assert out[3].stickiness == 1.0
+
+    def test_wau_covers_trailing_seven_days(self, spark):
+        from gpd_lite_toolbox_spark.operators.temporal import dau_wau
+
+        # user 1 on day 0; user 2 on day 6 and day 7
+        ev = self._events(spark, [(1, 0.1), (2, 6.1), (2, 7.1)])
+        rows = dau_wau(ev).collect()
+        base = min(r.day for r in rows)
+        out = {r.day - base: r for r in rows}
+        assert out[6].wau == 2        # day 0 still inside [0, 6]
+        assert out[7].wau == 1        # day 0 aged out of [1, 7]
+        assert out[6].dau == 1 and out[6].stickiness == 0.5
+
+    def test_multiple_events_per_day_count_once(self, spark):
+        from gpd_lite_toolbox_spark.operators.temporal import dau_wau
+
+        ev = self._events(spark, [(1, 0.1), (1, 0.2), (1, 0.3)])
+        out = dau_wau(ev).collect()
+        assert len(out) == 1 and out[0].dau == 1 and out[0].wau == 1
