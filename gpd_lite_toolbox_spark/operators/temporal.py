@@ -422,6 +422,10 @@ def retention_cohorts(
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        # both the size lookup and the output read this (cohorts x
+        # weeks)-sized table: persist so the corpus-sized distinct
+        # exchange upstream runs once, not twice
+        .persist()
     )
     size = act.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("_size")
@@ -544,6 +548,9 @@ def dau_wau(
             F.expr(f"unix_micros({ts_col}) div {int(day_us)}").alias("day"),
         )
         .distinct()
+        # dau and the WAU fan-out both read the per-day distinct
+        # table: persist so the corpus-sized exchange runs once
+        .persist()
     )
     dau = du.groupBy("day").agg(F.countDistinct("u").cast("bigint").alias("dau"))
     contrib = du.select(
