@@ -2708,6 +2708,19 @@ def _q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau_wau(s.table("events").filter(F.col("event_id") % 17 < 2))
 
 
+def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot stat-drift gate: orders vs a %7-filtered 'new crawl'
+    (planted row loss); integer cross-multiplication rate test."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.audit import profile_drift
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    o = s.table("orders")
+    return profile_drift(o, o.filter(F.col("o_orderkey") % 7 != 0))
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3225,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _q_session_paths,
         "dedup_pr": _q_dedup_pr,
         "dau_wau": _q_dau_wau,
+        "profile_drift": _q_profile_drift,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3469,6 +3483,7 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": OR.SESSION_PATHS,
         "dedup_pr": OR.DEDUP_PR,
         "dau_wau": OR.DAU_WAU,
+        "profile_drift": OR.PROFILE_DRIFT,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

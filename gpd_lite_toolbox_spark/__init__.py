@@ -58,6 +58,7 @@ from .operators.audit import (  # noqa: F401
     quality_report,
     uniqueness_violations,
     table_profile,
+    profile_drift,
 )
 from .operators.cdc import apply_changes  # noqa: F401
 from .operators.skew import salted_join, skew_stats  # noqa: F401
@@ -467,5 +468,6 @@ __all__ = [
     "session_paths",
     "pair_pr",
     "dau_wau",
+    "profile_drift",
 ]
 __version__ = "0.1.0"

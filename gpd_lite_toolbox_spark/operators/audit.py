@@ -352,3 +352,45 @@ def table_profile(df: DataFrame) -> DataFrame:
         ]
     )
     return one.select(F.explode(entries).alias("_e")).select("_e.*")
+
+
+def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot statistical drift: ``table_profile`` of
+    two versions of the same table joined per column — the ingest
+    gate that catches "the new crawl dropped half the rows of one
+    column" or "this column's cardinality exploded" BEFORE row-level
+    diffing (``corpus_diff`` / CDC) is even worth running.
+
+    Columns: ``(column, n_rows_old, n_rows_new, n_nulls_old,
+    n_nulls_new, n_distinct_old, n_distinct_new, drifted)`` —
+    ``drifted`` is true when null count or distinct count changed
+    relative to the row-count change (exact-ratio test on integers:
+    nulls/distincts that simply scale with rows are NOT drift).
+
+    Scale shape: two ``table_profile`` passes (one aggregate each) and
+    a |columns|-row join — nothing else.
+    """
+    po = table_profile(old).select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("n_nulls_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    pn = table_profile(new).select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("n_nulls_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    j = po.join(pn, "column")
+    # integer cross-multiplication, no float ratios: nulls_new *
+    # rows_old == nulls_old * rows_new iff the null RATE is unchanged
+    null_drift = (
+        F.col("n_nulls_new") * F.col("n_rows_old")
+        != F.col("n_nulls_old") * F.col("n_rows_new")
+    )
+    dist_drift = (
+        F.col("n_distinct_new") * F.col("n_rows_old")
+        != F.col("n_distinct_old") * F.col("n_rows_new")
+    )
+    return j.withColumn("drifted", null_drift | dist_drift)

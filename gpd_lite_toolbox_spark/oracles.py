@@ -4584,3 +4584,38 @@ SELECT d.day, d.dau, w.wau,
        ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
 FROM dau d JOIN wau w ON w.day = d.day
 """
+
+
+# Snapshot stat drift (operators/audit.py profile_drift) over orders
+# old vs new = %7-filtered (planted row-loss drift); the oracle
+# re-derives both per-column profiles and the integer cross-
+# multiplication rate test.
+_PD_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+
+
+def _pd_profile(src: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM {src}"""
+        for c in _PD_COLS
+    )
+
+
+PROFILE_DRIFT = f"""
+WITH nw AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+po AS ({_pd_profile('orders')}),
+pn AS ({_pd_profile('nw')})
+SELECT po.column,
+       po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+       po.n_nulls AS n_nulls_old, pn.n_nulls AS n_nulls_new,
+       po.n_distinct AS n_distinct_old, pn.n_distinct AS n_distinct_new,
+       (pn.n_nulls * po.n_rows <> po.n_nulls * pn.n_rows)
+       OR (pn.n_distinct * po.n_rows <> po.n_distinct * pn.n_rows)
+           AS drifted
+FROM po JOIN pn ON pn.column = po.column
+"""

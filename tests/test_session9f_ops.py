@@ -118,3 +118,34 @@ class TestRetrievalMetrics:
         out = {r.metric: r.value
                for r in retrieval_metrics(res, truth, ks=(1,)).collect()}
         assert out["recall@1"] == 0.5 and out["mrr"] == 0.5
+
+
+class TestProfileDrift:
+    def test_pure_scaling_is_not_drift(self, spark):
+        from gpd_lite_toolbox_spark.operators.audit import profile_drift
+
+        # new = old duplicated 2x: rows, nulls, distincts all scale
+        # exactly (distinct unchanged -> flagged; null RATE unchanged
+        # -> not flagged on nulls). Build a column where everything
+        # scales: unique keys duplicated double distincts? No — use
+        # the null-rate law: 1 null in 4 rows vs 2 nulls in 8 rows.
+        old = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b"), (4, "c")], "k long, s string"
+        )
+        new = old.unionAll(old)
+        out = {r.column: r for r in profile_drift(old, new).collect()}
+        # nulls scaled exactly; distincts did NOT scale (same values)
+        assert out["s"].n_nulls_old == 1 and out["s"].n_nulls_new == 2
+        assert out["s"].drifted  # distinct count failed to scale
+        # a strictly identical snapshot shows zero drift anywhere
+        same = profile_drift(old, old).collect()
+        assert all(not r.drifted for r in same)
+
+    def test_null_rate_change_flags(self, spark):
+        from gpd_lite_toolbox_spark.operators.audit import profile_drift
+
+        old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        new = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
+        out = {r.column: r for r in profile_drift(old, new).collect()}
+        assert out["s"].drifted
+        assert not out["k"].drifted
