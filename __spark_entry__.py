@@ -2721,6 +2721,31 @@ def _q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_drift(o, o.filter(F.col("o_orderkey") % 7 != 0))
 
 
+def _q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video scene segmentation over sampled frames (signatures
+    from the binary payload; the oracle counts distinct scene blocks
+    independently of the lag-run logic)."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        decode_image_meta,
+        scene_changes,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    docs = s.table("documents").select(
+        "doc_id", (F.col("doc_id") % OR.FRAME_SEED_MOD).alias("vid_seed")
+    )
+    vids = attach_fake_media(docs, id_col="vid_seed").filter(
+        F.col("media_kind") == "video"
+    )
+    return scene_changes(
+        decode_image_meta(vids), every_n=5, scene_len=30
+    )
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC corpus round-trip: documents -> one .warc segment per
     partition (length-prefixed WARC/1.0 conversion records) ->
@@ -3239,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pr": _q_dedup_pr,
         "dau_wau": _q_dau_wau,
         "profile_drift": _q_profile_drift,
+        "scene_changes": _q_scene_changes,
         # --- green in r1/r2, truncated out of r3 (stale but green) ---
         "embedding_dups": _q_embedding_dups,
         "media_pipeline": _q_media_pipeline,
@@ -3484,6 +3510,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pr": OR.DEDUP_PR,
         "dau_wau": OR.DAU_WAU,
         "profile_drift": OR.PROFILE_DRIFT,
+        "scene_changes": OR.SCENE_CHANGES,
         "weighted_sample_grouped": OR.WEIGHTED_SAMPLE_GROUPED,
         "cartogram": OR.CARTOGRAM_STEP,
         "dorling_stats": OR.DORLING_STATS,

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "session_paths",
     "dau_wau",
     "profile_drift",
+    "scene_changes",
     # dedup_pr deliberately NOT benched: its ground-truth side IS the
     # exhaustive ngram_jaccard_prefix baseline excluded above (12 s at
     # sf0.1 — the quadratic-ish truth, not the operator under test);

@@ -202,6 +202,8 @@ from .sources.maintenance import compaction_plan, file_stats  # noqa: F401
 from .media.multimodal import (  # noqa: F401
     dedup_frames,
     frame_signature_expr,
+    scene_changes,
+    scene_signature_expr,
 )
 from .vector.project import random_projection  # noqa: F401
 from .vector.pq import (  # noqa: F401
@@ -469,5 +471,6 @@ __all__ = [
     "pair_pr",
     "dau_wau",
     "profile_drift",
+    "scene_changes",
 ]
 __version__ = "0.1.0"

@@ -377,3 +377,71 @@ def dedup_frames(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def scene_signature_expr(
+    media_col: str = "media",
+    frame_idx_col: str = "frame_idx",
+    scene_len: int = 30,
+) -> "F.Column":
+    """Scene-level content signature of a sampled frame: md5 over
+    (hex of the first body block || '_s' || frame_idx div scene_len).
+    Under the fake decoder a video's content is constant within each
+    ``scene_len``-frame block (the stub stands in for "decode the
+    frame, hash its pixels" — consecutive frames of one scene hash
+    equal, a cut changes the hash), so scene detection downstream is
+    exercised end-to-end while the pixel decode itself stays the
+    documented environment-gated stub."""
+    return F.md5(
+        F.concat(
+            F.lower(F.hex(F.substring(F.col(media_col), 17, 16))),
+            F.lit("_s"),
+            F.expr(f"CAST({frame_idx_col} div {int(scene_len)} AS STRING)"),
+        )
+    )
+
+
+def scene_changes(
+    df: DataFrame,
+    every_n: int = 5,
+    scene_len: int = 30,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Per-video scene segmentation over sampled frames: order the
+    sampled frames, fingerprint each (``scene_signature_expr``), and
+    count signature RUNS (a change between consecutive sampled frames
+    is a cut) — the shot-boundary report a video-curation pipeline
+    logs before per-scene captioning/sampling.
+
+    Columns: ``(doc_id, n_sampled, n_scenes)`` — n_scenes = 1 + number
+    of consecutive-signature changes; zero-frame media emit no row.
+
+    Scale shape: ``sample_frames``' explode, ONE video-keyed window
+    for the lag compare (frames of a video are sequence-bounded), one
+    partial-combined rollup. The signature is computed from the
+    payload bytes — the production shape survives when the stub
+    decoder is swapped for a real one.
+    """
+    from pyspark.sql import Window
+
+    frames = sample_frames(df, every_n).withColumn(
+        "_sig", scene_signature_expr(media_col, "frame_idx", scene_len)
+    )
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    chg = (
+        F.when(
+            F.lag("_sig").over(w).isNotNull()
+            & (F.col("_sig") != F.lag("_sig").over(w)),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        frames.withColumn("_chg", chg)
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            (F.sum("_chg") + 1).cast("bigint").alias("n_scenes"),
+        )
+    )

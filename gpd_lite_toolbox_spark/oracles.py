@@ -4619,3 +4619,24 @@ SELECT po.column,
            AS drifted
 FROM po JOIN pn ON pn.column = po.column
 """
+
+
+# Per-video scene segmentation (media/multimodal.py scene_changes):
+# the oracle derives scene counts INDEPENDENTLY — count of DISTINCT
+# scene blocks among the sampled frame indices (scene ids are
+# monotone in frame_idx, so distinct blocks == 1 + lag-run changes,
+# which is what the Spark side counts).
+_SCENE_EVERY_N, _SCENE_LEN = 5, 30
+SCENE_CHANGES = f"""
+WITH v AS (SELECT doc_id, doc_id % {FRAME_SEED_MOD} AS seed
+           FROM documents
+           WHERE (doc_id % {FRAME_SEED_MOD}) % 3 = 2),
+f AS (SELECT doc_id, seed,
+             UNNEST(range(0, 1 + (seed * 31) % 240, {_SCENE_EVERY_N}))
+                 AS frame_idx
+      FROM v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(COUNT(DISTINCT frame_idx // {_SCENE_LEN}) AS BIGINT)
+           AS n_scenes
+FROM f GROUP BY doc_id
+"""

@@ -25,6 +25,7 @@ _ARROW_OK = {
     "semantic_decontaminate",  # Arrow dot kernel vs broadcast eval side
     "media_pipeline",     # image meta decode (mapInPandas)
     "frame_dedup",        # payload attach + meta decode (mapInPandas)
+    "scene_changes",      # same fake-media attach substrate
     "media_features",     # fake-pixel feature kernel
     "audio_chunks",       # chunk planning over binary meta
     "ann_topk",           # vectorized dot product (pandas_udf)

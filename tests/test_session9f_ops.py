@@ -149,3 +149,40 @@ class TestProfileDrift:
         out = {r.column: r for r in profile_drift(old, new).collect()}
         assert out["s"].drifted
         assert not out["k"].drifted
+
+
+class TestSceneChanges:
+    def _vids(self, spark, ids):
+        from gpd_lite_toolbox_spark.media.multimodal import (
+            attach_fake_media,
+            decode_image_meta,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return decode_image_meta(
+            attach_fake_media(df).filter(F.col("media_kind") == "video")
+        )
+
+    def test_scene_count_matches_block_arithmetic(self, spark):
+        from gpd_lite_toolbox_spark.media.multimodal import scene_changes
+
+        ids = [2, 5, 8, 11, 14]  # %3==2 are video
+        out = {r.doc_id: r for r in scene_changes(
+            self._vids(spark, ids), every_n=5, scene_len=30).collect()}
+        for i in out:
+            nf = 1 + (i * 31) % 240
+            sampled = list(range(0, nf, 5))
+            want_scenes = len({f // 30 for f in sampled})
+            assert out[i].n_sampled == len(sampled)
+            assert out[i].n_scenes == want_scenes
+
+    def test_single_scene_video(self, spark):
+        from gpd_lite_toolbox_spark.media.multimodal import scene_changes
+
+        # seed 29: n_frames = 1 + 899 % 240 = 180 -> scene_len 200
+        # covers everything -> exactly one scene
+        out = scene_changes(
+            self._vids(spark, [29]), every_n=5, scene_len=200
+        ).collect()
+        assert len(out) == 1 and out[0].n_scenes == 1
