@@ -127,6 +127,15 @@ _SPOT = [
     "leakage_safe_split",
     "cms_heavy_hitters",
     "retrieval_metrics",
+    # session-10: mixture materialization fan-out at 10x docs; session
+    # collects at 10x events; 7x WAU fan-out at 10x user-days; profile
+    # Expand at 10x rows; frame explode + lag runs at 10x videos
+    # (dedup_pr is excluded like its exhaustive truth side)
+    "epoch_expand",
+    "session_paths",
+    "dau_wau",
+    "profile_drift",
+    "scene_changes",
 ]
 
 
