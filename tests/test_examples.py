@@ -104,3 +104,24 @@ def test_curation_gate_pipeline(spark, sf_dir):
     assert s.max_position == len(cur) - 1
     # the audit only ever reports grams that repeat
     assert all(r.n_occurrences > 1 for r in audit.collect())
+
+
+def test_product_analytics_report(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from product_analytics_report import run
+
+    funnel, cohorts, engagement, paths, transitions = run(spark, sf_dir)
+    f = sorted(funnel.collect(), key=lambda r: r.step)
+    # a funnel only narrows
+    assert f[0].n_users >= f[1].n_users >= f[2].n_users > 0
+    c = cohorts.collect()
+    assert all(0.0 < r.retention <= 1.0 for r in c)
+    # offset-0 rows are the cohort definitions themselves
+    assert all(r.retention == 1.0 for r in c if r.week_offset == 0)
+    e = engagement.collect()
+    assert all(r.dau <= r.wau for r in e)
+    assert all(0.0 < r.stickiness <= 1.0 for r in e)
+    p = paths.collect()
+    assert 0 < len(p) <= 10 and all(r.path.count(">") == 2 for r in p)
+    t = transitions.collect()
+    assert sum(r.n for r in t) > 0
