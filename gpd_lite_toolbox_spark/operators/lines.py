@@ -205,7 +205,14 @@ def match_line_cluster(
 
     pa = line_params(verts_a).withColumn("_side", F.lit("a"))
     pb = line_params(verts_b).withColumn("_side", F.lit("b"))
-    pooled = pa.unionByName(pb)
+    # k-means|| init samples depend on the physical partitioning of the
+    # fit input, so a seed alone does not pin the clustering (r4 driver
+    # run split one twin pair that the identical local run kept).  The
+    # descriptor table is |A|+|B| rows — one sorted partition makes the
+    # fit partition-stable at zero real cost.
+    pooled = pa.unionByName(pb).coalesce(1).sortWithinPartitions(
+        "id", "_side"
+    )
     va = VectorAssembler(
         inputCols=["cx", "cy", "length", "bearing"], outputCol="features"
     )

@@ -247,6 +247,37 @@ def cosine_topk(
     return _rank_topk(_score_pairs(v.crossJoin(q), dims), k)
 
 
+def _coarse_cells_arrow(coarse):
+    """Arrow kernel for explicit-quantizer cell assignment: argmin over
+    full-dim L2² to the given centroid list, SEQUENTIAL per-dim
+    accumulation and first-min ties (np.argmin) — the exact op order of
+    the _route_probes fold and of the DuckDB replay
+    (oracles.ANN_IVF_TOPK), so all three forms are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(coarse, dtype=np.float64)
+    nc, cdims = C.shape
+
+    @pandas_udf("int")
+    def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        cd = np.zeros((n, nc), dtype=np.float64)
+        for i in range(nc):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(cdims):
+                t = X[:, d] - C[i, d]
+                acc = acc + t * t
+            cd[:, i] = acc
+        return pd.Series(np.argmin(cd, axis=1).astype(np.int32))
+
+    # deterministic value; flag only stops Catalyst re-evaluating the
+    # projection per consumer (same recipe as _dot_arrow)
+    return cells.asNondeterministic()
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -258,6 +289,7 @@ def ann_ivf_topk(
     seed: int = 42,
     max_iter: int = 5,
     dims: int | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``n_centroids`` cells; each query scores
@@ -268,6 +300,14 @@ def ann_ivf_topk(
     structure, not convergence — measured recall@5 was flat from 5 to
     10 iterations on the clustered fixture while fit time halved.
 
+    Pass ``centroids`` (a list of centroid vectors, e.g.
+    ``vector.pq.default_coarse_centroids()``) to skip the KMeans fit
+    and use an EXPLICIT quantizer: cell assignment becomes a map-only
+    Arrow argmin, the whole route+score path is deterministic, and the
+    result is hash-gateable in DuckDB (oracles.ANN_IVF_TOPK) — the
+    same recipe that gates ann_ivfpq_topk. ``n_centroids`` is ignored
+    in that case.
+
     The 100 TB shape: the centroid table is tiny (broadcast to both
     sides), the corpus is shuffled ONCE by cell id — in a warehouse this
     is the persisted/bucketed inverted file, amortized across query
@@ -275,9 +315,21 @@ def ann_ivf_topk(
     n_centroids instead of |corpus|. Recall is tunable by n_probe
     (n_probe = n_centroids degenerates to exact brute force).
     """
-    inverted, centers = _fit_ivf(
-        vectors, n_centroids, id_col, vec_col, seed, max_iter, dims
-    )
+    if centroids is not None:
+        inverted = _corpus_side(vectors, id_col, vec_col, dims).withColumn(
+            "cell", _coarse_cells_arrow(centroids)(F.col("nv"))
+        )
+        centers = vectors.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(centroids)
+            ],
+            "cell int, cv array<double>",
+        )
+    else:
+        inverted, centers = _fit_ivf(
+            vectors, n_centroids, id_col, vec_col, seed, max_iter, dims
+        )
     q = _query_side(queries, id_col, vec_col, dims)
     probes = _route_probes(q, centers, n_probe)
     return _rank_topk(_score_pairs(probes.join(inverted, "cell"), dims), k)

@@ -174,10 +174,17 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
 
 
 def test_ann_ivf_recall_vs_brute(spark, sf_dir):
+    """KMeans-fit IVF path (the queries() entry now runs the
+    hash-gated explicit-quantizer form; this keeps the trained
+    quantizer covered)."""
+    from gpd_lite_toolbox_spark.vector.ann import ann_ivf_topk
+
     import __spark_entry__ as E
 
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
     brute = E.queries()["ann_topk"](spark, sf_dir).filter(F.col("rank") <= 5)
-    ivf = E.queries()["ann_ivf_topk"](spark, sf_dir)
+    ivf = ann_ivf_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     i = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     recall = len(b & i) / len(b)
