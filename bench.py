@@ -301,12 +301,37 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    out = {
+    full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+    }
+    if errors:
+        full["errors"] = errors
+    # The driver records the TAIL of stdout; a ~180-entry query map
+    # overflowed its capture window in round 4 (BENCH_r04.json parsed:
+    # null, per-query times unrecoverable). Keep the printed line
+    # compact — totals + the top-30 slowest (the only per-query
+    # numbers a regression diff acts on) — and write the FULL map
+    # next to the harness for the complete record.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    top = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+    )
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": top,
+        "sf": sf,
+        "full_map": "BENCH_FULL.json",
     }
     if errors:
         out["errors"] = errors

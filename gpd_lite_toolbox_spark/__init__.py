@@ -8,6 +8,7 @@ reference user finds the same names here, each returning DataFrames
 instead of GeoDataFrames. See SURVEY.md §8 for the full coverage map.
 """
 
+from .cache import release_caches, tracked_persist  # noqa: F401
 from .operators.cartogram import (  # noqa: F401
     dorling_radius,
     dorling_radius2,

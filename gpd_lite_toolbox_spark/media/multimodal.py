@@ -7,18 +7,19 @@ Schema convention:
     media_meta: struct<kind string, n_bytes bigint, width int,
                        height int, sample_rate int, n_frames int>
 
-The real decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the DECODE step is stubbed two ways, both behind the same
-Spark plumbing (Arrow-batched ``mapInPandas``, partition-parallel,
-schema-stable):
+The real decode libraries (ffmpeg/torchaudio) are NOT in this
+container, so decoding is layered behind the same Spark plumbing
+(Arrow-batched ``mapInPandas``, partition-parallel, schema-stable):
 
 - ``decode_image_meta``: a deterministic fake decoder that parses the
   payload's leading bytes as (width, height) — real batch shape, real
   schema, fake pixels; lets every downstream op (resize bookkeeping,
   frame sampling, feature hashing) be exercised and tested.
-- ``decode_image_pixels``: raises NotImplementedError with the exact
-  integration point documented — swap the body for PIL/turbojpeg on a
-  real cluster; the partitioning/batching around it already works.
+- ``decode_image_pixels``: a REAL image decode when Pillow is
+  importable on the executors (grayscale raster + pixel stats), with
+  the deterministic fake-codec contract as the fallback when it is
+  not (this container) or when a payload is corrupt — same output
+  schema on both paths, ``px_codec`` records which ran.
 
 ``attach_fake_media`` derives payloads deterministically from an id
 column so fixtures exist at every scale factor.
@@ -127,14 +128,104 @@ def decode_image_meta(
     )
 
 
-def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Integration point for a REAL image decode (PIL/turbojpeg absent
-    in this container). Raises immediately rather than at executor time
-    so misuse is visible at plan construction."""
-    raise NotImplementedError(
-        "pixel decode requires an image library not present in this "
-        "environment; plug PIL/turbojpeg into the mapInPandas body of "
-        "decode_image_meta — the batching/schema plumbing is identical"
+def pil_available() -> bool:
+    """True when Pillow is importable in THIS interpreter — callers
+    (and the auto-skipping decode pytest) use it to know which codec
+    ``decode_image_pixels`` will run."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_pixels(
+    df: DataFrame, media_col: str = "media", header_bytes: int = 16
+) -> DataFrame:
+    """Pixel decode with a REAL codec when one exists: when Pillow is
+    importable on the executors, each payload is decoded as an actual
+    image container (JPEG/PNG/anything PIL reads), converted to 8-bit
+    grayscale, and per-image pixel statistics are computed over the
+    TRUE raster; when Pillow is absent — this container — the
+    deterministic fake-codec contract applies unchanged (16-byte
+    ``<IIII`` header + raw-uint8 body), so the operator is total in
+    both environments and the output SCHEMA is identical either way.
+    A payload the real codec cannot parse (crawl data always carries
+    corrupt images) also falls back to the fake-codec interpretation
+    instead of killing the Arrow batch.
+
+    Output adds: ``px_codec`` ('pil' | 'raw'), ``px_w``, ``px_h``
+    (decoder-reported dimensions; header dimensions on the raw path),
+    ``px_n``, ``px_mean``, ``px_std`` (round 6, population, exact
+    integer sum/sum-of-squares form shared with
+    ``extract_media_features``), ``px_min``, ``px_max``.
+
+    Scale shape: one Arrow ``mapInPandas`` projection, no shuffle —
+    decode cost rides the scan, exactly where a 100 TB media pipeline
+    wants it (decode-at-ingest, features downstream)."""
+    import io
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+        for pdf in batches:
+            cols: dict = {c: [] for c in (
+                "px_codec", "px_w", "px_h", "px_n",
+                "px_mean", "px_std", "px_min", "px_max",
+            )}
+            for payload in pdf[media_col]:
+                b = bytes(payload)
+                body = None
+                codec = "raw"
+                w = h = 0
+                if _Image is not None:
+                    try:
+                        img = _Image.open(io.BytesIO(b)).convert("L")
+                        w, h = img.size
+                        body = np.asarray(img, dtype=np.uint8).ravel()
+                        codec = "pil"
+                    except Exception:
+                        body = None
+                if body is None:
+                    if len(b) >= header_bytes:
+                        w, h, _sr, _nf = struct.unpack_from("<IIII", b, 0)
+                    body = np.frombuffer(b[header_bytes:], dtype=np.uint8)
+                n = len(body)
+                if n == 0:
+                    mean = std = 0.0
+                    mn = mx = 0
+                else:
+                    s = int(body.sum())
+                    s2 = int((body.astype(np.int64) ** 2).sum())
+                    mean = s / n
+                    std = float(np.sqrt((s2 - s * s / n) / n))
+                    mn, mx = int(body.min()), int(body.max())
+                cols["px_codec"].append(codec)
+                cols["px_w"].append(int(w))
+                cols["px_h"].append(int(h))
+                cols["px_n"].append(n)
+                cols["px_mean"].append(round(mean, 6))
+                cols["px_std"].append(round(std, 6))
+                cols["px_min"].append(mn)
+                cols["px_max"].append(mx)
+            out = pdf.copy()
+            for c, vals in cols.items():
+                out[c] = vals
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        _decode,
+        schema=(
+            f"{schema}, px_codec string, px_w int, px_h int, "
+            "px_n bigint, px_mean double, px_std double, "
+            "px_min int, px_max int"
+        ),
     )
 
 

@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 def asof_join(
     left: DataFrame,
@@ -353,7 +355,7 @@ def conversion_funnel(
         # each stage feeds BOTH the next stage's join and its own
         # count — persist so the shared prefix evaluates once; the
         # whole funnel stays lazy (no driver-side counts)
-        reached = stage.persist()
+        reached = tracked_persist(stage)
         stage_counts.append(
             reached.agg(
                 F.count("*").cast("bigint").alias("n_users")
@@ -425,8 +427,8 @@ def retention_cohorts(
         # both the size lookup and the output read this (cohorts x
         # weeks)-sized table: persist so the corpus-sized distinct
         # exchange upstream runs once, not twice
-        .persist()
     )
+    act = tracked_persist(act)
     size = act.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("_size")
     )
@@ -550,8 +552,8 @@ def dau_wau(
         .distinct()
         # dau and the WAU fan-out both read the per-day distinct
         # table: persist so the corpus-sized exchange runs once
-        .persist()
     )
+    du = tracked_persist(du)
     dau = du.groupBy("day").agg(F.countDistinct("u").cast("bigint").alias("dau"))
     contrib = du.select(
         "u", F.explode(F.expr("sequence(day, day + 6)")).alias("day")

@@ -79,6 +79,19 @@ def write_warc(
 
     if compression not in (None, "gzip"):
         raise ValueError(f"unsupported compression: {compression!r}")
+    # The sink lists/deletes/commits with driver-local os/glob calls
+    # while executors os.replace segments into place — correct ONLY on
+    # a POSIX filesystem every node shares. A URI path (s3://, hdfs://,
+    # file:// ...) would scatter segments to executor-local disks and
+    # silently no-op the stale-segment cleanup, so reject it outright;
+    # object-store deployments should route through the Hadoop
+    # FileSystem API (a different sink, not a silent fallback).
+    if "://" in path:
+        raise ValueError(
+            f"write_warc requires a shared-POSIX filesystem path, got "
+            f"URI {path!r}: listing/cleanup/commit use driver-local "
+            f"os/glob and executor-local os.replace"
+        )
     suffix = ".warc.gz" if compression == "gzip" else ".warc"
     os.makedirs(path, exist_ok=True)
     for stale in glob.glob(os.path.join(path, "*.warc")) + glob.glob(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 def _tokens(
     corpus: DataFrame,
@@ -66,9 +68,9 @@ def train_nb(
     # derive from the (vocab-sized) per-(class, token) aggregate — the
     # module discipline unigram_logprob/build_vocab document, not a
     # re-tokenization per statistic.
-    class_tok = toks.groupBy("label", "tok").agg(
-        F.count("*").alias("n_tok")
-    ).persist()
+    class_tok = tracked_persist(
+        toks.groupBy("label", "tok").agg(F.count("*").alias("n_tok"))
+    )
     class_tot = class_tok.groupBy("label").agg(
         F.sum("n_tok").alias("n_total")
     )
@@ -93,8 +95,8 @@ def train_nb(
         # class-count-sized; consumed by the model join AND every
         # scoring pass — caching it stops each consumer replaying the
         # four corpus-scale aggregates behind it
-        .persist()
     )
+    classes = tracked_persist(classes)
     model = (
         class_tok.join(
             classes.select("label", "n_total", "v"), "label"

@@ -26,20 +26,23 @@ document-frequency counts and emit duplicate signatures. Run
 keys; this is the same contract every id-keyed operator in the
 package already assumes.
 
-Cache lifecycle: the pair operators ``persist()`` intermediates that
-feed both sides of a join (signatures, the shingle layout, sorted
-sets) and return a LAZY frame that depends on them — they cannot
-unpersist before the caller consumes the result. A long-lived service
-calling these repeatedly should unpersist via
-``spark.catalog.clearCache()`` between batches (or rely on
-ContextCleaner GC); ``dup_groups``, which materializes internally,
-releases its own caches.
+Cache lifecycle: the pair operators persist intermediates that feed
+both sides of a join (signatures, the shingle layout, sorted sets)
+and return a LAZY frame that depends on them — they cannot unpersist
+before the caller consumes the result. Those persists go through
+``cache.tracked_persist``; a long-lived service calling pair
+operators per batch frees exactly the package's caches with
+``gpd_lite_toolbox_spark.release_caches()`` (no global
+``spark.catalog.clearCache()`` needed). ``dup_groups``, which
+materializes internally, releases its own caches.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..cache import tracked_persist
 
 # minhash parameters (documented constants — change = new signature space)
 SHINGLE_K = 8
@@ -287,7 +290,9 @@ def minhash_lsh_pairs(
     # per-row signature fold (md5 per shingle) per consumer. The
     # shingle TABLE no longer exists in this operator at all — both
     # the signatures and the verify sets are row-local projections.
-    sig = minhash_signatures(corpus, id_col=id_col, text_col=text_col).persist()
+    sig = tracked_persist(
+        minhash_signatures(corpus, id_col=id_col, text_col=text_col)
+    )
     bands = minhash_band_keys(sig)
     if bucket_cap is not None:
         # Degenerate-bucket skew guard (same role as embedding_near_
@@ -468,7 +473,9 @@ def ingest_near_dups(
     from functools import reduce
     from operator import or_
 
-    sig_n = minhash_signatures(batch, id_col=id_col, text_col=text_col).persist()
+    sig_n = tracked_persist(
+        minhash_signatures(batch, id_col=id_col, text_col=text_col)
+    )
     bands_n = minhash_band_keys(sig_n).withColumn(
         "bucket", F.substring("band_key", 1, _IDX_BUCKET_HEX)
     )
@@ -478,13 +485,17 @@ def ingest_near_dups(
     by_band: dict[int, list[str]] = {}
     for r in probed:
         by_band.setdefault(r.band, []).append(r.bucket)
+    from pyspark.errors import AnalysisException
+
     try:
         idx_bands = spark.read.parquet(f"{path}/bands")
-    except Exception:
-        # an index written over an EMPTY corpus has no part files
-        # (partitionBy writes nothing for zero rows) — a legitimate
-        # state for a day-1 pipeline; nothing can match, schema from
-        # the batch
+    except AnalysisException:
+        # PATH_NOT_FOUND only: an index written over an EMPTY corpus
+        # has no part files (partitionBy writes nothing for zero rows)
+        # — a legitimate state for a day-1 pipeline; nothing can
+        # match, schema from the batch.  Any OTHER error (IO,
+        # permissions, corrupt footer) must propagate — swallowing it
+        # would silently admit every batch document as non-duplicate.
         sig_n.unpersist()
         return batch.select(
             F.col(id_col).alias("id_a"),
@@ -794,12 +805,48 @@ def embedding_near_dups(
     )
 
 
+def ngram_doc_sets(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    set_expr=None,
+) -> DataFrame:
+    """The n-gram pair family's shared substrate: per-doc SORTED
+    distinct hashed-shingle set + size, ``(id, _fs, n_sh)`` — one
+    md5-fold projection over the corpus that every phase of every
+    family member derives from (candidate explode, prefix slice,
+    verify arrays).  Callers persist it (``cache.tracked_persist``)
+    and pass it to ``ngram_jaccard_pairs`` / ``ngram_jaccard_prefix_
+    pairs`` via ``sets=`` so the corpus-scale shingling runs ONCE per
+    batch instead of once per phase per operator — the fold is the
+    family's measured floor, not the joins.  ``set_expr`` swaps the
+    set definition (containment passes word n-grams)."""
+    if set_expr is None:
+        set_expr = shingle_array_expr
+    return _widen(corpus).select(
+        F.col(id_col).alias("id"),
+        F.array_sort(set_expr(text_col)).alias("_fs"),
+    ).withColumn("n_sh", F.size("_fs").cast("bigint"))
+
+
+def _sets_exploded(sets: DataFrame) -> DataFrame:
+    """(id, shingle) inverted-index layout derived from the shared
+    sets table: explode of the (already distinct) per-doc array,
+    repartitioned so the df-window / groupBy consumers inherit
+    hash(shingle) co-location — the same layout ``shingles()`` hands
+    out, minus the second md5 fold over the corpus."""
+    return sets.select(
+        "id", F.explode("_fs").alias("shingle")
+    ).repartition("shingle")
+
+
 def ngram_jaccard_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,
     max_df: int | None = None,
     id_col: str = "id",
     text_col: str = "text",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs: (id_a, id_b, jaccard)
     with id_a < id_b and jaccard >= threshold — the deterministic
@@ -833,15 +880,22 @@ def ngram_jaccard_pairs(
     indexes every shingle). Reference scope: an extension beyond
     gpd_lite_toolbox (BASELINE.json north star: LLM-pipeline dedup
     family).
+
+    ``sets``: a pre-persisted ``ngram_doc_sets`` table to share the
+    one corpus-scale md5 fold across BOTH phases here and across the
+    family's other members in the same batch; None builds (and
+    tracked-persists) it internally.
     """
     # hashed shingles: every exchange/join/array below carries longs
     # (see shingles docstring for the cross-engine exactness argument)
-    sh = shingles(corpus, id_col, text_col, hashed=True)
+    if sets is None:
+        sets = tracked_persist(ngram_doc_sets(corpus, id_col, text_col))
+    sh = _sets_exploded(sets)
     if max_df is None:
         # exhaustive path: a stop-shingle's postings list is unbounded,
         # so pair generation stays a self-join (nothing materializes a
-        # hot shingle's full membership in one row)
-        sh = sh.persist()
+        # hot shingle's full membership in one row); sets is already
+        # persisted, so both join sides read the materialized arrays
         cand = (
             sh.select(F.col("id").alias("id_a"), "shingle")
             .join(
@@ -853,7 +907,7 @@ def ngram_jaccard_pairs(
         )
     else:
         cand = _df_capped_candidates(sh, max_df)
-    scored = _pair_overlap(cand, corpus, id_col, text_col)
+    scored = _pair_overlap(cand, corpus, id_col, text_col, fsets=sets)
     return (
         scored.withColumn(
             "jaccard",
@@ -913,6 +967,7 @@ def _pair_overlap(
     id_col: str,
     text_col: str,
     set_expr=None,
+    fsets: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, na, nb, n_inter) overlap accounting shared by the
     n-gram pair family: full sorted shingle-set + size per doc as a
@@ -924,12 +979,8 @@ def _pair_overlap(
     no replan needed. ``set_expr`` swaps the per-doc set definition
     (default: strided char shingles; containment passes word
     n-grams)."""
-    if set_expr is None:
-        set_expr = shingle_array_expr
-    fsets = _widen(corpus).select(
-        F.col(id_col).alias("id"),
-        F.array_sort(set_expr(text_col)).alias("_fs"),
-    ).withColumn("n_sh", F.size("_fs").cast("bigint"))
+    if fsets is None:
+        fsets = ngram_doc_sets(corpus, id_col, text_col, set_expr=set_expr)
     return (
         cand.join(
             fsets.select(
@@ -985,6 +1036,8 @@ def dup_groups(
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
     max_iter: int = 20,
+    text_col: str = "text",
+    strict: bool = False,
 ) -> DataFrame:
     """Duplicate CLUSTERS from near-duplicate pairs: connected
     components of the pair graph, labeled by the component's minimum
@@ -1008,9 +1061,17 @@ def dup_groups(
     Oracle independence: the DuckDB gate closes components with a
     recursive-CTE reachability walk, not label propagation — the two
     derivations only agree if the component semantics are right.
+
+    ``strict=True`` raises instead of warning when ``max_iter`` rounds
+    leave labels still moving: known-incomplete clusters silently
+    flowing into the keep-one-representative rule downstream means a
+    dedup pass that KEEPS duplicates, which a strict pipeline should
+    fail on rather than log.
     """
     if pairs is None:
-        pairs = minhash_lsh_pairs(corpus, threshold=threshold, id_col=id_col)
+        pairs = minhash_lsh_pairs(
+            corpus, threshold=threshold, id_col=id_col, text_col=text_col
+        )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -1062,15 +1123,18 @@ def dup_groups(
         # exhausting max_iter with labels still moving means some
         # nodes carry non-minimal group ids: the keep-id==group_id
         # rule would then keep several representatives of one true
-        # cluster. Loud, not silent.
-        import warnings
-
-        warnings.warn(
+        # cluster. Loud, not silent — and fatal under strict.
+        msg = (
             f"dup_groups did not converge within max_iter={max_iter} "
             f"rounds ({changed} labels still changing) — a pair chain "
-            "longer than max_iter exists; raise max_iter",
-            stacklevel=2,
+            "longer than max_iter exists; raise max_iter"
         )
+        if strict:
+            edges.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     edges.unpersist()
     sizes = labels.groupBy("group_id").agg(
         F.count("*").alias("group_size")
@@ -1086,6 +1150,8 @@ def dedup_canonical(
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
     max_iter: int = 20,
+    text_col: str = "text",
+    strict: bool = False,
 ) -> DataFrame:
     """Retention policy on top of ``dup_groups``: which copy of each
     duplicate cluster does the training set KEEP? Not the arbitrary
@@ -1113,8 +1179,9 @@ def dedup_canonical(
         corpus, id_col=id_col, threshold=threshold, pairs=pairs,
         max_iter=max_iter,  # exposed: the convergence warning says
         # "raise max_iter" and this is the public retention entry point
+        text_col=text_col, strict=strict,
     )
-    q = quality_score(corpus, id_col=id_col)
+    q = quality_score(corpus, id_col=id_col, text_col=text_col)
     w = Window.partitionBy("group_id").orderBy(
         F.col("quality").desc(), F.col("id").asc()
     )
@@ -1175,6 +1242,7 @@ def split_leakage(
     threshold: float = 0.5,
     id_col: str = "id",
     pairs: DataFrame | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Eval-set hygiene check: near-duplicate pairs whose members sit
     in DIFFERENT splits — the leak a random train/test split of an
@@ -1193,7 +1261,9 @@ def split_leakage(
     100 TB. Nothing here re-touches raw text.
     """
     if pairs is None:
-        pairs = minhash_lsh_pairs(corpus, threshold=threshold, id_col=id_col)
+        pairs = minhash_lsh_pairs(
+            corpus, threshold=threshold, id_col=id_col, text_col=text_col
+        )
     sa = splits.select(
         F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
     )
@@ -1510,6 +1580,7 @@ def ngram_jaccard_prefix_pairs(
     threshold: float = 0.5,
     id_col: str = "id",
     text_col: str = "text",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXHAUSTIVELY exact n-gram Jaccard pairs via prefix filtering
     (the PPJoin family's candidate pruning): every pair with RAW
@@ -1536,32 +1607,70 @@ def ngram_jaccard_prefix_pairs(
     quotient, not the rounded display value, so the prefix guarantee
     and the emitted set agree bit-for-bit with an exhaustive oracle).
 
+    The PPJoin companion filters prune the candidate stream rowwise
+    BEFORE the distinct exchange, both exact for the threshold:
+    LENGTH — J >= t forces t·|A| <= |B| <= |A|/t; POSITION — for the
+    pair's smallest common shingle x, every common element sits at
+    pos >= pos(x) on both sides, so I <= 1 + min(|A|-pos_a(x),
+    |B|-pos_b(x)), which must reach ceil(t/(1+t)·(|A|+|B|)) (the
+    J-to-overlap conversion). A qualifying pair's smallest-common-
+    shingle row always passes both, so recall stays exactly 1; rows
+    matched only through late prefix positions drop map-side
+    (measured at sf0.1: 8.4M -> 3.1M candidate pairs, verify cost
+    ~halved, same 1182-pair output).
+
     Scale: the candidate join remains bounded by prefix-shingle
     document frequencies — on corpora with heavy stop-shingles prefer
     ``ngram_jaccard_pairs(max_df=...)``, which trades exhaustiveness
     for a hard fan-out bound; this operator is the exact reference.
+    (The canonical PPJoin refinement — a GLOBAL ascending-df shingle
+    order so prefixes hold the rarest shingles — cuts candidates a
+    further ~3x but costs a df aggregate + per-doc re-sort join;
+    measured NET-SLOWER at bench SF, the right trade only when the
+    candidate join, not the fixed exchanges, dominates.)
     """
     t = float(threshold)
-    sets_ = (
-        _widen(corpus)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_sort(shingle_array_expr(text_col)).alias("_fs"),
-        )
-        .withColumn("n_sh", F.size("_fs").cast("bigint"))
-        .withColumn(
-            "_plen",
-            (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1).cast("int"),
-        )
-        .persist()
+    if sets is None:
+        sets = tracked_persist(ngram_doc_sets(corpus, id_col, text_col))
+    # _plen is a cheap arithmetic projection over the (persisted)
+    # shared sets table — the family-shared md5 fold stays shared
+    sets_ = sets.withColumn(
+        "_plen",
+        (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1).cast("int"),
     )
     prefix = sets_.select(
-        "id", F.explode(F.slice("_fs", 1, F.col("_plen"))).alias("shingle")
+        "id",
+        "n_sh",
+        F.posexplode(F.slice("_fs", 1, F.col("_plen"))).alias(
+            "_p", "shingle"
+        ),
+    )
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("na"),
+        (F.col("_p") + 1).alias("_pa"),
+        "shingle",
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("nb"),
+        (F.col("_p") + 1).alias("_pb"),
+        "shingle",
     )
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "shingle")
-        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+            & (
+                F.least(
+                    F.col("na") - F.col("_pa"), F.col("nb") - F.col("_pb")
+                )
+                + 1
+                >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -1768,13 +1877,15 @@ def ngram_containment_pairs(
     n-grams are stop-phrases are unreachable, like every df-capped
     family member (documented loss, bounded fan-out).
     """
-    sh = _widen(corpus).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngram_array_expr(text_col)).alias("shingle"),
-    ).repartition("shingle")
-    cand = _df_capped_candidates(sh, max_df)
+    # one word-n-gram fold over the corpus feeds BOTH the candidate
+    # explode and the verify arrays (same shared-substrate shape as
+    # the char-shingle family)
+    wsets = tracked_persist(
+        ngram_doc_sets(corpus, id_col, text_col, set_expr=word_ngram_array_expr)
+    )
+    cand = _df_capped_candidates(_sets_exploded(wsets), max_df)
     scored = _pair_overlap(
-        cand, corpus, id_col, text_col, set_expr=word_ngram_array_expr
+        cand, corpus, id_col, text_col, fsets=wsets
     )
     return (
         scored.withColumn(
@@ -1908,7 +2019,7 @@ def simhash_hamming_pairs(
     bounds = [SIMHASH_BITS * b // n_bands for b in range(n_bands + 1)]
     # both self-join sides read the fingerprint table: persist it so
     # the token explode + 32-bit-sum aggregate runs once, not twice
-    sig = simhash(corpus, id_col, text_col).persist()
+    sig = tracked_persist(simhash(corpus, id_col, text_col))
     entries = F.array(
         *[
             F.struct(
@@ -2265,8 +2376,8 @@ def pair_pr(
             F.greatest("id_a", "id_b").alias("b"),
         ).distinct()
 
-    c = _norm(candidates).persist()
-    t = _norm(truth).persist()
+    c = tracked_persist(_norm(candidates))
+    t = tracked_persist(_norm(truth))
     n_c = c.agg(F.count("*").alias("nc"))
     n_t = t.agg(F.count("*").alias("nt"))
     n_tp = c.join(t, ["a", "b"]).agg(F.count("*").alias("tp"))

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -506,7 +508,7 @@ def lsh_bands(
     out = sums.select(
         "id", F.explode(F.array(*structs)).alias("_bb")
     ).select("id", "_bb.band", "_bb.bucket")
-    return out.persist() if cache else out
+    return tracked_persist(out) if cache else out
 
 
 def ann_lsh_topk(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
+
 from .ann import _norm_col, _rank_topk, _score_pairs
 
 
@@ -80,7 +82,7 @@ def retrieval_metrics(
     partial-combined aggregates over rank-capped slices; every table
     after the join is |queries|-sized.
     """
-    q = truth.select("query_id").distinct().persist()
+    q = tracked_persist(truth.select("query_id").distinct())
     j = truth.select(
         "query_id",
         "neighbor_id",

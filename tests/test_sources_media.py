@@ -56,11 +56,62 @@ def test_media_frame_sampling(spark, sf_dir):
         assert r.count == expected
 
 
-def test_media_pixel_decode_raises_at_plan_time(spark):
-    from gpd_lite_toolbox_spark.media.multimodal import decode_image_pixels
+def test_media_pixel_decode_raw_fallback_matches_features(spark, sf_dir):
+    """Without Pillow the fake-codec fallback must reproduce exactly
+    the extract_media_features stats (same header+body contract), with
+    px_codec recording the raw path and header dims surfacing as
+    px_w/px_h."""
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        attach_fake_media,
+        decode_image_pixels,
+        extract_media_features,
+        pil_available,
+    )
 
-    with pytest.raises(NotImplementedError, match="image library"):
-        decode_image_pixels(None)
+    if pil_available():
+        pytest.skip("Pillow present: fake payloads would hit the real codec")
+    FX.register_base_tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id").limit(20)
+    media = attach_fake_media(docs)
+    px = {
+        r.doc_id: (r.px_codec, r.px_n, r.px_mean, r.px_std, r.px_min, r.px_max)
+        for r in decode_image_pixels(media).collect()
+    }
+    ft = {
+        r.doc_id: (r.px_n, r.px_mean, r.px_std, r.px_min, r.px_max)
+        for r in extract_media_features(media).collect()
+    }
+    assert set(px) == set(ft) and len(px) == 20
+    for k, (codec, *stats) in px.items():
+        assert codec == "raw"
+        assert tuple(stats) == ft[k]
+
+
+def test_media_pixel_decode_real_codec(spark):
+    """Auto-skips when Pillow is absent (this container); on a real
+    cluster it pins the PIL path: a synthetic PNG decodes with
+    px_codec='pil' and the known raster stats."""
+    from gpd_lite_toolbox_spark.media.multimodal import (
+        decode_image_pixels,
+        pil_available,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow not installed")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (4, 2))
+    img.putdata([0, 64, 128, 255, 255, 128, 64, 0])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id bigint, media binary")
+    row = decode_image_pixels(df).collect()[0]
+    assert row.px_codec == "pil"
+    assert (row.px_w, row.px_h, row.px_n) == (4, 2, 8)
+    assert (row.px_min, row.px_max) == (0, 255)
+    assert abs(row.px_mean - (0 + 64 + 128 + 255) * 2 / 8) < 1e-9
 
 
 def test_media_feature_hash_deterministic(spark, sf_dir):
