@@ -3138,6 +3138,95 @@ def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
 
 
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-round Lloyd k-means over the embeddings table
+    (vector/kmeans.py kmeans_assign, md5 seed centroids): every round
+    — argmin assignment, rounded mean update, empty-cell carry — is
+    replayed relationally in DuckDB (oracles.EMBEDDING_CLUSTERS), so
+    the full clustering is hash-gated, unlike pyspark.ml's
+    convergence-loop KMeans."""
+    from gpd_lite_toolbox_spark.vector.kmeans import kmeans_assign
+    from gpd_lite_toolbox_spark.vector.pq import default_coarse_centroids
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    return kmeans_assign(
+        s.table("embeddings"), default_coarse_centroids(), n_iter=2
+    )
+
+
+def _q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (text/corpus.py
+    kn_bigram_logprob): discounted seen-bigram mass + continuation
+    unigram interpolation, trained and scored on the corpus itself;
+    oracle replays the full model relationally
+    (oracles.KN_BIGRAM_LOGPROB)."""
+    from gpd_lite_toolbox_spark.text.corpus import kn_bigram_logprob
+
+    return kn_bigram_logprob(_corpus(spark, sf_dir))
+
+
+def _q_ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance end-to-end (vector/ann.py): persist the
+    explicit-quantizer inverted file, tombstone vec_id %% 25 == 0
+    (delete_from_ivf_index), search the persisted index with
+    merge-on-read delete filtering, then COMPACT and search again —
+    the returned frame is the post-compaction search, which must
+    equal the oracle's search over the corpus with the deleted rows
+    excluded (oracles.ANN_IVF_DELETED). Exercises write, logical
+    delete, probe-time filtering, and the physical rewrite in one
+    hash gate."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.ann import (
+        ann_ivf_topk_indexed,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+    from gpd_lite_toolbox_spark.vector.pq import (
+        N_PROBE,
+        default_coarse_centroids,
+    )
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_ivf_"), "idx")
+    write_ivf_index(
+        emb, path, dims=64, centroids=default_coarse_centroids()
+    )
+    delete_from_ivf_index(
+        s, path, emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # materialize the merge-on-read answer BEFORE compaction: its plan
+    # reads the tombstone files compaction deletes (lazy evaluation
+    # after the rewrite would hit FILE_NOT_EXIST, not a stale answer)
+    before = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ann_ivf_topk_indexed(
+            s, path, queries, k=10, n_probe=N_PROBE, dims=64
+        ).collect()
+    }
+    compact_ivf_index(s, path)
+    after = ann_ivf_topk_indexed(
+        s, path, queries, k=10, n_probe=N_PROBE, dims=64
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in after.collect()
+    }
+    # merge-on-read and post-compaction answers must agree; surfacing
+    # the check in the gated frame keeps it driver-visible
+    if got != before:
+        raise AssertionError("IVF compaction changed search results")
+    return after
+
+
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + residual PQ (vector/pq.py ann_ivfpq_topk) with md5
     coarse centroids + codebooks — routing, residual encoding, and
@@ -3240,6 +3329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_changes": _q_scene_changes,
         "xml_roundtrip": _q_xml_roundtrip,
         # --- deferred never-row (r6 window candidates) ---
+        "embedding_clusters": _q_embedding_clusters,
+        "kn_bigram": _q_kn_bigram,
+        "ann_ivf_deleted": _q_ann_ivf_deleted,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "salted_join_stats": _q_salted_join_stats,
         "stream_decontaminate": _q_stream_decontaminate,
@@ -3436,6 +3528,9 @@ def oracle_sql() -> dict[str, str]:
         # the KMeans-fit IVF form stays recall-pytest-pinned.
         "ann_lsh_topk": OR.ANN_LSH_TOPK,
         "ann_ivf_topk": OR.ANN_IVF_TOPK,
+        "embedding_clusters": OR.EMBEDDING_CLUSTERS,
+        "kn_bigram": OR.KN_BIGRAM_LOGPROB,
+        "ann_ivf_deleted": OR.ANN_IVF_DELETED,
         "find_borders": OR.FIND_BORDERS,
         "grid_cut": OR.GRID_CUT,
         # grid_cut_hull: convex-hull clip — geometry not SQL-expressible

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "frame_dedup",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "embedding_clusters",
     "bpe_fertility",
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
@@ -196,6 +197,7 @@ BENCH_QUERIES = [
     "rabin_chunks",
     "chunk_dedup_stats",
     "bigram_logprob",
+    "kn_bigram",
     "quality_blend",
     "conversion_funnel",
     "retention_cohorts",
@@ -208,6 +210,10 @@ BENCH_QUERIES = [
     "dau_wau",
     "profile_drift",
     "scene_changes",
+    # ann_ivf_deleted deliberately NOT benched: index write, delete,
+    # compaction, and the before/after comparison all run EAGERLY at
+    # query construction (same class as bpe_merges); ann_ivf_topk
+    # times the search substrate.
     # dedup_pr deliberately NOT benched: its ground-truth side IS the
     # exhaustive ngram_jaccard_prefix baseline excluded above (12 s at
     # sf0.1 — the quadratic-ish truth, not the operator under test);

@@ -9,6 +9,7 @@ instead of GeoDataFrames. See SURVEY.md §8 for the full coverage map.
 """
 
 from .cache import release_caches, tracked_persist  # noqa: F401
+from .vector.kmeans import kmeans_assign  # noqa: F401
 from .operators.cartogram import (  # noqa: F401
     dorling_radius,
     dorling_radius2,
@@ -129,6 +130,7 @@ from .text.corpus import (  # noqa: F401
     leakage_safe_split,
     split_expr,
     bigram_logprob,
+    kn_bigram_logprob,
     quality_blend,
     epoch_expand,
 )
@@ -237,7 +239,9 @@ from .vector.ann import (  # noqa: F401
     ann_ivf_topk,
     ann_ivf_topk_indexed,
     ann_lsh_topk,
+    compact_ivf_index,
     cosine_topk,
+    delete_from_ivf_index,
     write_ivf_index,
 )
 from .vector.centroids import (  # noqa: F401
@@ -316,6 +320,10 @@ __all__ = [
     "simhash_band_keys",
     "simhash",
     "cosine_topk",
+    "kmeans_assign",
+    "kn_bigram_logprob",
+    "release_caches",
+    "tracked_persist",
     "ann_lsh_topk",
     "bm25_topk",
     "tfidf_topk",

@@ -3843,6 +3843,101 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+# IVF maintenance gate (vector/ann.py delete_from_ivf_index +
+# compact_ivf_index over the explicit-quantizer index): search results
+# after deleting vec_id %% 25 == 0 must equal the plain IVF search
+# over the corpus WITHOUT those rows — cell assignment and probe
+# routing replayed as in ANN_IVF_TOPK.
+ANN_IVF_DELETED = f"""
+WITH vcast AS (SELECT vec_id, {_pq_cast_cols()} FROM embeddings),
+vcell AS (SELECT vec_id, CAST(list_position(cd, list_min(cd)) - 1 AS INT)
+                 AS cell
+          FROM (SELECT vec_id, {_ivf_cd_sql('e')} AS cd FROM vcast)
+          WHERE vec_id % 25 <> 0),
+e AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+      FROM embeddings),
+qprobe AS (
+  SELECT vec_id, CAST(i.n - 1 AS INT) AS cell
+  FROM (SELECT *, {_ivf_cd_sql('e')} AS cd FROM vcast
+        WHERE vec_id % 50 = 0) qc,
+       (SELECT UNNEST(range(1, {_IVF_NC + 1})) AS n) i
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cd[i.n], i.n) <= {_IVF_NP}),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+  FROM qprobe p
+  JOIN vcell c ON c.cell = p.cell
+  JOIN e q ON q.vec_id = p.vec_id
+  JOIN e v ON v.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# Deterministic k-means (vector/kmeans.py kmeans_assign, n_iter=2,
+# md5 seed centroids): both Lloyd rounds replayed relationally —
+# first-min argmin assignment, per-cell ROUND(AVG, 6) mean updates
+# with empty cells keeping their previous center, final assignment
+# against the round-2 centers.  Means at 6dp are the group_centroids
+# recipe the label_centroids gate already proves cross-engine stable.
+_KM_DIMS = _PQ_M * _PQ_SD
+
+
+def _km_d2_cols(ctab: str) -> str:
+    """d2 of (e1..e64) against a joined center row (m1..m64)."""
+    terms = " + ".join(
+        f"(e{d + 1} - {ctab}.m{d + 1}) * (e{d + 1} - {ctab}.m{d + 1})"
+        for d in range(_KM_DIMS)
+    )
+    return f"(0.0 + {terms})"
+
+
+_KM_M_AVG = ", ".join(
+    f"ROUND(AVG(e{d + 1}), 6) AS m{d + 1}" for d in range(_KM_DIMS)
+)
+_KM_M_SEED = ", ".join(
+    f"COALESCE(m.m{d + 1}, {_IVF_CLIT}[cells.cell + 1][{d + 1}])"
+    f" AS m{d + 1}"
+    for d in range(_KM_DIMS)
+)
+_KM_M_PREV = ", ".join(
+    f"COALESCE(m.m{d + 1}, p.m{d + 1}) AS m{d + 1}"
+    for d in range(_KM_DIMS)
+)
+
+EMBEDDING_CLUSTERS = f"""
+WITH vcast AS (SELECT vec_id, {_pq_cast_cols()} FROM embeddings),
+a0 AS (SELECT vec_id,
+              CAST(list_position(cd, list_min(cd)) - 1 AS INT) AS cell,
+              * EXCLUDE (vec_id)
+       FROM (SELECT *, {_ivf_cd_sql('e')} AS cd FROM vcast)),
+cells AS (SELECT CAST(UNNEST(range(0, {_IVF_NC})) AS INT) AS cell),
+m1 AS (SELECT cell, {_KM_M_AVG} FROM a0 GROUP BY cell),
+c1 AS (SELECT cells.cell, {_KM_M_SEED}
+       FROM cells LEFT JOIN m1 m USING (cell)),
+a1 AS (SELECT v.vec_id, c1.cell, v.* EXCLUDE (vec_id)
+       FROM vcast v CROSS JOIN c1
+       QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_km_d2_cols('c1')}, c1.cell) = 1),
+m2 AS (SELECT cell, {_KM_M_AVG} FROM a1 GROUP BY cell),
+c2 AS (SELECT p.cell, {_KM_M_PREV}
+       FROM c1 p LEFT JOIN m2 m USING (cell)),
+a2 AS (SELECT v.vec_id, c2.cell
+       FROM vcast v CROSS JOIN c2
+       QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_km_d2_cols('c2')}, c2.cell) = 1)
+SELECT vec_id, cell FROM a2
+"""
+
+
 # Tokenizer fertility per source (text/bpe.py bpe_fertility with the
 # pinned FERTILITY_MERGES): the DuckDB side replays the greedy
 # left-to-right merge fold with a RECURSIVE CTE over the distinct-word
@@ -4317,6 +4412,33 @@ SELECT b.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                      / CAST(c1.n1 + 1 * vs.v AS DOUBLE))), 6)
            AS avg_neg_logprob
 FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+GROUP BY b.id
+"""
+
+# Interpolated Kneser-Ney bigram scoring (text/corpus.py
+# kn_bigram_logprob, d=0.75): same bigram stream as BIGRAM_LOGPROB,
+# counts/continuation-type tables re-derived relationally, the exact
+# probability expression mirrored term-for-term (GREATEST discount,
+# lambda interpolation, continuation unigram over bigram TYPES).
+_KN_D = 0.75
+
+KN_BIGRAM_LOGPROB = f"""
+WITH {oracle_ctes('corpus')},
+tk AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+bg AS (SELECT id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+       FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(n2) AS n1, COUNT(*) AS nfol FROM c2 GROUP BY 1),
+np AS (SELECT w2, COUNT(*) AS nprec FROM c2 GROUP BY 1),
+ty AS (SELECT COUNT(*) AS t FROM c2)
+SELECT b.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LN(
+           GREATEST(c2.n2 - {_KN_D}, 0.0) / CAST(c1.n1 AS DOUBLE)
+           + (({_KN_D} * c1.nfol) / CAST(c1.n1 AS DOUBLE))
+             * (np.nprec / CAST(ty.t AS DOUBLE))
+       )), 6) AS avg_neg_logprob
+FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN np USING (w2)
+CROSS JOIN ty
 GROUP BY b.id
 """
 

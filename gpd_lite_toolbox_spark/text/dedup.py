@@ -813,14 +813,22 @@ def ngram_doc_sets(
 ) -> DataFrame:
     """The n-gram pair family's shared substrate: per-doc SORTED
     distinct hashed-shingle set + size, ``(id, _fs, n_sh)`` — one
-    md5-fold projection over the corpus that every phase of every
+    md5 shingling pass over the corpus that every phase of every
     family member derives from (candidate explode, prefix slice,
     verify arrays).  Callers persist it (``cache.tracked_persist``)
     and pass it to ``ngram_jaccard_pairs`` / ``ngram_jaccard_prefix_
     pairs`` via ``sets=`` so the corpus-scale shingling runs ONCE per
-    batch instead of once per phase per operator — the fold is the
-    family's measured floor, not the joins.  ``set_expr`` swaps the
-    set definition (containment passes word n-grams)."""
+    batch instead of once per phase per operator.  ``set_expr`` swaps
+    the set definition (containment passes word n-grams).
+
+    Measured cost anatomy at sf0.1 (for future tuning): the fold
+    itself is ~0.4 s; the persist's columnar cache WRITE of the array
+    column is the larger share (~1.6 s) — but an A/B against
+    recomputing the fold per consumer (3 consumers in the jaccard
+    shape) still favors the persist, and an Arrow-kernel fold was
+    measured 2x SLOWER than the expression (Arrow transfer overhead
+    dominates md5 at this row count), so the expression+persist shape
+    is the deliberate optimum, not an accident."""
     if set_expr is None:
         set_expr = shingle_array_expr
     return _widen(corpus).select(
@@ -834,10 +842,22 @@ def _sets_exploded(sets: DataFrame) -> DataFrame:
     sets table: explode of the (already distinct) per-doc array,
     repartitioned so the df-window / groupBy consumers inherit
     hash(shingle) co-location — the same layout ``shingles()`` hands
-    out, minus the second md5 fold over the corpus."""
-    return sets.select(
-        "id", F.explode("_fs").alias("shingle")
-    ).repartition("shingle")
+    out, minus the second md5 fold over the corpus.
+
+    explode_OUTER + isnotnull, not plain explode, deliberately: a
+    plain ``explode(_fs)`` makes Catalyst push its implicit
+    ``size(_fs) > 0`` pruning predicate BELOW the sets projection,
+    re-inlining the entire md5 shingle fold into a Filter that runs a
+    second time per row — and on the narrow pre-_widen partitions
+    (measured 8x on the containment path: 6.1 -> 0.8 s at sf0.1 when
+    the sets table is not materialized). explode_outer generates no
+    pushable predicate; the null rows of empty sets drop in a cheap
+    Filter ABOVE the Generate, and the fold stays evaluated once."""
+    return (
+        sets.select("id", F.explode_outer("_fs").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .repartition("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -1638,13 +1658,17 @@ def ngram_jaccard_prefix_pairs(
         "_plen",
         (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1).cast("int"),
     )
+    # posexplode_OUTER + isnotnull for the same reason _sets_exploded
+    # documents: plain posexplode pushes its size()>0 pruning predicate
+    # below the projection, re-inlining the md5 fold into a pre-_widen
+    # Filter (second evaluation on narrow partitions)
     prefix = sets_.select(
         "id",
         "n_sh",
-        F.posexplode(F.slice("_fs", 1, F.col("_plen"))).alias(
+        F.posexplode_outer(F.slice("_fs", 1, F.col("_plen"))).alias(
             "_p", "shingle"
         ),
-    )
+    ).filter(F.col("shingle").isNotNull())
     pa = prefix.select(
         F.col("id").alias("id_a"),
         F.col("n_sh").alias("na"),
@@ -1833,13 +1857,26 @@ def word_ngram_array_expr(text_col: str) -> "F.Column":
     domain as ``shingle_array_expr``; empty/short documents (< 3
     words) produce an empty set."""
     t = f"filter(split({text_col}, ' '), x -> x <> '')"
+    # nested zip_with over three shifted slices, NOT
+    # transform(sequence, i -> element_at(t, i)...): an element_at on
+    # the filter/split expression inside the lambda re-evaluates the
+    # whole tokenization PER ELEMENT — O(|tokens|^2) per document
+    # (measured: the dominant cost of the containment family at
+    # sf0.1). The slices evaluate the tokenization a constant number
+    # of times per ROW; md5 inputs are identical (concat 'a b c' ==
+    # concat_ws(' ', a, b, c) on non-null tokens, and filtered tokens
+    # are never null), so the hash domain and every oracle are
+    # unchanged.
+    n = f"size({t})"
     return F.expr(
         f"""
-        array_distinct(CASE WHEN size({t}) >= {WORD_NGRAM_N} THEN
-          transform(sequence(1, size({t}) - {WORD_NGRAM_N - 1}),
-            i -> CAST(conv(substr(md5(concat_ws(' ',
-                   element_at({t}, i), element_at({t}, i + 1),
-                   element_at({t}, i + 2))), 1, 15), 16, 10) AS BIGINT))
+        array_distinct(CASE WHEN {n} >= {WORD_NGRAM_N} THEN
+          zip_with(
+            zip_with(slice({t}, 1, {n} - 2), slice({t}, 2, {n} - 2),
+                     (a, b) -> concat(a, ' ', b)),
+            slice({t}, 3, {n} - 2),
+            (ab, c) -> CAST(conv(substr(md5(concat(ab, ' ', c)),
+                                        1, 15), 16, 10) AS BIGINT))
           ELSE CAST(array() AS array<bigint>) END)
         """
     )
@@ -1881,7 +1918,9 @@ def ngram_containment_pairs(
     # explode and the verify arrays (same shared-substrate shape as
     # the char-shingle family)
     wsets = tracked_persist(
-        ngram_doc_sets(corpus, id_col, text_col, set_expr=word_ngram_array_expr)
+        ngram_doc_sets(
+            corpus, id_col, text_col, set_expr=word_ngram_array_expr
+        )
     )
     cand = _df_capped_candidates(_sets_exploded(wsets), max_df)
     scored = _pair_overlap(

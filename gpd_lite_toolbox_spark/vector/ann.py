@@ -346,6 +346,7 @@ def write_ivf_index(
     seed: int = 42,
     max_iter: int = 5,
     dims: int | None = None,
+    centroids: list | None = None,
 ) -> None:
     """Persist the IVF inverted file: the cell-assigned corpus written
     as parquet PARTITIONED BY cell (plus the centroid table alongside),
@@ -355,18 +356,114 @@ def write_ivf_index(
     amortization a real 100 TB serving path needs (the per-batch
     KMeans refit in ``ann_ivf_topk`` is the exploratory form).
 
+    ``centroids`` (explicit quantizer, same contract as
+    ``ann_ivf_topk``) skips the KMeans fit and makes every later read
+    of the index deterministic end-to-end — the hash-gateable form.
+
     Layout: ``<path>/cells/cell=<i>/...`` with (neighbor_id, nv, nn)
     and ``<path>/centroids`` with (cell, cv).
     """
-    inverted, centers = _fit_ivf(
-        vectors, n_centroids, id_col, vec_col, seed, max_iter, dims
-    )
+    if centroids is not None:
+        inverted = _corpus_side(vectors, id_col, vec_col, dims).withColumn(
+            "cell", _coarse_cells_arrow(centroids)(F.col("nv"))
+        )
+        centers = vectors.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, cv array<double>",
+        )
+    else:
+        inverted, centers = _fit_ivf(
+            vectors, n_centroids, id_col, vec_col, seed, max_iter, dims
+        )
     inverted.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
     )
     centers.repartition(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
+
+
+def delete_from_ivf_index(spark, path: str, ids) -> None:
+    """Logical delete from a persisted IVF index: append the ids to a
+    TOMBSTONE table (``<path>/tombstones``) instead of rewriting cell
+    files — the delete costs O(|batch|) regardless of index size, and
+    ``ann_ivf_topk_indexed`` filters tombstoned vectors out of every
+    probe. The physical rewrite is deferred to ``compact_ivf_index``
+    (run when the tombstone fraction justifies it) — the standard
+    merge-on-read contract of every LSM/lakehouse delete.
+
+    ``ids``: a list of vector ids or a single-column DataFrame."""
+    if isinstance(ids, DataFrame):
+        tdf = ids.select(
+            F.col(ids.columns[0]).cast("long").alias("neighbor_id")
+        )
+    else:
+        tdf = spark.createDataFrame(
+            [(int(i),) for i in ids], "neighbor_id long"
+        )
+    tdf.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _ivf_tombstones(spark, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/tombstones")
+    except AnalysisException:  # no deletes yet
+        return None
+
+
+def compact_ivf_index(spark, path: str) -> int:
+    """Physically apply an IVF index's tombstones: rewrite ONLY the
+    cell partitions that contain a tombstoned vector (dynamic
+    partition overwrite — untouched cells keep their files), then drop
+    the tombstone table. Returns the number of cells rewritten.
+
+    Scale shape: the affected-cell list is a bounded collect (at most
+    n_centroids values); the rewrite reads and writes just those
+    partitions — the compaction cost tracks the DELETED data's
+    locality, not the index size."""
+    import shutil
+
+    ts = _ivf_tombstones(spark, path)
+    if ts is None:
+        return 0
+    dead = F.broadcast(ts.select("neighbor_id").distinct())
+    cells_df = spark.read.parquet(f"{path}/cells")
+    affected = [
+        r.cell
+        for r in cells_df.join(dead, "neighbor_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if affected:
+        kept = (
+            cells_df.filter(F.col("cell").isin(affected))
+            .join(dead, "neighbor_id", "left_anti")
+        )
+        survivors = {
+            r.cell for r in kept.select("cell").distinct().collect()
+        }
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{path}/cells"
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # write: a cell whose members all died writes nothing and its
+        # stale files would survive — remove those directories
+        # explicitly (local/shared-POSIX path contract, as write_warc)
+        for cell in set(affected) - survivors:
+            shutil.rmtree(f"{path}/cells/cell={cell}", ignore_errors=True)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return len(affected)
 
 
 def ann_ivf_topk_indexed(
@@ -399,6 +496,16 @@ def ann_ivf_topk_indexed(
     inverted = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(cells)
     )
+    # merge-on-read deletes: tombstoned vectors (delete_from_ivf_index)
+    # drop out of every probe via a broadcast anti-join until
+    # compact_ivf_index rewrites their cells
+    ts = _ivf_tombstones(spark, path)
+    if ts is not None:
+        inverted = inverted.join(
+            F.broadcast(ts.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "left_anti",
+        )
     return _rank_topk(_score_pairs(probes.join(inverted, "cell"), dims), k)
 
 

@@ -1,0 +1,147 @@
+"""Relational k-means over embedding columns — Lloyd's algorithm with
+a FIXED iteration count unrolled into one declarative plan.
+
+``pyspark.ml``'s KMeans is iterative driver-side (fit() runs jobs until
+convergence) and its k-means|| init is partition-sensitive, so its
+output can never be hash-gated.  For the data-curation uses this
+package needs — cluster-balanced sampling, SemDeDup-style semantic
+grouping, per-cluster quota curation — a SMALL fixed number of Lloyd
+rounds from deterministic seed centroids is the right contract, and it
+is fully expressible as a DataFrame plan:
+
+- assignment is MAP-ONLY: the current centers ride along as a one-row
+  array (broadcast), and each vector computes its argmin-L2² cell with
+  a row-local fold — no shuffle, no window;
+- the mean update is ONE partial-combined aggregate per round
+  (``dims`` avg columns grouped by cell — at most |cells| x dims
+  values per input partition reach the exchange);
+- rounds chain lazily (aggregate -> one-row array -> next projection),
+  so ``n_iter`` rounds = ``n_iter`` aggregates in ONE job, no driver
+  collect anywhere, and the bench times the real work.
+
+Cross-engine exactness: seed centroids are md5-derived literals
+(``vector.pq.default_coarse_centroids``), updated means are ROUNDED
+(round 6, the ``group_centroids`` recipe the label_centroids gate
+already proves stable), and the d2 fold accumulates left-to-right from
+0.0 — the DuckDB oracle replays every round relationally and the final
+assignment hash-matches (oracles.EMBEDDING_CLUSTERS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _centers_one_row(centers: DataFrame) -> DataFrame:
+    """(cell, cv) rows -> a ONE-ROW frame holding the cell-ordered
+    center array, the broadcastable form the assignment fold reads.
+    sort_array on struct(cell, cv) orders by cell, so element i of the
+    array IS cell i and ``array_position - 1`` recovers the id."""
+    return centers.agg(
+        F.sort_array(
+            F.collect_list(F.struct("cell", "cv"))
+        ).alias("_ctr")
+    )
+
+
+def _assign(vectors_d: DataFrame, centers: DataFrame) -> DataFrame:
+    """Row-local argmin assignment: d2 list over the centers array
+    (left-to-right fold from 0.0 per center), first-min ties by cell
+    index via array_position. Adds ``cell`` to the input columns."""
+    d2l = F.transform(
+        F.col("_ctr"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("_vv"),
+                c["cv"],
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        vectors_d.crossJoin(F.broadcast(_centers_one_row(centers)))
+        .withColumn("_d2l", d2l)
+        .withColumn(
+            "cell",
+            (
+                F.array_position(
+                    F.col("_d2l"), F.array_min(F.col("_d2l"))
+                )
+                - 1
+            ).cast("int"),
+        )
+        .drop("_ctr", "_d2l")
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: list,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic k-means assignment: run ``n_iter`` Lloyd rounds
+    (assign to current centers, recompute each cell's mean rounded to
+    ``round_digits``) from the given seed ``centroids`` (a list of
+    vectors, e.g. ``vector.pq.default_coarse_centroids()``), then
+    return the assignment to the FINAL centers.
+
+    Output: ``(<id_col>, cell)`` — one row per input vector.
+
+    A cell that loses all members keeps its previous center (standard
+    Lloyd handling, and what keeps cell ids stable for the oracle).
+
+    Scale shape: per round, ONE aggregate exchange (|cells| x dims
+    partial-combined avgs) and a broadcast of the 1-row center array;
+    assignments never shuffle. ``n_iter`` is a plan-size knob, not a
+    convergence loop — curation pipelines want few-round determinism,
+    not convergence (``pyspark.ml.KMeans`` remains the quality path
+    when a trained, non-gateable clustering is acceptable).
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    dims = len(centroids[0])
+    spark = vectors.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cv array<double>",
+    )
+    vd = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_vv"
+        ),
+    )
+    for _ in range(n_iter):
+        assigned = _assign(vd, centers)
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.col("_vv")[d]), round_digits).alias(
+                    f"_m{d}"
+                )
+                for d in range(dims)
+            ]
+        )
+        # empty cells keep their previous center
+        centers = (
+            centers.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.col(f"_m{d}"), F.col("cv")[d]
+                        )
+                        for d in range(dims)
+                    ]
+                ).alias("cv"),
+            )
+        )
+    return _assign(vd, centers).select(
+        F.col("id").alias(id_col), "cell"
+    )

@@ -1,0 +1,96 @@
+"""Deterministic relational k-means (vector/kmeans.py kmeans_assign).
+
+The hash gate (oracles.EMBEDDING_CLUSTERS) pins exact cross-engine
+agreement; these tests pin the SEMANTICS the gate alone can't express:
+the rounds genuinely move assignments (else the oracle degenerates to
+the seed argmin), clustering quality improves against the fixture's
+planted labels, empty cells carry their centers, and the plan stays
+driver-loop-free.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark import fixtures as FX
+from gpd_lite_toolbox_spark.vector.kmeans import kmeans_assign
+from gpd_lite_toolbox_spark.vector.pq import default_coarse_centroids
+
+
+def _wcss(vecs: dict, assign: dict) -> float:
+    """k-means objective with each cluster's OWN mean — the quantity
+    Lloyd monotonically non-increases."""
+    import numpy as np
+
+    by_cell: dict = {}
+    for vid, cell in assign.items():
+        by_cell.setdefault(cell, []).append(vecs[vid])
+    total = 0.0
+    for members in by_cell.values():
+        X = np.asarray(members, dtype=np.float64)
+        total += float(((X - X.mean(axis=0)) ** 2).sum())
+    return total
+
+
+def test_kmeans_rounds_move_assignments_and_cut_objective(spark, sf_dir):
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    seed = default_coarse_centroids()
+    a0 = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(emb, seed, n_iter=0).collect()
+    }
+    a2 = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(emb, seed, n_iter=2).collect()
+    }
+    assert set(a0) == set(vecs) and len(a0) > 0
+    moved = sum(1 for k in a0 if a0[k] != a2[k])
+    # the hash gate would pass even if the rounds were a no-op; this
+    # is the fixture-expresses-failure check (r4's recurring lesson)
+    assert moved > 0, "2 Lloyd rounds changed nothing: gate degenerate"
+    # Lloyd monotonicity: the within-cluster sum of squares must not
+    # increase (tiny slack for the 6dp center rounding)
+    j0, j2 = _wcss(vecs, a0), _wcss(vecs, a2)
+    assert j2 <= j0 * (1 + 1e-9), f"objective rose: {j0} -> {j2}"
+    assert j2 < j0, "objective unchanged despite moved assignments"
+
+
+def test_kmeans_empty_cells_keep_seed_centers(spark):
+    # all points near seed centroid 0: every other cell goes empty and
+    # must carry its seed center instead of dying or going NULL
+    seed = default_coarse_centroids()
+    pts = spark.createDataFrame(
+        [(i, [float(x) + 0.001 * i for x in seed[0]]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = kmeans_assign(pts, seed, n_iter=3).collect()
+    assert len(out) == 6
+    assert {r.cell for r in out} == {0}
+
+
+def test_kmeans_empty_input_and_bad_n_iter(spark):
+    seed = default_coarse_centroids()
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    assert kmeans_assign(empty, seed, n_iter=2).count() == 0
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_assign(empty, seed, n_iter=-1)
+
+
+def test_kmeans_plan_has_no_driver_loop_artifacts(spark, sf_dir):
+    """n_iter rounds chain lazily: one plan, no Python rows, and the
+    aggregate count in the plan scales with n_iter (the unrolled-plan
+    contract the module docstring states)."""
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    df = kmeans_assign(emb, default_coarse_centroids(), n_iter=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # one mean update per round
