@@ -375,6 +375,19 @@ def _q_match_line_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_SETS_CACHE: dict = {}
 
 
+def _evict_ngram_sets() -> None:
+    # registered with cache.on_release: after release_caches() the
+    # memoized handles point at UNPERSISTED frames — drop them so the
+    # next query rebuilds (and re-persists) instead of silently
+    # re-deriving per query (ADVICE r5)
+    _NGRAM_SETS_CACHE.clear()
+
+
+from gpd_lite_toolbox_spark.cache import on_release as _on_release
+
+_on_release(_evict_ngram_sets)
+
+
 def _ngram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Family-shared per-doc shingle-set table (text/dedup.py
     ngram_doc_sets), persisted ONCE per sf_dir per session: the
@@ -382,15 +395,25 @@ def _ngram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same corpus-scale md5 fold instead of re-folding per query —
     the bench-measured family floor (r4 verdict perf item 3).  After
     release_caches() the handle stays valid (recomputes from
-    lineage), so correctness never depends on the cache."""
-    if sf_dir not in _NGRAM_SETS_CACHE:
+    lineage), so correctness never depends on the cache.
+
+    Keyed by (session id, sf_dir), not sf_dir alone: a cached frame
+    is bound to the SparkSession that built it, so a harness that
+    restarts Spark in-process must get a fresh build, not a handle on
+    a stopped session (ADVICE r5).  Stale-session entries are evicted
+    on miss so the dict stays bounded."""
+    s = _configure(spark)
+    key = (id(s.sparkContext), sf_dir)
+    if key not in _NGRAM_SETS_CACHE:
         from gpd_lite_toolbox_spark.cache import tracked_persist
         from gpd_lite_toolbox_spark.text.dedup import ngram_doc_sets
 
-        _NGRAM_SETS_CACHE[sf_dir] = tracked_persist(
+        for k in [k for k in _NGRAM_SETS_CACHE if k[0] != key[0]]:
+            del _NGRAM_SETS_CACHE[k]
+        _NGRAM_SETS_CACHE[key] = tracked_persist(
             ngram_doc_sets(_corpus(spark, sf_dir))
         )
-    return _NGRAM_SETS_CACHE[sf_dir]
+    return _NGRAM_SETS_CACHE[key]
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3258,25 +3281,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_gridify_stats(spark, "/root/testdata/sf0.001")
 
 
+# Ordering contract (round-5 VERDICT item 3): the driver's
+# correctness runner truncates at 50 queries, so the 50-slot window
+# rotates each round to the queries whose driver evidence is weakest.
+# r6 window: the final 28 oracled queries that have never received
+# ANY driver row (r5 deferred them just past the window), then 21
+# high-value re-confirms spanning every operator family (geometry,
+# grid, dedup, decontamination, vector, text, classify — last green
+# r1-r4), and bpe_merges in slot 50 — the one never-checked rows-only
+# query, placed last inside the window so truncation costs the least
+# information.  After this window every oracled entry in queries()
+# has held a green driver CORRECTNESS row at least once.
+_R6_WINDOW = [
+    # --- never driver-checked (oracled), 28 ---
+    "embedding_clusters",
+    "kn_bigram",
+    "ann_ivf_deleted",
+    "ngram_jaccard_prefix",
+    "salted_join_stats",
+    "stream_decontaminate",
+    "stream_cdc",
+    "docs_cube",
+    "weighted_sample_grouped",
+    "fuzzy_vocab",
+    "hybrid_topk",
+    "source_quality",
+    "mixture_plan",
+    "drop_reasons",
+    "perplexity_buckets",
+    "source_overlap",
+    "url_dedup",
+    "bigram_pmi",
+    "token_spectrum",
+    "temperature_mix",
+    "jl_project",
+    "compaction_plan",
+    "hash_features",
+    "skew_stats",
+    "bpe_pair_counts",
+    "kmv_distinct",
+    "length_buckets",
+    "hilbert_keys",
+    # --- re-confirms (driver-green r1-r4, one per family), 21 ---
+    "gridify_stats",
+    "minhash_pairs",
+    "cartogram",
+    "dissolve_union",
+    "exact_dedup",
+    "decontaminate",
+    "match_lines",
+    "borders",
+    "find_borders",
+    "make_grid",
+    "snap_points",
+    "mean_coords_by_cat",
+    "isochrone_bands",
+    "random_pts",
+    "classify_values",
+    "split_leakage",
+    "simhash",
+    "intersects_pairs",
+    "spatialite_roundtrip",
+    "ann_topk",
+    "token_stats",
+    # --- never-checked rows-only, slot 50 ---
+    "bpe_merges",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (round-5 VERDICT item 2): the driver's
-    # correctness runner truncates at 50 queries, so the 50-slot
-    # window rotates each round to the oracled queries whose driver
-    # evidence is weakest.  r5 window: match_cluster_twins (the one
-    # red r4 row, gate rebuilt as a tolerance scalar over the now
-    # partition-stable KMeans fit), ann_ivf_topk (newly hash-gated
-    # via md5 explicit quantizer), and 48 of the 73 oracled queries
-    # that have never received ANY driver row — leading with the
-    # load-bearing dedup/decontamination/graph/classifier surface
-    # the r4 verdict named.  25 never-row queries are deferred just
-    # past the window (first in line for r6): the five whose oracle
-    # an in-window twin already exercises (ngram_jaccard_prefix,
-    # salted_join_stats, stream_decontaminate, stream_cdc,
-    # docs_cube) plus twenty whose operator family has in-window or
-    # driver-green representatives.  Then the r4/r3/r1 green
-    # rotation; rows-only (no_oracle) entries stay LAST — they
-    # record the least information if the runner truncates.
-    return {
+    base = {
         # --- r5 window: red-row fix + newly-gated + never-row ---
         "match_cluster_twins": _q_match_cluster_twins,
         "substring_spans": _q_substring_spans,
@@ -3471,6 +3545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_line_cluster": _q_match_line_cluster,
         "grid_cut_hull": _q_grid_cut_hull,
         "dorling_cartogram": _q_dorling_cartogram,
+    }
+    missing = [k for k in _R6_WINDOW if k not in base]
+    assert not missing, f"_R6_WINDOW names unknown queries: {missing}"
+    in_window = set(_R6_WINDOW)
+    return {
+        **{k: base[k] for k in _R6_WINDOW},
+        **{k: v for k, v in base.items() if k not in in_window},
     }
 
 

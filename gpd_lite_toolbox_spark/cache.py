@@ -40,4 +40,19 @@ def release_caches() -> int:
     for df in _TRACKED:
         df.unpersist()
     _TRACKED.clear()
+    for hook in _RELEASE_HOOKS:
+        hook()
     return n
+
+
+_RELEASE_HOOKS: list = []
+
+
+def on_release(hook) -> None:
+    """Register a zero-arg callback invoked by ``release_caches()``
+    AFTER the unpersist sweep — for callers that memoize handles to
+    tracked frames (a handle left in a dict after release would make
+    later lookups silently serve an unpersisted frame). Idempotent
+    per function object."""
+    if hook not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(hook)

@@ -489,13 +489,36 @@ def ingest_near_dups(
 
     try:
         idx_bands = spark.read.parquet(f"{path}/bands")
-    except AnalysisException:
-        # PATH_NOT_FOUND only: an index written over an EMPTY corpus
-        # has no part files (partitionBy writes nothing for zero rows)
-        # — a legitimate state for a day-1 pipeline; nothing can
-        # match, schema from the batch.  Any OTHER error (IO,
-        # permissions, corrupt footer) must propagate — swallowing it
-        # would silently admit every batch document as non-duplicate.
+    except AnalysisException as e:
+        # Legitimate DAY-1 EMPTY states only — anything else must
+        # propagate (swallowing an IO / permission / corrupt-footer
+        # error would silently admit every batch document as
+        # non-duplicate), so the error CLASS is checked, not just the
+        # exception type (ADVICE r5):
+        #   PATH_NOT_FOUND          — index never written;
+        #   UNABLE_TO_INFER_SCHEMA  — index written over an EMPTY
+        #     corpus (partitionBy writes no part files for zero rows,
+        #     only the _SUCCESS commit marker), accepted ONLY when
+        #     that marker proves the write COMPLETED — the same error
+        #     class on a half-written or corrupt directory (no
+        #     _SUCCESS) re-raises.
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        import os
+
+        committed_empty = cond == "UNABLE_TO_INFER_SCHEMA" and os.path.exists(
+            os.path.join(path, "bands", "_SUCCESS")
+        )
+        if cond != "PATH_NOT_FOUND" and not committed_empty:
+            raise
         sig_n.unpersist()
         return batch.select(
             F.col(id_col).alias("id_a"),
@@ -1652,11 +1675,23 @@ def ngram_jaccard_prefix_pairs(
     t = float(threshold)
     if sets is None:
         sets = tracked_persist(ngram_doc_sets(corpus, id_col, text_col))
+
+    def _xceil(x):
+        # double products can land epsilon ABOVE an exact integer
+        # bound (t=0.28, n=25 -> 7.000000000000001; t=0.2,
+        # na+nb=18 -> t/(1+t)*18 = 3.0000000000000004): a plain ceil
+        # then over-prunes pairs sitting exactly at the threshold,
+        # breaking the recall=1 contract. Shave 1e-9 first — set
+        # cardinalities are < 1e7 so the product's rounding error is
+        # < 1e-9; at worst one extra candidate survives to the exact
+        # verify filter, never a lost pair.
+        return F.ceil(x - F.lit(1e-9))
+
     # _plen is a cheap arithmetic projection over the (persisted)
     # shared sets table — the family-shared md5 fold stays shared
     sets_ = sets.withColumn(
         "_plen",
-        (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + 1).cast("int"),
+        (F.col("n_sh") - _xceil(F.col("n_sh") * F.lit(t)) + 1).cast("int"),
     )
     # posexplode_OUTER + isnotnull for the same reason _sets_exploded
     # documents: plain posexplode pushes its size()>0 pruning predicate
@@ -1685,14 +1720,14 @@ def ngram_jaccard_prefix_pairs(
         pa.join(pb, "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
-            & (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+            & (F.col("nb") >= _xceil(F.lit(t) * F.col("na")))
+            & (F.col("na") >= _xceil(F.lit(t) * F.col("nb")))
             & (
                 F.least(
                     F.col("na") - F.col("_pa"), F.col("nb") - F.col("_pb")
                 )
                 + 1
-                >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+                >= _xceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
             )
         )
         .select("id_a", "id_b")

@@ -445,24 +445,30 @@ def compact_ivf_index(spark, path: str) -> int:
         survivors = {
             r.cell for r in kept.select("cell").distinct().collect()
         }
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            kept.write.mode("overwrite").partitionBy("cell").parquet(
-                f"{path}/cells"
-            )
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+        # per-write option, NOT session conf: mutating
+        # spark.sql.sources.partitionOverwriteMode on the session would
+        # silently change overwrite semantics for every later caller
+        # write (sources/sinks.py uses the same per-write form)
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
         # dynamic overwrite only rewrites partitions PRESENT in the
         # write: a cell whose members all died writes nothing and its
         # stale files would survive — remove those directories
-        # explicitly (local/shared-POSIX path contract, as write_warc)
+        # explicitly (local/shared-POSIX path contract, as write_warc).
+        # Failures MUST propagate before the tombstones drop below:
+        # a surviving stale cell dir with its tombstones gone would
+        # silently resurface logically deleted vectors.
+        import os
+
         for cell in set(affected) - survivors:
-            shutil.rmtree(f"{path}/cells/cell={cell}", ignore_errors=True)
-    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+            cell_dir = f"{path}/cells/cell={cell}"
+            if os.path.isdir(cell_dir):
+                shutil.rmtree(cell_dir)
+    shutil.rmtree(f"{path}/tombstones")
     return len(affected)
 
 

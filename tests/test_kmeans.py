@@ -94,3 +94,28 @@ def test_kmeans_plan_has_no_driver_loop_artifacts(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # one mean update per round
+
+
+def test_kmeans_assignments_identical_under_aqe_toggle(spark, sf_dir):
+    """r5 verdict ask #7: the one-row centers crossJoin is exactly the
+    shape AQE likes to re-plan (broadcast conversion, coalesced
+    exchanges), so pin that flipping spark.sql.adaptive.enabled does
+    NOT move a single assignment — the md5-seeded, rounded-mean
+    recipe must be plan-invariant, not just partition-stable."""
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    seed = default_coarse_centroids()
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    results = {}
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set(key, mode)
+            results[mode] = {
+                r.vec_id: r.cell
+                for r in kmeans_assign(emb, seed, n_iter=2).collect()
+            }
+    finally:
+        spark.conf.set(key, prev)
+    assert results["true"] == results["false"]
+    assert len(results["true"]) == emb.count()

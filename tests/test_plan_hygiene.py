@@ -34,6 +34,7 @@ _ARROW_OK = {
     "ann_lsh_topk",
     "retrieval_metrics",  # composes LSH + exact paths (Arrow kernels)
     "ann_ivf_topk",
+    "ann_ivf_deleted",   # same vectorized dot kernel post tombstone-delete
     "ann_pq_topk",       # Arrow PQ encoder (pandas_udf)
     "ann_ivfpq_topk",    # Arrow IVFPQ encoder (cell+residual+codes)
     "warc_roundtrip",     # segment parse (mapInPandas)

@@ -134,3 +134,36 @@ def test_ivf_compact_removes_emptied_cells(spark, tmp_path):
     assert not os.path.isdir(f"{path}/cells/cell=1")
     kept = spark.read.parquet(f"{path}/cells")
     assert {r.neighbor_id for r in kept.collect()} == {0, 1, 2}
+
+
+def test_ivf_compact_leaves_session_conf_untouched(spark, tmp_path):
+    """Regression pin (r5 verdict #1): compact_ivf_index once pinned
+    spark.sql.sources.partitionOverwriteMode=dynamic on the SESSION
+    when the key started unset — every later plain mode("overwrite")
+    write then silently stopped truncating.  The rewrite must use a
+    per-write option and leave session config byte-identical."""
+    from gpd_lite_toolbox_spark.vector.ann import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+    from gpd_lite_toolbox_spark.vector.pq import default_coarse_centroids
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.unset(key)  # fresh-default session: key unset -> STATIC
+    before = spark.conf.get(key)  # resolves the default, e.g. STATIC
+
+    seed = default_coarse_centroids()
+    rows = [(i, [float(x) + 1e-4 * i for x in seed[0]]) for i in range(4)]
+    pts = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "idx")
+    write_ivf_index(pts, path, dims=64, centroids=seed)
+    delete_from_ivf_index(spark, path, [0])
+    assert compact_ivf_index(spark, path) > 0
+    assert spark.conf.get(key) == before
+    assert spark.conf.get(key).upper() == "STATIC"
+    # and plain overwrite still truncates (the production hazard)
+    tgt = str(tmp_path / "plain")
+    spark.range(31).write.mode("overwrite").parquet(tgt)
+    spark.range(1).write.mode("overwrite").parquet(tgt)
+    assert spark.read.parquet(tgt).count() == 1
