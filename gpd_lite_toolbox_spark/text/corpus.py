@@ -1278,9 +1278,13 @@ def leakage_safe_split(
     )
 
 
-def _bigram_counts(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Persisted per-doc bigram-count table ``(id, w1, w2, n)`` — the
-    shared substrate of the bigram LM scorers. Pairing is zip_with
+def bigram_doc_counts(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc bigram-count table ``(id, w1, w2, n)`` — the shared
+    substrate of the bigram LM scorers (public builder form, used by
+    ``substrate.write_substrate`` to persist the fold once per corpus
+    version). Pairing is zip_with
     over two slices of ONE hoisted split (`_t` projected first): the
     earlier transform(sequence) form called element_at(split(text), i)
     INSIDE the lambda, re-splitting the text per element — O(len^2)
@@ -1310,9 +1314,20 @@ def _bigram_counts(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col("_b").isNotNull())
         .select("id", F.col("_b.w1"), F.col("_b.w2"))
     )
-    return tracked_persist(
-        bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
-    )
+    return bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
+
+
+def _bigram_counts(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Session-persisted ``bigram_doc_counts`` (or the caller-supplied
+    precomputed table — substrate 'bigram_counts' — verbatim)."""
+    if counts is not None:
+        return counts
+    return tracked_persist(bigram_doc_counts(corpus, id_col, text_col))
 
 
 def _per_doc_nll(scored: DataFrame) -> DataFrame:
@@ -1332,6 +1347,8 @@ def bigram_logprob(
     id_col: str = "id",
     text_col: str = "text",
     add_k: int = 1,
+    counts: DataFrame | None = None,
+    unigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram language-model scoring with add-k smoothing: train the
     conditional model P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V) on the
@@ -1359,12 +1376,18 @@ def bigram_logprob(
     value as the per-instance mean, |doc-vocab|-sized input instead
     of corpus-sized.
     """
-    dg = _bigram_counts(corpus, id_col, text_col)
+    dg = _bigram_counts(corpus, id_col, text_col, counts=counts)
     c2 = dg.groupBy("w1", "w2").agg(F.sum("n").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    vsize = corpus.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).agg(F.countDistinct("tok").alias("v"))
+    # ``unigrams`` passes the precomputed (tok, n) corpus vocabulary
+    # (substrate 'unigram_counts') so the smoothing V needs no second
+    # pass over the raw text; the distinct-token count is identical.
+    if unigrams is not None:
+        vsize = unigrams.agg(F.count("*").alias("v"))
+    else:
+        vsize = corpus.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        ).agg(F.countDistinct("tok").alias("v"))
     k = int(add_k)
     scored = (
         dg.join(c2, ["w1", "w2"])
@@ -1389,6 +1412,7 @@ def kn_bigram_logprob(
     id_col: str = "id",
     text_col: str = "text",
     discount: float = 0.75,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring — the LM quality filter
     the CCNet family actually ships (add-k overweights frequent
@@ -1416,7 +1440,7 @@ def kn_bigram_logprob(
     d = float(discount)
     if not (0.0 < d <= 1.0):
         raise ValueError(f"discount must be in (0, 1], got {discount}")
-    dg = _bigram_counts(corpus, id_col, text_col)
+    dg = _bigram_counts(corpus, id_col, text_col, counts=counts)
     c2 = tracked_persist(
         dg.groupBy("w1", "w2").agg(F.sum("n").alias("n2"))
     )

@@ -267,6 +267,8 @@ def minhash_lsh_pairs(
     id_col: str = "id",
     text_col: str = "text",
     bucket_cap: int | None = None,
+    sig: DataFrame | None = None,
+    verify_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket candidates, a SIGNATURE
     prefilter, then exact Jaccard over distinct shingle sets on the
@@ -290,9 +292,13 @@ def minhash_lsh_pairs(
     # per-row signature fold (md5 per shingle) per consumer. The
     # shingle TABLE no longer exists in this operator at all — both
     # the signatures and the verify sets are row-local projections.
-    sig = tracked_persist(
-        minhash_signatures(corpus, id_col=id_col, text_col=text_col)
-    )
+    # ``sig`` passes a precomputed minhash_signatures table
+    # (substrate.read_substrate 'minhash_sigs') so a day-2 run pays
+    # only the band/verify exchanges, not the per-doc md5 fold.
+    if sig is None:
+        sig = tracked_persist(
+            minhash_signatures(corpus, id_col=id_col, text_col=text_col)
+        )
     bands = minhash_band_keys(sig)
     if bucket_cap is not None:
         # Degenerate-bucket skew guard (same role as embedding_near_
@@ -349,9 +355,22 @@ def minhash_lsh_pairs(
     # zero exchanges to build it), and the intersection is a native
     # array_intersect on the surviving candidates — two doc-sized
     # joins and a map-side expression.
-    sets_ = _widen(corpus).select(
-        F.col(id_col).alias("id"),
-        F.array_sort(shingle_str_array_expr(text_col)).alias("_ss"),
+    # ``verify_sets`` passes the precomputed (id, _ss) sorted
+    # string-shingle table (substrate 'minhash_verify_sets'): with
+    # both it and ``sig`` supplied the operator never reads the raw
+    # text at all — the day-2 substrate contract.
+    sets_ = verify_sets
+    if sets_ is None:
+        sets_ = _widen(corpus).select(
+            F.col(id_col).alias("id"),
+            F.array_sort(shingle_str_array_expr(text_col)).alias("_ss"),
+        )
+    # spread the surviving narrow pair table before the array-verify
+    # joins: AQE coalesces it by byte size while the per-row verify
+    # cost (two array joins + array_intersect) dominates — the same
+    # undercount _pair_overlap documents
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
     )
     out = (
         cand.join(
@@ -1024,6 +1043,18 @@ def _pair_overlap(
     n-grams)."""
     if fsets is None:
         fsets = ngram_doc_sets(corpus, id_col, text_col, set_expr=set_expr)
+    # Round-robin the pair table across the full cluster BEFORE the
+    # verify joins: AQE sizes the post-distinct exchange by BYTES of
+    # the narrow (id_a, id_b) rows (~16 B/row) and coalesces it to a
+    # handful of partitions, but the downstream cost is per-ROW heavy
+    # (two array joins + an array_intersect over doc-sized sets), so
+    # the verify then runs nearly serially — measured 2.9 -> 1.2 s at
+    # sf0.1/local[32]. defaultParallelism scales with the cluster and
+    # the rows are narrow, so the extra exchange stays trivially
+    # cheap at any scale; round-robin makes the verify skew-free by
+    # construction.
+    sc = cand.sparkSession.sparkContext
+    cand = cand.repartition(sc.defaultParallelism)
     return (
         cand.join(
             fsets.select(
@@ -1733,6 +1764,11 @@ def ngram_jaccard_prefix_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # same AQE byte-vs-row undercount as _pair_overlap: spread the
+    # narrow pair table before the array-verify joins
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     joined = cand.join(
         sets_.select(
             F.col("id").alias("id_a"), F.col("_fs").alias("_fa"),
@@ -1923,6 +1959,7 @@ def ngram_containment_pairs(
     max_df: int = 64,
     id_col: str = "id",
     text_col: str = "text",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram containment pairs: (id_a, id_b, containment) with
     id_a < id_b and ``|A ∩ B| / min(|A|, |B|)`` >= threshold — the
@@ -1951,12 +1988,16 @@ def ngram_containment_pairs(
     """
     # one word-n-gram fold over the corpus feeds BOTH the candidate
     # explode and the verify arrays (same shared-substrate shape as
-    # the char-shingle family)
-    wsets = tracked_persist(
-        ngram_doc_sets(
-            corpus, id_col, text_col, set_expr=word_ngram_array_expr
+    # the char-shingle family); ``sets`` passes a precomputed
+    # word-n-gram ngram_doc_sets table (e.g. substrate.read_substrate
+    # 'word_ngram_sets') so a day-2 run never touches the raw text
+    wsets = sets
+    if wsets is None:
+        wsets = tracked_persist(
+            ngram_doc_sets(
+                corpus, id_col, text_col, set_expr=word_ngram_array_expr
+            )
         )
-    )
     cand = _df_capped_candidates(_sets_exploded(wsets), max_df)
     scored = _pair_overlap(
         cand, corpus, id_col, text_col, fsets=wsets
