@@ -2332,6 +2332,56 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_near_dups(spark, _mhidx_paths[sf_dir], batch, threshold=0.5)
 
 
+_substrate_paths: dict[str, str] = {}
+
+
+def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision ledger (text/pipeline.py
+    curation_ledger): the full stack — benchmark split, exact dedup,
+    minhash near-dup clusters + retention, shingle decontamination,
+    Gopher rules, quality points — resolved to one status per doc by
+    priority; the oracle replays every stage relationally (recursive
+    CTE clusters) and the same priority CASE."""
+    from gpd_lite_toolbox_spark.text.pipeline import curation_ledger
+
+    return curation_ledger(_corpus(spark, sf_dir))
+
+
+def _q_substrate_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 substrate serving (text/substrate.py): the per-doc
+    shingle-set fold is materialized to parquet ONCE per
+    process+sf_dir (memoized, removed at exit — the ingest_near_dups
+    artifact pattern), and the query itself is ngram_jaccard fed an
+    EMPTY corpus plus the materialized sets — proving the day-2 path
+    never reads the raw text while hash-matching the one-shot
+    oracle (same SQL as ngram_jaccard)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_pairs
+    from gpd_lite_toolbox_spark.text.substrate import (
+        read_substrate,
+        write_substrate,
+    )
+
+    s = _configure(spark)
+    if sf_dir not in _substrate_paths:
+        path = tempfile.mkdtemp(prefix="spark_graft_substrate_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_substrate(
+            _corpus(spark, sf_dir), path, which=["ngram_sets"]
+        )
+        _substrate_paths[sf_dir] = path
+    empty = s.createDataFrame([], "id bigint, text string")
+    return ngram_jaccard_pairs(
+        empty,
+        threshold=0.5,
+        max_df=OR.NGRAM_MAX_DF,
+        sets=read_substrate(s, _substrate_paths[sf_dir], "ngram_sets"),
+    )
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words Naive Bayes language classifier (the fastText-
     style corpus-gating family): train on the documents' lang labels,
@@ -3522,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatialite_roundtrip": _q_spatialite_roundtrip,
         "wkt_roundtrip": _q_wkt_roundtrip,
         "ngram_jaccard": _q_ngram_jaccard,
+        "substrate_day2": _q_substrate_day2,
+        "curation_ledger": _q_curation_ledger,
         "simhash": _q_simhash,
         "simhash_local": _q_simhash_local,
         "token_stats": _q_token_stats,
@@ -3591,6 +3643,9 @@ def oracle_sql() -> dict[str, str]:
         "spatialite_roundtrip": OR.SPATIALITE_ROUNDTRIP,
         "wkt_roundtrip": OR.WKT_ROUNDTRIP,
         "ngram_jaccard": OR.NGRAM_JACCARD,
+        # day-2 substrate serving reproduces the one-shot bit-for-bit
+        "substrate_day2": OR.NGRAM_JACCARD,
+        "curation_ledger": OR.CURATION_LEDGER,
         "simhash": OR.SIMHASH,
         "simhash_local": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,

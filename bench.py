@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "spatialite_roundtrip",
     "wkt_roundtrip",
     "ngram_jaccard",
+    # substrate_day2 times the day-2 SERVING path: the one-time fold
+    # materialization runs eagerly at query construction (the
+    # ingest_near_dups artifact pattern); the timed portion is the
+    # parquet-fed query a production pipeline actually re-runs
+    "substrate_day2",
     "simhash",
     "simhash_local",
     "token_stats",
@@ -110,6 +115,7 @@ BENCH_QUERIES = [
     "source_quality",
     "mixture_plan",
     "drop_reasons",
+    "curation_ledger",
     "stream_quality_gate",
     "paragraph_dedup",
     "perplexity_buckets",

@@ -4801,3 +4801,58 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
            AS n_scenes
 FROM f GROUP BY doc_id
 """
+
+# End-to-end curation decision ledger (text/pipeline.py
+# curation_ledger): every stage replayed relationally and assigned by
+# the SAME priority CASE — clusters by the recursive-CTE walk (not
+# label propagation), retention by the quality argmax, contamination
+# by the shingle-dictionary join, then the drop_reasons row-local
+# rules. Composes the exact fragments its per-stage gates already
+# pin, so one ledger mismatch localizes to one stage.
+CURATION_LEDGER = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+{_WALK_CTES},
+g2 AS ({_WALK_GROUPS}),
+stq AS (SELECT id, LENGTH(text) AS n_chars, {_NTOK} AS n_tokens,
+               {_NSTOP} AS n_stop,
+               (LENGTH(text) - ({_NTOK} - 1)) / CAST({_NTOK} AS DOUBLE)
+                 AS atl
+        FROM corpus),
+qualq AS (SELECT id,
+       ROUND(((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN ROUND(atl, 6) >= 2.0 AND ROUND(atl, 6) <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0,
+           6) AS quality
+       FROM stq),
+rr AS (SELECT g2.group_id, g2.id, g2.group_size,
+              ROW_NUMBER() OVER (PARTITION BY g2.group_id
+                                 ORDER BY q.quality DESC, g2.id) AS rn
+       FROM g2 JOIN qualq q ON q.id = g2.id),
+keptt AS (SELECT group_id, id AS kept_id FROM rr WHERE rn = 1),
+nearq AS (SELECT g2.id,
+                 (g2.group_size > 1 AND g2.id <> k.kept_id) AS isnear
+          FROM g2 JOIN keptt k ON k.group_id = g2.group_id),
+{_SHINGLE_HASHED_CTE},
+contq AS (SELECT t.id
+          FROM (SELECT * FROM shh WHERE id % 13 <> 0) t
+          JOIN (SELECT DISTINCT shingle FROM shh WHERE id % 13 = 0) b
+            ON b.shingle = t.shingle
+          GROUP BY t.id HAVING COUNT(*) >= 1),
+{_gopher_ctes('corpus')},
+sq AS (SELECT id, text, md5(text) AS fp, {_QPOINTS} AS pts FROM corpus),
+jq AS (SELECT sq.id, sq.text, sq.fp, sq.pts, {_GOPHER_PASS} AS pass
+       FROM sq JOIN gr ON gr.id = sq.id),
+mq AS (SELECT jq.*, MIN(id) OVER (PARTITION BY fp) AS min_id FROM jq)
+SELECT mq.id,
+       CASE WHEN mq.text IS NULL THEN 'null_text'
+            WHEN mq.id % 13 = 0 THEN 'benchmark'
+            WHEN mq.fp IS NOT NULL AND mq.id <> mq.min_id THEN 'exact_dup'
+            WHEN COALESCE(n.isnear, FALSE) THEN 'near_dup'
+            WHEN c2.id IS NOT NULL THEN 'contaminated'
+            WHEN NOT COALESCE(mq.pass, FALSE) THEN 'gopher_fail'
+            WHEN mq.pts < 2 THEN 'low_quality'
+            ELSE 'kept' END AS status
+FROM mq
+LEFT JOIN nearq n ON n.id = mq.id
+LEFT JOIN contq c2 ON c2.id = mq.id
+"""

@@ -1226,6 +1226,7 @@ def dedup_canonical(
     max_iter: int = 20,
     text_col: str = "text",
     strict: bool = False,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Retention policy on top of ``dup_groups``: which copy of each
     duplicate cluster does the training set KEEP? Not the arbitrary
@@ -1249,12 +1250,17 @@ def dedup_canonical(
 
     from .analysis import quality_score
 
-    groups = dup_groups(
-        corpus, id_col=id_col, threshold=threshold, pairs=pairs,
-        max_iter=max_iter,  # exposed: the convergence warning says
-        # "raise max_iter" and this is the public retention entry point
-        text_col=text_col, strict=strict,
-    )
+    # ``groups``: precomputed dup_groups output — lets a caller that
+    # already ran the (eager, iterative) clustering pass feed it to
+    # both the ledger join and the retention argmax without re-running
+    # label propagation (curation_ledger does this)
+    if groups is None:
+        groups = dup_groups(
+            corpus, id_col=id_col, threshold=threshold, pairs=pairs,
+            max_iter=max_iter,  # exposed: the convergence warning says
+            # "raise max_iter" and this is the public retention entry
+            text_col=text_col, strict=strict,
+        )
     q = quality_score(corpus, id_col=id_col, text_col=text_col)
     w = Window.partitionBy("group_id").orderBy(
         F.col("quality").desc(), F.col("id").asc()

@@ -414,3 +414,116 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.countDistinct("fp").alias("n_shared"))
     )
+
+
+def curation_ledger(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    benchmark_mod: int = 13,
+    threshold: float = 0.5,
+    min_hits: int = 1,
+    max_iter: int = 20,
+) -> DataFrame:
+    """END-TO-END curation decision ledger: every document's final
+    disposition under the FULL curation stack — the one artifact a
+    pipeline review actually signs off on (extends ``drop_reasons``,
+    which covers only the row-local rules + exact dedup, with the
+    near-dup clustering and benchmark-decontamination stages).
+
+    One status per document, FIRST matching rule in priority order:
+
+    1. ``null_text``     — no content to curate;
+    2. ``benchmark``     — eval-side documents (``id % benchmark_mod
+       == 0``, the decontamination split) never enter training;
+    3. ``exact_dup``     — not the min-id member of its exact-content
+       (md5) group;
+    4. ``near_dup``      — in a minhash-LSH duplicate cluster and not
+       its retained member (``dedup_canonical``: highest quality,
+       ties min id);
+    5. ``contaminated``  — shares >= ``min_hits`` shingles with the
+       benchmark side (``decontaminate``);
+    6. ``gopher_fail``   — fails the Gopher rule conjunction;
+    7. ``low_quality``   — composite quality points < 2 of 3;
+    8. ``kept``.
+
+    Every detector runs over the FULL corpus and priority assigns —
+    the ledger is an audit of the whole stack, not a materialized
+    stage chain (exact dups are jaccard-1 near-dups, so stage-on-
+    survivor semantics would hide nothing; both engines replay the
+    identical global rules, keeping the DuckDB gate exact).
+
+    Scale shape: reuses each detector's own scale design — banded LSH
+    pairs (never all-pairs), the iterative component labeling with
+    localCheckpoint truncation, the broadcast benchmark shingle
+    dictionary, row-local quality/Gopher expressions; the ledger
+    itself adds two doc-keyed left joins and one md5-window. The pair
+    table is computed ONCE and feeds both the clustering and the
+    retention argmax (``groups=`` passthrough).
+    """
+    from ..cache import tracked_persist
+    from .analysis import (
+        gopher_passes_cond,
+        gopher_stat_exprs,
+        quality_points_expr,
+    )
+    from .dedup import (
+        decontaminate,
+        dedup_canonical,
+        dup_groups,
+        minhash_lsh_pairs,
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    pairs = minhash_lsh_pairs(c, threshold=threshold)
+    groups = tracked_persist(
+        dup_groups(c, pairs=pairs, max_iter=max_iter)
+    )
+    kept = dedup_canonical(c, groups=groups)
+    near = groups.join(
+        kept.select("group_id", "kept_id"), "group_id"
+    ).select(
+        "id",
+        (
+            (F.col("group_size") > 1) & (F.col("id") != F.col("kept_id"))
+        ).alias("_near"),
+    )
+    bench = c.filter(F.col("id") % benchmark_mod == 0)
+    train = c.filter(F.col("id") % benchmark_mod != 0)
+    hits = decontaminate(train, bench, min_hits=min_hits).select(
+        "id", F.lit(True).alias("_cont")
+    )
+    staged = c.select(
+        "id",
+        "text",
+        F.md5("text").alias("_fp"),
+        quality_points_expr("text").alias("_pts"),
+        *[col.alias(n) for n, col in gopher_stat_exprs("text")],
+    ).withColumn("_pass", gopher_passes_cond())
+    w = Window.partitionBy("_fp")
+    ledger = (
+        staged.join(near, "id", "left")
+        .join(hits, "id", "left")
+        .withColumn("_minid", F.min("id").over(w))
+    )
+    status = (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(
+            F.col("id") % benchmark_mod == 0, F.lit("benchmark")
+        )
+        .when(
+            F.col("_fp").isNotNull() & (F.col("id") != F.col("_minid")),
+            F.lit("exact_dup"),
+        )
+        .when(F.coalesce("_near", F.lit(False)), F.lit("near_dup"))
+        .when(F.coalesce("_cont", F.lit(False)), F.lit("contaminated"))
+        .when(
+            ~F.coalesce(F.col("_pass"), F.lit(False)),
+            F.lit("gopher_fail"),
+        )
+        .when(F.col("_pts") < 2, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return ledger.select("id", status.alias("status"))

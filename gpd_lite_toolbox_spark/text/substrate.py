@@ -119,6 +119,49 @@ def write_substrate(
     return names
 
 
+def append_to_substrate(
+    batch: DataFrame,
+    path: str,
+    which: list[str] | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> list[str]:
+    """Admit an ingest batch into the materialized substrates — the
+    day-2 maintenance step after the batch survives dedup (mirrors
+    ``append_to_minhash_index``). Per-doc substrates (sets,
+    signatures, bigram counts) append cleanly because their rows are
+    keyed by doc id; ids must not already exist (the writer's
+    unique-id contract).
+
+    ``unigram_counts`` is deliberately NOT appendable: it is a
+    corpus-LEVEL aggregate (appending per-batch counts would leave
+    duplicate ``tok`` rows and silently inflate the vocabulary
+    consumers count). Rebuild it with
+    ``write_substrate(corpus, path, which=['unigram_counts'])`` on
+    the admitted corpus, or maintain it transactionally outside this
+    layer."""
+    names = (
+        [n for n in SUBSTRATES if n != "unigram_counts"]
+        if which is None
+        else list(which)
+    )
+    unknown = [n for n in names if n not in SUBSTRATES]
+    if unknown:
+        raise ValueError(
+            f"unknown substrates {unknown}; available: {sorted(SUBSTRATES)}"
+        )
+    if "unigram_counts" in names:
+        raise ValueError(
+            "unigram_counts is a corpus-level aggregate and cannot be "
+            "appended per batch; rebuild it with write_substrate(..., "
+            "which=['unigram_counts'])"
+        )
+    for name in names:
+        df = SUBSTRATES[name](batch, id_col, text_col)
+        df.write.mode("append").parquet(f"{path}/{name}")
+    return names
+
+
 def read_substrate(spark: SparkSession, path: str, name: str) -> DataFrame:
     """Scan one materialized substrate. Raises (AnalysisException)
     when the directory is missing — a silent empty fallback here

@@ -117,3 +117,44 @@ def test_partial_rewrite_and_unknown_names(spark, corpus, sub_path, tmp_path):
 
     with pytest.raises(AnalysisException):
         read_substrate(spark, str(tmp_path / "missing"), "ngram_sets").count()
+
+
+def test_append_then_day2_equals_full_rebuild(spark, corpus, tmp_path):
+    """Day-2 incremental loop: write the substrate for part of the
+    corpus, append the rest as an admitted batch — every consumer must
+    produce rows identical to a substrate built from the full corpus
+    in one shot."""
+    from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_pairs
+    from gpd_lite_toolbox_spark.text.substrate import append_to_substrate
+
+    base = corpus.filter(F.col("id") % 7 != 0)
+    batch = corpus.filter(F.col("id") % 7 == 0)
+    inc = str(tmp_path / "inc")
+    write_substrate(base, inc, which=["ngram_sets"])
+    append_to_substrate(batch, inc, which=["ngram_sets"])
+    full = str(tmp_path / "full")
+    write_substrate(corpus, full, which=["ngram_sets"])
+    d = _dummy(spark)
+    assert _rows(
+        ngram_jaccard_pairs(
+            d, threshold=0.5, max_df=64,
+            sets=read_substrate(spark, inc, "ngram_sets"),
+        )
+    ) == _rows(
+        ngram_jaccard_pairs(
+            d, threshold=0.5, max_df=64,
+            sets=read_substrate(spark, full, "ngram_sets"),
+        )
+    )
+
+
+def test_append_refuses_unigram_counts(spark, corpus, tmp_path):
+    from gpd_lite_toolbox_spark.text.substrate import append_to_substrate
+
+    with pytest.raises(ValueError, match="corpus-level"):
+        append_to_substrate(
+            corpus, str(tmp_path), which=["unigram_counts"]
+        )
+    # default 'all' silently EXCLUDES the non-appendable aggregate
+    names = append_to_substrate(corpus.limit(0), str(tmp_path / "x"))
+    assert "unigram_counts" not in names and "ngram_sets" in names
