@@ -3389,11 +3389,12 @@ _R6_WINDOW = [
     "random_pts",
     "classify_values",
     "split_leakage",
-    "simhash",
     "intersects_pairs",
     "spatialite_roundtrip",
     "ann_topk",
-    "token_stats",
+    # --- new this round (so no oracled query is ever unchecked) ---
+    "curation_ledger",
+    "substrate_day2",
     # --- never-checked rows-only, slot 50 ---
     "bpe_merges",
 ]
