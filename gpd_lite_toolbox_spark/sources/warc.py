@@ -191,7 +191,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         files = spark.read.format("binaryFile").load(
             f"{path}/*.{{warc,warc.gz}}"
         )
-    except AnalysisException:  # PATH_NOT_FOUND: zero segments
+    except AnalysisException as e:
+        # PATH_NOT_FOUND only: zero segments is a legal empty corpus.
+        # Any other analysis failure must propagate — an unreadable
+        # segment directory silently serving an EMPTY corpus would
+        # vanish the input of every downstream pass.
+        from ..errors import is_path_not_found
+
+        if not is_path_not_found(e):
+            raise
         return spark.createDataFrame([], _READ_SCHEMA)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

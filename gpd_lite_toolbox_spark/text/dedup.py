@@ -521,18 +521,11 @@ def ingest_near_dups(
         #     that marker proves the write COMPLETED — the same error
         #     class on a half-written or corrupt directory (no
         #     _SUCCESS) re-raises.
-        cond = None
-        for probe in ("getCondition", "getErrorClass"):
-            fn = getattr(e, probe, None)
-            if fn is not None:
-                try:
-                    cond = fn()
-                except Exception:
-                    cond = None
-                if cond:
-                    break
         import os
 
+        from ..errors import analysis_condition
+
+        cond = analysis_condition(e)
         committed_empty = cond == "UNABLE_TO_INFER_SCHEMA" and os.path.exists(
             os.path.join(path, "bands", "_SUCCESS")
         )

@@ -407,10 +407,18 @@ def delete_from_ivf_index(spark, path: str, ids) -> None:
 def _ivf_tombstones(spark, path: str) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
+    from ..errors import is_path_not_found
+
     try:
         return spark.read.parquet(f"{path}/tombstones")
-    except AnalysisException:  # no deletes yet
-        return None
+    except AnalysisException as e:
+        # PATH_NOT_FOUND only = no deletes yet. Any other failure
+        # (corrupt footer, permissions, half-written directory) must
+        # propagate: treating it as "no deletes" would serve logically
+        # deleted vectors back out of every probe.
+        if is_path_not_found(e):
+            return None
+        raise
 
 
 def compact_ivf_index(spark, path: str) -> int:

@@ -168,3 +168,54 @@ def test_ingest_corrupt_index_propagates(spark, tmp_path):
     (corrupt / "bands").mkdir(parents=True)
     with pytest.raises(AnalysisException):
         ingest_near_dups(spark, str(corrupt), _batch(spark))
+
+
+# ---------------------------------------------------------------------------
+# Same defect class, swept proactively: tombstone + WARC reads
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_corrupt_tombstones_propagate(spark, tmp_path):
+    """A tombstones directory that exists but is unreadable must RAISE
+    from the probe path — 'no deletes yet' there would resurrect
+    logically deleted vectors."""
+    from pyspark.errors import AnalysisException
+
+    from gpd_lite_toolbox_spark.vector.ann import (
+        ann_ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from gpd_lite_toolbox_spark.vector.pq import default_coarse_centroids
+
+    seed = default_coarse_centroids()
+    rows = [(i, [float(x) + 1e-4 * i for x in seed[0]]) for i in range(3)]
+    pts = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "idx")
+    write_ivf_index(pts, path, dims=64, centroids=seed)
+    (tmp_path / "idx" / "tombstones").mkdir()  # exists, no parquet
+    queries = pts.limit(1)
+    with pytest.raises(AnalysisException):
+        ann_ivf_topk_indexed(spark, path, queries, k=2, dims=64).collect()
+
+
+def test_warc_corrupt_dir_propagates_but_missing_is_empty(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from gpd_lite_toolbox_spark.sources.warc import read_warc
+
+    # missing directory: a legal empty corpus
+    assert read_warc(spark, str(tmp_path / "none")).count() == 0
+    # present but unreadable: must raise, not read as empty
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "seg.warc").write_bytes(b"WARC/1.0\r\n\r\n")
+    import os
+
+    os.chmod(bad / "seg.warc", 0)
+    try:
+        if os.geteuid() == 0:
+            pytest.skip("running as root: chmod 0 is not enforceable")
+        with pytest.raises(AnalysisException):
+            read_warc(spark, str(bad)).count()
+    finally:
+        os.chmod(bad / "seg.warc", 0o644)

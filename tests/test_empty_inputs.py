@@ -267,3 +267,29 @@ def test_session9_ops_on_empty_inputs(spark):
     assert [r.n_users for r in sorted(f, key=lambda r: r.step)] == [0, 0]
     assert retention_cohorts(ev).count() == 0
     assert table_profile(_empty(spark, "k long")).count() == 1
+
+
+def test_round6_ops_empty_inputs(spark, tmp_path):
+    from gpd_lite_toolbox_spark.text.corpus import kn_bigram_logprob
+    from gpd_lite_toolbox_spark.text.pipeline import curation_ledger
+    from gpd_lite_toolbox_spark.text.substrate import (
+        read_substrate,
+        write_substrate,
+    )
+
+    corpus = _empty(spark, "id long, text string")
+    assert curation_ledger(corpus).count() == 0
+    assert kn_bigram_logprob(corpus).count() == 0
+    # substrate of an empty corpus: writes commit, reads are empty,
+    # consumers produce empty results (not errors)
+    path = str(tmp_path / "sub")
+    write_substrate(corpus, path, which=["ngram_sets", "bigram_counts"])
+    sets = read_substrate(spark, path, "ngram_sets")
+    assert sets.count() == 0
+    from gpd_lite_toolbox_spark.text.dedup import ngram_jaccard_pairs
+
+    assert (
+        ngram_jaccard_pairs(corpus, threshold=0.5, max_df=8, sets=sets)
+        .count()
+        == 0
+    )
