@@ -176,6 +176,7 @@ from .text.pii import pii_scan, redact_expr  # noqa: F401
 from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
     corpus_diff,
+    curation_ledger,
     drop_reasons,
     normalize_corpus,
     normalize_text_expr,
@@ -183,6 +184,11 @@ from .text.pipeline import (  # noqa: F401
     remove_boilerplate_lines,
     source_overlap,
     source_quality,
+)
+from .text.substrate import (  # noqa: F401
+    append_to_substrate,
+    read_substrate,
+    write_substrate,
 )
 from .text.search import bm25_topk, hybrid_topk, rrf_fuse  # noqa: F401
 from .text.bpe import (  # noqa: F401
@@ -407,6 +413,11 @@ __all__ = [
     "repetition_stats",
     "source_quality",
     "drop_reasons",
+    # round-6: substrate layer + end-to-end ledger
+    "curation_ledger",
+    "write_substrate",
+    "append_to_substrate",
+    "read_substrate",
     "source_overlap",
     "semantic_dedup",
     "paragraph_dedup",

@@ -234,12 +234,17 @@ def minhash_signatures(
     )
 
 
-def minhash_band_keys(sig: DataFrame) -> DataFrame:
+def minhash_band_keys(sig: DataFrame, carry_sig: bool = False) -> DataFrame:
     """(id, band, band_key): band_key is the md5 of the band's hash
     concat — a fixed-width join key that cannot overflow. Emitted by a
     single explode rather than a B-way union: the union form
     re-evaluated the signature subtree once per branch (and per join
     side), turning one shingle aggregation into up to 2B of them.
+
+    ``carry_sig=True`` appends the h0..h{N-1} signature columns to
+    every band row — the standard LSH-index tuple — so a downstream
+    signature prefilter reads them off the band-join rows instead of
+    re-joining (and re-evaluating) the signature table per side.
 
     NULL signatures (NULL-text docs) emit NO bands: concat_ws skips
     NULL columns, so without the filter every NULL doc would share the
@@ -256,9 +261,10 @@ def minhash_band_keys(sig: DataFrame) -> DataFrame:
                 F.md5(F.concat_ws("_", *cols)).alias("band_key"),
             )
         )
+    extra = [f"h{i}" for i in range(N_HASHES)] if carry_sig else []
     return sig.select(
-        "id", F.explode(F.array(*structs)).alias("_bb")
-    ).select("id", "_bb.band", "_bb.band_key")
+        "id", *extra, F.explode(F.array(*structs)).alias("_bb")
+    ).select("id", *extra, "_bb.band", "_bb.band_key")
 
 
 def minhash_lsh_pairs(
@@ -299,7 +305,7 @@ def minhash_lsh_pairs(
         sig = tracked_persist(
             minhash_signatures(corpus, id_col=id_col, text_col=text_col)
         )
-    bands = minhash_band_keys(sig)
+    bands = minhash_band_keys(sig, carry_sig=True)
     if bucket_cap is not None:
         # Degenerate-bucket skew guard (same role as embedding_near_
         # dups' bucket_cap): a bucket of n members emits n(n-1)/2
@@ -322,32 +328,39 @@ def minhash_lsh_pairs(
             .filter(F.col("_bn") <= int(bucket_cap))
             .drop("_bn")
         )
-    a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
-    b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    min_eq = math.ceil(threshold * N_HASHES)
-    siga = sig.select(
+    # The signatures RIDE the band join (h0..h{N-1} carried through
+    # the band explode) instead of re-joining onto the candidate pairs
+    # later: the prefilter then evaluates INLINE on the collision rows
+    # — BEFORE the distinct, so disqualified collisions never reach
+    # the pair exchange — and the operator evaluates the signature
+    # fold exactly twice (the two join sides) rather than four times.
+    # Exchange width grows by N_HASHES longs per band row (the
+    # standard LSH-index tuple, bounded per doc by B x sig width);
+    # output pairs are identical: est is per-signature, so for a pair
+    # colliding in several bands every row carries the same est and
+    # filter-then-distinct == distinct-then-filter.
+    a = bands.select(
         F.col("id").alias("id_a"),
+        "band",
+        "band_key",
         *[F.col(f"h{i}").alias(f"_a{i}") for i in range(N_HASHES)],
     )
-    sigb = sig.select(
+    b = bands.select(
         F.col("id").alias("id_b"),
+        "band",
+        "band_key",
         *[F.col(f"h{i}").alias(f"_b{i}") for i in range(N_HASHES)],
     )
+    min_eq = math.ceil(threshold * N_HASHES)
     est = None
     for i in range(N_HASHES):
         t = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
         est = t if est is None else est + t
     cand = (
-        cand.join(siga, "id_a")
-        .join(sigb, "id_b")
-        .filter(est >= F.lit(min_eq))
+        a.join(b, ["band", "band_key"])
+        .filter((F.col("id_a") < F.col("id_b")) & (est >= F.lit(min_eq)))
         .select("id_a", "id_b")
+        .distinct()
     )
     # exact verify WITHOUT re-expanding shingle sets per pair: each
     # doc's distinct shingle set is a ROW-LOCAL sorted array (same

@@ -125,3 +125,18 @@ def test_product_analytics_report(spark, sf_dir):
     assert 0 < len(p) <= 10 and all(r.path.count(">") == 2 for r in p)
     t = transitions.collect()
     assert sum(r.n for r in t) > 0
+
+
+def test_substrate_ledger_pipeline(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/examples")
+    from substrate_ledger_pipeline import run
+
+    status_counts, summary, ledger = run(
+        spark, sf_dir, str(tmp_path / "sub")
+    )
+    sc = {r.status: r.n_docs for r in status_counts.collect()}
+    assert sc.get("benchmark", 0) > 0 and sc.get("exact_dup", 0) > 0
+    s = summary.collect()[0]
+    assert s.n_near_dup_pairs > 0       # day-2 query found pairs
+    assert s.n_scored > 0               # day-2 LM scored docs
+    assert ledger.count() == sum(sc.values())

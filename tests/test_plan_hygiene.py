@@ -73,3 +73,27 @@ def test_no_rowwise_python_in_plan(spark, sf_dir, name):
                 f"{name} unexpectedly plans {node}; if intentional, "
                 "add it to _ARROW_OK with a reason"
             )
+
+
+def test_pair_verify_stages_spread_before_array_joins(spark, sf_dir):
+    """Round-6 perf pin: the ngram/minhash verify joins must see a
+    RoundRobinPartitioning of the narrow pair table — AQE sizes that
+    exchange by bytes and coalesces it to ~1 partition while the
+    downstream array_intersect cost is per-row heavy (measured 2.9 ->
+    1.2 s at sf0.1 when spread). A regression drops the verify stage
+    back to near-serial."""
+    from gpd_lite_toolbox_spark import fixtures as FX
+    from gpd_lite_toolbox_spark.text.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    for df in (
+        ngram_jaccard_pairs(corpus, threshold=0.5, max_df=40),
+        ngram_jaccard_prefix_pairs(corpus, threshold=0.5),
+        minhash_lsh_pairs(corpus, threshold=0.5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in plan, plan[:2000]
