@@ -429,12 +429,19 @@ def _lshape_wkb_udf():
 
 
 def cpolys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = fixture_df(spark, sf_dir, "cpolys")
+    # widen BELOW the WKB derivation: the layer scans as one file, so
+    # without it the Arrow L-shape builder (and everything fused into
+    # that first stage) runs on one task
+    from .parallelism import widen
+
+    df = widen(fixture_df(spark, sf_dir, "cpolys"))
     return df.withColumn("geometry", _lshape_wkb_udf()("ox", "oy", "has_hole"))
 
 
 def cpolys_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = fixture_df(spark, sf_dir, "cpolys_b")
+    from .parallelism import widen
+
+    df = widen(fixture_df(spark, sf_dir, "cpolys_b"))
     return df.withColumn("geometry", _lshape_wkb_udf()("ox", "oy", "has_hole"))
 
 

@@ -64,6 +64,19 @@ def _pair_stats(
                 isect.alias("isect"), area.alias("area"), length.alias("length")
             ),
         )
+    # Spread the candidate pairs before the Arrow kernel: when the
+    # bbox join broadcasts (small layers) the pair table inherits the
+    # SCAN's partitioning — a one-file fixture layer leaves the whole
+    # boundary-trace kernel on one core (measured 1.62 -> 1.37 s on
+    # the concave layer at sf0.1/local[32]; the residual is Python
+    # stage spin-up, which a long-lived cluster amortizes). The
+    # exchanged rows carry two WKB blobs, but the kernel's per-row
+    # trace cost dominates the one-hop IO at any scale; on large
+    # layers the join is already a shuffled hash join and this adds
+    # one rebalance of its output.
+    joined = joined.repartition(
+        joined.sparkSession.sparkContext.defaultParallelism
+    )
     return joined.withColumn(
         "_ps",
         st_pair_stats(

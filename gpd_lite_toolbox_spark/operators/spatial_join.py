@@ -72,8 +72,13 @@ def bbox_join(
     skew-join splitting isn't enough. Results are identical; only the
     shuffle layout changes.
     """
-    l = _with_cells(left, cell_size, tol_left, "l")
-    r = _with_cells(right, cell_size, tol_right, "r")
+    # widen narrow scans BEFORE the cell explode: a one-file layer
+    # otherwise runs the whole derivation + join on one task (the
+    # geometry twin of text's _widen; wide inputs pass through)
+    from ..parallelism import widen
+
+    l = _with_cells(widen(left), cell_size, tol_left, "l")
+    r = _with_cells(widen(right), cell_size, tol_right, "r")
     join_keys = ["cx", "cy"]
     if salt > 1:
         l = l.withColumn(

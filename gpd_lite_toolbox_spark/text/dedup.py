@@ -74,23 +74,12 @@ def _hash32(col):
 
 def _widen(df: DataFrame) -> DataFrame:
     """Restore task parallelism ahead of a heavy per-row projection
-    when the input scan has fewer partitions than cores: the md5-fold
-    expressions this module pins into single projections (signatures,
-    shingle arrays, gram tables) execute on the SCAN side of the first
-    exchange, so a corpus that arrives as a handful of files runs them
-    on a handful of tasks (measured 4-6x slower than the same work
-    spread wide). A document-sized round-robin exchange is far cheaper
-    than the projection it unblocks; already-wide inputs (the 100 TB
-    case — thousands of scan partitions) and streaming frames pass
-    through untouched."""
-    if df.isStreaming:
-        return df
-    width = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - exotic plans; keep as-is
-        return df
-    return df.repartition(width) if n < width else df
+    (md5-fold signatures, shingle arrays, gram tables) — the shared
+    ``parallelism.widen`` helper; kept under its module-local name for
+    this module's many call sites."""
+    from ..parallelism import widen
+
+    return widen(df)
 
 
 def exact_dedup(corpus: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
