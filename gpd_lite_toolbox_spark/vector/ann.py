@@ -114,8 +114,20 @@ def _query_side(queries, id_col, vec_col, dims):
     ).withColumn("qn", _norm_col(F.col("qv"), dims))
 
 
-def _corpus_side(vectors, id_col, vec_col, dims):
-    """(neighbor_id, nv, nn) projection of the searched corpus."""
+def _corpus_side(vectors, id_col, vec_col, dims, spread: bool = False):
+    """(neighbor_id, nv, nn) projection of the searched corpus.
+
+    ``spread=True`` widens a narrow scan first (parallelism.widen) —
+    used by the BRUTE-FORCE path, whose Arrow dot kernel otherwise
+    scores every candidate pair on the scan's task count (a one-file
+    corpus = one task; measured 0.90 -> 0.57 s at sf0.1). The
+    bucketed/inverted paths keep the scan partitioning: their
+    downstream bucket exchanges redistribute anyway, and an extra
+    exchange before cell assignment measured net-SLOWER."""
+    if spread:
+        from ..parallelism import widen
+
+        vectors = widen(vectors)
     return vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     ).withColumn("nn", _norm_col(F.col("nv"), dims))
@@ -245,7 +257,7 @@ def cosine_topk(
     q = _query_side(queries, id_col, vec_col, dims)
     if broadcast_queries:
         q = F.broadcast(q)
-    v = _corpus_side(vectors, id_col, vec_col, dims)
+    v = _corpus_side(vectors, id_col, vec_col, dims, spread=True)
     return _rank_topk(_score_pairs(v.crossJoin(q), dims), k)
 
 
@@ -650,6 +662,10 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # NOT spread here (unlike text's _pair_overlap): the bucket join
+    # already exchanges on (band, bucket), so the kernel inherits real
+    # parallelism, and an extra pair rebalance measured net-slower at
+    # bench SF (A/B'd round 6)
     q = _query_side(queries, id_col, vec_col, dims)
     v = _corpus_side(vectors, id_col, vec_col, dims)
     pairs = cand.join(q, "query_id").join(v, "neighbor_id")
