@@ -2335,6 +2335,43 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _substrate_paths: dict[str, str] = {}
 
 
+def _q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational logistic regression (text/classify.py lr_train_gd):
+    3 unrolled batch-GD rounds on the standardized token-stat features
+    against the 2-of-3 quality label, then map-only scoring — every
+    round's sigmoid, gradient, and weight on the 6-decimal lattice so
+    the DuckDB oracle replays training bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.cache import tracked_persist
+    from gpd_lite_toolbox_spark.text.analysis import token_stats
+    from gpd_lite_toolbox_spark.text.classify import lr_score, lr_train_gd
+
+    corpus = _corpus(spark, sf_dir).filter(F.col("text").isNotNull())
+    st = token_stats(corpus)
+    label = (
+        ((F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)).cast("int")
+        + (F.col("stopword_ratio") >= 0.01).cast("int")
+        + (
+            (F.col("avg_token_len") >= 2.0)
+            & (F.col("avg_token_len") <= 12.0)
+        ).cast("int")
+        >= 2
+    ).cast("int")
+    feats = tracked_persist(
+        st.select(
+            "id",
+            F.col("n_chars").cast("double").alias("n_chars"),
+            "stopword_ratio",
+            "avg_token_len",
+            label.alias("label"),
+        )
+    )
+    cols = ["n_chars", "stopword_ratio", "avg_token_len"]
+    w = lr_train_gd(feats, cols, "label", n_iter=3, learning_rate=0.5)
+    return lr_score(feats, w, cols)
+
+
 def _q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation decision ledger (text/pipeline.py
     curation_ledger): the full stack — benchmark split, exact dedup,
@@ -3575,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "substrate_day2": _q_substrate_day2,
         "curation_ledger": _q_curation_ledger,
+        "lr_quality": _q_lr_quality,
         "simhash": _q_simhash,
         "simhash_local": _q_simhash_local,
         "token_stats": _q_token_stats,
@@ -3647,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         # day-2 substrate serving reproduces the one-shot bit-for-bit
         "substrate_day2": OR.NGRAM_JACCARD,
         "curation_ledger": OR.CURATION_LEDGER,
+        "lr_quality": OR.LR_QUALITY,
         "simhash": OR.SIMHASH,
         "simhash_local": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,

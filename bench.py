@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "mixture_plan",
     "drop_reasons",
     "curation_ledger",
+    "lr_quality",
     "stream_quality_gate",
     "paragraph_dedup",
     "perplexity_buckets",

@@ -190,6 +190,11 @@ from .text.substrate import (  # noqa: F401
     read_substrate,
     write_substrate,
 )
+from .text.classify import (  # noqa: F401
+    lr_score,
+    lr_train_gd,
+    standardize_features,
+)
 from .text.search import bm25_topk, hybrid_topk, rrf_fuse  # noqa: F401
 from .text.bpe import (  # noqa: F401
     bpe_fertility,
@@ -415,6 +420,9 @@ __all__ = [
     "drop_reasons",
     # round-6: substrate layer + end-to-end ledger
     "curation_ledger",
+    "lr_train_gd",
+    "lr_score",
+    "standardize_features",
     "write_substrate",
     "append_to_substrate",
     "read_substrate",

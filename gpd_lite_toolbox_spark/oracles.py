@@ -4856,3 +4856,104 @@ FROM mq
 LEFT JOIN nearq n ON n.id = mq.id
 LEFT JOIN contq c2 ON c2.id = mq.id
 """
+
+
+# Relational logistic regression (text/classify.py lr_train_gd +
+# lr_score): 3 unrolled batch-GD rounds replayed relationally —
+# standardized features, each round's sigmoid p, gradients, and
+# weights all ROUNDED to the 6-decimal lattice, the linear term
+# written in the identical left-to-right association — so both
+# engines walk the same weight trajectory and the final per-doc
+# scores hash-match.
+def _lr_quality_sql(n_iter: int = 3, lr: float = 0.5) -> str:
+    cols = ["n_chars", "stopword_ratio", "avg_token_len"]
+    feat = f"""
+f0 AS (SELECT id,
+              CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+              ROUND(({_NSTOP}) / CAST({_NTOK} AS DOUBLE), 6)
+                AS stopword_ratio,
+              ROUND((LENGTH(text) - ({_NTOK} - 1))
+                    / CAST({_NTOK} AS DOUBLE), 6) AS avg_token_len,
+              CAST(((CASE WHEN LENGTH(text) BETWEEN 100 AND 20000
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN ROUND(({_NSTOP}) / CAST({_NTOK} AS DOUBLE), 6)
+                          >= 0.01 THEN 1 ELSE 0 END)
+                  + (CASE WHEN ROUND((LENGTH(text) - ({_NTOK} - 1))
+                                     / CAST({_NTOK} AS DOUBLE), 6)
+                          BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END))
+                   >= 2 AS INT) AS label
+       FROM corpus WHERE text IS NOT NULL)"""
+    # DECIMAL moment/gradient sums mirror the Spark side: exact and
+    # order-independent over lattice values, so neither engine's
+    # partition order can split a rounded average on a midpoint
+    # epsilon-shifted rounding (text/classify.py _r6): engines'
+    # ROUND implementations disagree on doubles within an ulp of a
+    # half-way point even when the inputs are bit-identical; both
+    # sides of this gate shift by 1e-9 before rounding
+    def _r6(e):
+        return f"ROUND(({e}) + 1e-9, 6)"
+
+    def _q(c):
+        return f"CAST({_r6(c)} AS DECIMAL(14,6))"
+
+    mom_cols = ", ".join(
+        f"{_r6(f'CAST(SUM({_q(c)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+        f" AS mu_{c},"
+        f" {_r6(f'CAST(SUM({_q(c)} * {_q(c)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+        f" AS m2_{c}"
+        for c in cols
+    )
+    sig_parts = []
+    for c in cols:
+        var = _r6(f"GREATEST(m2_{c} - mu_{c} * mu_{c}, 0.0)")
+        sig_parts.append(f"{_r6(f'SQRT({var})')} AS sig_{c}")
+    sig_cols = ", ".join(sig_parts)
+    std_cols = ", ".join(
+        f"CASE WHEN m.sig_{c} = 0.0 THEN 0.0"
+        f" ELSE {_r6(f'(f.{c} - m.mu_{c}) / m.sig_{c}')} END AS {c}"
+        for c in cols
+    )
+    parts = [
+        feat,
+        f"mom0 AS (SELECT {mom_cols} FROM f0)",
+        f"mom AS (SELECT *, {sig_cols} FROM mom0)",
+        f"fs AS (SELECT f.id, f.label, {std_cols} FROM f0 f CROSS JOIN mom m)",
+        "w0 AS (SELECT 0.0 AS bias, "
+        + ", ".join(f"0.0 AS w_{c}" for c in cols)
+        + ")",
+    ]
+    lin = "w.bias + " + " + ".join(f"w.w_{c} * f.{c}" for c in cols)
+    for k in range(1, int(n_iter) + 1):
+        parts.append(
+            f"s{k} AS (SELECT f.*,"
+            f" {_r6(f'1.0 / (1.0 + EXP(-({lin})))')} AS p"
+            f" FROM fs f CROSS JOIN w{k - 1} w)"
+        )
+        pd_ = "CAST(p AS DECIMAL(8,6)) - CAST(label AS DECIMAL(8,6))"
+        g = ", ".join(
+            f"{_r6(f'CAST(SUM(({pd_}) * {_q(c)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+            f" AS g_{c}"
+            for c in cols
+        )
+        parts.append(
+            f"g{k} AS (SELECT"
+            f" {_r6(f'CAST(SUM({pd_}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+            f" AS gb, {g}"
+            f" FROM s{k})"
+        )
+        wu = ", ".join(
+            f"{_r6(f'w.w_{c} - {lr} * g.g_{c}')} AS w_{c}" for c in cols
+        )
+        parts.append(
+            f"w{k} AS (SELECT {_r6(f'w.bias - {lr} * g.gb')} AS bias,"
+            f" {wu} FROM w{k - 1} w CROSS JOIN g{k} g)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {oracle_ctes('corpus')},\n{body}\n"
+        f"SELECT f.id, {_r6(f'1.0 / (1.0 + EXP(-({lin})))')} AS p\n"
+        f"FROM fs f CROSS JOIN w{int(n_iter)} w"
+    )
+
+
+LR_QUALITY = _lr_quality_sql()

@@ -220,3 +220,214 @@ def hash_features(
         .groupBy("id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# Engines implement ROUND differently (Spark: HALF_UP on the double's
+# exact decimal expansion; DuckDB: scaled multiply) and DISAGREE on
+# doubles sitting within an ulp of a half-way point — observed on a
+# gradient average whose exact decimal sum made the quotient
+# bit-identical in both engines yet still rounded apart. The LR family
+# therefore rounds through a 1e-9 upward shift on BOTH sides of the
+# gate (the PPJoin exact-ceil recipe): identical inputs land >= ~1e-9
+# from any half-way point, where every implementation agrees.
+_R6_EPS = 1e-9
+
+
+def _r6(col, d: int):
+    return F.round(col + F.lit(_R6_EPS), d)
+
+
+def _qdec(c: str, d: int):
+    """Exact lattice value: shift-round in double, lossless decimal
+    cast — the order-independent summand of the moment/gradient
+    aggregates."""
+    return _r6(F.col(c), d).cast("decimal(14,6)")
+
+
+def standardize_features(
+    df: DataFrame,
+    feature_cols: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Z-standardize numeric feature columns IN PLACE (same names),
+    deterministically and cross-engine exactly: features are quantized
+    to the 6-decimal lattice, the moment SUMS run in DECIMAL — exact
+    and ORDER-INDEPENDENT, unlike double sums whose partition order
+    wobbles the last ulp and splits engines when a rounded average
+    lands on a lattice midpoint (observed: one gradient at sf0.001) —
+    and every derived quantity (mu, m2, variance, sigma, the
+    standardized value) is rounded to ``round_digits``. Sigma derives
+    relationally (sqrt(m2 - mu^2) on ROUNDED inputs), never from an
+    engine's streaming stddev. A constant feature (sigma 0)
+    standardizes to 0.0 rather than NaN. Feature magnitude contract:
+    |x| < 1e8 (DECIMAL(14,6) lattice)."""
+    d = int(round_digits)
+    n = F.count(F.lit(1)).cast("double")
+    stats = df.agg(
+        *[
+            _r6(F.sum(_qdec(c, d)).cast("double") / n, d).alias(
+                f"_mu_{c}"
+            )
+            for c in feature_cols
+        ],
+        *[
+            # decimal x decimal -> decimal(29,12): still exact
+            _r6(
+                F.sum(_qdec(c, d) * _qdec(c, d)).cast("double") / n, d
+            ).alias(f"_m2_{c}")
+            for c in feature_cols
+        ],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in feature_cols:
+        var = _r6(
+            F.greatest(
+                F.col(f"_m2_{c}") - F.col(f"_mu_{c}") * F.col(f"_mu_{c}"),
+                F.lit(0.0),
+            ),
+            d,
+        )
+        sigma = _r6(F.sqrt(var), d)
+        out = out.withColumn(
+            c,
+            F.when(sigma == 0.0, F.lit(0.0)).otherwise(
+                _r6((F.col(c) - F.col(f"_mu_{c}")) / sigma, d)
+            ),
+        )
+    return out.drop(
+        *[f"_mu_{c}" for c in feature_cols],
+        *[f"_m2_{c}" for c in feature_cols],
+    )
+
+
+def _lr_linear(weights_cols: dict, feature_cols: list[str]):
+    """b + sum_j w_j * x_j as ONE fixed left-to-right expression chain
+    — the same association order the oracle SQL writes, so both
+    engines compute the identical double."""
+    z = weights_cols["bias"]
+    for c in feature_cols:
+        z = z + weights_cols[c] * F.col(c)
+    return z
+
+
+def lr_train_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 3,
+    learning_rate: float = 0.5,
+    round_digits: int = 6,
+    standardize: bool = True,
+) -> DataFrame:
+    """Logistic-regression training as a FIXED number of batch
+    gradient-descent rounds unrolled into one declarative plan — the
+    trainable sibling of ``train_nb`` (the published practice: a small
+    linear quality/domain classifier gates what enters a corpus).
+
+    Same contract as ``vector.kmeans.kmeans_assign``: no driver
+    collect, no convergence loop — ``n_iter`` one-row aggregates
+    chained lazily, every cross-engine quantity on the
+    ``round_digits`` lattice (standardized features, each round's
+    sigmoid p, gradients, weights), so the DuckDB oracle replays the
+    rounds bit-for-bit and the result is hash-gateable. ``pyspark.ml``
+    LogisticRegression remains the quality path when a trained,
+    non-gateable model is acceptable.
+
+    Returns ONE row: ``(bias, w_<feature>, ...)``. Scale shape: per
+    round, one partial-combined aggregate over the instance table and
+    a broadcast of the one-row weights — instances never shuffle.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    d = int(round_digits)
+    lr = float(learning_rate)
+    inst = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    if standardize:
+        inst = standardize_features(inst, feature_cols, d)
+    # weights start at the exact-zero row (p = 0.5 everywhere)
+    weights = inst.sparkSession.range(1).select(
+        F.lit(0.0).alias("bias"),
+        *[F.lit(0.0).alias(f"w_{c}") for c in feature_cols],
+    )
+    for _ in range(int(n_iter)):
+        w = {
+            "bias": F.col("bias"),
+            **{c: F.col(f"w_{c}") for c in feature_cols},
+        }
+        scored = inst.crossJoin(F.broadcast(weights)).withColumn(
+            "_p",
+            _r6(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-_lr_linear(w, feature_cols))),
+                d,
+            ),
+        )
+        # DECIMAL gradient sums: p and the standardized features are
+        # both lattice values, so (p - y) * x is exact in
+        # DECIMAL(23,12) and the sum is order-independent — the same
+        # midpoint-split defense as standardize_features
+        pd_ = F.col("_p").cast("decimal(8,6)")
+        yd_ = F.col("_y").cast("decimal(8,6)")
+        n_ = F.count(F.lit(1)).cast("double")
+        grads = scored.agg(
+            _r6(F.sum(pd_ - yd_).cast("double") / n_, d).alias("_gb"),
+            *[
+                _r6(
+                    F.sum((pd_ - yd_) * _qdec(c, d)).cast("double") / n_,
+                    d,
+                ).alias(f"_g_{c}")
+                for c in feature_cols
+            ],
+            # carry the weights through the aggregate (constant within
+            # the one-row broadcast) so the update is a projection
+            F.first("bias").alias("_b0"),
+            *[F.first(f"w_{c}").alias(f"_w0_{c}") for c in feature_cols],
+        )
+        weights = grads.select(
+            _r6(F.col("_b0") - F.lit(lr) * F.col("_gb"), d).alias("bias"),
+            *[
+                _r6(
+                    F.col(f"_w0_{c}") - F.lit(lr) * F.col(f"_g_{c}"), d
+                ).alias(f"w_{c}")
+                for c in feature_cols
+            ],
+        )
+    return weights
+
+
+def lr_score(
+    df: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "id",
+    round_digits: int = 6,
+    standardize: bool = True,
+) -> DataFrame:
+    """Per-row P(label=1) under a ``lr_train_gd`` weight row:
+    ``(id, p)``, p rounded. ``standardize`` must match training (the
+    moments re-derive from ``df``, so score the TRAINING corpus or
+    standardize externally). Map-only: one broadcast of the one-row
+    weights, no shuffle."""
+    d = int(round_digits)
+    inst = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    )
+    if standardize:
+        inst = standardize_features(inst, feature_cols, d)
+    w = {"bias": F.col("bias"), **{c: F.col(f"w_{c}") for c in feature_cols}}
+    return (
+        inst.crossJoin(F.broadcast(weights))
+        .withColumn(
+            "p",
+            _r6(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-_lr_linear(w, feature_cols))),
+                d,
+            ),
+        )
+        .select("id", "p")
+    )
