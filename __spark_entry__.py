@@ -2335,6 +2335,29 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _substrate_paths: dict[str, str] = {}
 
 
+def _q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume OLS trend (operators/temporal.py
+    group_trend): the drift slope a standing pipeline report watches;
+    exact decimal sums + engine-stable rounding make the closed-form
+    fit hash-gateable."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.temporal import group_trend
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    daily = (
+        s.table("events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return group_trend(daily, ["event_type"], "day", "cnt")
+
+
 def _q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational logistic regression (text/classify.py lr_train_gd):
     3 unrolled batch-GD rounds on the standardized token-stat features
@@ -3613,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substrate_day2": _q_substrate_day2,
         "curation_ledger": _q_curation_ledger,
         "lr_quality": _q_lr_quality,
+        "event_trend": _q_event_trend,
         "simhash": _q_simhash,
         "simhash_local": _q_simhash_local,
         "token_stats": _q_token_stats,
@@ -3686,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "substrate_day2": OR.NGRAM_JACCARD,
         "curation_ledger": OR.CURATION_LEDGER,
         "lr_quality": OR.LR_QUALITY,
+        "event_trend": OR.EVENT_TREND,
         "simhash": OR.SIMHASH,
         "simhash_local": OR.SIMHASH,
         "token_stats": OR.TOKEN_STATS,

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "drop_reasons",
     "curation_ledger",
     "lr_quality",
+    "event_trend",
     "stream_quality_gate",
     "paragraph_dedup",
     "perplexity_buckets",

@@ -72,6 +72,7 @@ from .operators.temporal import (  # noqa: F401
     dau_wau,
     event_transitions,
     session_paths,
+    group_trend,
     range_join_binned,
     resample_ffill,
     retention_cohorts,
@@ -423,6 +424,7 @@ __all__ = [
     "lr_train_gd",
     "lr_score",
     "standardize_features",
+    "group_trend",
     "write_substrate",
     "append_to_substrate",
     "read_substrate",

@@ -572,3 +572,66 @@ def dau_wau(
             ),
         )
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line — the drift audit a
+    standing pipeline report runs per source/type/cohort ("is this
+    stream's daily volume trending down?"). Output one row per group:
+    ``(<group_cols...>, n, slope, intercept, r2)``, all rounded;
+    groups whose x has zero variance emit NULL slope/intercept/r2
+    (a vertical line has no OLS fit), zero y-variance emits r2 NULL
+    with slope 0.
+
+    Closed form, ONE partial-combined aggregate per group:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept =
+    (Sy - slope*Sx)/n, r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) *
+    (n*Syy - Sy^2)). The five sums run in DECIMAL over
+    lattice-quantized values (numerics.qdec) so they are exact and
+    order-independent in both engines, and every emitted value rounds
+    through the engine-stable shift (numerics.r6) — the whole fit is
+    hash-gateable cross-engine, like lr_train_gd. Magnitude contract:
+    |x|, |y| < 1e8.
+
+    Scale shape: the aggregate partial-combines (5 decimal sums + a
+    count per group per partition reach the exchange); the closed form
+    is a projection. No window, no second pass, no driver math.
+    """
+    d = int(round_digits)
+    from ..numerics import dsum, qdec, r6
+
+    xd, yd = qdec(x_col, d), qdec(y_col, d)
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(xd).alias("_sx"),
+        dsum(yd).alias("_sy"),
+        dsum(xd * yd).alias("_sxy"),
+        dsum(xd * xd).alias("_sxx"),
+        dsum(yd * yd).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(varx_n > 0, r6(cov_n / varx_n, d))
+    intercept = F.when(
+        varx_n > 0,
+        r6((F.col("_sy") - (cov_n / varx_n) * F.col("_sx")) / n, d),
+    )
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0),
+        r6(cov_n * cov_n / (varx_n * vary_n), d),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -4894,12 +4894,17 @@ f0 AS (SELECT id,
         return f"ROUND(({e}) + 1e-9, 6)"
 
     def _q(c):
-        return f"CAST({_r6(c)} AS DECIMAL(14,6))"
+        # DECIMAL(19,6), not (14,6): DuckDB executes (14,6)x(14,6)
+        # products in int64 and overflows at |x| ~ 1e4 scale-6; (19,6)
+        # promotes to int128 (result DECIMAL(38,12), still exact).
+        # The Spark side keeps (14,6) — (29,12) products fit Spark's
+        # 38-digit cap — and exactness makes the widths interchangeable.
+        return f"CAST({_r6(c)} AS DECIMAL(19,6))"
 
     mom_cols = ", ".join(
-        f"{_r6(f'CAST(SUM({_q(c)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+        f"{_r6(f'CAST(CAST(SUM({_q(c)}) AS DECIMAL(26,6)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
         f" AS mu_{c},"
-        f" {_r6(f'CAST(SUM({_q(c)} * {_q(c)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+        f" {_r6(f'CAST(CAST(SUM({_q(c)} * {_q(c)}) AS DECIMAL(26,6)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
         f" AS m2_{c}"
         for c in cols
     )
@@ -4931,13 +4936,13 @@ f0 AS (SELECT id,
         )
         pd_ = "CAST(p AS DECIMAL(8,6)) - CAST(label AS DECIMAL(8,6))"
         g = ", ".join(
-            f"{_r6(f'CAST(SUM(({pd_}) * {_q(c)}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+            f"{_r6(f'CAST(CAST(SUM(({pd_}) * {_q(c)}) AS DECIMAL(26,6)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
             f" AS g_{c}"
             for c in cols
         )
         parts.append(
             f"g{k} AS (SELECT"
-            f" {_r6(f'CAST(SUM({pd_}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
+            f" {_r6(f'CAST(CAST(SUM({pd_}) AS DECIMAL(26,6)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}"
             f" AS gb, {g}"
             f" FROM s{k})"
         )
@@ -4957,3 +4962,52 @@ f0 AS (SELECT id,
 
 
 LR_QUALITY = _lr_quality_sql()
+
+
+# Per-group OLS trend (operators/temporal.py group_trend): the five
+# sums in DECIMAL over lattice-quantized values (exact,
+# order-independent), the closed form written in the identical
+# association order, every output through the 1e-9-shifted round —
+# the numerics.py recipe, same as LR_QUALITY.
+def _trend_sql() -> str:
+    def _r6(e):
+        return f"ROUND(({e}) + 1e-9, 6)"
+
+    def _q(c):
+        # DECIMAL(19,6), not (14,6): DuckDB executes (14,6)x(14,6)
+        # products in int64 and overflows at |x| ~ 1e4 scale-6; (19,6)
+        # promotes to int128 (result DECIMAL(38,12), still exact).
+        # The Spark side keeps (14,6) — (29,12) products fit Spark's
+        # 38-digit cap — and exactness makes the widths interchangeable.
+        return f"CAST({_r6(c)} AS DECIMAL(19,6))"
+
+    cov = "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+    varx = "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+    vary = "(CAST(n AS DOUBLE) * syy - sy * sy)"
+    return f"""
+WITH daily AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS cnt
+               FROM events GROUP BY 1, 2),
+q AS (SELECT event_type, {_q('day')} AS xd, {_q('cnt')} AS yd FROM daily),
+a AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(xd) AS DECIMAL(26,6)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(yd) AS DECIMAL(26,6)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(xd * yd) AS DECIMAL(26,6)) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(xd * xd) AS DECIMAL(26,6)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(yd * yd) AS DECIMAL(26,6)) AS DOUBLE) AS syy
+      FROM q GROUP BY 1)
+SELECT event_type, n,
+       CASE WHEN {varx} > 0 THEN {_r6(f'{cov} / {varx}')} END AS slope,
+       CASE WHEN {varx} > 0 THEN
+         {_r6(f'(sy - ({cov} / {varx}) * sx) / CAST(n AS DOUBLE)')}
+       END AS intercept,
+       CASE WHEN {varx} > 0 AND {vary} > 0 THEN
+         {_r6(f'{cov} * {cov} / ({varx} * {vary})')}
+       END AS r2
+FROM a
+"""
+
+
+EVENT_TREND = _trend_sql()

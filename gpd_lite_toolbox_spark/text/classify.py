@@ -232,6 +232,8 @@ def hash_features(
 # from any half-way point, where every implementation agrees.
 _R6_EPS = 1e-9
 
+from ..numerics import dsum as _dsum  # noqa: E402
+
 
 def _r6(col, d: int):
     return F.round(col + F.lit(_R6_EPS), d)
@@ -265,16 +267,17 @@ def standardize_features(
     n = F.count(F.lit(1)).cast("double")
     stats = df.agg(
         *[
-            _r6(F.sum(_qdec(c, d)).cast("double") / n, d).alias(
-                f"_mu_{c}"
-            )
+            _r6(_dsum(_qdec(c, d)) / n, d).alias(f"_mu_{c}")
             for c in feature_cols
         ],
         *[
-            # decimal x decimal -> decimal(29,12): still exact
-            _r6(
-                F.sum(_qdec(c, d) * _qdec(c, d)).cast("double") / n, d
-            ).alias(f"_m2_{c}")
+            # decimal x decimal -> decimal(29,12): still exact; the
+            # sum rescales to scale 6 before the double cast (see
+            # numerics.dsum — the cast itself is engine-divergent on
+            # scale-12 payloads)
+            _r6(_dsum(_qdec(c, d) * _qdec(c, d)) / n, d).alias(
+                f"_m2_{c}"
+            )
             for c in feature_cols
         ],
     )
@@ -373,12 +376,11 @@ def lr_train_gd(
         yd_ = F.col("_y").cast("decimal(8,6)")
         n_ = F.count(F.lit(1)).cast("double")
         grads = scored.agg(
-            _r6(F.sum(pd_ - yd_).cast("double") / n_, d).alias("_gb"),
+            _r6(_dsum(pd_ - yd_) / n_, d).alias("_gb"),
             *[
-                _r6(
-                    F.sum((pd_ - yd_) * _qdec(c, d)).cast("double") / n_,
-                    d,
-                ).alias(f"_g_{c}")
+                _r6(_dsum((pd_ - yd_) * _qdec(c, d)) / n_, d).alias(
+                    f"_g_{c}"
+                )
                 for c in feature_cols
             ],
             # carry the weights through the aggregate (constant within

@@ -118,3 +118,44 @@ def test_lr_plan_stays_jvm_side(spark):
     )
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+# ---------------------------------------------------------------------------
+# group_trend (operators/temporal.py) — shares the numerics recipe
+# ---------------------------------------------------------------------------
+
+
+def test_group_trend_recovers_planted_lines(spark):
+    from gpd_lite_toolbox_spark.operators.temporal import group_trend
+
+    rows = []
+    for x in range(20):
+        rows.append(("up", float(x), 3.0 * x + 7.0))      # exact line
+        rows.append(("down", float(x), -2.0 * x + 100.0))  # exact line
+        rows.append(("flat", float(x), 42.0))              # zero y-var
+        rows.append(("point", 5.0, float(x)))              # zero x-var
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    assert out["up"].slope == 3.0 and out["up"].intercept == 7.0
+    assert out["up"].r2 == 1.0
+    assert out["down"].slope == -2.0 and out["down"].intercept == 100.0
+    assert out["flat"].slope == 0.0 and out["flat"].r2 is None
+    assert out["point"].slope is None and out["point"].r2 is None
+    assert all(r.n == 20 for r in out.values())
+
+
+def test_group_trend_deterministic_across_partitioning(spark):
+    from gpd_lite_toolbox_spark.operators.temporal import group_trend
+
+    rows = [
+        ("a", float(i % 37), float((i * 13) % 101) + 0.123456)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    ref = None
+    for parts in (1, 11):
+        got = group_trend(df.repartition(parts), ["g"], "x", "y").collect()
+        row = got[0].asDict()
+        if ref is None:
+            ref = row
+        assert row == ref, parts
