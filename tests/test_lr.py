@@ -159,3 +159,33 @@ def test_group_trend_deterministic_across_partitioning(spark):
         if ref is None:
             ref = row
         assert row == ref, parts
+
+
+def test_group_trend_matches_numpy_reference(spark):
+    """Randomized cross-check against numpy lstsq (independent
+    algorithm): slope/intercept/r2 within the rounding tolerance."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    expect = {}
+    for g in range(6):
+        n = int(rng.randint(5, 40))
+        x = np.round(rng.uniform(-50, 50, n), 6)
+        y = np.round(3.0 * rng.randn() * x + rng.randn(n) * 5.0 + 10, 6)
+        rows += [(f"g{g}", float(a), float(b)) for a, b in zip(x, y)]
+        A = np.vstack([x, np.ones(n)]).T
+        (sl, ic), res, _, _ = np.linalg.lstsq(A, y, rcond=None)
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        ss_res = float(((y - (sl * x + ic)) ** 2).sum())
+        r2 = 1 - ss_res / ss_tot if ss_tot > 0 else None
+        expect[f"g{g}"] = (float(sl), float(ic), r2)
+    from gpd_lite_toolbox_spark.operators.temporal import group_trend
+
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    for g, (sl, ic, r2) in expect.items():
+        assert abs(out[g].slope - sl) < 1e-4, g
+        assert abs(out[g].intercept - ic) < 1e-4, g
+        if r2 is not None:
+            assert abs(out[g].r2 - r2) < 1e-4, g
