@@ -397,13 +397,17 @@ def _ngram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_caches() the handle stays valid (recomputes from
     lineage), so correctness never depends on the cache.
 
-    Keyed by (session id, sf_dir), not sf_dir alone: a cached frame
-    is bound to the SparkSession that built it, so a harness that
-    restarts Spark in-process must get a fresh build, not a handle on
-    a stopped session (ADVICE r5).  Stale-session entries are evicted
-    on miss so the dict stays bounded."""
+    Keyed by (applicationId, sf_dir), not sf_dir alone: a cached
+    frame is bound to the SparkSession that built it, so a harness
+    that restarts Spark in-process must get a fresh build, not a
+    handle on a stopped session (ADVICE r5).  applicationId, not
+    id(sparkContext): CPython reuses object addresses after GC, so an
+    id() key could alias a restarted context back onto a stale entry
+    (ADVICE r6) — application ids are unique per context by
+    construction.  Stale-session entries are evicted on miss so the
+    dict stays bounded."""
     s = _configure(spark)
-    key = (id(s.sparkContext), sf_dir)
+    key = (s.sparkContext.applicationId, sf_dir)
     if key not in _NGRAM_SETS_CACHE:
         from gpd_lite_toolbox_spark.cache import tracked_persist
         from gpd_lite_toolbox_spark.text.dedup import ngram_doc_sets
@@ -2350,7 +2354,13 @@ def _q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.table("events")
         .select(
             "event_type",
-            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            # floor(a / b), not `a div b`: DuckDB's // floor-divides
+            # while div truncates toward zero, so pre-1970 timestamps
+            # would bucket into different days across engines
+            # (ADVICE r6).  unix_micros < 2^53 through year ~2255, so
+            # the double division is exact enough for floor to agree
+            # with integer floor division.
+            F.expr("floor(unix_micros(ts) / 86400000000)").alias("day"),
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
@@ -2384,7 +2394,16 @@ def _q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tracked_persist(
         st.select(
             "id",
-            F.col("n_chars").cast("double").alias("n_chars"),
+            # kilochars, not chars (ADVICE r6): standardize_features'
+            # m2 moment sums x^2, and raw n_chars^2 (~4e8/row) crosses
+            # dsum's engine-stable |sum| < 9e9 contract within a few
+            # dozen large docs; /1000 keeps the squares <= 400 so the
+            # decimal-to-double cast stays exact at any corpus size.
+            # Standardization makes the model itself scale-invariant;
+            # the oracle's f0 CTE applies the identical division.
+            (F.col("n_chars").cast("double") / F.lit(1000.0)).alias(
+                "n_chars"
+            ),
             "stopword_ratio",
             "avg_token_len",
             label.alias("label"),

@@ -70,13 +70,15 @@ def _pair_stats(
     # boundary-trace kernel on one core (measured 1.62 -> 1.37 s on
     # the concave layer at sf0.1/local[32]; the residual is Python
     # stage spin-up, which a long-lived cluster amortizes). The
-    # exchanged rows carry two WKB blobs, but the kernel's per-row
-    # trace cost dominates the one-hop IO at any scale; on large
-    # layers the join is already a shuffled hash join and this adds
-    # one rebalance of its output.
-    joined = joined.repartition(
-        joined.sparkSession.sparkContext.defaultParallelism
-    )
+    # exchanged rows carry two WKB blobs, so the exchange is guarded
+    # like parallelism.widen: an already-wide shuffled join (the
+    # large-layer / 100 TB case) passes through untouched rather than
+    # paying a full extra exchange of double-WKB rows (ADVICE r6);
+    # only narrow broadcast-join outputs — the one-file fixture shape
+    # the comment above measured — are spread.
+    from ..parallelism import widen
+
+    joined = widen(joined)
     return joined.withColumn(
         "_ps",
         st_pair_stats(

@@ -4869,7 +4869,7 @@ def _lr_quality_sql(n_iter: int = 3, lr: float = 0.5) -> str:
     cols = ["n_chars", "stopword_ratio", "avg_token_len"]
     feat = f"""
 f0 AS (SELECT id,
-              CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+              CAST(LENGTH(text) AS DOUBLE) / 1000.0 AS n_chars,
               ROUND(({_NSTOP}) / CAST({_NTOK} AS DOUBLE), 6)
                 AS stopword_ratio,
               ROUND((LENGTH(text) - ({_NTOK} - 1))

@@ -522,14 +522,16 @@ def ingest_near_dups(
         #     only the _SUCCESS commit marker), accepted ONLY when
         #     that marker proves the write COMPLETED — the same error
         #     class on a half-written or corrupt directory (no
-        #     _SUCCESS) re-raises.
-        import os
-
+        #     _SUCCESS) re-raises.  The marker is resolved through
+        #     Hadoop's FileSystem API, not os.path, so an index
+        #     committed to remote storage (s3a://, hdfs://) is
+        #     recognised too (round-6 ADVICE).
         from ..errors import analysis_condition
+        from ..fs import success_marker_exists
 
         cond = analysis_condition(e)
-        committed_empty = cond == "UNABLE_TO_INFER_SCHEMA" and os.path.exists(
-            os.path.join(path, "bands", "_SUCCESS")
+        committed_empty = cond == "UNABLE_TO_INFER_SCHEMA" and success_marker_exists(
+            spark, f"{path}/bands"
         )
         if cond != "PATH_NOT_FOUND" and not committed_empty:
             raise
@@ -624,6 +626,8 @@ def embedding_near_dups(
     exact: bool = False,
     dims: int | None = None,
     bucket_cap: int = 1024,
+    max_pairs: int = 100_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -631,7 +635,13 @@ def embedding_near_dups(
     Default path prunes candidates with the banded hyperplane LSH
     (vector/ann.py) before scoring — the 100 TB shape. ``exact=True``
     scores all pairs (|N|^2; the cross-check baseline for bounded
-    corpora only — never the shape to deploy). ``dims`` skips the
+    corpora only — never the shape to deploy), and is GUARDED the same
+    way as ``cosine_topk`` (vector/ann.py): a corpus whose pair count
+    n*(n-1)/2 exceeds ``max_pairs`` raises unless ``force=True``, so
+    trusting the flag on a real corpus cannot silently launch an
+    unbounded cartesian product (round-6 VERDICT item 2). The guard
+    runs one count job over ``vectors``; cache the input or pass
+    ``force=True`` to stay fully lazy. ``dims`` skips the
     one-row schema probe when the embedding width is known.
 
     Recall is threshold-dependent: sign-LSH collision probability per
@@ -670,6 +680,17 @@ def embedding_near_dups(
     from pyspark.sql import functions as FF
 
     if exact:
+        if not force:
+            n_v = vectors.count()
+            pairs = n_v * (n_v - 1) // 2
+            if pairs > max_pairs:
+                raise ValueError(
+                    f"embedding_near_dups(exact=True) is the brute-force "
+                    f"cross-check baseline: {n_v} vectors = {pairs} "
+                    f"unordered pairs exceeds max_pairs={max_pairs}. "
+                    f"Use the default LSH path at this scale, or pass "
+                    f"force=True."
+                )
         v = vectors.select(
             FF.col(id_col).alias("id"), FF.col(vec_col).alias("v")
         ).withColumn("n", _norm_col(FF.col("v"), dims))

@@ -294,6 +294,26 @@ def test_cosine_topk_guardrail_blocks_oversized_cross_join(spark, sf_dir):
     assert forced.count() == 20 * 3
 
 
+def test_embedding_near_dups_exact_guardrail(spark, sf_dir):
+    """embedding_near_dups(exact=True) carries the same max_pairs/force
+    guard as cosine_topk (round-6 VERDICT item 2): an oversized corpus
+    raises instead of silently launching an |N|^2 crossJoin, and
+    force=True restores the cross-check baseline; the default LSH path
+    never counts."""
+    import pytest
+    from gpd_lite_toolbox_spark.text.dedup import embedding_near_dups
+
+    FX.register_base_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    with pytest.raises(ValueError, match="max_pairs"):
+        embedding_near_dups(emb, threshold=0.45, exact=True, max_pairs=10)
+    forced = embedding_near_dups(
+        emb.limit(30), threshold=0.45, exact=True, max_pairs=10, force=True
+    )
+    assert forced.columns == ["id_a", "id_b", "cosine"]
+    forced.count()  # executes the guarded plan end-to-end
+
+
 def test_embedding_hot_bucket_cap_is_bit_identical(spark, sf_dir):
     """Skew guard: a planted degenerate LSH bucket (40 same-direction
     vectors collide in every band) is split into block-pair tasks by
