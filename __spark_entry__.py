@@ -786,11 +786,17 @@ def _q_grid_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grid_cut_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-by-convex-hull cells, HASH-GATED since r7: the oracle
+    replays the whole geometry pipeline bit-for-bit (gift-wrap hull in
+    ring order, Sutherland-Hodgman as a recursive CTE, sequential
+    shoelace — oracles.GRID_CUT_HULL). The gated value is clip_frac
+    (area/height², ≤ 1) rather than the raw ~1e7-magnitude area, whose
+    6-decimal rounding exceeds DuckDB's double-round accuracy."""
     from gpd_lite_toolbox_spark.operators.grid import make_grid_cut_hull
 
     pts = FX.points(_configure(spark), sf_dir, with_geometry=False)
     out = make_grid_cut_hull(pts, 8000.0)
-    return out.select("cell_id", "row", "col", "clip_area")
+    return out.select("cell_id", "row", "col", "clip_frac")
 
 
 def _q_classify_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3672,12 +3678,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "find_borders": _q_find_borders,
         "grid_cut": _q_grid_cut,
+        "grid_cut_hull": _q_grid_cut_hull,
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
         # rows-only (no_oracle) queries LAST
         "bpe_merges": _q_bpe_merges,
         "match_line_cluster": _q_match_line_cluster,
-        "grid_cut_hull": _q_grid_cut_hull,
         "dorling_cartogram": _q_dorling_cartogram,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
@@ -3753,8 +3759,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_deleted": OR.ANN_IVF_DELETED,
         "find_borders": OR.FIND_BORDERS,
         "grid_cut": OR.GRID_CUT,
-        # grid_cut_hull: convex-hull clip — geometry not SQL-expressible
-        # without a spatial extension; property-tested, rows-only here.
+        # grid_cut_hull: hash-gated since r7 — the full convex-hull
+        # clip replayed bit-for-bit in SQL (gift-wrap ring +
+        # Sutherland-Hodgman recursive CTE + sequential shoelace; no
+        # spatial extension needed, the fold is pure arithmetic).
+        "grid_cut_hull": OR.GRID_CUT_HULL,
         "isochrone_bands": OR.ISOCHRONE_BANDS,
         "isochrone_polys": OR.ISOCHRONE_POLYS,
         "asof_prev_event": OR.ASOF_PREV_EVENT,

@@ -184,13 +184,45 @@ def _distributed_hull(points: DataFrame) -> np.ndarray:
     return K.convex_hull(np.array([(r.x, r.y) for r in cand], dtype=float))
 
 
+def _seq_ring_area(v: np.ndarray) -> float:
+    """Shoelace signed area of an open ring by an EXPLICIT sequential
+    left-to-right fold, relative to the first vertex (the same
+    conditioning shift as ``ring_signed_area``).
+
+    ``ring_signed_area`` delegates its sums to ``np.dot`` (BLAS), whose
+    accumulation order is an implementation detail (SIMD multi-
+    accumulator) no other engine can replay. The cut-by-hull path is
+    hash-gated against a DuckDB replay of the identical Sutherland-
+    Hodgman fold, so its area must come from an op sequence a
+    ``list_reduce`` can mirror term for term: per-vertex cross terms
+    (x_j*y_{j+1} - y_j*x_{j+1}) accumulated strictly left to right."""
+    n = len(v)
+    if n < 3:
+        return 0.0
+    ox, oy = v[0, 0], v[0, 1]
+    s = 0.0
+    for j in range(n):
+        k = (j + 1) % n
+        s += (v[j, 0] - ox) * (v[k, 1] - oy) - (v[j, 1] - oy) * (
+            v[k, 0] - ox
+        )
+    return 0.5 * s
+
+
 def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
     """cut=True over a non-polygon layer (core.py:620-624): clip cells by
     the CONVEX HULL of the points (``_distributed_hull``). The per-cell
     clip is then a pandas-UDF pass with the tiny hull in the closure.
 
-    Output: grid cells overlapping the hull, with ``clip_area``; an
-    empty points layer yields an empty grid.
+    Output: grid cells overlapping the hull, with ``clip_area`` and
+    ``clip_frac`` (= raw area / height², the covered fraction of the
+    cell — the natural sampling weight, and the hash-gateable form:
+    rounding a ~1e7-magnitude area to 6 decimals sits beyond DuckDB's
+    double-round accuracy at that scale, while the ≤1 fraction rounds
+    exactly in every engine); an empty points layer yields an empty
+    grid. Every double op (hull ring order, clip intersections, the
+    sequential shoelace) is replayed bit-for-bit by the driver oracle
+    (oracles.GRID_CUT_HULL).
     """
     from ..geometry import kernels as K
 
@@ -200,7 +232,7 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
         return spark.createDataFrame(
             [],
             "cell_id bigint, row bigint, col bigint, x0 double, y0 double,"
-            " x1 double, y1 double, clip_area double",
+            " x1 double, y1 double, clip_area double, clip_frac double",
         )
     # the hull vertices include every coordinate extreme, so the grid
     # bounds fall out of the (driver-sized) hull for free — no second
@@ -233,12 +265,19 @@ def make_grid_cut_hull(points: DataFrame, height: float) -> DataFrame:
             )
             clipped = K.clip_poly_convex(cell, hull)
             if len(clipped) >= 3:
-                out[i] = abs(K.ring_signed_area(clipped))
+                out[i] = abs(_seq_ring_area(clipped))
         return pd.Series(out)
 
-    return grid.withColumn(
-        "clip_area", F.round(clip_area("x0", "y0", "x1", "y1"), 6)
-    ).filter(F.col("clip_area") > 0)
+    raw = grid.withColumn("_raw", clip_area("x0", "y0", "x1", "y1"))
+    return (
+        raw.withColumn("clip_area", F.round(F.col("_raw"), 6))
+        .withColumn(
+            "clip_frac",
+            F.round(F.col("_raw") / F.lit(float(height) * float(height)), 6),
+        )
+        .drop("_raw")
+        .filter(F.col("clip_area") > 0)
+    )
 
 
 def convex_hull_stats(points: DataFrame) -> DataFrame:

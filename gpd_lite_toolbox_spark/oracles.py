@@ -841,6 +841,129 @@ FROM pair WHERE w > 0 AND h > 0
 GROUP BY cell_id, x0, y0, x1, y1
 """
 
+
+# Cut-by-convex-hull (operators/grid.py make_grid_cut_hull): the FULL
+# geometry pipeline replayed bit-for-bit —
+#   1. hull: gift-wrapping from the lexicographic-min point walking CCW
+#      (the engine's monotone chain emits exactly that ring: np.unique
+#      sorts lexicographically and lower+upper chains start there).
+#      Integer fixture coordinates make every cross product / collinear
+#      tie EXACT, so both algorithms produce the identical vertex
+#      sequence. The quad prefilter (points strictly inside the
+#      4-extreme-point quadrilateral can never be hull vertices — an
+#      exact integer test) bounds the O(h*n^2) NOT EXISTS walk.
+#   2. clip: Sutherland-Hodgman as a recursive CTE over hull edges,
+#      state = the polygon as a LIST(STRUCT(x,y)); the lambda writes
+#      the IDENTICAL expression trees as kernels.clip_poly_convex
+#      (cross signs with >= 0, t = cross(edge, a-prev)/cross(edge, d),
+#      isect = prev + t*d) — first-generation intersections are exact
+#      rationals of integers, later generations are the same IEEE op
+#      sequence, so every vertex is bit-identical.
+#   3. area: sequential shoelace fold relative to the first vertex via
+#      list_reduce — mirroring grid.py _seq_ring_area term for term
+#      (ring_signed_area's np.dot/BLAS accumulation order would not be
+#      replayable, which is why the kernel switched).
+# The gated value is clip_frac = area/height² (≤ 1): rounding the raw
+# ~1e7-magnitude area to 6 decimals exceeds DuckDB's double-round
+# accuracy at that scale (measured: 1 misround in 337 cells), while
+# both engines round the ≤1 fraction exactly.
+def _grid_cut_hull_sql(h: float = GRID_H) -> str:
+    ax, ay = "hl[c.i + 1].x", "hl[c.i + 1].y"
+    bx, by = "hl[1 + ((c.i + 1) % hn)].x", "hl[1 + ((c.i + 1) % hn)].y"
+    ex, ey = f"({bx} - {ax})", f"({by} - {ay})"
+    prev = "c.poly[CASE WHEN j = 1 THEN len(c.poly) ELSE j - 1 END]"
+    cur = "c.poly[j]"
+
+    def inside(p: str) -> str:
+        return f"({ex} * ({p}.y - {ay}) - {ey} * ({p}.x - {ax}) >= 0)"
+
+    dx = f"({cur}.x - {prev}.x)"
+    dy = f"({cur}.y - {prev}.y)"
+    t = (
+        f"(({ex} * ({ay} - {prev}.y) - {ey} * ({ax} - {prev}.x))"
+        f" / ({ex} * {dy} - {ey} * {dx}))"
+    )
+    isect = (
+        "{'x': " + prev + ".x + " + t + " * " + dx + ","
+        " 'y': " + prev + ".y + " + t + " * " + dy + "}"
+    )
+    shoelace = (
+        "list_reduce(list_transform(range(1, len(poly) + 1), j ->"
+        " (poly[j].x - poly[1].x)"
+        " * (poly[1 + (j % len(poly))].y - poly[1].y)"
+        " - (poly[j].y - poly[1].y)"
+        " * (poly[1 + (j % len(poly))].x - poly[1].x)),"
+        " (a, b) -> a + b)"
+    )
+    return f"""
+WITH RECURSIVE {oracle_ctes('points')},
+pts AS (SELECT DISTINCT x, y FROM points),
+ext AS (SELECT MIN(x+y) AS m1, MAX(x-y) AS m2,
+               MAX(x+y) AS m3, MIN(x-y) AS m4 FROM pts),
+q1 AS (SELECT x, y FROM pts, ext WHERE x+y = m1 ORDER BY x, y LIMIT 1),
+q2 AS (SELECT x, y FROM pts, ext WHERE x-y = m2 ORDER BY x, y LIMIT 1),
+q3 AS (SELECT x, y FROM pts, ext WHERE x+y = m3 ORDER BY x, y LIMIT 1),
+q4 AS (SELECT x, y FROM pts, ext WHERE x-y = m4 ORDER BY x, y LIMIT 1),
+cand AS (
+  SELECT p.x, p.y FROM pts p, q1, q2, q3, q4
+  WHERE NOT (
+        (q2.x - q1.x) * (p.y - q1.y) - (q2.y - q1.y) * (p.x - q1.x) > 0
+    AND (q3.x - q2.x) * (p.y - q2.y) - (q3.y - q2.y) * (p.x - q2.x) > 0
+    AND (q4.x - q3.x) * (p.y - q3.y) - (q4.y - q3.y) * (p.x - q3.x) > 0
+    AND (q1.x - q4.x) * (p.y - q4.y) - (q1.y - q4.y) * (p.x - q4.x) > 0
+  )),
+walk(step, cx, cy, sx, sy) AS (
+  SELECT 0, x, y, x, y FROM (SELECT x, y FROM cand ORDER BY x, y LIMIT 1)
+  UNION ALL
+  SELECT w.step + 1, q.x, q.y, w.sx, w.sy
+  FROM walk w JOIN cand q ON (q.x <> w.cx OR q.y <> w.cy)
+  WHERE (w.step = 0 OR w.cx <> w.sx OR w.cy <> w.sy)
+    AND NOT EXISTS (
+      SELECT 1 FROM cand r
+      WHERE (r.x <> w.cx OR r.y <> w.cy) AND (r.x <> q.x OR r.y <> q.y)
+        AND ( (q.x - w.cx) * (r.y - w.cy)
+              - (q.y - w.cy) * (r.x - w.cx) < 0
+              OR ( (q.x - w.cx) * (r.y - w.cy)
+                   - (q.y - w.cy) * (r.x - w.cx) = 0
+                   AND (r.x - w.cx) * (q.x - w.cx)
+                       + (r.y - w.cy) * (q.y - w.cy) > 0
+                   AND (r.x - w.cx) * (r.x - w.cx)
+                       + (r.y - w.cy) * (r.y - w.cy)
+                     > (q.x - w.cx) * (q.x - w.cx)
+                       + (q.y - w.cy) * (q.y - w.cy) ) )
+    )
+),
+hull AS (SELECT list({{'x': cx, 'y': cy}} ORDER BY step) AS hl,
+                COUNT(*) AS hn
+         FROM walk WHERE step < (SELECT MAX(step) FROM walk)),
+{_GRID_CTES.strip().lstrip()},
+clip(cell_id, row, col, i, poly) AS (
+  SELECT cell_id, row, col, 0,
+         [{{'x': x0, 'y': y0}}, {{'x': x1, 'y': y0}},
+          {{'x': x1, 'y': y1}}, {{'x': x0, 'y': y1}}]
+  FROM grid
+  UNION ALL
+  SELECT c.cell_id, c.row, c.col, c.i + 1,
+    flatten(list_transform(range(1, len(c.poly) + 1), j ->
+      CASE WHEN {inside(cur)} <> {inside(prev)}
+      THEN [{isect}] ELSE [] END
+      || CASE WHEN {inside(cur)} THEN [{cur}] ELSE [] END))
+  FROM clip c, hull
+  WHERE c.i < hn AND len(c.poly) > 0
+),
+fin AS (SELECT cell_id, row, col, poly FROM clip, hull WHERE i = hn),
+area AS (SELECT cell_id, row, col,
+                ABS(0.5 * CASE WHEN len(poly) < 3 THEN 0.0
+                          ELSE {shoelace} END) AS a
+         FROM fin)
+SELECT cell_id, row, col,
+       ROUND(a / ({h} * {h}), 6) AS clip_frac
+FROM area WHERE ROUND(a, 6) > 0
+"""
+
+
+GRID_CUT_HULL = _grid_cut_hull_sql()
+
 # True-union dissolve over the OVERLAPPING combined mosaic (polys +
 # half-shifted polys_b, grouped by country): Spark measures the area on
 # the stitched union rings; this oracle computes it independently by
