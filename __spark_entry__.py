@@ -3419,69 +3419,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # Ordering contract (round-5 VERDICT item 3): the driver's
 # correctness runner truncates at 50 queries, so the 50-slot window
 # rotates each round to the queries whose driver evidence is weakest.
-# r6 window: the final 28 oracled queries that have never received
-# ANY driver row (r5 deferred them just past the window), then 21
-# high-value re-confirms spanning every operator family (geometry,
-# grid, dedup, decontamination, vector, text, classify — last green
-# r1-r4), and bpe_merges in slot 50 — the one never-checked rows-only
-# query, placed last inside the window so truncation costs the least
-# information.  After this window every oracled entry in queries()
-# has held a green driver CORRECTNESS row at least once.
-_R6_WINDOW = [
-    # --- never driver-checked (oracled), 28 ---
-    "embedding_clusters",
-    "kn_bigram",
-    "ann_ivf_deleted",
-    "ngram_jaccard_prefix",
-    "salted_join_stats",
-    "stream_decontaminate",
-    "stream_cdc",
-    "docs_cube",
-    "weighted_sample_grouped",
-    "fuzzy_vocab",
-    "hybrid_topk",
-    "source_quality",
-    "mixture_plan",
-    "drop_reasons",
-    "perplexity_buckets",
-    "source_overlap",
-    "url_dedup",
-    "bigram_pmi",
-    "token_spectrum",
-    "temperature_mix",
-    "jl_project",
-    "compaction_plan",
-    "hash_features",
-    "skew_stats",
-    "bpe_pair_counts",
-    "kmv_distinct",
-    "length_buckets",
-    "hilbert_keys",
-    # --- re-confirms (driver-green r1-r4, one per family), 21 ---
-    "gridify_stats",
-    "minhash_pairs",
-    "cartogram",
-    "dissolve_union",
-    "exact_dedup",
-    "decontaminate",
-    "match_lines",
-    "borders",
-    "find_borders",
-    "make_grid",
-    "snap_points",
-    "mean_coords_by_cat",
-    "isochrone_bands",
-    "random_pts",
-    "classify_values",
-    "split_leakage",
-    "intersects_pairs",
-    "spatialite_roundtrip",
-    "ann_topk",
-    # --- new this round (so no oracled query is ever unchecked) ---
-    "curation_ledger",
-    "substrate_day2",
-    # --- never-checked rows-only, slot 50 ---
-    "bpe_merges",
+# r7 window: the two queries that have never received ANY driver row
+# (landed after the r6 freeze), grid_cut_hull's brand-new hash gate,
+# then every query whose latest green is r1/r2 (incl. the remaining
+# rows-only entries), then the complete r3 long tail — after this
+# window no green in EVIDENCE.json is older than round 3.  Slot 50
+# is the round's one new query (freeze-last discipline, r6 VERDICT
+# item 5: the window is finalized AFTER the last query addition, and
+# tests/test_entry_contract.py pins that every declared query has a
+# historical driver row in EVIDENCE.json or sits in this window).
+DRIVER_WINDOW = [
+    # --- never driver-checked (added after the r6 freeze), 2 ---
+    "event_trend",
+    "lr_quality",
+    # --- newly hash-gated this round (was rows-only) ---
+    "grid_cut_hull",
+    # --- latest green is r1/r2, 11 ---
+    "dorling_cartogram",
+    "dorling_radius2",
+    "embedding_dups",
+    "idw_interpolation",
+    "isochrone_surface",
+    "media_pipeline",
+    "revenue_by_nation",
+    "top_customers",
+    "tpch_pricing",
+    "dorling_radius",
+    "match_line_cluster",
+    # --- the r3 long tail, 35 ---
+    "ann_lsh_topk",
+    "bearing",
+    "bm25_topk",
+    "clean_corpus",
+    "concave_pairs",
+    "crs_mercator",
+    "dissolve_country",
+    "dumb_multi_to_single",
+    "dup_groups",
+    "fingerprint",
+    "ftouches_pairs",
+    "geojson_roundtrip",
+    "grid_cut",
+    "hav_dist",
+    "intersection_part",
+    "isochrone_polys",
+    "knn_points",
+    "lang_id",
+    "match_lines_ragged",
+    "mean_coords_global",
+    "multi_to_single",
+    "ngram_jaccard",
+    "pack_sequences",
+    "quality",
+    "random_pts_poly",
+    "repetition_stats",
+    "shared_border",
+    "simhash",
+    "simhash_local",
+    "stratified_sample",
+    "tfidf_topk",
+    "token_stats",
+    "value_histogram",
+    "wkt_roundtrip",
+    "zorder_keys",
+    # --- slot 50: this round's new query (appended at freeze) ---
 ]
 
 
@@ -3686,11 +3687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_line_cluster": _q_match_line_cluster,
         "dorling_cartogram": _q_dorling_cartogram,
     }
-    missing = [k for k in _R6_WINDOW if k not in base]
-    assert not missing, f"_R6_WINDOW names unknown queries: {missing}"
-    in_window = set(_R6_WINDOW)
+    missing = [k for k in DRIVER_WINDOW if k not in base]
+    assert not missing, f"DRIVER_WINDOW names unknown queries: {missing}"
+    in_window = set(DRIVER_WINDOW)
     return {
-        **{k: base[k] for k in _R6_WINDOW},
+        **{k: base[k] for k in DRIVER_WINDOW},
         **{k: v for k, v in base.items() if k not in in_window},
     }
 

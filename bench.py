@@ -333,10 +333,25 @@ def main() -> None:
     # compact — totals + the top-30 slowest (the only per-query
     # numbers a regression diff acts on) — and write the FULL map
     # next to the harness for the complete record.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, "BENCH_FULL.json")
     with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # ... and a per-round copy (round inferred from the driver's
+    # BENCH_r{N}.json artifacts: the in-flight round is max+1), so
+    # cross-round per-query diffs don't depend on git archaeology over
+    # the overwritten BENCH_FULL.json (round-6 VERDICT item 7).
+    import glob
+
+    rounds = [
+        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if re.search(r"BENCH_r(\d+)\.json$", p)
+    ]
+    this_round = (max(rounds) if rounds else 0) + 1
+    with open(
+        os.path.join(repo_dir, f"BENCH_FULL_r{this_round:02d}.json"), "w"
+    ) as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     top = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:30]
