@@ -2342,6 +2342,48 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_near_dups(spark, _mhidx_paths[sf_dir], batch, threshold=0.5)
 
 
+_stream_batch_paths: dict[str, str] = {}
+
+
+def _q_stream_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 stretch (r6 VERDICT item 8): the ingest batch STREAMED
+    against the persisted minhash index — two staged parquet files,
+    maxFilesPerTrigger=1, so the run genuinely crosses micro-batches;
+    each micro-batch probes via foreachBatch -> batch ingest_near_dups
+    (partition-pruned bucket lookup intact). Probe-only mode, so the
+    union over micro-batches equals the one-shot batch ingest and the
+    query shares INGEST_NEAR_DUPS' oracle verbatim."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_ingest_near_dups,
+    )
+    from gpd_lite_toolbox_spark.text.dedup import write_minhash_index
+
+    s = _configure(spark)
+    corpus = _corpus(spark, sf_dir)
+    if sf_dir not in _mhidx_paths:
+        indexed = corpus.filter(F.col("id") % 13 != 0)
+        path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_minhash_index(indexed, path)
+        _mhidx_paths[sf_dir] = path
+    if sf_dir not in _stream_batch_paths:
+        bpath = tempfile.mkdtemp(prefix="spark_graft_ingest_batch_")
+        atexit.register(shutil.rmtree, bpath, ignore_errors=True)
+        corpus.filter(F.col("id") % 13 == 0).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(bpath)
+        _stream_batch_paths[sf_dir] = bpath
+    return run_streaming_ingest_near_dups(
+        s, _mhidx_paths[sf_dir], _stream_batch_paths[sf_dir], threshold=0.5
+    )
+
+
 _substrate_paths: dict[str, str] = {}
 
 
@@ -3482,7 +3524,8 @@ DRIVER_WINDOW = [
     "value_histogram",
     "wkt_roundtrip",
     "zorder_keys",
-    # --- slot 50: this round's new query (appended at freeze) ---
+    # --- slot 50: this round's new query ---
+    "stream_ingest_near_dups",
 ]
 
 
@@ -3492,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_cluster_twins": _q_match_cluster_twins,
         "substring_spans": _q_substring_spans,
         "ingest_near_dups": _q_ingest_near_dups,
+        "stream_ingest_near_dups": _q_stream_ingest_near_dups,
         "paragraph_dedup": _q_paragraph_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "simhash_pairs": _q_simhash_pairs,
@@ -3821,6 +3865,9 @@ def oracle_sql() -> dict[str, str]:
         "substring_spans": OR.EXACT_SUBSTRING_SPANS,
         "weighted_sample": OR.WEIGHTED_SAMPLE,
         "ingest_near_dups": OR.INGEST_NEAR_DUPS,
+        # probe-only streaming ingest partitions the same batch over
+        # micro-batches, so it shares the batch oracle verbatim
+        "stream_ingest_near_dups": OR.INGEST_NEAR_DUPS,
         "nb_classify": OR.NB_CLASSIFY,
         "fuzzy_vocab": OR.FUZZY_VOCAB,
         "hybrid_topk": OR.HYBRID_TOPK,

@@ -226,6 +226,11 @@ BENCH_QUERIES = [
     # exhaustive ngram_jaccard_prefix baseline excluded above (12 s at
     # sf0.1 — the quadratic-ish truth, not the operator under test);
     # simhash_pairs times the candidate substrate.
+    # stream_ingest_near_dups deliberately NOT benched: the stream
+    # drains eagerly at query construction (foreachBatch probes write
+    # the result parquet; the returned frame just reads it back), so a
+    # timed noop-write would measure a parquet read (same class as
+    # bpe_merges); ingest_near_dups times the probe substrate itself.
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

@@ -120,6 +120,83 @@ def test_append_then_ingest_sees_admitted_batch(spark, sf_dir, tmp_path):
     assert got == exp and got
 
 
+def test_streaming_ingest_probe_matches_batch(spark, sf_dir, tmp_path):
+    """r6 VERDICT item 8: a 2-file stream probing the persisted index
+    (probe-only) must report EXACTLY the one-shot batch ingest result —
+    each stream doc probes in one micro-batch, so the union over
+    micro-batches partitions the batch pairs."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_ingest_near_dups,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    batch = corpus.filter(F.col("id") % 13 == 0)
+    indexed = corpus.filter(F.col("id") % 13 != 0)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(indexed, path)
+    bdir = str(tmp_path / "batchdocs")
+    batch.repartition(2).write.parquet(bdir)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in run_streaming_ingest_near_dups(
+            spark, path, bdir, threshold=0.5
+        ).collect()
+    }
+    exp = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ingest_near_dups(spark, path, batch, threshold=0.5).collect()
+    }
+    assert got == exp and got
+
+
+def test_streaming_ingest_admit_finds_cross_stream_dups(spark, tmp_path):
+    """admit=True appends each micro-batch to the index after probing,
+    so a near-dup pair SPLIT ACROSS micro-batches is reported (by
+    whichever batch runs second) — the end-to-end incremental loop.
+    Probe-only on the same stream must NOT see the cross-stream pair."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_ingest_near_dups,
+    )
+
+    base = (
+        "an utterly distinctive base document about minhash indexes and "
+        "streams that shares no words with the indexed corpus rows at all"
+    )
+    idx_rows = [
+        (i, f"indexed corpus filler row number {i} with its own vocabulary")
+        for i in range(1, 5)
+    ]
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(
+        spark.createDataFrame(idx_rows, "id long, text string"), path
+    )
+    bdir = str(tmp_path / "streamdocs")
+    # one doc per file => one per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(100, base)], "id long, text string"
+    ).coalesce(1).write.mode("append").parquet(bdir)
+    spark.createDataFrame(
+        [(200, base + " zq extra")], "id long, text string"
+    ).coalesce(1).write.mode("append").parquet(bdir)
+
+    probe_only = run_streaming_ingest_near_dups(
+        spark, path, bdir, threshold=0.5
+    ).collect()
+    assert not probe_only  # neither doc matches the index corpus
+
+    path2 = str(tmp_path / "mhidx2")
+    write_minhash_index(
+        spark.createDataFrame(idx_rows, "id long, text string"), path2
+    )
+    admitted = {
+        (r.id_a, r.id_b)
+        for r in run_streaming_ingest_near_dups(
+            spark, path2, bdir, threshold=0.5, admit=True
+        ).collect()
+    }
+    assert admitted == {(100, 200)}
+
+
 def test_bucket_cap_suppresses_degenerate_bucket(spark):
     """A planted swarm of identical docs (the exact_dedup-should-have-
     run case) floods one bucket per band; bucket_cap kills the O(n^2)
