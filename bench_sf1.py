@@ -1,0 +1,232 @@
+"""One-decade scale spot bench for the headline dedup/ANN family
+(round-6 VERDICT item 4): the repo's 100 TB claims are argued from
+plan shape and measured at sf0.1 — this harness measures one more
+decade and checks the plans did not regress.
+
+No sf1 driver data exists (and /root/testdata is read-only), so the
+two tables this family reads are scaled 10x from sf0.1 into
+``benchdata/sf1`` (gitignored):
+
+- ``documents``: 10 copies, copy k offset by k*5_000_000 doc_ids and
+  its text suffixed with a copy marker — replicas are NOT corpus-wide
+  exact duplicates, so the fixture's planted duplicate/near-dup RATE
+  (doc_id % 10 / % 17 derivations) is preserved per copy and pair
+  counts grow ~linearly, the honest 10x shape. The offset is a
+  multiple of 10 so the %10 planted-dup selection is copy-invariant.
+- ``embeddings``: 10 copies, vec_id offset by k*1_000_000, two dims
+  nudged by a tiny copy-deterministic epsilon so replicas are near-
+  but not exact duplicates of each other.
+
+The remaining 8 tables are symlinked from sf0.1 (this family never
+reads them beyond schema registration).
+
+Timing methodology is bench.py's exactly: construct once (one-time
+index/materialization cost excluded, as at sf0.1), one warm noop
+write, then min-of-3 timed noop writes with the cache cleared. Plans
+are audited per query at both scales: Exchange counts must match and
+the ingest probe must keep its static PartitionFilters.
+
+Output: BENCH_SF1.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "benchdata", "sf1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+COPIES = 10
+DOC_STRIDE = 5_000_000  # multiple of 10: %10 planted dups copy-invariant
+VEC_STRIDE = 1_000_000
+
+HEADLINE = [
+    "exact_dedup",
+    "minhash_pairs",
+    "substring_spans",
+    "ingest_near_dups",
+    "ann_ivf_topk",
+    "curation_ledger",
+]
+
+
+def generate(spark) -> None:
+    if os.path.exists(os.path.join(SF1, "_GENERATED")):
+        return
+    os.makedirs(SF1, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = []
+    for k in range(COPIES):
+        d = docs.select(
+            (F.col("doc_id") + F.lit(k * DOC_STRIDE)).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.concat(F.col("text"), F.lit(f" copymark{k}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            (
+                F.col("n_chars")
+                + F.lit(0 if k == 0 else len(f" copymark{k}"))
+            ).alias("n_chars"),
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(
+        f"{SF1}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    eparts = []
+    for k in range(COPIES):
+        e = emb.select(
+            (F.col("vec_id") + F.lit(k * VEC_STRIDE)).alias("vec_id"),
+            (
+                F.col("embedding")
+                if k == 0
+                else F.transform(
+                    "embedding",
+                    lambda v, i: v
+                    + F.when(i < 2, F.lit(k * 1e-4)).otherwise(F.lit(0.0)),
+                )
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        eparts.append(e)
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(8).write.mode("overwrite").parquet(
+        f"{SF1}/embeddings.parquet"
+    )
+
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        dst = f"{SF1}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    open(os.path.join(SF1, "_GENERATED"), "w").write("ok\n")
+
+
+def _time_query(spark, fn, sf_dir):
+    df = fn(spark, sf_dir)
+    # structural plan BEFORE adaptive re-optimization: AQE legally
+    # picks different join strategies / coalesced exchanges at
+    # different data sizes, so the scale-invariance check compares the
+    # static physical plan, not the final adaptive one
+    static_plan = df._jdf.queryExecution().sparkPlan().toString()
+    rows = df.count()
+    df.write.mode("overwrite").format("noop").save()
+    best = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    return round(best, 3), static_plan, final_plan, rows
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("gpd_lite_toolbox_spark_bench_sf1")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from gpd_lite_toolbox_spark.deploy import ship_package
+
+    ship_package(spark)
+    generate(spark)
+
+    qs = E.queries()
+    report: dict[str, dict] = {}
+    for name in HEADLINE:
+        row: dict = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            sec, static_plan, final_plan, rows = _time_query(
+                spark, qs[name], sf_dir
+            )
+            row[f"{label}_sec"] = sec
+            row[f"{label}_rows"] = rows
+            row[f"{label}_exchanges"] = static_plan.count("Exchange")
+            row[f"{label}_final_exchanges"] = final_plan.count("Exchange")
+            if name == "ingest_near_dups":
+                row[f"{label}_partition_filtered"] = (
+                    "PartitionFilters" in final_plan
+                    and "bucket" in final_plan
+                )
+        row["wall_ratio"] = (
+            round(row["sf1_sec"] / row["sf0.1_sec"], 2)
+            if row["sf0.1_sec"] > 0
+            else None
+        )
+        row["rows_ratio"] = (
+            round(row["sf1_rows"] / row["sf0.1_rows"], 2)
+            if row["sf0.1_rows"]
+            else None
+        )
+        # the scale invariant is "no NEW exchanges at 10x": strategy
+        # estimates may legally drop an exchange (e.g. a broadcast
+        # becomes viable), but a query that grows exchanges with data
+        # size has a scale problem
+        row["no_exchange_regression"] = (
+            row["sf1_exchanges"] <= row["sf0.1_exchanges"]
+            and row["sf1_final_exchanges"] <= row["sf0.1_final_exchanges"]
+        )
+        report[name] = row
+        print(name, json.dumps(row))
+
+    out = {
+        "note": (
+            "sf1 = 10x sf0.1 documents/embeddings generated by bench_sf1.py "
+            "(perturbed replicas preserving planted-dup rates); other tables "
+            "symlinked. Timing = bench.py methodology (min-of-3 noop writes, "
+            "construction/index cost excluded at both scales). Exchange "
+            "counts compare the STATIC physical plan (AQE legally re-picks "
+            "strategies per scale; final adaptive counts recorded "
+            "separately). Workload caveats: the 10 replicas share their "
+            "full text minus a per-copy suffix, so every source doc's "
+            "copies form a near-dup/shared-substring CLIQUE — pair outputs "
+            "(minhash_pairs, substring_spans, ingest_near_dups) grow "
+            "~C(10,2)-fold beyond 10x BY CONSTRUCTION (rows_ratio ~310), a "
+            "deliberately duplicate-heavy hard case; judge wall ratios "
+            "against rows_ratio. ann_ivf_topk scales BOTH the query set "
+            "and the corpus 10x (vec_id%50 sampling), i.e. ~100x scoring "
+            "work for its wall ratio."
+        ),
+        "cpus": int(CPUS),
+        "queries": report,
+    }
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"total_sf1_sec": round(sum(r["sf1_sec"] for r in report.values()), 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
