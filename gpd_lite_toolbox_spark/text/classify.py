@@ -261,8 +261,17 @@ def standardize_features(
     standardized value) is rounded to ``round_digits``. Sigma derives
     relationally (sqrt(m2 - mu^2) on ROUNDED inputs), never from an
     engine's streaming stddev. A constant feature (sigma 0)
-    standardizes to 0.0 rather than NaN. Feature magnitude contract:
-    |x| < 1e8 (DECIMAL(14,6) lattice)."""
+    standardizes to 0.0 rather than NaN.
+
+    Magnitude contract (round-6 ADVICE): |x| < 1e8 for the
+    DECIMAL(14,6) lattice, AND the m2 moment sums x^2 through
+    ``numerics.dsum``, whose decimal-to-double cast is engine-stable
+    only for |sum| < 9e9 — so PRE-SCALE raw features whose squares can
+    accumulate past that at corpus size (standardization makes the
+    model scale-invariant; e.g. lr_quality feeds kilochars, not chars,
+    keeping per-row squares <= 400 at any corpus size). The contract
+    is the caller's: checking max|x| here would cost an extra
+    aggregate pass on every training run."""
     d = int(round_digits)
     n = F.count(F.lit(1)).cast("double")
     stats = df.agg(
