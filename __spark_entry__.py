@@ -1041,6 +1041,12 @@ def _q_match_cluster_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dorling_cartogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Dorling placements, HASH-GATED since r7: the sequential
+    relaxation walk is deterministic given the (gate-proven) radii, so
+    oracles.DORLING_CARTOGRAM replays it move-for-move as a recursive
+    CTE with a list_reduce inner fold — every overlap test, push, and
+    branch on the identical IEEE expression tree (see the operator
+    docstring for the sqrt/shifted-round choices this pins)."""
     from gpd_lite_toolbox_spark.operators.cartogram import (
         non_contiguous_cartogram,
     )
@@ -3726,10 +3732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cut_hull": _q_grid_cut_hull,
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
+        "dorling_cartogram": _q_dorling_cartogram,
         # rows-only (no_oracle) queries LAST
         "bpe_merges": _q_bpe_merges,
         "match_line_cluster": _q_match_line_cluster,
-        "dorling_cartogram": _q_dorling_cartogram,
     }
     missing = [k for k in DRIVER_WINDOW if k not in base]
     assert not missing, f"DRIVER_WINDOW names unknown queries: {missing}"
@@ -3827,9 +3833,11 @@ def oracle_sql() -> dict[str, str]:
         # zero-overlap evidence row for the sequential relaxation;
         # match_cluster_twins: twin-recall tolerance scalar
         # (>= 0.95 as a boolean) over the partition-stable KMeans
-        # match. dorling_cartogram (raw placements) and
-        # match_line_cluster (raw pairs) stay rows-only — their exact
-        # outputs are not partition-stable / SQL-expressible.
+        # match. dorling_cartogram is hash-gated since r7 (the
+        # sequential walk replayed in a recursive CTE); only
+        # match_line_cluster raw pairs stay rows-only — KMeans
+        # co-clustering is not partition-stable.
+        "dorling_cartogram": OR.DORLING_CARTOGRAM,
         "pii_scan": OR.PII_SCAN,
         "boilerplate_lines": OR.BOILERPLATE_LINES,
         "shard_corpus": OR.SHARD_CORPUS,

@@ -323,6 +323,18 @@ def non_contiguous_cartogram(
     cartogram-sized — while the radius computation stays distributed.
 
     Output: (id, cx, cy, radius) — final circle placements.
+
+    HASH-GATED since r7 (oracles.DORLING_CARTOGRAM replays the exact
+    sequential walk as a recursive CTE with a list_reduce inner fold),
+    which pins two arithmetic choices:
+    - distances via ``sqrt(dx*dx + dy*dy)``, not ``math.hypot`` —
+      hypot's libm result is not the correctly-rounded IEEE op
+      sequence SQL's SQRT(+,*) chain computes, and a 1-ulp split
+      flips borderline overlap tests and diverges the whole walk;
+    - final coordinates through the 1e-9-shifted round
+      (numerics-module recipe) so engine rounding agrees at the
+      lattice midpoints (coordinate magnitude ~1e5 keeps the shift
+      two orders above double ulp).
     """
     rad = dorling_radius(gdf, value_col, ratio, id_col)
     joined = gdf.select(
@@ -341,7 +353,7 @@ def non_contiguous_cartogram(
                     continue
                 dx = xs[i] - xs[j]
                 dy = ys[i] - ys[j]
-                d = math.hypot(dx, dy)
+                d = math.sqrt(dx * dx + dy * dy)
                 min_d = rs[i] + rs[j] - tol
                 if d < min_d and d > 0:
                     push = (min_d - d) / 2.0
@@ -351,7 +363,12 @@ def non_contiguous_cartogram(
         if not moved:
             break
     out = pd.DataFrame(
-        {"id": pdf.id, "cx": xs.round(6), "cy": ys.round(6), "radius": rs}
+        {
+            "id": pdf.id,
+            "cx": np.round(xs + 1e-9, 6),
+            "cy": np.round(ys + 1e-9, 6),
+            "radius": rs,
+        }
     )
     spark = gdf.sparkSession
     # ONE partition: the placement table is cartogram-sized by contract

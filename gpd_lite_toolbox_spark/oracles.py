@@ -1164,6 +1164,95 @@ SELECT id,
 FROM base, sums, nrm
 """
 
+# Dorling placement walk (operators/cartogram.py
+# non_contiguous_cartogram): the SEQUENTIAL pairwise relaxation
+# replayed exactly — outer (pass, i) steps as a recursive CTE carrying
+# the circle list, the inner j-loop as a list_reduce fold whose
+# accumulator is the moving circle. Radii come from the
+# DORLING_RADIUS derivation (rounded 6 => exact lattice, gate-proven
+# identical to Spark), centroids are exact fixture arithmetic, and
+# every move writes the identical IEEE expression tree as the driver
+# loop (sqrt(dx*dx+dy*dy), push=(min_d-d)/2, c += dc/d*push), so the
+# walk is bit-identical through every branch decision. Final
+# coordinates go through the 1e-9-shifted round on both sides.
+#
+# The fold accumulator is a DOUBLE[3] list [x, y, moved], NOT a
+# struct: DuckDB 1.0's list_reduce updates a struct accumulator
+# field-by-field IN PLACE, so a 'y' expression reading a.x would see
+# the already-updated x (observed: a real divergence at sf0.01);
+# list-valued accumulators are built fresh per step and carry no such
+# aliasing.
+def _dorling_cartogram_sql(n_iter: int = 2, ratio: float = 0.8) -> str:
+    dd = (
+        "SQRT((a[1] - e[1]) * (a[1] - e[1])"
+        " + (a[2] - e[2]) * (a[2] - e[2]))"
+    )
+    min_d = "(c.pl[c.i].r + e[3])"
+    push = f"(({min_d} - {dd}) / 2.0)"
+    return f"""
+WITH RECURSIVE {oracle_ctes('polys')},
+base AS (SELECT id, CAST(size_mb AS DOUBLE) AS v,
+                (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy,
+                (x1 - x0) * (y1 - y0) AS area
+         FROM polys),
+sums AS (SELECT SUM(SQRT((a.cx - b.cx) * (a.cx - b.cx)
+                         + (a.cy - b.cy) * (a.cy - b.cy))) AS cum_dist,
+                SUM(SQRT(a.v / PI()) + SQRT(b.v / PI())) AS cum_rad
+         FROM base a, base b WHERE a.id <> b.id),
+nrm AS (SELECT SQRT(SUM(area * area)) AS area_l2 FROM base),
+rad AS (SELECT id, cx, cy,
+               ROUND(SQRT(v / PI()) * (cum_dist / cum_rad) * {ratio}
+                     * (area / area_l2), 6) AS radius
+        FROM base, sums, nrm),
+circ AS (SELECT list({{'id': id, 'x': cx, 'y': cy, 'r': radius}}
+                     ORDER BY id) AS pl,
+                COUNT(*) AS n
+         FROM rad),
+relax(pass, i, pl, moved, stop) AS (
+  SELECT 1, 1, pl, FALSE, n < 2 FROM circ
+  UNION ALL
+  SELECT
+    CASE WHEN c.i = n THEN c.pass + 1 ELSE c.pass END,
+    CASE WHEN c.i = n THEN 1 ELSE c.i + 1 END,
+    list_transform(range(1, CAST(n AS INT) + 1), k ->
+      CASE WHEN k = c.i
+           THEN {{'id': c.pl[c.i].id, 'x': acc[1], 'y': acc[2],
+                  'r': c.pl[c.i].r}}
+           ELSE c.pl[k] END),
+    CASE WHEN c.i = n THEN FALSE ELSE (c.moved OR acc[3] > 0.5) END,
+    CASE WHEN c.i = n THEN NOT (c.moved OR acc[3] > 0.5)
+         ELSE c.stop END
+  FROM (
+    SELECT c.*, n,
+      list_reduce(
+        [[c.pl[c.i].x, c.pl[c.i].y, CAST(0.0 AS DOUBLE)]]
+        || list_transform(
+               list_filter(range(1, CAST(n AS INT) + 1), j -> j <> c.i),
+               j -> [c.pl[j].x, c.pl[j].y, c.pl[j].r]),
+        (a, e) -> CASE
+          WHEN {dd} < {min_d} AND {dd} > 0
+          THEN [a[1] + ((a[1] - e[1]) / {dd}) * {push},
+                a[2] + ((a[2] - e[2]) / {dd}) * {push},
+                CAST(1.0 AS DOUBLE)]
+          ELSE a END) AS acc
+    FROM relax c, circ
+    WHERE NOT c.stop AND c.pass <= {int(n_iter)}
+  ) c
+),
+fin AS (SELECT pl FROM relax ORDER BY pass DESC, i DESC LIMIT 1)
+SELECT pl[k].id AS id,
+       ROUND(pl[k].x + 1e-9, 6) AS cx,
+       ROUND(pl[k].y + 1e-9, 6) AS cy,
+       pl[k].r AS radius
+FROM fin,
+     (SELECT UNNEST(range(1, CAST((SELECT n FROM circ) AS INT) + 1))
+        AS k)
+"""
+
+
+DORLING_CARTOGRAM = _dorling_cartogram_sql()
+
+
 # ---------------------------------------------------------------- media
 # Mirrors media/multimodal.py's deterministic fake payloads: the Spark
 # side round-trips REAL binary (struct.pack -> mapInPandas parse); the
