@@ -1,0 +1,70 @@
+"""Regenerate EVIDENCE.json from the driver's CORRECTNESS_r*.json
+artifacts. Run at the start of each round (after the driver drops the
+previous round's file):
+
+    python scripts/regen_evidence.py
+
+A row counts as CHECKED when the driver recorded spark_rows with no
+error (or the documented no_oracle rows-only state), and GREEN when
+additionally nothing mismatched. The window-freeze pytest
+(tests/test_entry_contract.py) recomputes the same map directly from
+the CORRECTNESS files, so this artifact is for humans/judges and can
+never silently drift from the test's view.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def evidence_map() -> dict:
+    ev: dict[str, dict] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for q, row in json.load(open(f)).items():
+            checked = row.get("err") in (None, "no_oracle") and row.get(
+                "spark_rows"
+            ) is not None
+            green = (
+                checked
+                and row.get("hash_match") in (True, None)
+                and row.get("rows_match") in (True, None)
+            )
+            e = ev.setdefault(
+                q,
+                {"rounds_checked": [], "rounds_green": [], "latest_green": 0},
+            )
+            if checked:
+                e["rounds_checked"].append(rnd)
+            if green:
+                e["rounds_green"].append(rnd)
+                e["latest_green"] = max(e["latest_green"], rnd)
+    return {k: ev[k] for k in sorted(ev)}
+
+
+def main() -> None:
+    queries = evidence_map()
+    out = {
+        "_doc": (
+            "Per-query driver CORRECTNESS history, regenerated each round "
+            "from CORRECTNESS_r*.json via scripts/regen_evidence.py. "
+            "rounds_green counts fully-green rows (no_oracle rows-only "
+            "rows count as green when spark_rows was recorded). The "
+            "window-freeze pytest (tests/test_entry_contract.py) requires "
+            "every declared query to appear here or in the current driver "
+            "window."
+        ),
+        "queries": queries,
+    }
+    path = os.path.join(REPO, "EVIDENCE.json")
+    json.dump(out, open(path, "w"), indent=1)
+    never = [q for q, e in queries.items() if not e["rounds_green"]]
+    print(f"{len(queries)} queries recorded; never-green: {never}")
+
+
+if __name__ == "__main__":
+    main()
