@@ -45,6 +45,26 @@ def release_caches() -> int:
     return n
 
 
+class scoped_release:
+    """Context manager releasing exactly the intermediates
+    ``tracked_persist`` records INSIDE the with-block — for drivers of
+    unbounded loops (a streaming ``foreachBatch`` probing per
+    micro-batch) where the global ``release_caches()`` would also
+    evict long-lived memoized frames, and NO release would accumulate
+    one persisted frame per batch forever. The caller must have
+    CONSUMED the scoped results (written/collected) before the block
+    exits; they recompute from lineage if reused after."""
+
+    def __enter__(self) -> "scoped_release":
+        self._n0 = len(_TRACKED)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for df in _TRACKED[self._n0 :]:
+            df.unpersist()
+        del _TRACKED[self._n0 :]
+
+
 _RELEASE_HOOKS: list = []
 
 

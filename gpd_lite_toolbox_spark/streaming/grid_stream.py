@@ -511,19 +511,30 @@ def run_streaming_ingest_near_dups(
     out_dir = tempfile.mkdtemp(prefix="ingest_stream_out_")
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     # seed the sink with the empty result so an empty stream still
-    # yields a readable frame with the right schema/dtypes
+    # yields a readable frame with the right schema/dtypes (scoped:
+    # the probe's internal persist is released once written)
+    from ..cache import scoped_release
+
     empty = spark.createDataFrame([], schema)
-    ingest_near_dups(
-        spark, index_path, empty, threshold, id_col, text_col
-    ).write.mode("append").parquet(out_dir)
+    with scoped_release():
+        ingest_near_dups(
+            spark, index_path, empty, threshold, id_col, text_col
+        ).write.mode("append").parquet(out_dir)
 
     def _probe(mb, _bid):
-        res = ingest_near_dups(
-            spark, index_path, mb, threshold, id_col, text_col
-        )
-        res.write.mode("append").parquet(out_dir)
-        if admit:
-            append_to_minhash_index(mb, index_path, id_col, text_col)
+        # bounded state on an unbounded stream: the probe's internal
+        # tracked_persist (signature table) is released per micro-batch
+        # once its results are written — without the scope, a long-
+        # running stream accumulates one persisted frame per batch
+        from ..cache import scoped_release
+
+        with scoped_release():
+            res = ingest_near_dups(
+                spark, index_path, mb, threshold, id_col, text_col
+            )
+            res.write.mode("append").parquet(out_dir)
+            if admit:
+                append_to_minhash_index(mb, index_path, id_col, text_col)
 
     stream = (
         spark.readStream.schema(schema)

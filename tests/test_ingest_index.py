@@ -149,6 +149,25 @@ def test_streaming_ingest_probe_matches_batch(spark, sf_dir, tmp_path):
     assert got == exp and got
 
 
+def test_streaming_ingest_releases_per_batch_caches(spark, sf_dir, tmp_path):
+    """Bounded state on an unbounded stream: the per-micro-batch probe
+    must not leave its internal persisted signature frames in the
+    tracked-cache registry (one leak per batch = unbounded growth)."""
+    from gpd_lite_toolbox_spark.cache import _TRACKED
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_ingest_near_dups,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(corpus.filter(F.col("id") % 13 != 0), path)
+    bdir = str(tmp_path / "batchdocs")
+    corpus.filter(F.col("id") % 13 == 0).repartition(2).write.parquet(bdir)
+    n0 = len(_TRACKED)
+    run_streaming_ingest_near_dups(spark, path, bdir, threshold=0.5).count()
+    assert len(_TRACKED) == n0
+
+
 def test_streaming_ingest_admit_finds_cross_stream_dups(spark, tmp_path):
     """admit=True appends each micro-batch to the index after probing,
     so a near-dup pair SPLIT ACROSS micro-batches is reported (by
