@@ -3458,6 +3458,21 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the pinned merge list (text/bpe.py
+    bpe_encode): every id%10==0 doc becomes its (pos, token, token_id)
+    stream — the encode step between bpe_train and pack_sequences.
+    The oracle replays the greedy fold per distinct word (the
+    BPE_FERTILITY recursive CTE) and the same rank-based id/position
+    numbering."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.bpe import bpe_encode
+
+    docs = _corpus(spark, sf_dir).filter(F.col("id") % 10 == 0)
+    return bpe_encode(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 phase 0): gridify_data — spatial
     binning + multi-stat aggregation over the derived points layer."""
@@ -3502,7 +3517,6 @@ DRIVER_WINDOW = [
     "concave_pairs",
     "crs_mercator",
     "dissolve_country",
-    "dumb_multi_to_single",
     "dup_groups",
     "fingerprint",
     "ftouches_pairs",
@@ -3530,8 +3544,11 @@ DRIVER_WINDOW = [
     "value_histogram",
     "wkt_roundtrip",
     "zorder_keys",
-    # --- slot 50: this round's new query ---
+    # --- slots 49-50: this round's new queries (freeze-last; the
+    # displaced dumb_multi_to_single keeps its r3 green and shares
+    # multi_to_single's code path, which stays above) ---
     "stream_ingest_near_dups",
+    "bpe_encode",
 ]
 
 
@@ -3569,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivf_topk": _q_ann_ivf,
         "bpe_fertility": _q_bpe_fertility,
+        "bpe_encode": _q_bpe_encode,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "embedding_outliers": _q_embedding_outliers,
         "hard_negatives": _q_hard_negatives,
@@ -3913,6 +3931,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": OR.ANN_PQ_TOPK,
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
+        "bpe_encode": OR.BPE_ENCODE,
         "span_removal": OR.SPAN_REMOVAL,
         "simhash_pairs": OR.SIMHASH_PAIRS,
         "bloom_decontaminate": OR.BLOOM_DECONTAMINATE,

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "embedding_clusters",
     "bpe_fertility",
+    "bpe_encode",
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
     # timed noop-write of the 8-row result would be bench dishonesty;

@@ -4208,6 +4208,56 @@ FROM per
 """
 
 
+# Corpus tokenization under the pinned merge list (text/bpe.py
+# bpe_encode): the same recursive greedy-fold-over-distinct-words as
+# BPE_FERTILITY (two independent BPE implementations), then per-doc
+# reassembly — words in document order, each word's symbols in fold
+# order, a dense 0-based position, and token ids as the rank of the
+# symbol in the sorted symbol vocabulary. Ranks/positions order by
+# unique keys, so both engines number identically.
+BPE_ENCODE = f"""
+WITH RECURSIVE {oracle_ctes('corpus')},
+docs AS (SELECT id, text FROM corpus WHERE id % 10 = 0),
+wl AS (SELECT id, string_split(COALESCE(text, ''), ' ') AS ws FROM docs),
+wseq AS (SELECT id, UNNEST(range(1, len(ws) + 1)) AS wpos, ws FROM wl),
+wq AS (SELECT id, wpos, ws[wpos] AS w FROM wseq WHERE ws[wpos] <> ''),
+dw AS (SELECT DISTINCT w FROM wq),
+mg AS (SELECT * FROM (VALUES {_FERT_MG}) m(step, l, r)),
+seed AS (SELECT w, regexp_extract_all(w, '.') AS syms,
+                1 AS step, 1 AS pos, CAST([] AS VARCHAR[]) AS acc
+         FROM dw),
+fold AS (
+  SELECT w, syms, step, pos, acc FROM seed
+  UNION ALL
+  SELECT w,
+    CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
+    CASE WHEN pos <= len(syms) THEN f.step ELSE f.step + 1 END,
+    CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END,
+    CASE WHEN pos <= len(syms) THEN
+      CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND syms[pos] = m.r
+           THEN acc[1:len(acc)-1] || [m.l || m.r]
+           ELSE acc || [syms[pos]] END
+    ELSE CAST([] AS VARCHAR[]) END
+  FROM fold f JOIN mg m ON m.step = f.step
+  WHERE NOT (pos > len(syms) AND f.step >= {_FERT_N})
+),
+vocab AS (SELECT w, acc FROM fold
+          WHERE pos > len(syms) AND step = {_FERT_N}),
+tok AS (SELECT q.id, q.wpos,
+               UNNEST(range(1, len(v.acc) + 1)) AS spos, v.acc AS acc
+        FROM wq q JOIN vocab v USING (w)),
+tok2 AS (SELECT id, wpos, spos, acc[spos] AS token FROM tok),
+sym AS (SELECT token,
+               ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+        FROM (SELECT DISTINCT token FROM tok2))
+SELECT t.id,
+       ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.wpos, t.spos) - 1
+           AS pos,
+       t.token, s.token_id
+FROM tok2 t JOIN sym s USING (token)
+"""
+
+
 # Span-excision transform (text/dedup.py remove_spans composed over
 # exact_substring_spans): keep-first policy — every maximal shared
 # span is removed from the LARGER id; overlapping/touching intervals

@@ -233,3 +233,74 @@ def bpe_fertility(
                F.round(F.col("_chars") / F.col("n_tokens").cast("double"), 6))
         .otherwise(F.lit(0.0)).alias("avg_token_chars"),
     )
+
+
+def bpe_encode(
+    docs: "DataFrame",
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Tokenize the corpus under a learned merge list — the encode
+    step a training pipeline runs after ``bpe_train``: every document
+    becomes its token stream with STABLE integer ids (token_id =
+    rank of the symbol string in the sorted symbol vocabulary), ready
+    for ``pack_sequences``.
+
+    Output: one row per emitted token, ``(id, pos, token, token_id)``
+    with ``pos`` the 0-based position in the document's stream. The
+    per-doc array form is one ``collect_list`` away; the flat form is
+    what downstream packing/statistics consume and what the DuckDB
+    oracle hash-gates.
+
+    Scale shape — same discipline as ``bpe_fertility``: the greedy
+    merge fold runs once per DISTINCT word (|vocab|-sized, broadcast
+    back to the word instances — corpus text never enters the fold),
+    token-id assignment is one |symbol-vocab|-sized rank table
+    (single-partition window on a bounded input, broadcast to the
+    stream), and the only corpus-sized exchange is the per-doc
+    position numbering (id-keyed window, the chunking family's
+    shape). NULL/empty text yields no rows.
+    """
+    from pyspark.sql import Window
+
+    if merges is None:
+        merges = FERTILITY_MERGES
+    words_pos = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("wpos", "w"),
+    ).filter(F.col("w") != "")
+    seg = F.split(F.col("w"), "")
+    for left, right in merges:
+        seg = _apply_merge(seg, left, right)
+    vocab = words_pos.select("w").distinct().select("w", seg.alias("syms"))
+    toks = (
+        words_pos.join(F.broadcast(vocab), "w")
+        .select("id", "wpos", F.posexplode("syms").alias("spos", "token"))
+    )
+    # symbol vocabulary is bounded (chars + one entry per merge), so
+    # the global-order window is a one-small-table step
+    symtab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy("token")) - 1
+            ).cast("bigint").alias("token_id"),
+        )
+    )
+    out = toks.join(F.broadcast(symtab), "token")
+    return out.select(
+        "id",
+        (
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("wpos", "spos")
+            )
+            - 1
+        ).cast("bigint").alias("pos"),
+        "token",
+        "token_id",
+    )

@@ -489,3 +489,51 @@ def test_bpe_fertility_run_semantics_match_segmenter(spark):
         F.size(bpe_segment_expr("text", merges)).alias("n")
     ).collect()[0]["n"]
     assert row["n_tokens"] == direct
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Encode under the pinned merges: exact token streams, dense
+    sorted-vocabulary token ids, and no rows for NULL/empty text."""
+    from gpd_lite_toolbox_spark.text.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "the cat in the hat"), (2, None), (3, ""), (4, "  ")],
+        "id long, text string",
+    )
+    rows = sorted(bpe_encode(docs).collect(), key=lambda r: (r.id, r.pos))
+    by: dict[int, list[str]] = {}
+    for r in rows:
+        by.setdefault(r.id, []).append(r.token)
+    # t+h -> th, th+e -> the; c,a,t -> c,at; i,n -> in; h,a,t -> h,at
+    assert by == {1: ["the", "c", "at", "in", "the", "h", "at"]}
+    # positions dense per doc
+    assert [r.pos for r in rows] == list(range(7))
+    # token ids: one id per distinct token, dense from 0, sorted order
+    pairs = {(r.token, r.token_id) for r in rows}
+    toks = sorted(t for t, _ in pairs)
+    assert pairs == {(t, i) for i, t in enumerate(toks)}
+
+
+def test_bpe_encode_concat_roundtrip(spark, sf_dir):
+    """Lossless property on fixture docs: concatenating a doc's tokens
+    in stream order reproduces its text with spaces removed."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark import fixtures as FX
+    from gpd_lite_toolbox_spark.text.bpe import bpe_encode
+
+    FX.register_base_tables(spark, sf_dir)
+    docs = spark.sql(FX.CORPUS_SQL).filter(
+        F.col("text").isNotNull() & (F.col("id") % 50 == 0)
+    )
+    enc = bpe_encode(docs)
+    joined = (
+        enc.orderBy("id", "pos")
+        .groupBy("id")
+        .agg(F.concat_ws("", F.collect_list("token")).alias("round"))
+        .join(docs.select("id", "text"), "id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r.round == r.text.replace(" ", "")
