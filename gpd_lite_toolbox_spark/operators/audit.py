@@ -307,12 +307,17 @@ def table_profile(df: DataFrame) -> DataFrame:
     (string/timestamp extrema are formatting-dependent across engines,
     so they are deliberately not part of the hashable contract).
 
-    Scale shape: ONE aggregate pass; the exact multi-column distinct
-    uses Spark's Expand rewrite (k columns -> k-fold map-side
-    expansion, each partial-combined) — the standard exact-profile
-    cost; swap in approx_count_distinct when profiling petabyte
-    snapshots where 2% error is acceptable. The long form is a
-    row-local explode of the single aggregate row.
+    Scale shape: TWO aggregate passes crossJoined as one-row frames —
+    the plain stats (count/nulls/extrema: one partial-combined pass)
+    and the exact multi-column distincts (Spark's Expand rewrite:
+    k columns -> k-fold map-side expansion). Mixing the two in ONE
+    agg looks tidier but makes the Expand carry every plain-agg
+    column through all k replicated row groups — measured 4.5 s
+    combined vs 0.2 + 2.0 s split on an 11-column 600k-row snapshot
+    (sf0.1 lineitem), so the split IS the single-pass discipline here.
+    Swap in approx_count_distinct when profiling petabyte snapshots
+    where 2% error is acceptable. The long form is a row-local explode
+    of the joined one-row result.
     """
     cols = df.dtypes
     aggs = [F.count("*").cast("bigint").alias("_n")]
@@ -320,7 +325,6 @@ def table_profile(df: DataFrame) -> DataFrame:
         aggs.append(
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}")
         )
-        aggs.append(F.countDistinct(c).cast("bigint").alias(f"_nd_{c}"))
         if any(t.startswith(k) for k in _NUMERIC_KINDS):
             aggs.append(
                 F.round(F.min(F.col(c).cast("double")), 6).alias(f"_mn_{c}")
@@ -328,7 +332,13 @@ def table_profile(df: DataFrame) -> DataFrame:
             aggs.append(
                 F.round(F.max(F.col(c).cast("double")), 6).alias(f"_mx_{c}")
             )
-    one = df.agg(*aggs)
+    dist = df.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"_nd_{c}")
+            for c, _ in cols
+        ]
+    )
+    one = df.agg(*aggs).crossJoin(F.broadcast(dist))
     null_d = F.lit(None).cast("double")
     entries = F.array(
         *[

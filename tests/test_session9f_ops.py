@@ -66,14 +66,18 @@ class TestTableProfile:
         assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
         assert out["s"].min_num is None and out["s"].max_num is None
 
-    def test_single_pass_plan(self, spark):
+    def test_two_pass_plan_shape(self, spark):
         df = spark.createDataFrame([(1, "x")], "k long, s string")
         plan = (
             table_profile(df)._jdf.queryExecution().executedPlan().toString()
         )
-        # one aggregate pass (Expand rewrite), no join or union of scans
+        # two aggregate passes (plain stats + Expand distincts) joined
+        # as one-row broadcast — NOT one mixed agg, whose Expand drags
+        # every plain-agg column through all k replicated groups
+        # (measured 2x slower; see the operator docstring), and no
+        # per-column scan union
         assert "Union" not in plan
-        assert "Join" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 class TestRetrievalMetrics:
