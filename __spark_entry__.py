@@ -3458,6 +3458,17 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration (text/dedup.py
+    near_dup_threshold_curve): cumulative near-dup pair counts at each
+    candidate cutoff 0.5..1.0 over the standard banded pipeline — the
+    table that prices a tighter threshold. Oracle = the MINHASH_PAIRS
+    CTEs + the count-from-above bucketing."""
+    from gpd_lite_toolbox_spark.text.dedup import near_dup_threshold_curve
+
+    return near_dup_threshold_curve(_corpus(spark, sf_dir))
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization under the pinned merge list (text/bpe.py
     bpe_encode): every id%10==0 doc becomes its (pos, token, token_id)
@@ -3522,7 +3533,6 @@ DRIVER_WINDOW = [
     "ftouches_pairs",
     "geojson_roundtrip",
     "grid_cut",
-    "hav_dist",
     "intersection_part",
     "isochrone_polys",
     "knn_points",
@@ -3544,11 +3554,13 @@ DRIVER_WINDOW = [
     "value_histogram",
     "wkt_roundtrip",
     "zorder_keys",
-    # --- slots 49-50: this round's new queries (freeze-last; the
-    # displaced dumb_multi_to_single keeps its r3 green and shares
-    # multi_to_single's code path, which stays above) ---
+    # --- slots 48-50: this round's new queries (freeze-last; the
+    # displaced dumb_multi_to_single / hav_dist keep their r3 greens
+    # and their code paths stay covered by multi_to_single / bearing
+    # above) ---
     "stream_ingest_near_dups",
     "bpe_encode",
+    "dedup_threshold_curve",
 ]
 
 
@@ -3587,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "bpe_fertility": _q_bpe_fertility,
         "bpe_encode": _q_bpe_encode,
+        "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "embedding_outliers": _q_embedding_outliers,
         "hard_negatives": _q_hard_negatives,
@@ -3932,6 +3945,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
         "bpe_encode": OR.BPE_ENCODE,
+        "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,
         "span_removal": OR.SPAN_REMOVAL,
         "simhash_pairs": OR.SIMHASH_PAIRS,
         "bloom_decontaminate": OR.BLOOM_DECONTAMINATE,

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "bpe_fertility",
     "bpe_encode",
+    "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
     # timed noop-write of the 8-row result would be bench dishonesty;

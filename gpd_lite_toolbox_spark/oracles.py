@@ -399,6 +399,23 @@ WITH {_MINHASH_CTES}
 {_MINHASH_FINAL}
 """
 
+# Dedup-threshold calibration curve (text/dedup.py
+# near_dup_threshold_curve): cumulative pair counts at each candidate
+# threshold over the SAME pair pipeline as MINHASH_PAIRS — pure
+# composition, so the gate re-proves the shared CTEs plus the
+# count-from-above bucketing. Zero-pair thresholds appear as 0 rows
+# via the left join (COUNT of the nullable side).
+NEAR_DUP_THRESHOLD_CURVE = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_FINAL}),
+th AS (SELECT ROUND(0.5 + 0.05 * CAST(n AS DOUBLE), 2) AS threshold
+       FROM (SELECT UNNEST(range(0, 11)) AS n))
+SELECT t.threshold,
+       CAST(COUNT(p.jaccard) AS BIGINT) AS n_pairs
+FROM th t LEFT JOIN pairs p ON p.jaccard >= t.threshold
+GROUP BY t.threshold
+"""
+
 # Index-backed incremental ingest (text/dedup.py write_minhash_index +
 # ingest_near_dups): cross-membership near-dup pairs between the
 # ingest batch (id % 13 = 0) and the indexed remainder. The engine

@@ -1332,6 +1332,57 @@ def semantic_dedup(
     )
 
 
+def near_dup_threshold_curve(
+    corpus: DataFrame,
+    base_threshold: float = 0.5,
+    steps: int = 11,
+    step: float = 0.05,
+    pairs: DataFrame | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-threshold calibration curve: for each candidate threshold
+    t in {base, base+step, ...}, the number of near-dup pairs the
+    banded pipeline reports at jaccard >= t — THE table a pipeline
+    owner reads before fixing the near-dup cutoff (how many pairs does
+    tightening from 0.5 to 0.8 give up?). Thresholds with zero pairs
+    appear with n_pairs = 0, not as missing rows.
+
+    Output: (threshold, n_pairs), threshold rounded to 2 decimals.
+
+    Scale shape: ONE ``minhash_lsh_pairs`` run at ``base_threshold``
+    (banded candidates, signature prefilter, exact verify — the
+    family's standard cost) and then a broadcast join of the
+    |steps|-row threshold table against the bounded pair table; pass
+    ``pairs`` to reuse an already-computed pair frame. The curve is
+    exact above ``base_threshold`` by construction (every pair at
+    jaccard >= base is already in the table); it says nothing about
+    thresholds below base, which would need a re-run with looser
+    banding.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            corpus, threshold=base_threshold, id_col=id_col,
+            text_col=text_col,
+        )
+    spark = pairs.sparkSession
+    th = spark.range(int(steps)).select(
+        F.round(
+            F.lit(float(base_threshold))
+            + F.lit(float(step)) * F.col("id").cast("double"),
+            2,
+        ).alias("threshold")
+    )
+    joined = th.join(
+        pairs.select("jaccard"),
+        F.col("jaccard") >= F.col("threshold"),
+        "left",
+    )
+    return joined.groupBy("threshold").agg(
+        F.count("jaccard").cast("bigint").alias("n_pairs")
+    )
+
+
 def split_leakage(
     corpus: DataFrame,
     splits: DataFrame,

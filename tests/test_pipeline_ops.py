@@ -570,3 +570,30 @@ def test_source_quality_consistent_with_per_doc_audits(spark, sf_dir):
     )
     assert plan.count("Exchange") <= 2  # rollup + AQE final read
     assert "Python" not in plan
+
+
+def test_dedup_threshold_curve_semantics(spark, sf_dir):
+    """Curve contract: one row per candidate threshold, counts are the
+    cumulative pairs at-or-above each cutoff (monotone non-increasing),
+    zero-pair thresholds present as 0, and a precomputed pair frame is
+    reused as-is."""
+    from gpd_lite_toolbox_spark.text.dedup import (
+        minhash_lsh_pairs,
+        near_dup_threshold_curve,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    corpus = spark.sql(FX.CORPUS_SQL)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    rows = sorted(
+        near_dup_threshold_curve(corpus, pairs=pairs).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [
+        round(0.5 + 0.05 * i, 2) for i in range(11)
+    ]
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    jac = [r.jaccard for r in pairs.collect()]
+    assert counts[0] == len(jac)
+    assert counts[-1] == sum(1 for j in jac if j >= 1.0)
