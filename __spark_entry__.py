@@ -1637,11 +1637,13 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full 8-step BPE merge table (text/bpe.py bpe_train): iterative
-    — each step's state depends on the previous argmax, so this is
-    rows-only for the driver; pytest pins it EXACTLY against an
-    independent pure-Python reference, and `bpe_pair_counts` is the
-    hash-gated twin for the counting substrate."""
+    """Full 8-step BPE merge table (text/bpe.py bpe_train),
+    HASH-GATED since r7: the training loop is data-dependent but its
+    length is fixed, so oracles.BPE_MERGES unrolls the 8 steps as
+    plain CTE stages (pair counts -> LIMIT-1 argmax -> merge fold via
+    a 1-row join, empty best passing state through like the
+    min_count break). The pure-Python reference pytest stays as a
+    third independent implementation."""
     from gpd_lite_toolbox_spark.text.bpe import bpe_train
 
     return bpe_train(_corpus(spark, sf_dir), n_merges=8)
@@ -3547,20 +3549,20 @@ DRIVER_WINDOW = [
     "repetition_stats",
     "shared_border",
     "simhash",
-    "simhash_local",
     "stratified_sample",
     "tfidf_topk",
     "token_stats",
     "value_histogram",
     "wkt_roundtrip",
     "zorder_keys",
-    # --- slots 48-50: this round's new queries (freeze-last; the
-    # displaced dumb_multi_to_single / hav_dist keep their r3 greens
-    # and their code paths stay covered by multi_to_single / bearing
-    # above) ---
+    # --- slots 47-50: this round's new queries and gates
+    # (freeze-last; the displaced dumb_multi_to_single / hav_dist /
+    # simhash_local keep their r3 greens and their code paths stay
+    # covered by multi_to_single / bearing / simhash above) ---
     "stream_ingest_near_dups",
     "bpe_encode",
     "dedup_threshold_curve",
+    "bpe_merges",
 ]
 
 
@@ -3764,8 +3766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isochrone_bands": _q_isochrone_bands,
         "isochrone_polys": _q_isochrone_polys,
         "dorling_cartogram": _q_dorling_cartogram,
-        # rows-only (no_oracle) queries LAST
         "bpe_merges": _q_bpe_merges,
+        # rows-only (no_oracle) queries LAST
         "match_line_cluster": _q_match_line_cluster,
     }
     missing = [k for k in DRIVER_WINDOW if k not in base]
@@ -3945,6 +3947,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
         "bpe_encode": OR.BPE_ENCODE,
+        "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,
         "span_removal": OR.SPAN_REMOVAL,
         "simhash_pairs": OR.SIMHASH_PAIRS,

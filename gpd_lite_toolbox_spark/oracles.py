@@ -4225,6 +4225,61 @@ FROM per
 """
 
 
+# Full BPE TRAINING replay (text/bpe.py bpe_train, n_merges=8): the
+# training loop is data-dependent ("each step's state depends on the
+# previous argmax") but its LENGTH is fixed, so the oracle unrolls the
+# 8 steps as plain CTE stages — per stage an adjacent-pair count over
+# the evolving symbol vocabulary, the argmax as ORDER BY cnt DESC, a,
+# b LIMIT 1 (binary string collation both engines), and the greedy
+# left-to-right merge fold applied through a 1-row LEFT JOIN (empty
+# best => state passes through, matching the trainer's min_count
+# break; once empty, every later stage is empty too). The fold's
+# accumulator is VARCHAR[] over single-symbol VARCHAR[] elements
+# (list_reduce's acc type must equal the element type; the [s1] seed
+# equals the empty-acc-then-append first step of Spark's fold). This
+# retires the last deterministic rows-only query.
+def _bpe_merges_sql(n_merges: int = 8, min_count: int = 2) -> str:
+    apply_fold = (
+        "list_reduce(list_transform(syms, s -> [s]),"
+        " (acc, e) -> CASE WHEN len(acc) > 0"
+        " AND acc[len(acc)] = bk.a AND e[1] = bk.b"
+        " THEN acc[1:len(acc)-1] || [bk.a || bk.b]"
+        " ELSE acc || e END)"
+    )
+    parts = [
+        """wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+             FROM corpus) WHERE w <> '' GROUP BY w)""",
+        "s0 AS (SELECT regexp_extract_all(w, '.') AS syms, n FROM wc)",
+    ]
+    for k in range(1, int(n_merges) + 1):
+        parts.append(
+            f"pc{k} AS (SELECT syms[i] AS a, syms[i + 1] AS b,"
+            f" CAST(SUM(n) AS BIGINT) AS cnt"
+            f" FROM s{k - 1}, UNNEST(range(1, len(syms))) t(i)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT a, b, cnt FROM pc{k}"
+            f" WHERE cnt >= {int(min_count)}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT CASE WHEN bk.a IS NULL THEN syms"
+            f" ELSE {apply_fold} END AS syms, n"
+            f" FROM s{k - 1} LEFT JOIN b{k} bk ON TRUE)"
+        )
+    finals = " UNION ALL ".join(
+        f'SELECT {k - 1} AS step, a AS "left", b AS "right", cnt FROM b{k}'
+        for k in range(1, int(n_merges) + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {oracle_ctes('corpus')},\n{body}\n{finals}"
+
+
+BPE_MERGES = _bpe_merges_sql()
+
+
 # Corpus tokenization under the pinned merge list (text/bpe.py
 # bpe_encode): the same recursive greedy-fold-over-distinct-words as
 # BPE_FERTILITY (two independent BPE implementations), then per-doc
