@@ -3460,6 +3460,18 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer fertility per source (text/unigram.py
+    unigram_fertility, pinned UNIGRAM_PIECES): Viterbi min-cost
+    segmentation runs once per distinct word as a row-local integer
+    DP; the oracle replays the same DP with a recursive CTE — two
+    independent unigram implementations must agree bit-exactly."""
+    from gpd_lite_toolbox_spark.text.unigram import unigram_fertility
+
+    s = _configure(spark)
+    return unigram_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
 def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration (text/dedup.py
     near_dup_threshold_curve): cumulative near-dup pair counts at each
@@ -3553,16 +3565,17 @@ DRIVER_WINDOW = [
     "tfidf_topk",
     "token_stats",
     "value_histogram",
-    "wkt_roundtrip",
     "zorder_keys",
-    # --- slots 47-50: this round's new queries and gates
+    # --- slots 46-50: this round's new queries and gates
     # (freeze-last; the displaced dumb_multi_to_single / hav_dist /
-    # simhash_local keep their r3 greens and their code paths stay
-    # covered by multi_to_single / bearing / simhash above) ---
+    # simhash_local / wkt_roundtrip keep their r3 greens and their
+    # code paths stay covered by multi_to_single / bearing / simhash /
+    # geojson_roundtrip above) ---
     "stream_ingest_near_dups",
     "bpe_encode",
     "dedup_threshold_curve",
     "bpe_merges",
+    "unigram_fertility",
 ]
 
 
@@ -3600,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_ivf_topk": _q_ann_ivf,
         "bpe_fertility": _q_bpe_fertility,
+        "unigram_fertility": _q_unigram_fertility,
         "bpe_encode": _q_bpe_encode,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -3946,6 +3960,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": OR.ANN_PQ_TOPK,
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
+        "unigram_fertility": OR.UNIGRAM_FERTILITY,
         "bpe_encode": OR.BPE_ENCODE,
         "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "embedding_clusters",
     "bpe_fertility",
+    "unigram_fertility",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

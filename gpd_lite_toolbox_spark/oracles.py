@@ -5345,3 +5345,94 @@ FROM a
 
 
 EVENT_TREND = _trend_sql()
+
+
+# Unigram-LM tokenizer fertility (text/unigram.py unigram_fertility):
+# the DuckDB side replays the SAME Viterbi min-cost segmentation with
+# a recursive CTE over the distinct-word table — candidate piece costs
+# are pre-pivoted per (word, position) outside the recursion, the
+# recursive arm folds the 4 piece lengths through LATERAL stages with
+# the identical tie rule (cost asc, then n_pieces on replace-on-<=,
+# scanning lengths ascending = longest-last-piece at a full tie).
+# Integer costs end-to-end, so the DP is bit-exact across engines; the
+# two ROUNDs at the end are the bpe_fertility-proven report recipe.
+from .text import unigram as _ug  # noqa: E402
+
+_UG_VALS = ", ".join(f"('{p}', {c})" for p, c in _ug.UNIGRAM_PIECES)
+
+
+def _ug_stage(prev: str, clen: int, idx: str) -> str:
+    """One LATERAL fold stage: candidate = piece of length ``clen``
+    ending at position j (cost column c{clen}, prefix state at list
+    index ``idx``) replaces the running best on the shared tie rule."""
+    cand_c = f"d.cs[{idx}] + c.c{clen}"
+    cand_n = f"d.nps[{idx}] + 1"
+    better = (
+        f"c.c{clen} IS NOT NULL AND ({cand_c} < {prev}.bc"
+        f" OR ({cand_c} = {prev}.bc AND {cand_n} <= {prev}.bn))"
+    )
+    return (
+        f"CROSS JOIN LATERAL (SELECT"
+        f" CASE WHEN {better} THEN {cand_c} ELSE {prev}.bc END AS bc,"
+        f" CASE WHEN {better} THEN {cand_n} ELSE {prev}.bn END AS bn"
+        f") s{clen}"
+    )
+
+
+UNIGRAM_FERTILITY = f"""
+WITH RECURSIVE {oracle_ctes('scorpus')},
+wrd AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM scorpus),
+wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM wrd WHERE w <> '' GROUP BY source, w),
+dw AS (SELECT DISTINCT w FROM wc),
+pz AS (SELECT * FROM (VALUES {_UG_VALS}) p(piece, cost)),
+cand AS (
+  SELECT w, j,
+         MAX(CASE WHEN l = 1 THEN cost END) AS c1,
+         MAX(CASE WHEN l = 2 THEN cost END) AS c2,
+         MAX(CASE WHEN l = 3 THEN cost END) AS c3,
+         MAX(CASE WHEN l = 4 THEN cost END) AS c4
+  FROM (
+    SELECT dw.w, CAST(t.j AS INT) AS j, l.l,
+           CASE WHEN l.l = 1 THEN COALESCE(p.cost, {_ug.UNK_CHAR_COST})
+                ELSE p.cost END AS cost
+    FROM dw
+    CROSS JOIN UNNEST(range(1, length(dw.w) + 1)) t(j)
+    CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
+    LEFT JOIN pz p
+      ON p.piece = substr(dw.w, CAST(t.j AS INT) - l.l + 1, l.l)
+    WHERE l.l <= t.j
+  ) GROUP BY w, j
+),
+dp AS (
+  SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS cs, [0] AS nps FROM dw
+  UNION ALL
+  SELECT d.w, d.j + 1, d.cs || [s4.bc], d.nps || [s4.bn]
+  FROM dp d
+  JOIN cand c ON c.w = d.w AND c.j = d.j + 1
+  CROSS JOIN LATERAL (SELECT d.cs[d.j + 1] + c.c1 AS bc,
+                             d.nps[d.j + 1] + 1 AS bn) s1
+  {_ug_stage('s1', 2, 'd.j')}
+  {_ug_stage('s2', 3, 'd.j - 1')}
+  {_ug_stage('s3', 4, 'd.j - 2')}
+  WHERE d.j < length(d.w)
+),
+fin AS (SELECT w, cs[length(w) + 1] AS cost, nps[length(w) + 1] AS np
+        FROM dp WHERE j = length(w)),
+per AS (SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_words,
+               CAST(SUM(n * np) AS BIGINT) AS n_pieces,
+               CAST(SUM(n * length(w)) AS BIGINT) AS chars,
+               CAST(SUM(n * cost) AS BIGINT) AS total_cost
+        FROM wc JOIN fin USING (w) GROUP BY source)
+SELECT source, n_words, n_pieces,
+       CASE WHEN n_words > 0
+            THEN ROUND(n_pieces / CAST(n_words AS DOUBLE), 6)
+            ELSE 0.0 END AS fertility,
+       CASE WHEN n_pieces > 0
+            THEN ROUND(chars / CAST(n_pieces AS DOUBLE), 6)
+            ELSE 0.0 END AS avg_piece_chars,
+       total_cost
+FROM per
+"""

@@ -1,0 +1,249 @@
+"""Unigram-LM tokenizer (SentencePiece-style Viterbi segmentation) —
+the inventory-based sibling of the merge-based BPE family in
+``text/bpe.py``, completing the tokenizer surface a curation pipeline
+prices corpora with (BPE = learned merges applied greedily; unigram =
+piece inventory applied OPTIMALLY per word).
+
+Semantics: each whitespace word is segmented into the MINIMUM-COST
+sequence of inventory pieces, where the inventory is a pinned
+``piece -> integer cost`` table (costs play the role of ``-log p``
+scaled to integers — INTEGER arithmetic end-to-end, so the dynamic
+program is bit-exact across engines, the same reason the relational-ML
+gates use DECIMAL sums in ``numerics.py``).  Any single character not
+in the inventory falls back to ``UNK_CHAR_COST``, so every word has a
+segmentation.  Ties break deterministically: lower total cost, then
+FEWER pieces, then the candidate whose LAST piece is longest (realized
+by scanning piece lengths 1..MAX ascending and replacing on
+``cost < best OR (cost = best AND n_pieces <= best_n)``) — the rule the
+DuckDB oracle replays verbatim (oracles.UNIGRAM_FERTILITY).
+
+Execution shape (the ``bpe_fertility`` discipline,
+``text/bpe.py:169``): the Viterbi DP runs once per DISTINCT word — a
+row-local ``F.aggregate`` fold over the word's character positions,
+maintaining the prefix-cost array — then broadcast-joins back to the
+per-(stratum, word) count table.  The DP never touches corpus-sized
+data; at 100 TB the segmented table is bounded by |vocabulary|, the
+corpus-sized side is one partial-combined count aggregate.
+
+Reference scope: the reference engine (mthh/gpd_lite_toolbox) has no
+tokenizer surface; this module is part of the training-data-pipeline
+extension (SURVEY.md §6), with SentencePiece's unigram model (Kudo
+2018, public) as the semantic spec for Viterbi piece segmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Pinned piece inventory: integer costs standing in for scaled -log p.
+# Single chars cheaper when frequent; multi-char pieces priced under
+# the sum of their characters so the DP prefers them, but close enough
+# that composition choices are non-trivial.  Pinned (not learned) for
+# the same reason as bpe.FERTILITY_MERGES: the hash gate needs both
+# engines to replay the SAME tokenizer.
+UNIGRAM_PIECES: list[tuple[str, int]] = [
+    # single characters (frequent letters under the UNK fallback)
+    ("a", 45), ("e", 46), ("t", 47), ("r", 50), ("o", 50), ("s", 50),
+    # 2-char pieces
+    ("st", 80), ("in", 81), ("er", 82), ("at", 82), ("or", 83),
+    ("up", 83), ("ta", 84), ("an", 84), ("ar", 85), ("ue", 85),
+    ("me", 86), ("ow", 86), ("al", 87), ("le", 87), ("sc", 88),
+    ("ry", 88), ("da", 89), ("qu", 89), ("gr", 90), ("sp", 90),
+    ("ha", 90), ("ex", 90), ("ba", 90), ("ve", 91), ("du", 91),
+    ("ro", 91), ("co", 91), ("bi", 92), ("fa", 92), ("jo", 92),
+    ("va", 92), ("wi", 93), ("sl", 93), ("fi", 93), ("cu", 93),
+    ("ke", 94), ("sm", 95), ("zq", 99),
+    # 3-char pieces
+    ("ort", 110), ("ter", 110), ("mer", 111), ("ine", 112),
+    ("que", 112), ("ord", 112), ("art", 113), ("ext", 113),
+    ("lin", 113), ("eam", 114), ("low", 114), ("ind", 114),
+    ("ash", 115), ("val", 115), ("rea", 115), ("oin", 116),
+    ("vec", 116), ("tom", 116), ("dow", 117), ("tab", 117),
+    ("gro", 117), ("fil", 116), ("tch", 118), ("olu", 120),
+    ("umn", 118), ("ust", 119), ("mal", 118),
+    # 4-char pieces
+    ("part", 150), ("sort", 151), ("line", 152), ("atch", 153),
+    ("park", 153), ("rder", 153), ("ream", 154), ("uery", 154),
+    ("erge", 154), ("wind", 155), ("alue", 155), ("lumn", 156),
+    ("roup", 156), ("mall", 157), ("cust", 157), ("ecto", 157),
+    ("tome", 158),
+]
+
+UNK_CHAR_COST = 60
+MAX_PIECE_LEN = 4
+
+
+def segment_word_py(
+    word: str,
+    pieces: "list[tuple[str, int]] | None" = None,
+    unk: int = UNK_CHAR_COST,
+    max_len: int = MAX_PIECE_LEN,
+) -> tuple[int, int]:
+    """Pure-Python reference DP — THIRD implementation of the
+    contract, used by the unit tests to pin both engines.  Returns
+    ``(total_cost, n_pieces)`` for one word under the same
+    tie-break rule as the Spark fold and the DuckDB CTE."""
+    costs = dict(pieces if pieces is not None else UNIGRAM_PIECES)
+    n = len(word)
+    best: list[tuple[int, int]] = [(0, 0)] + [(0, 0)] * n
+    for j in range(1, n + 1):
+        cur: tuple[int, int] | None = None
+        for l in range(1, min(max_len, j) + 1):
+            piece = word[j - l : j]
+            c = costs.get(piece) if l > 1 else costs.get(piece, unk)
+            if c is None:
+                continue
+            cand = (best[j - l][0] + c, best[j - l][1] + 1)
+            if (
+                cur is None
+                or cand[0] < cur[0]
+                or (cand[0] == cur[0] and cand[1] <= cur[1])
+            ):
+                cur = cand
+        assert cur is not None
+        best[j] = cur
+    return best[n]
+
+
+def _viterbi_cols(
+    word_col: "F.Column",
+    pieces: list[tuple[str, int]],
+    unk: int,
+    max_len: int,
+) -> "F.Column":
+    """struct(c BIGINT, np INT) of the min-cost segmentation of
+    ``word_col`` — one row-local fold over character positions; the
+    whole DP is a Catalyst expression (no UDF, no shuffle)."""
+    mp = F.create_map(
+        *[
+            F.lit(x)
+            for p, c in pieces
+            for x in (p, c)
+        ]
+    )
+    zero = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0).cast("int").alias("np"),
+        )
+    )
+
+    def step(acc: "F.Column", j: "F.Column") -> "F.Column":
+        best = None
+        for l in range(1, max_len + 1):
+            piece = F.substr(word_col, j - F.lit(l) + F.lit(1), F.lit(l))
+            pc = F.try_element_at(mp, piece)
+            if l == 1:
+                pc = F.coalesce(pc, F.lit(unk))
+            prev = F.element_at(acc, (j - F.lit(l) + F.lit(1)).cast("int"))
+            cand = F.when(
+                (F.lit(l) <= j) & pc.isNotNull(),
+                F.struct(
+                    (prev["c"] + pc.cast("long")).alias("c"),
+                    (prev["np"] + F.lit(1)).alias("np"),
+                ),
+            )
+            if best is None:
+                best = cand
+            else:
+                best = F.when(
+                    cand.isNotNull()
+                    & (
+                        (cand["c"] < best["c"])
+                        | (
+                            (cand["c"] == best["c"])
+                            & (cand["np"] <= best["np"])
+                        )
+                    ),
+                    cand,
+                ).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        zero,
+        step,
+    )
+    return F.element_at(state, (F.length(word_col) + 1).cast("int"))
+
+
+def unigram_fertility(
+    docs: DataFrame,
+    pieces: "list[tuple[str, int]] | None" = None,
+    strata_col: str = "source",
+    text_col: str = "text",
+    unk: int = UNK_CHAR_COST,
+    max_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """Unigram-tokenizer fertility report per stratum: words, optimal
+    piece count, fertility (pieces per word — the unigram sibling of
+    ``bpe_fertility``'s cost-pricing number), mean piece length in
+    chars, and the exact integer corpus cost under the model (the
+    scaled negative log-likelihood a SentencePiece trainer would
+    report).
+
+    Columns: ``(source, n_words, n_pieces, fertility,
+    avg_piece_chars, total_cost)``.
+
+    Scale shape: the Viterbi DP runs on the DISTINCT word table
+    (|vocab|-bounded, row-local expression fold), broadcast-joins to
+    the per-(stratum, word) counts, then ONE partial-combined
+    aggregate per stratum.  The corpus-sized work is exactly the word
+    count — same two-exchange shape as ``bpe_fertility``.
+    """
+    if pieces is None:
+        pieces = UNIGRAM_PIECES
+    words = docs.select(
+        F.col(strata_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    fin = _viterbi_cols(F.col("w"), pieces, unk, max_len)
+    vocab = (
+        wc.select("w")
+        .distinct()
+        .select(
+            "w",
+            fin["c"].alias("_cost"),
+            fin["np"].cast("bigint").alias("_np"),
+            F.length("w").cast("bigint").alias("_chr"),
+        )
+    )
+    per = (
+        wc.join(F.broadcast(vocab), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("_np")).alias("n_pieces"),
+            F.sum(F.col("n") * F.col("_chr")).alias("_chars"),
+            F.sum(F.col("n") * F.col("_cost")).alias("total_cost"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_pieces") / F.col("n_words").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+        F.when(
+            F.col("n_pieces") > 0,
+            F.round(
+                F.col("_chars") / F.col("n_pieces").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_piece_chars"),
+        "total_cost",
+    )

@@ -1,0 +1,96 @@
+"""Unigram-LM tokenizer (text/unigram.py): the Viterbi DP's three
+implementations (pure Python, Spark expression fold, DuckDB recursive
+CTE — the last via the oracle-parity gate) must agree bit-exactly,
+and the tie rule is pinned here explicitly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark.text.unigram import (
+    MAX_PIECE_LEN,
+    UNIGRAM_PIECES,
+    UNK_CHAR_COST,
+    _viterbi_cols,
+    segment_word_py,
+    unigram_fertility,
+)
+
+
+def test_reference_dp_hand_computed():
+    # 'part' is a pinned 4-char piece at 150; char-by-char would be
+    # 60+45+50+47 = 202, 'ar'+singles mixes land between — the whole
+    # word wins.
+    assert segment_word_py("part") == (150, 1)
+    # 'zq' pinned at 99 beats two UNK chars (120).
+    assert segment_word_py("zq") == (99, 1)
+    # all-UNK word: n chars at UNK_CHAR_COST each.
+    assert segment_word_py("xxx") == (3 * UNK_CHAR_COST, 3)
+    # empty word: zero state.
+    assert segment_word_py("") == (0, 0)
+
+
+def test_tie_breaks_prefer_fewer_pieces():
+    # 'ab' costs exactly a+b: equal total cost, the single piece wins.
+    pieces = [("a", 5), ("b", 5), ("ab", 10)]
+    assert segment_word_py("ab", pieces=pieces) == (10, 1)
+    # strictly cheaper split still wins over a more expensive piece
+    assert segment_word_py("ab", pieces=[("a", 4), ("b", 4), ("ab", 10)]) == (
+        8,
+        2,
+    )
+
+
+def test_spark_fold_matches_reference_dp(spark):
+    words = [
+        "a", "agg", "batch", "column", "customer", "query", "window",
+        "zq", "extra", "stream", "xxxyyzz", "qqq", "aaaa", "tttt",
+        "sortsort", "partpart", "linewind",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    fin = _viterbi_cols(
+        F.col("w"), UNIGRAM_PIECES, UNK_CHAR_COST, MAX_PIECE_LEN
+    )
+    got = {
+        r["w"]: (r["c"], r["np"])
+        for r in df.select(
+            "w", fin["c"].alias("c"), fin["np"].alias("np")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == segment_word_py(w), w
+
+
+def test_fertility_report_hand_computed(spark):
+    # two docs in one stratum: 'part part' (1 piece each) and
+    # 'zq xxx' (1 + 3 pieces); null text contributes nothing.
+    docs = spark.createDataFrame(
+        [
+            ("s1", "part part"),
+            ("s1", "zq xxx"),
+            ("s1", None),
+        ],
+        "source string, text string",
+    )
+    rows = unigram_fertility(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source"] == "s1"
+    assert r["n_words"] == 4
+    assert r["n_pieces"] == 1 + 1 + 1 + 3
+    assert r["total_cost"] == 150 + 150 + 99 + 3 * UNK_CHAR_COST
+    assert abs(r["fertility"] - round(6 / 4, 6)) < 1e-12
+    # chars: 4+4+2+3 = 13 over 6 pieces
+    assert abs(r["avg_piece_chars"] - round(13 / 6, 6)) < 1e-12
+
+
+def test_fertility_dp_is_vocab_bounded(spark):
+    # the DP projection sits on the DISTINCT word table, not the
+    # corpus: the plan must contain exactly one aggregate chain from
+    # the exploded words and a broadcast join back (no corpus-sized
+    # DP input).
+    docs = spark.createDataFrame(
+        [("s1", "part line sort part")], "source string, text string"
+    )
+    plan = unigram_fertility(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
