@@ -720,6 +720,24 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=10)
 
 
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (vector/mmr.py mmr_topk): greedy maximal
+    marginal relevance over each query's top-20 non-self neighbors,
+    k=5, lam=0.7 — the whole selection loop is ONE row-local fold per
+    query; the oracle unrolls the 5 picks as CTE stages and must agree
+    on every pick, score, and rank."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.mmr import mmr_topk
+
+    s = _configure(spark)
+    FX.register_base_tables(s, sf_dir)
+    emb = s.table("embeddings")
+    return mmr_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, n_candidates=20
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3543,7 +3561,6 @@ DRIVER_WINDOW = [
     "crs_mercator",
     "dissolve_country",
     "dup_groups",
-    "fingerprint",
     "ftouches_pairs",
     "geojson_roundtrip",
     "grid_cut",
@@ -3566,16 +3583,17 @@ DRIVER_WINDOW = [
     "token_stats",
     "value_histogram",
     "zorder_keys",
-    # --- slots 46-50: this round's new queries and gates
+    # --- slots 45-50: this round's new queries and gates
     # (freeze-last; the displaced dumb_multi_to_single / hav_dist /
-    # simhash_local / wkt_roundtrip keep their r3 greens and their
-    # code paths stay covered by multi_to_single / bearing / simhash /
-    # geojson_roundtrip above) ---
+    # simhash_local / wkt_roundtrip / fingerprint keep their r3 greens
+    # and their code paths stay covered by multi_to_single / bearing /
+    # simhash / geojson_roundtrip / exact-dedup-family above) ---
     "stream_ingest_near_dups",
     "bpe_encode",
     "dedup_threshold_curve",
     "bpe_merges",
     "unigram_fertility",
+    "mmr_topk",
 ]
 
 
@@ -3773,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
         "ann_topk": _q_ann_topk,
+        "mmr_topk": _q_mmr_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "find_borders": _q_find_borders,
         "grid_cut": _q_grid_cut,
@@ -3847,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": OR.TFIDF_TOPK,
         "bm25_topk": OR.BM25_TOPK,
         "ann_topk": OR.ANN_TOPK,
+        "mmr_topk": OR.MMR_TOPK,
         # deterministic md5-derived hyperplanes / coarse centroids make
         # the LSH and explicit-quantizer IVF top-k exactly checkable;
         # the KMeans-fit IVF form stays recall-pytest-pinned.

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     # bpe_pair_counts times the real counting substrate instead
     "dq_audit",
     "ann_topk",
+    "mmr_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "find_borders",

@@ -5436,3 +5436,100 @@ SELECT source, n_words, n_pieces,
        total_cost
 FROM per
 """
+
+
+# MMR diversified top-k (vector/mmr.py mmr_topk, k=5, n_candidates=20,
+# lam=0.7): the greedy selection loop is data-dependent but its LENGTH
+# is fixed, so the oracle unrolls the 5 picks as plain CTE stages (the
+# BPE_MERGES discipline) — per stage, each unselected candidate's MMR
+# score is lam*cos(q,c) minus (1-lam) times its max rounded cosine to
+# the already-selected set, argmax by (mmr DESC, neighbor_id).  Every
+# similarity goes through the shared ROUND(...,6); the composed MMR
+# score goes through the 1e-9-shifted round on BOTH engines (lam *
+# 6-decimal cosine is a 7-decimal boundary value ~10% of the time —
+# numerics.r6).
+def _mmr_sql(k: int = 5, n_cand: int = 20, lam: float = 0.7) -> str:
+    def r6(e: str) -> str:
+        return f"ROUND(({e}) + 1e-9, 6)"
+
+    dot_ab = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    mu = 1.0 - lam
+    parts = [
+        f"""q AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+       FROM embeddings WHERE vec_id % 50 = 0)""",
+        f"""v AS (SELECT vec_id, embedding, SQRT({_NORM_SELF}) AS nrm
+       FROM embeddings)""",
+        f"""scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(({_DOT_QN}) / (q.nrm * v.nrm), 6) AS cosine
+  FROM q, v WHERE v.vec_id <> q.vec_id)""",
+        f"""cand AS (
+  SELECT query_id, neighbor_id, cosine
+  FROM (SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id)
+                 AS crank
+        FROM scored)
+  WHERE crank <= {n_cand})""",
+        """ce AS (
+  SELECT c.query_id, c.neighbor_id, e.embedding,
+         SQRT(""" + _NORM_SELF.replace("embedding", "e.embedding")
+        + """) AS nrm
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id)""",
+        f"""psim AS (
+  SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+         ROUND(({dot_ab}) / (a.nrm * b.nrm), 6) AS sim
+  FROM ce a JOIN ce b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id)""",
+        f"""sel1 AS (
+  SELECT query_id, neighbor_id, cosine, mmr, 1 AS mmr_rank
+  FROM (SELECT query_id, neighbor_id, cosine,
+               {r6(f'{lam} * cosine - {mu} * 0.0')} AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {r6(f'{lam} * cosine - {mu} * 0.0')} DESC,
+                            neighbor_id) AS rn
+        FROM cand)
+  WHERE rn = 1)""",
+        "selall1 AS (SELECT * FROM sel1)",
+    ]
+    for t in range(2, int(k) + 1):
+        parts.append(
+            f"""mmr{t} AS (
+  SELECT c.query_id, c.neighbor_id, c.cosine,
+         {r6(f'{lam} * c.cosine - {mu} * COALESCE(MAX(p.sim), 0.0)')}
+           AS mmr
+  FROM cand c
+  LEFT JOIN selall{t - 1} x
+    ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+  JOIN selall{t - 1} s ON s.query_id = c.query_id
+  LEFT JOIN psim p ON p.query_id = c.query_id
+    AND p.ida = c.neighbor_id AND p.idb = s.neighbor_id
+  WHERE x.neighbor_id IS NULL
+  GROUP BY c.query_id, c.neighbor_id, c.cosine)"""
+        )
+        parts.append(
+            f"""sel{t} AS (
+  SELECT query_id, neighbor_id, cosine, mmr, {t} AS mmr_rank
+  FROM (SELECT query_id, neighbor_id, cosine, mmr,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM mmr{t})
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"selall{t} AS (SELECT * FROM selall{t - 1}"
+            f" UNION ALL SELECT * FROM sel{t})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, neighbor_id, cosine, mmr,"
+        f" CAST(mmr_rank AS INT) AS mmr_rank FROM selall{int(k)}"
+    )
+
+
+MMR_TOPK = _mmr_sql()
