@@ -106,66 +106,92 @@ def segment_word_py(
     return best[n]
 
 
+def _viterbi_sql(
+    word: str,
+    pieces: list[tuple[str, int]],
+    unk: int,
+    max_len: int,
+) -> str:
+    """The Viterbi DP as ONE Spark-SQL expression string evaluating to
+    ``struct<c: bigint, np: int>`` for the column named ``word``.
+
+    A Column-API build of the same fold was measured at ~2.6 s of
+    driver time PER CALL: every literal/substr/struct op is a py4j
+    round trip, and the piece map alone is 2 x |pieces| literals
+    repeated once per candidate length.  Textually the map appears
+    ONCE (candidates iterate the length inside a lambda), the string
+    is ~3 KB, and ``F.expr`` hands it to the JVM in a single call.
+    The candidate scan keeps the shared tie rule: lengths ascending,
+    replace on ``cost < best OR (cost = best AND np <= best.np)``
+    (i.e. a full tie keeps the LONGEST last piece)."""
+    mp = "map(" + ", ".join(
+        f"'{p}', {c}" for p, c in pieces
+    ) + ")"
+    cands = f"""filter(
+      transform(sequence(1, {max_len}), l ->
+        CASE WHEN l <= j THEN named_struct(
+          'c', CASE WHEN l = 1
+                    THEN COALESCE(try_element_at({mp},
+                           substr({word}, j, 1)), {unk})
+                    ELSE try_element_at({mp},
+                           substr({word}, CAST(j - l + 1 AS INT), l))
+               END,
+          'p', element_at(acc, CAST(j - l + 1 AS INT))) END),
+      x -> x IS NOT NULL AND x.c IS NOT NULL)"""
+    best = f"""aggregate({cands},
+      CAST(NULL AS struct<c: bigint, np: int>),
+      (b, x) -> CASE WHEN b IS NULL
+                       OR x.p.c + x.c < b.c
+                       OR (x.p.c + x.c = b.c AND x.p.np + 1 <= b.np)
+                     THEN named_struct(
+                       'c', CAST(x.p.c + x.c AS BIGINT),
+                       'np', x.p.np + 1)
+                     ELSE b END)"""
+    return f"""element_at(
+      aggregate(
+        sequence(1, length({word})),
+        array(named_struct('c', CAST(0 AS BIGINT), 'np', 0)),
+        (acc, j) -> concat(acc, array({best}))),
+      CAST(length({word}) + 1 AS INT))"""
+
+
 def _viterbi_cols(
-    word_col: "F.Column",
+    word_col: str,
     pieces: list[tuple[str, int]],
     unk: int,
     max_len: int,
 ) -> "F.Column":
-    """struct(c BIGINT, np INT) of the min-cost segmentation of
-    ``word_col`` — one row-local fold over character positions; the
-    whole DP is a Catalyst expression (no UDF, no shuffle)."""
-    mp = F.create_map(
-        *[
-            F.lit(x)
-            for p, c in pieces
-            for x in (p, c)
-        ]
-    )
-    zero = F.array(
-        F.struct(
-            F.lit(0).cast("long").alias("c"),
-            F.lit(0).cast("int").alias("np"),
-        )
-    )
+    """struct(c BIGINT, np INT) of the min-cost segmentation of the
+    string column NAMED ``word_col`` — one row-local fold over
+    character positions; the whole DP is a Catalyst expression (no
+    UDF, no shuffle), built as a single SQL string (see
+    ``_viterbi_sql`` for why not the Column API)."""
+    return F.expr(_viterbi_sql(word_col, pieces, unk, max_len))
 
-    def step(acc: "F.Column", j: "F.Column") -> "F.Column":
-        best = None
-        for l in range(1, max_len + 1):
-            piece = F.substr(word_col, j - F.lit(l) + F.lit(1), F.lit(l))
-            pc = F.try_element_at(mp, piece)
-            if l == 1:
-                pc = F.coalesce(pc, F.lit(unk))
-            prev = F.element_at(acc, (j - F.lit(l) + F.lit(1)).cast("int"))
-            cand = F.when(
-                (F.lit(l) <= j) & pc.isNotNull(),
-                F.struct(
-                    (prev["c"] + pc.cast("long")).alias("c"),
-                    (prev["np"] + F.lit(1)).alias("np"),
-                ),
-            )
-            if best is None:
-                best = cand
-            else:
-                best = F.when(
-                    cand.isNotNull()
-                    & (
-                        (cand["c"] < best["c"])
-                        | (
-                            (cand["c"] == best["c"])
-                            & (cand["np"] <= best["np"])
-                        )
-                    ),
-                    cand,
-                ).otherwise(best)
-        return F.concat(acc, F.array(best))
 
-    state = F.aggregate(
-        F.sequence(F.lit(1), F.length(word_col)),
-        zero,
-        step,
+def _vocab_dp(
+    dw: DataFrame,
+    pieces: list[tuple[str, int]],
+    unk: int,
+    max_len: int,
+) -> DataFrame:
+    """(w, _cost, _np) for a distinct-word frame ``dw(w)``: the
+    ``_viterbi_cols`` DP evaluated ONCE per word behind a generator
+    barrier.  Extracting two struct fields from the raw DP column
+    duplicates the whole expression (CollapseProject inlines it into
+    every field reference — two >1 MB task-binary copies, measured
+    ~2.5 s/run on a 33-word vocabulary); exploding the 1-element
+    array pins the DP to a single Generate whose OUTPUT attribute the
+    field extractions then reference.  Adds zero exchanges — the
+    frame stays |vocab|-bounded."""
+    fin = _viterbi_cols("w", pieces, unk, max_len)
+    return dw.select(
+        "w", F.explode(F.array(fin)).alias("_fin")
+    ).select(
+        "w",
+        F.col("_fin")["c"].alias("_cost"),
+        F.col("_fin")["np"].alias("_np"),
     )
-    return F.element_at(state, (F.length(word_col) + 1).cast("int"))
 
 
 def unigram_fertility(
@@ -204,16 +230,13 @@ def unigram_fertility(
         ).alias("w"),
     )
     wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
-    fin = _viterbi_cols(F.col("w"), pieces, unk, max_len)
-    vocab = (
-        wc.select("w")
-        .distinct()
-        .select(
-            "w",
-            fin["c"].alias("_cost"),
-            fin["np"].cast("bigint").alias("_np"),
-            F.length("w").cast("bigint").alias("_chr"),
-        )
+    vocab = _vocab_dp(
+        wc.select("w").distinct(), pieces, unk, max_len
+    ).select(
+        "w",
+        "_cost",
+        F.col("_np").cast("bigint").alias("_np"),
+        F.length("w").cast("bigint").alias("_chr"),
     )
     per = (
         wc.join(F.broadcast(vocab), "w")

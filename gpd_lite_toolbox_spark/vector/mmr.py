@@ -33,14 +33,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..numerics import r6
-from .ann import _as_double, _dot, cosine_topk
+from .ann import _as_double, _corpus_side, _cosine_col, _dot, _query_side
 
 
 def _pair_sim(a_nv, a_nn, b_nv, b_nn):
     """Rounded cosine between two candidate structs' vectors — the
     fold form of the shared definition (left-to-right accumulation,
-    round 6), evaluated inside the selection loop."""
-    return F.round(_dot(a_nv, b_nv) / (a_nn * b_nn), 6)
+    round 6), evaluated inside the selection loop.  Vectors arrive as
+    the raw float arrays (kept narrow through the top-k shuffle) and
+    cast per evaluation, which is the same arithmetic as pre-cast
+    doubles."""
+    return F.round(
+        _dot(_as_double(a_nv), _as_double(b_nv)) / (a_nn * b_nn), 6
+    )
 
 
 def mmr_topk(
@@ -52,6 +57,8 @@ def mmr_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    max_pairs: int = 100_000_000,
+    force: bool = False,
 ) -> DataFrame:
     """Diversified top-k: for each query, ``k`` MMR-selected results
     out of its ``n_candidates`` nearest non-self neighbors.
@@ -68,37 +75,46 @@ def mmr_topk(
         raise ValueError(
             f"n_candidates ({n_candidates}) must be >= k ({k})"
         )
-    # top n_candidates NON-SELF neighbors: ask the exact baseline for
-    # one extra slot (the self-match holds one when the query is drawn
-    # from the corpus), drop self, re-rank on the same tie rule.
-    cand = cosine_topk(
-        queries, vectors, k=n_candidates + 1, id_col=id_col,
-        vec_col=vec_col, dims=dims,
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    if not force:
+        n_q, n_v = queries.count(), vectors.count()
+        if n_q * n_v > max_pairs:
+            raise ValueError(
+                f"mmr_topk's candidate stage is the exact brute-force "
+                f"scan: {n_q} queries x {n_v} corpus rows = "
+                f"{n_q * n_v} pairs exceeds max_pairs={max_pairs}. "
+                f"Feed it bucketed candidates (ann_lsh_topk / "
+                f"ann_ivf_topk recall sets) at this scale, or pass "
+                f"force=True."
+            )
+    # top n_candidates NON-SELF neighbors, scored inline (the
+    # cosine_topk plan with self filtered BEFORE the rank window) and
+    # CARRYING each candidate's raw vector + norm through the window —
+    # the partial top-k (WindowGroupLimit) prunes to ~|Q| x
+    # n_candidates rows per partition before the shuffle, and no
+    # corpus re-join is needed for the pairwise-similarity terms.
+    qs = F.broadcast(_query_side(queries, id_col, vec_col, dims))
+    vs = _corpus_side(vectors, id_col, vec_col, dims, spread=True)
+    scored = (
+        vs.crossJoin(qs)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_col(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"),
+                dims,
+            ).alias("cosine"),
+            "nv",
+            "nn",
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     cand = (
-        cand.withColumn("crank", F.row_number().over(w))
+        scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n_candidates)
-        .select("query_id", "neighbor_id", "cosine", "crank")
-    )
-    # re-attach candidate vectors for the pairwise-similarity terms;
-    # the candidate side is |Q| x n_candidates — broadcast it into the
-    # corpus join so the big side never shuffles.
-    nv = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("nv"),
-    ).withColumn(
-        "nn",
-        F.sqrt(
-            F.aggregate(
-                F.col("nv"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ),
-    )
-    cand = nv.join(F.broadcast(cand), "neighbor_id").select(
-        "query_id", "neighbor_id", "cosine", "crank", "nv", "nn"
+        .select("query_id", "neighbor_id", "cosine", "crank", "nv", "nn")
     )
     # ONE row per query: candidates in deterministic crank order.
     per_q = cand.groupBy("query_id").agg(
@@ -117,7 +133,7 @@ def mmr_topk(
     # optimizer-time blow-up).
     cand_t = (
         "struct<crank:int,neighbor_id:bigint,cosine:double,"
-        "nv:array<double>,nn:double>"
+        "nv:array<float>,nn:double>"
     )
     out_t = (
         "array<struct<neighbor_id:bigint,cosine:double,"

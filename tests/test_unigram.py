@@ -49,7 +49,7 @@ def test_spark_fold_matches_reference_dp(spark):
     ]
     df = spark.createDataFrame([(w,) for w in words], "w string")
     fin = _viterbi_cols(
-        F.col("w"), UNIGRAM_PIECES, UNK_CHAR_COST, MAX_PIECE_LEN
+        "w", UNIGRAM_PIECES, UNK_CHAR_COST, MAX_PIECE_LEN
     )
     got = {
         r["w"]: (r["c"], r["np"])
