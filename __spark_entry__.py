@@ -3490,6 +3490,21 @@ def _q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the unigram model (text/unigram.py
+    unigram_encode): every id%10==0 doc becomes its optimal piece
+    stream (pos, token, token_id) — the encode step next to
+    bpe_encode, min-cost segmentation instead of the greedy fold.
+    The oracle replays the DP + backward walk per distinct word and
+    the same rank/position numbering."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.unigram import unigram_encode
+
+    docs = _corpus(spark, sf_dir).filter(F.col("id") % 10 == 0)
+    return unigram_encode(docs)
+
+
 def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration (text/dedup.py
     near_dup_threshold_curve): cumulative near-dup pair counts at each
@@ -3580,19 +3595,20 @@ DRIVER_WINDOW = [
     "simhash",
     "stratified_sample",
     "tfidf_topk",
-    "token_stats",
     "value_histogram",
     "zorder_keys",
-    # --- slots 45-50: this round's new queries and gates
+    # --- slots 44-50: this round's new queries and gates
     # (freeze-last; the displaced dumb_multi_to_single / hav_dist /
-    # simhash_local / wkt_roundtrip / fingerprint keep their r3 greens
-    # and their code paths stay covered by multi_to_single / bearing /
-    # simhash / geojson_roundtrip / exact-dedup-family above) ---
+    # simhash_local / wkt_roundtrip / fingerprint / token_stats keep
+    # their r3 greens and their code paths stay covered by
+    # multi_to_single / bearing / simhash / geojson_roundtrip /
+    # exact-dedup-family / quality+lang_id above) ---
     "stream_ingest_near_dups",
     "bpe_encode",
     "dedup_threshold_curve",
     "bpe_merges",
     "unigram_fertility",
+    "unigram_encode",
     "mmr_topk",
 ]
 
@@ -3632,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "bpe_fertility": _q_bpe_fertility,
         "unigram_fertility": _q_unigram_fertility,
+        "unigram_encode": _q_unigram_encode,
         "bpe_encode": _q_bpe_encode,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -3981,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": OR.ANN_IVFPQ_TOPK,
         "bpe_fertility": OR.BPE_FERTILITY,
         "unigram_fertility": OR.UNIGRAM_FERTILITY,
+        "unigram_encode": OR.UNIGRAM_ENCODE,
         "bpe_encode": OR.BPE_ENCODE,
         "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,

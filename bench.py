@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "bpe_fertility",
     "unigram_fertility",
+    "unigram_encode",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

@@ -5364,7 +5364,9 @@ _UG_VALS = ", ".join(f"('{p}', {c})" for p, c in _ug.UNIGRAM_PIECES)
 def _ug_stage(prev: str, clen: int, idx: str) -> str:
     """One LATERAL fold stage: candidate = piece of length ``clen``
     ending at position j (cost column c{clen}, prefix state at list
-    index ``idx``) replaces the running best on the shared tie rule."""
+    index ``idx``) replaces the running best on the shared tie rule.
+    ``bl`` carries the winning piece length — the backpointer the
+    encode oracle's reconstruction walk follows."""
     cand_c = f"d.cs[{idx}] + c.c{clen}"
     cand_n = f"d.nps[{idx}] + 1"
     better = (
@@ -5374,19 +5376,17 @@ def _ug_stage(prev: str, clen: int, idx: str) -> str:
     return (
         f"CROSS JOIN LATERAL (SELECT"
         f" CASE WHEN {better} THEN {cand_c} ELSE {prev}.bc END AS bc,"
-        f" CASE WHEN {better} THEN {cand_n} ELSE {prev}.bn END AS bn"
+        f" CASE WHEN {better} THEN {cand_n} ELSE {prev}.bn END AS bn,"
+        f" CASE WHEN {better} THEN {clen} ELSE {prev}.bl END AS bl"
         f") s{clen}"
     )
 
 
-UNIGRAM_FERTILITY = f"""
-WITH RECURSIVE {oracle_ctes('scorpus')},
-wrd AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
-        FROM scorpus),
-wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
-       FROM wrd WHERE w <> '' GROUP BY source, w),
-dw AS (SELECT DISTINCT w FROM wc),
-pz AS (SELECT * FROM (VALUES {_UG_VALS}) p(piece, cost)),
+# shared DP CTE text (pz piece table, pre-pivoted candidate costs,
+# the recursive fold carrying cost/piece-count/winning-length lists);
+# expects a CTE ``dw(w)`` of distinct words upstream.
+def _ug_dp_ctes() -> str:
+    return f"""pz AS (SELECT * FROM (VALUES {_UG_VALS}) p(piece, cost)),
 cand AS (
   SELECT w, j,
          MAX(CASE WHEN l = 1 THEN cost END) AS c1,
@@ -5406,18 +5406,30 @@ cand AS (
   ) GROUP BY w, j
 ),
 dp AS (
-  SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS cs, [0] AS nps FROM dw
+  SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS cs, [0] AS nps,
+         [0] AS ls FROM dw
   UNION ALL
-  SELECT d.w, d.j + 1, d.cs || [s4.bc], d.nps || [s4.bn]
+  SELECT d.w, d.j + 1, d.cs || [s4.bc], d.nps || [s4.bn],
+         d.ls || [s4.bl]
   FROM dp d
   JOIN cand c ON c.w = d.w AND c.j = d.j + 1
   CROSS JOIN LATERAL (SELECT d.cs[d.j + 1] + c.c1 AS bc,
-                             d.nps[d.j + 1] + 1 AS bn) s1
+                             d.nps[d.j + 1] + 1 AS bn, 1 AS bl) s1
   {_ug_stage('s1', 2, 'd.j')}
   {_ug_stage('s2', 3, 'd.j - 1')}
   {_ug_stage('s3', 4, 'd.j - 2')}
   WHERE d.j < length(d.w)
-),
+)"""
+
+
+UNIGRAM_FERTILITY = f"""
+WITH RECURSIVE {oracle_ctes('scorpus')},
+wrd AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM scorpus),
+wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM wrd WHERE w <> '' GROUP BY source, w),
+dw AS (SELECT DISTINCT w FROM wc),
+{_ug_dp_ctes()},
 fin AS (SELECT w, cs[length(w) + 1] AS cost, nps[length(w) + 1] AS np
         FROM dp WHERE j = length(w)),
 per AS (SELECT source,
@@ -5533,3 +5545,43 @@ def _mmr_sql(k: int = 5, n_cand: int = 20, lam: float = 0.7) -> str:
 
 
 MMR_TOPK = _mmr_sql()
+
+
+# Corpus tokenization under the unigram model (text/unigram.py
+# unigram_encode): the shared DP CTEs (with the winning piece length
+# carried per position) + a backward reconstruction walk per distinct
+# word, then the BPE_ENCODE assembly — words in document order, each
+# word's pieces in walk order, dense 0-based positions, token ids as
+# the rank of the piece in the sorted emitted-piece vocabulary.
+UNIGRAM_ENCODE = f"""
+WITH RECURSIVE {oracle_ctes('corpus')},
+docs AS (SELECT id, text FROM corpus WHERE id % 10 = 0),
+wl AS (SELECT id, string_split(COALESCE(text, ''), ' ') AS ws FROM docs),
+wseq AS (SELECT id, UNNEST(range(1, len(ws) + 1)) AS wpos, ws FROM wl),
+wq AS (SELECT id, wpos, ws[wpos] AS w FROM wseq WHERE ws[wpos] <> ''),
+dw AS (SELECT DISTINCT w FROM wq),
+{_ug_dp_ctes()},
+fin2 AS (SELECT w, ls FROM dp WHERE j = length(w)),
+walk AS (
+  SELECT w, CAST(length(w) AS INT) AS j,
+         CAST([] AS VARCHAR[]) AS ps, ls
+  FROM fin2
+  UNION ALL
+  SELECT w, j - ls[j + 1],
+         [substr(w, j - ls[j + 1] + 1, ls[j + 1])] || ps, ls
+  FROM walk WHERE j > 0
+),
+syms AS (SELECT w, ps AS acc FROM walk WHERE j = 0),
+tok AS (SELECT q.id, q.wpos,
+               UNNEST(range(1, len(v.acc) + 1)) AS spos, v.acc AS acc
+        FROM wq q JOIN syms v USING (w)),
+tok2 AS (SELECT id, wpos, spos, acc[spos] AS token FROM tok),
+sym AS (SELECT token,
+               ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+        FROM (SELECT DISTINCT token FROM tok2))
+SELECT t.id,
+       ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.wpos, t.spos) - 1
+           AS pos,
+       t.token, s.token_id
+FROM tok2 t JOIN sym s USING (token)
+"""

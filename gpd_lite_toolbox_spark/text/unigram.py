@@ -106,14 +106,18 @@ def segment_word_py(
     return best[n]
 
 
-def _viterbi_sql(
+def _viterbi_state_sql(
     word: str,
     pieces: list[tuple[str, int]],
     unk: int,
     max_len: int,
 ) -> str:
     """The Viterbi DP as ONE Spark-SQL expression string evaluating to
-    ``struct<c: bigint, np: int>`` for the column named ``word``.
+    the FULL prefix-state array ``array<struct<c: bigint, np: int,
+    l: int>>`` for the column named ``word`` — element i is the best
+    state of the length-(i-1) prefix, ``l`` the winning piece's length
+    (0 at the seed), which is exactly the backpointer the encode
+    reconstruction walks.
 
     A Column-API build of the same fold was measured at ~2.6 s of
     driver time PER CALL: every literal/substr/struct op is a py4j
@@ -136,22 +140,35 @@ def _viterbi_sql(
                     ELSE try_element_at({mp},
                            substr({word}, CAST(j - l + 1 AS INT), l))
                END,
-          'p', element_at(acc, CAST(j - l + 1 AS INT))) END),
+          'p', element_at(acc, CAST(j - l + 1 AS INT)),
+          'l', l) END),
       x -> x IS NOT NULL AND x.c IS NOT NULL)"""
     best = f"""aggregate({cands},
-      CAST(NULL AS struct<c: bigint, np: int>),
+      CAST(NULL AS struct<c: bigint, np: int, l: int>),
       (b, x) -> CASE WHEN b IS NULL
                        OR x.p.c + x.c < b.c
                        OR (x.p.c + x.c = b.c AND x.p.np + 1 <= b.np)
                      THEN named_struct(
                        'c', CAST(x.p.c + x.c AS BIGINT),
-                       'np', x.p.np + 1)
+                       'np', x.p.np + 1,
+                       'l', x.l)
                      ELSE b END)"""
-    return f"""element_at(
-      aggregate(
+    return f"""aggregate(
         sequence(1, length({word})),
-        array(named_struct('c', CAST(0 AS BIGINT), 'np', 0)),
-        (acc, j) -> concat(acc, array({best}))),
+        array(named_struct('c', CAST(0 AS BIGINT), 'np', 0, 'l', 0)),
+        (acc, j) -> concat(acc, array({best})))"""
+
+
+def _viterbi_sql(
+    word: str,
+    pieces: list[tuple[str, int]],
+    unk: int,
+    max_len: int,
+) -> str:
+    """Final-state form of ``_viterbi_state_sql``: the
+    ``struct<c, np, l>`` of the whole word."""
+    return f"""element_at(
+      {_viterbi_state_sql(word, pieces, unk, max_len)},
       CAST(length({word}) + 1 AS INT))"""
 
 
@@ -269,4 +286,137 @@ def unigram_fertility(
         .otherwise(F.lit(0.0))
         .alias("avg_piece_chars"),
         "total_cost",
+    )
+
+
+def _segment_sql(
+    word: str,
+    pieces: list[tuple[str, int]],
+    unk: int,
+    max_len: int,
+) -> str:
+    """The optimal piece ARRAY for the column named ``word`` as one
+    SQL expression: forward DP state (with per-position winning piece
+    lengths) then a backward walk over the recorded lengths —
+    ``reverse`` restores document order.  At most ``length(word)``
+    walk steps; exhausted steps pass the state through."""
+    st = _viterbi_state_sql(word, pieces, unk, max_len)
+    step_l = "element_at(s.st, s.j + 1).l"
+    return f"""reverse(
+      aggregate(
+        sequence(1, length({word})),
+        named_struct('j', CAST(length({word}) AS INT),
+                     'st', {st},
+                     'ps', CAST(array() AS array<string>)),
+        (s, _u) -> CASE WHEN s.j > 0 THEN named_struct(
+            'j', s.j - {step_l},
+            'st', s.st,
+            'ps', concat(s.ps, array(substr({word},
+                    s.j - {step_l} + 1,
+                    {step_l}))))
+          ELSE s END).ps)"""
+
+
+def segment_pieces_py(
+    word: str,
+    pieces: "list[tuple[str, int]] | None" = None,
+    unk: int = UNK_CHAR_COST,
+    max_len: int = MAX_PIECE_LEN,
+) -> list[str]:
+    """Pure-Python reference segmentation (piece strings in document
+    order) under the same DP + tie rule as ``segment_word_py`` — the
+    test pin for the encode path."""
+    costs = dict(pieces if pieces is not None else UNIGRAM_PIECES)
+    n = len(word)
+    best: list[tuple[int, int, int]] = [(0, 0, 0)] + [(0, 0, 0)] * n
+    for j in range(1, n + 1):
+        cur: tuple[int, int, int] | None = None
+        for l in range(1, min(max_len, j) + 1):
+            piece = word[j - l : j]
+            c = costs.get(piece) if l > 1 else costs.get(piece, unk)
+            if c is None:
+                continue
+            cand = (best[j - l][0] + c, best[j - l][1] + 1, l)
+            if (
+                cur is None
+                or cand[0] < cur[0]
+                or (cand[0] == cur[0] and cand[1] <= cur[1])
+            ):
+                cur = cand
+        assert cur is not None
+        best[j] = cur
+    out: list[str] = []
+    j = n
+    while j > 0:
+        l = best[j][2]
+        out.append(word[j - l : j])
+        j -= l
+    return list(reversed(out))
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces: "list[tuple[str, int]] | None" = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    unk: int = UNK_CHAR_COST,
+    max_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """Tokenize the corpus under the unigram model — the encode step
+    next to ``bpe_encode``, with the OPTIMAL (min-cost) segmentation
+    instead of the greedy merge fold.  Every document becomes its
+    piece stream with stable integer ids (token_id = rank of the
+    piece string in the sorted piece vocabulary actually emitted).
+
+    Output: one row per emitted piece, ``(id, pos, token, token_id)``
+    — the exact ``bpe_encode`` contract, so downstream packing /
+    fertility consumers are interchangeable.
+
+    Scale shape (the ``bpe_encode`` discipline): the DP + backward
+    walk run once per DISTINCT word (|vocab|-bounded, broadcast back),
+    positions come from ONE id-keyed groupBy reassembling per-word
+    piece arrays in word order, and token ids are a bounded
+    single-partition rank window broadcast to the stream.  NULL/empty
+    text yields no rows.
+    """
+    from pyspark.sql import Window
+
+    if pieces is None:
+        pieces = UNIGRAM_PIECES
+    words_pos = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("wpos", "w"),
+    ).filter(F.col("w") != "")
+    seg = F.expr(_segment_sql("w", pieces, unk, max_len))
+    vocab = words_pos.select("w").distinct().select(
+        "w", seg.alias("syms")
+    )
+    per_doc = (
+        words_pos.join(F.broadcast(vocab), "w")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("wpos", "syms"))
+                ).getField("syms")
+            ).alias("stream")
+        )
+    )
+    toks = per_doc.select(
+        "id", F.posexplode("stream").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    symtab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy("token")) - 1
+            ).cast("bigint").alias("token_id"),
+        )
+    )
+    return toks.join(F.broadcast(symtab), "token").select(
+        "id", "pos", "token", "token_id"
     )

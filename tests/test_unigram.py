@@ -11,8 +11,11 @@ from gpd_lite_toolbox_spark.text.unigram import (
     MAX_PIECE_LEN,
     UNIGRAM_PIECES,
     UNK_CHAR_COST,
+    _segment_sql,
     _viterbi_cols,
+    segment_pieces_py,
     segment_word_py,
+    unigram_encode,
     unigram_fertility,
 )
 
@@ -82,6 +85,44 @@ def test_fertility_report_hand_computed(spark):
     assert abs(r["fertility"] - round(6 / 4, 6)) < 1e-12
     # chars: 4+4+2+3 = 13 over 6 pieces
     assert abs(r["avg_piece_chars"] - round(13 / 6, 6)) < 1e-12
+
+
+def test_segmentation_reconstructs_and_matches_reference(spark):
+    words = [
+        "customer", "window", "extra", "part", "zq", "xxxyyzz",
+        "aaaa", "linewind", "sortsort",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["ps"]
+        for r in df.select(
+            "w",
+            F.expr(
+                _segment_sql(
+                    "w", UNIGRAM_PIECES, UNK_CHAR_COST, MAX_PIECE_LEN
+                )
+            ).alias("ps"),
+        ).collect()
+    }
+    for w in words:
+        assert "".join(got[w]) == w, w
+        assert got[w] == segment_pieces_py(w), w
+        assert len(got[w]) == segment_word_py(w)[1], w
+
+
+def test_unigram_encode_stream(spark):
+    docs = spark.createDataFrame(
+        [(1, "part window zq"), (2, None), (3, "")],
+        "id bigint, text string",
+    )
+    rows = unigram_encode(docs).orderBy("id", "pos").collect()
+    assert [(r["id"], r["pos"], r["token"]) for r in rows] == [
+        (1, 0, "part"), (1, 1, "wind"), (1, 2, "ow"), (1, 3, "zq"),
+    ]
+    # token ids are the rank of the piece in the sorted emitted vocab
+    emitted = sorted({r["token"] for r in rows})
+    for r in rows:
+        assert r["token_id"] == emitted.index(r["token"])
 
 
 def test_fertility_dp_is_vocab_bounded(spark):
