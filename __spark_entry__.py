@@ -734,7 +734,8 @@ def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FX.register_base_tables(s, sf_dir)
     emb = s.table("embeddings")
     return mmr_topk(
-        emb.filter(F.col("vec_id") % 50 == 0), emb, k=5, n_candidates=20
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=5,
+        n_candidates=20, dims=64,
     )
 
 

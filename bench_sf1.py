@@ -53,6 +53,14 @@ HEADLINE = [
     "ingest_near_dups",
     "ann_ivf_topk",
     "curation_ledger",
+    # tokenizer + similarity-search family (round-7 session 2): the
+    # vocab-bounded DP queries must scale with the WORD COUNT only
+    # (the distinct-word table gains just the 10 copymark words), and
+    # mmr_topk scales both sides like ann_ivf_topk (~100x scoring).
+    "unigram_fertility",
+    "unigram_encode",
+    "bpe_encode",
+    "mmr_topk",
 ]
 
 
@@ -215,9 +223,13 @@ def main() -> None:
             "(minhash_pairs, substring_spans, ingest_near_dups) grow "
             "~C(10,2)-fold beyond 10x BY CONSTRUCTION (rows_ratio ~310), a "
             "deliberately duplicate-heavy hard case; judge wall ratios "
-            "against rows_ratio. ann_ivf_topk scales BOTH the query set "
-            "and the corpus 10x (vec_id%50 sampling), i.e. ~100x scoring "
-            "work for its wall ratio."
+            "against rows_ratio. ann_ivf_topk and mmr_topk scale BOTH "
+            "the query set and the corpus 10x (vec_id%50 sampling), i.e. "
+            "~100x scoring work for their wall ratios. "
+            "unigram_fertility's output is source-bounded (rows_ratio "
+            "1.0) and its DP is vocab-bounded — the 10x corpus adds only "
+            "the 10 copymark words to the distinct-word table, so its "
+            "wall ratio isolates the corpus-sized word-count aggregate."
         ),
         "cpus": int(CPUS),
         "queries": report,

@@ -48,30 +48,25 @@ def _centers_one_row(centers: DataFrame) -> DataFrame:
 def _assign(vectors_d: DataFrame, centers: DataFrame) -> DataFrame:
     """Row-local argmin assignment: d2 list over the centers array
     (left-to-right fold from 0.0 per center), first-min ties by cell
-    index via array_position. Adds ``cell`` to the input columns."""
-    d2l = F.transform(
-        F.col("_ctr"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col("_vv"),
-                c["cv"],
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    index via array_position. Adds ``cell`` to the input columns.
+
+    The fold is built as SQL-expression strings (one expr() py4j call
+    each) — the Column-API build of this module measured ~1.8 s of
+    driver time PER QUERY CALL in py4j round trips (the unigram
+    lesson, text/unigram.py:_viterbi_sql); semantics are identical."""
+    d2l = F.expr(
+        "transform(_ctr, c -> aggregate("
+        "zip_with(_vv, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x))"
     )
     return (
         vectors_d.crossJoin(F.broadcast(_centers_one_row(centers)))
         .withColumn("_d2l", d2l)
         .withColumn(
             "cell",
-            (
-                F.array_position(
-                    F.col("_d2l"), F.array_min(F.col("_d2l"))
-                )
-                - 1
-            ).cast("int"),
+            F.expr(
+                "CAST(array_position(_d2l, array_min(_d2l)) - 1 AS INT)"
+            ),
         )
         .drop("_ctr", "_d2l")
     )
@@ -121,26 +116,19 @@ def kmeans_assign(
         assigned = _assign(vd, centers)
         means = assigned.groupBy("cell").agg(
             *[
-                F.round(F.avg(F.col("_vv")[d]), round_digits).alias(
-                    f"_m{d}"
-                )
+                F.expr(
+                    f"round(avg(_vv[{d}]), {int(round_digits)})"
+                ).alias(f"_m{d}")
                 for d in range(dims)
             ]
         )
         # empty cells keep their previous center
+        cv_expr = "array(" + ", ".join(
+            f"coalesce(_m{d}, cv[{d}])" for d in range(dims)
+        ) + ")"
         centers = (
             centers.join(means, "cell", "left")
-            .select(
-                "cell",
-                F.array(
-                    *[
-                        F.coalesce(
-                            F.col(f"_m{d}"), F.col("cv")[d]
-                        )
-                        for d in range(dims)
-                    ]
-                ).alias("cv"),
-            )
+            .select("cell", F.expr(cv_expr).alias("cv"))
         )
     return _assign(vd, centers).select(
         F.col("id").alias(id_col), "cell"

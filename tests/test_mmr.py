@@ -104,6 +104,25 @@ def test_mmr_short_candidate_list_returns_fewer_rows(spark):
     assert sorted(r["mmr_rank"] for r in got) == [1, 2, 3, 4]
 
 
+def test_mmr_plan_shape(spark):
+    # ONE rank window (self filtered before ranking, no re-rank pass),
+    # query side broadcast into the scoring join, no corpus re-join
+    # for the pair-sim terms (vectors ride through the window).
+    emb = _vecs(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    plan = (
+        mmr_topk(q, emb, k=2, n_candidates=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one join in the whole plan: the broadcast cross of the
+    # query side; a second would be the rejected corpus re-join
+    assert plan.count("Join") - plan.count("JoinSelection") <= 1
+
+
 def test_mmr_guards():
     with pytest.raises(ValueError):
         mmr_topk(None, None, k=0)

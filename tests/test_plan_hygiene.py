@@ -29,6 +29,7 @@ _ARROW_OK = {
     "media_features",     # fake-pixel feature kernel
     "audio_chunks",       # chunk planning over binary meta
     "ann_topk",           # vectorized dot product (pandas_udf)
+    "mmr_topk",           # same Arrow dot kernel in the candidate scan
     "hard_negatives",     # same Arrow dot kernel, cross-label pairs
     "embedding_outliers",  # three-dot centroid distance (pandas_udf)
     "ann_lsh_topk",

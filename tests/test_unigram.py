@@ -135,3 +135,61 @@ def test_fertility_dp_is_vocab_bounded(spark):
     )
     plan = unigram_fertility(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------ properties
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=9),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+# random inventories over the same alphabet: every 1-4-gram is a
+# potential piece with a small integer cost, so ties and UNK paths
+# are both exercised
+_pieces = st.dictionaries(
+    st.text(alphabet="abcd", min_size=1, max_size=4),
+    st.integers(min_value=5, max_value=40),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_words, _pieces)
+def test_dp_matches_reference_on_random_inventories(
+    spark, words, pieces_map
+):
+    pieces = sorted(pieces_map.items())
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    fin = _viterbi_cols("w", pieces, 7, MAX_PIECE_LEN)
+    got = {
+        r["w"]: (r["c"], r["np"])
+        for r in df.select(
+            "w", fin["c"].alias("c"), fin["np"].alias("np")
+        ).collect()
+    }
+    seg = {
+        r["w"]: r["ps"]
+        for r in df.select(
+            "w",
+            F.expr(
+                _segment_sql("w", pieces, 7, MAX_PIECE_LEN)
+            ).alias("ps"),
+        ).collect()
+    }
+    costs = dict(pieces)
+    for w in words:
+        exp = segment_word_py(w, pieces=pieces, unk=7)
+        assert got[w] == exp, (w, pieces)
+        # the reconstructed pieces respell the word, have the DP's
+        # piece count, and re-price to the DP's cost
+        ps = seg[w]
+        assert "".join(ps) == w, (w, ps, pieces)
+        assert len(ps) == exp[1], (w, ps, pieces)
+        assert sum(
+            costs.get(p, 7) if len(p) == 1 else costs[p] for p in ps
+        ) == exp[0], (w, ps, pieces)
