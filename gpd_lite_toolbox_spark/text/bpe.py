@@ -298,7 +298,11 @@ def bpe_encode(
         "id", F.posexplode("stream").alias("pos", "token")
     ).withColumn("pos", F.col("pos").cast("bigint"))
     # symbol vocabulary is bounded (chars + one entry per merge), so
-    # the global-order window is a one-small-table step
+    # the global-order window is a one-small-table step; ranked from
+    # the token stream, whose per_doc exchange AQE REUSES between this
+    # branch and the output branch (ranking from the word-vocab side
+    # was tried and measured slower — it re-evaluates the segmentation
+    # branch and adds two exchanges)
     symtab = (
         toks.select("token")
         .distinct()

@@ -407,6 +407,11 @@ def unigram_encode(
     toks = per_doc.select(
         "id", F.posexplode("stream").alias("pos", "token")
     ).withColumn("pos", F.col("pos").cast("bigint"))
+    # rank the emitted-piece vocabulary from the token stream: AQE
+    # reuses the per_doc exchange between this branch and the output
+    # branch (same canonical subtree), so the distinct costs one extra
+    # explode — ranking from the vocab side instead was measured
+    # SLOWER (it re-evaluates the DP branch and adds two exchanges)
     symtab = (
         toks.select("token")
         .distinct()
