@@ -127,6 +127,30 @@ def run(spark, sf_dir: str):
     # artifact a tokenizer ships), and a temperature-scaled source
     # mixture for the sampler config
     merges = G.bpe_train(sampled, n_merges=6)
+    # 6c. tokenizer PRICING: fertility (tokens per word) per source
+    # under both shipped tokenizers — greedy BPE merges vs the
+    # unigram inventory's optimal Viterbi segmentation; the number
+    # that prices a source's training cost under each
+    # the sample is a bounded 400-doc table at the end of the whole
+    # curation lineage — materialize it once so the two fertility
+    # passes (each reads it twice: word counts + vocab) don't re-run
+    # the upstream dedup/sampling DAG per branch
+    sourced = sampled.join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("id"), F.col("source").alias("source")
+        ),
+        "id",
+    ).localCheckpoint()
+    pricing = (
+        G.bpe_fertility(sourced)
+        .select("source", F.col("fertility").alias("bpe_fertility"))
+        .join(
+            G.unigram_fertility(sourced).select(
+                "source", F.col("fertility").alias("unigram_fertility")
+            ),
+            "source",
+        )
+    )
     mixture = G.temperature_mixture(
         sampled.join(
             spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -155,13 +179,13 @@ def run(spark, sf_dir: str):
             F.count("*").alias("n_shuffled_rows"),
         )
     )
-    return audit, shards, merges, mixture
+    return audit, shards, merges, mixture, pricing
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = G.get_spark("training-data-pipeline")
-    audit, shards, merges, mixture = run(spark, sf_dir)
+    audit, shards, merges, mixture, pricing = run(spark, sf_dir)
     print("audit:")
     audit.show(truncate=False)
     print("shard accounting:")
@@ -170,6 +194,8 @@ def main() -> None:
     merges.orderBy("step").show(truncate=False)
     print("temperature mixture:")
     mixture.orderBy("source").show(truncate=False)
+    print("tokenizer pricing (fertility per source, BPE vs unigram):")
+    pricing.orderBy("source").show(truncate=False)
 
 
 if __name__ == "__main__":

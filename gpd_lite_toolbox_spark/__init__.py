@@ -198,10 +198,15 @@ from .text.classify import (  # noqa: F401
 )
 from .text.search import bm25_topk, hybrid_topk, rrf_fuse  # noqa: F401
 from .text.bpe import (  # noqa: F401
+    bpe_encode,
     bpe_fertility,
     bpe_segment_expr,
     bpe_train,
     word_vocab,
+)
+from .text.unigram import (  # noqa: F401
+    unigram_encode,
+    unigram_fertility,
 )
 from .text.analysis import (  # noqa: F401
     dup_ngram_coverage,
@@ -256,6 +261,7 @@ from .vector.ann import (  # noqa: F401
     delete_from_ivf_index,
     write_ivf_index,
 )
+from .vector.mmr import mmr_topk  # noqa: F401
 from .vector.centroids import (  # noqa: F401
     assemble_vectors,
     embedding_outliers,
@@ -454,7 +460,12 @@ __all__ = [
     "bpe_train",
     "bpe_segment_expr",
     "bpe_fertility",
+    "bpe_encode",
     "word_vocab",
+    # tokenizer + similarity-search breadth (round-7 session 2)
+    "unigram_fertility",
+    "unigram_encode",
+    "mmr_topk",
     # sketch/profile/layout breadth (round-4 session 8)
     "kmv_vocab_sketch",
     "length_buckets",

@@ -8,7 +8,7 @@ def test_training_data_pipeline(spark, sf_dir):
     sys.path.insert(0, "/root/repo/examples")
     from training_data_pipeline import run
 
-    audit, shards, merges, mixture = run(spark, sf_dir)
+    audit, shards, merges, mixture, pricing = run(spark, sf_dir)
     a = audit.toPandas().set_index("rule")["n_violations"]
     assert a["empty_text"] == 0 and a["dup_id"] == 0
     row = shards.collect()[0]
@@ -16,6 +16,9 @@ def test_training_data_pipeline(spark, sf_dir):
     assert row.n_tokens > row.n_docs  # multi-token docs
     m = merges.collect()
     assert len(m) >= 1 and all(r.cnt >= 2 for r in m)
+    for p in pricing.collect():
+        # every word yields at least one token under either tokenizer
+        assert p.bpe_fertility >= 1.0 and p.unigram_fertility >= 1.0
     mx = mixture.collect()
     assert abs(sum(r.weight for r in mx) - 1.0) < 1e-4
 
