@@ -105,11 +105,16 @@ def run(spark, sf_dir: str):
     # by the length-weighted exponential race (deterministic, top-k
     # heaps — a k near the corpus size would fall out of the TakeOrdered
     # regime into a full sort, so budgets are absolute, not fractions)
+    # the budgeted sample is the bounded table every later stage
+    # (chunking, tokenizer training, mixture, packing, pricing) reads;
+    # materialize it ONCE — lazily chained, each downstream action
+    # re-evaluated the full dedup+sampling DAG (measured ~5x on this
+    # pipeline)
     sampled = G.weighted_sample(
         sampled.withColumn("w", F.length("text").cast("double")),
         "w",
         k=400,
-    ).drop("w", "es_key")
+    ).drop("w", "es_key").localCheckpoint()
 
     # 6. split long docs into model-window chunks (map-only). The
     # composite id is collision-free while docs stay under 1M chunks
@@ -131,16 +136,12 @@ def run(spark, sf_dir: str):
     # under both shipped tokenizers — greedy BPE merges vs the
     # unigram inventory's optimal Viterbi segmentation; the number
     # that prices a source's training cost under each
-    # the sample is a bounded 400-doc table at the end of the whole
-    # curation lineage — materialize it once so the two fertility
-    # passes (each reads it twice: word counts + vocab) don't re-run
-    # the upstream dedup/sampling DAG per branch
     sourced = sampled.join(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.col("doc_id").alias("id"), F.col("source").alias("source")
         ),
         "id",
-    ).localCheckpoint()
+    )
     pricing = (
         G.bpe_fertility(sourced)
         .select("source", F.col("fertility").alias("bpe_fertility"))
