@@ -3506,6 +3506,17 @@ def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(docs)
 
 
+def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram inventory learner (text/unigram.py unigram_train):
+    substring counts with word multiplicity over the corpus, singles
+    always kept + top-48 multi-char pieces, integer -log-p costs via
+    the shifted round — the frequency-seeded stage of SentencePiece's
+    unigram trainer, hash-gated against the same derivation in SQL."""
+    from gpd_lite_toolbox_spark.text.unigram import unigram_train
+
+    return unigram_train(_corpus(spark, sf_dir))
+
+
 def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration (text/dedup.py
     near_dup_threshold_curve): cumulative near-dup pair counts at each
@@ -3595,21 +3606,22 @@ DRIVER_WINDOW = [
     "shared_border",
     "simhash",
     "stratified_sample",
-    "tfidf_topk",
     "value_histogram",
     "zorder_keys",
-    # --- slots 44-50: this round's new queries and gates
+    # --- slots 43-50: this round's new queries and gates
     # (freeze-last; the displaced dumb_multi_to_single / hav_dist /
-    # simhash_local / wkt_roundtrip / fingerprint / token_stats keep
-    # their r3 greens and their code paths stay covered by
-    # multi_to_single / bearing / simhash / geojson_roundtrip /
-    # exact-dedup-family / quality+lang_id above) ---
+    # simhash_local / wkt_roundtrip / fingerprint / token_stats /
+    # tfidf_topk keep their r3 greens and their code paths stay
+    # covered by multi_to_single / bearing / simhash /
+    # geojson_roundtrip / exact-dedup-family / quality+lang_id /
+    # bm25_topk above) ---
     "stream_ingest_near_dups",
     "bpe_encode",
     "dedup_threshold_curve",
     "bpe_merges",
     "unigram_fertility",
     "unigram_encode",
+    "unigram_train",
     "mmr_topk",
 ]
 
@@ -3650,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         "unigram_fertility": _q_unigram_fertility,
         "unigram_encode": _q_unigram_encode,
+        "unigram_train": _q_unigram_train,
         "bpe_encode": _q_bpe_encode,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -4000,6 +4013,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": OR.BPE_FERTILITY,
         "unigram_fertility": OR.UNIGRAM_FERTILITY,
         "unigram_encode": OR.UNIGRAM_ENCODE,
+        "unigram_train": OR.UNIGRAM_TRAIN,
         "bpe_encode": OR.BPE_ENCODE,
         "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,

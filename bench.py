@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "bpe_fertility",
     "unigram_fertility",
     "unigram_encode",
+    "unigram_train",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

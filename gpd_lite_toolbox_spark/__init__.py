@@ -207,6 +207,7 @@ from .text.bpe import (  # noqa: F401
 from .text.unigram import (  # noqa: F401
     unigram_encode,
     unigram_fertility,
+    unigram_train,
 )
 from .text.analysis import (  # noqa: F401
     dup_ngram_coverage,
@@ -465,6 +466,7 @@ __all__ = [
     # tokenizer + similarity-search breadth (round-7 session 2)
     "unigram_fertility",
     "unigram_encode",
+    "unigram_train",
     "mmr_topk",
     # sketch/profile/layout breadth (round-4 session 8)
     "kmv_vocab_sketch",

@@ -5585,3 +5585,46 @@ SELECT t.id,
        t.token, s.token_id
 FROM tok2 t JOIN sym s USING (token)
 """
+
+
+# Unigram inventory learner (text/unigram.py unigram_train): substring
+# counts with word multiplicity, singles always kept, top-k
+# multi-char pieces by (count desc, piece), integer -log-p cost via
+# the 1e-9-shifted round — LN on identical integers is the
+# bigram_logprob-family precedent for cross-engine logs.
+def _ug_train_sql(
+    max_pieces: int = 48,
+    min_count: int = 2,
+    max_len: int = 4,
+    scale: int = 100,
+) -> str:
+    return f"""
+WITH {oracle_ctes('corpus')},
+wrd AS (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM corpus),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM wrd WHERE w <> '' GROUP BY w),
+sub AS (SELECT n, substr(w, CAST(t.j AS INT), CAST(ll.l AS INT)) AS piece
+        FROM wc
+        CROSS JOIN UNNEST(range(1, length(w) + 1)) t(j)
+        CROSS JOIN UNNEST(range(1, {int(max_len) + 1})) ll(l)
+        WHERE ll.l <= length(w) - t.j + 1),
+cnt AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM sub GROUP BY piece),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt),
+kept AS (SELECT piece, cnt FROM cnt WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT piece, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+           FROM cnt
+           WHERE length(piece) > 1 AND cnt >= {int(min_count)})
+         WHERE rk <= {int(max_pieces)})
+SELECT piece, cnt,
+       CAST(ROUND({int(scale)} * LN(CAST(t AS DOUBLE) / cnt) + 1e-9, 0)
+            AS BIGINT) AS cost
+FROM kept CROSS JOIN tot
+"""
+
+
+UNIGRAM_TRAIN = _ug_train_sql()

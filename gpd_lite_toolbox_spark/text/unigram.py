@@ -425,3 +425,94 @@ def unigram_encode(
     return toks.join(F.broadcast(symtab), "token").select(
         "id", "pos", "token", "token_id"
     )
+
+
+def unigram_train(
+    docs: DataFrame,
+    max_pieces: int = 48,
+    min_count: int = 2,
+    max_len: int = MAX_PIECE_LEN,
+    scale: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a unigram piece inventory FROM the corpus — the
+    frequency-seeded stage of SentencePiece's unigram trainer (Kudo
+    2018 seeds the EM from substring counts; the EM pruning loop is
+    the non-gateable quality path this engine leaves to offline
+    tooling, the same contract split as ``kmeans_assign`` vs
+    ``pyspark.ml.KMeans``).
+
+    Candidates are ALL substrings (length 1..``max_len``) of corpus
+    words, counted with word multiplicity; kept are every single
+    character (so any word stays segmentable) plus the top
+    ``max_pieces`` multi-character pieces by (count desc, piece) with
+    count >= ``min_count``.  Each piece is priced at
+    ``round(scale * ln(total/cnt))`` through the 1e-9-shifted round
+    (numerics.r6 at 0 decimals) — the integer-scaled -log p the
+    Viterbi DP consumes, so a learned inventory plugs directly into
+    ``unigram_fertility(pieces=...)`` / ``unigram_encode(pieces=...)``
+    after a bounded driver collect (the ``bpe_train`` artifact
+    pattern).
+
+    Returns ``(piece, cnt, cost)``.  Scale shape: one corpus-sized
+    word-count aggregate, then everything is |vocab| x positions
+    bounded; the top-k filter is a single bounded sort.
+    """
+    from pyspark.sql import Window
+
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    # every substring occurrence of every distinct word, carried with
+    # the word's corpus multiplicity — |vocab| x |positions| rows
+    sub = wc.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(w)),
+                      j -> transform(
+                        sequence(1, least({int(max_len)},
+                                          length(w) - j + 1)),
+                        l -> substr(w, j, l))))"""
+            )
+        ).alias("piece"),
+    )
+    cnt = sub.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("_t"))
+    kept = (
+        cnt.filter(
+            (F.length("piece") == 1) | (F.col("cnt") >= int(min_count))
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(F.length("piece") == 1).orderBy(
+                    F.col("cnt").desc(), F.col("piece")
+                )
+            ),
+        )
+        .filter((F.length("piece") == 1) | (F.col("_rk") <= int(max_pieces)))
+    )
+    return (
+        kept.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            "cnt",
+            F.round(
+                F.lit(float(scale))
+                * F.log(F.col("_t").cast("double") / F.col("cnt"))
+                + F.lit(1e-9),
+                0,
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+    )

@@ -193,3 +193,66 @@ def test_dp_matches_reference_on_random_inventories(
         assert sum(
             costs.get(p, 7) if len(p) == 1 else costs[p] for p in ps
         ) == exp[0], (w, ps, pieces)
+
+
+def test_unigram_train_hand_computed(spark):
+    from gpd_lite_toolbox_spark.text.unigram import unigram_train
+
+    docs = spark.createDataFrame(
+        [(1, "part part window window window zq"), (2, "sort sort sort")],
+        "id bigint, text string",
+    )
+    inv = {
+        r["piece"]: (r["cnt"], r["cost"])
+        for r in unigram_train(docs, max_pieces=6, min_count=2).collect()
+    }
+    import math
+    from collections import Counter
+
+    words = "part part window window window zq sort sort sort".split()
+    cnt: Counter = Counter()
+    for w, n in Counter(words).items():
+        for j in range(len(w)):
+            for l in range(1, min(4, len(w) - j) + 1):
+                cnt[w[j : j + l]] += n
+    total = sum(cnt.values())
+    singles = {p for p in cnt if len(p) == 1}
+    multi = sorted(
+        ((c, p) for p, c in cnt.items() if len(p) > 1 and c >= 2),
+        key=lambda t: (-t[0], t[1]),
+    )[:6]
+    exp = {
+        p: (cnt[p], round(100 * math.log(total / cnt[p]) + 1e-9))
+        for p in singles | {p for _, p in multi}
+    }
+    assert inv == exp
+
+
+def test_learned_inventory_feeds_the_dp(spark):
+    # the bpe_train artifact pattern: collect the learned inventory
+    # (bounded) and plug it into the fertility report — every single
+    # char is in the inventory, so UNK never fires and fertility is
+    # well-defined on the training corpus itself
+    from gpd_lite_toolbox_spark.text.unigram import unigram_train
+
+    docs = spark.createDataFrame(
+        [("s1", "part part window window zq zq sort sort")],
+        "source string, text string",
+    )
+    learned = [
+        (r["piece"], int(r["cost"]))
+        for r in unigram_train(docs).collect()
+    ]
+    rows = unigram_fertility(docs, pieces=learned).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_words"] == 8
+    # multi-char pieces exist for every word, so the optimal
+    # segmentation beats char-by-char: fewer than 1 piece per char
+    assert 1.0 <= r["fertility"] < 4.0
+    # cross-check against the python DP under the same inventory
+    exp = sum(
+        n * segment_word_py(w, pieces=learned)[1]
+        for w, n in {"part": 2, "window": 2, "zq": 2, "sort": 2}.items()
+    )
+    assert r["n_pieces"] == exp
