@@ -230,20 +230,31 @@ def hash_features(
 # therefore rounds through a 1e-9 upward shift on BOTH sides of the
 # gate (the PPJoin exact-ceil recipe): identical inputs land >= ~1e-9
 # from any half-way point, where every implementation agrees.
-_R6_EPS = 1e-9
+# SQL-string forms of the numerics recipes (numerics.r6/qdec/dsum,
+# here as text): the LR trainer builds its
+# per-round expressions as expr() strings (ONE py4j call each) — the
+# Column-API build measured ~1.4 s of driver time per lr_quality call
+# (the unigram lesson, text/unigram.py:_viterbi_sql). Literal typing
+# matters in SQL text: bare `0.5` parses as DECIMAL, so doubles are
+# written with the D suffix or a string cast, keeping every type —
+# and therefore every rounding step — identical to the Column forms.
+def _r6s(e: str, d: int) -> str:
+    return f"round(({e}) + 1e-9, {d})"
 
-from ..numerics import dsum as _dsum  # noqa: E402
+
+def _qdecs(c: str, d: int) -> str:
+    return f"CAST({_r6s(f'`{c}`', d)} AS DECIMAL(14,6))"
 
 
-def _r6(col, d: int):
-    return F.round(col + F.lit(_R6_EPS), d)
+def _dsums(e: str) -> str:
+    return f"CAST(CAST(SUM({e}) AS DECIMAL(26,6)) AS DOUBLE)"
 
 
-def _qdec(c: str, d: int):
-    """Exact lattice value: shift-round in double, lossless decimal
-    cast — the order-independent summand of the moment/gradient
-    aggregates."""
-    return _r6(F.col(c), d).cast("decimal(14,6)")
+def _dlit(x: float) -> str:
+    """A double literal whose bits equal ``F.lit(x)``: repr
+    round-trips the double exactly and the string cast is
+    correctly-rounded."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def standardize_features(
@@ -273,10 +284,12 @@ def standardize_features(
     is the caller's: checking max|x| here would cost an extra
     aggregate pass on every training run."""
     d = int(round_digits)
-    n = F.count(F.lit(1)).cast("double")
+    n = "CAST(COUNT(1) AS DOUBLE)"
     stats = df.agg(
         *[
-            _r6(_dsum(_qdec(c, d)) / n, d).alias(f"_mu_{c}")
+            F.expr(
+                _r6s(f"{_dsums(_qdecs(c, d))} / {n}", d)
+            ).alias(f"_mu_{c}")
             for c in feature_cols
         ],
         *[
@@ -284,42 +297,32 @@ def standardize_features(
             # sum rescales to scale 6 before the double cast (see
             # numerics.dsum — the cast itself is engine-divergent on
             # scale-12 payloads)
-            _r6(_dsum(_qdec(c, d) * _qdec(c, d)) / n, d).alias(
-                f"_m2_{c}"
-            )
+            F.expr(
+                _r6s(
+                    f"{_dsums(f'{_qdecs(c, d)} * {_qdecs(c, d)}')} / {n}",
+                    d,
+                )
+            ).alias(f"_m2_{c}")
             for c in feature_cols
         ],
     )
     out = df.crossJoin(F.broadcast(stats))
     for c in feature_cols:
-        var = _r6(
-            F.greatest(
-                F.col(f"_m2_{c}") - F.col(f"_mu_{c}") * F.col(f"_mu_{c}"),
-                F.lit(0.0),
-            ),
-            d,
+        var = _r6s(
+            f"greatest(`_m2_{c}` - `_mu_{c}` * `_mu_{c}`, 0.0D)", d
         )
-        sigma = _r6(F.sqrt(var), d)
+        sigma = _r6s(f"SQRT({var})", d)
         out = out.withColumn(
             c,
-            F.when(sigma == 0.0, F.lit(0.0)).otherwise(
-                _r6((F.col(c) - F.col(f"_mu_{c}")) / sigma, d)
+            F.expr(
+                f"CASE WHEN {sigma} = 0.0D THEN 0.0D"
+                f" ELSE {_r6s(f'(`{c}` - `_mu_{c}`) / {sigma}', d)} END"
             ),
         )
     return out.drop(
         *[f"_mu_{c}" for c in feature_cols],
         *[f"_m2_{c}" for c in feature_cols],
     )
-
-
-def _lr_linear(weights_cols: dict, feature_cols: list[str]):
-    """b + sum_j w_j * x_j as ONE fixed left-to-right expression chain
-    — the same association order the oracle SQL writes, so both
-    engines compute the identical double."""
-    z = weights_cols["bias"]
-    for c in feature_cols:
-        z = z + weights_cols[c] * F.col(c)
-    return z
 
 
 def lr_train_gd(
@@ -364,32 +367,27 @@ def lr_train_gd(
         F.lit(0.0).alias("bias"),
         *[F.lit(0.0).alias(f"w_{c}") for c in feature_cols],
     )
+    lin = "bias" + "".join(f" + `w_{c}` * `{c}`" for c in feature_cols)
+    pd_yd = "(CAST(_p AS DECIMAL(8,6)) - CAST(_y AS DECIMAL(8,6)))"
+    n_ = "CAST(COUNT(1) AS DOUBLE)"
     for _ in range(int(n_iter)):
-        w = {
-            "bias": F.col("bias"),
-            **{c: F.col(f"w_{c}") for c in feature_cols},
-        }
         scored = inst.crossJoin(F.broadcast(weights)).withColumn(
             "_p",
-            _r6(
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-_lr_linear(w, feature_cols))),
-                d,
-            ),
+            F.expr(_r6s(f"1.0D / (1.0D + EXP(-({lin})))", d)),
         )
         # DECIMAL gradient sums: p and the standardized features are
         # both lattice values, so (p - y) * x is exact in
         # DECIMAL(23,12) and the sum is order-independent — the same
         # midpoint-split defense as standardize_features
-        pd_ = F.col("_p").cast("decimal(8,6)")
-        yd_ = F.col("_y").cast("decimal(8,6)")
-        n_ = F.count(F.lit(1)).cast("double")
         grads = scored.agg(
-            _r6(_dsum(pd_ - yd_) / n_, d).alias("_gb"),
+            F.expr(_r6s(f"{_dsums(pd_yd)} / {n_}", d)).alias("_gb"),
             *[
-                _r6(_dsum((pd_ - yd_) * _qdec(c, d)) / n_, d).alias(
-                    f"_g_{c}"
-                )
+                F.expr(
+                    _r6s(
+                        f"{_dsums(f'{pd_yd} * {_qdecs(c, d)}')} / {n_}",
+                        d,
+                    )
+                ).alias(f"_g_{c}")
                 for c in feature_cols
             ],
             # carry the weights through the aggregate (constant within
@@ -398,10 +396,12 @@ def lr_train_gd(
             *[F.first(f"w_{c}").alias(f"_w0_{c}") for c in feature_cols],
         )
         weights = grads.select(
-            _r6(F.col("_b0") - F.lit(lr) * F.col("_gb"), d).alias("bias"),
+            F.expr(
+                _r6s(f"_b0 - {_dlit(lr)} * _gb", d)
+            ).alias("bias"),
             *[
-                _r6(
-                    F.col(f"_w0_{c}") - F.lit(lr) * F.col(f"_g_{c}"), d
+                F.expr(
+                    _r6s(f"`_w0_{c}` - {_dlit(lr)} * `_g_{c}`", d)
                 ).alias(f"w_{c}")
                 for c in feature_cols
             ],
@@ -429,16 +429,12 @@ def lr_score(
     )
     if standardize:
         inst = standardize_features(inst, feature_cols, d)
-    w = {"bias": F.col("bias"), **{c: F.col(f"w_{c}") for c in feature_cols}}
+    lin = "bias" + "".join(f" + `w_{c}` * `{c}`" for c in feature_cols)
     return (
         inst.crossJoin(F.broadcast(weights))
         .withColumn(
             "p",
-            _r6(
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-_lr_linear(w, feature_cols))),
-                d,
-            ),
+            F.expr(_r6s(f"1.0D / (1.0D + EXP(-({lin})))", d)),
         )
         .select("id", "p")
     )
