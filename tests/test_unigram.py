@@ -256,3 +256,45 @@ def test_learned_inventory_feeds_the_dp(spark):
         for w, n in {"part": 2, "window": 2, "zq": 2, "sort": 2}.items()
     )
     assert r["n_pieces"] == exp
+
+
+def test_segmentation_expr_is_streaming_legal(spark, tmp_path):
+    # the DP is a stateless projection — it must plan on a streaming
+    # frame (the shingle/signature-expr precedent), and a micro-batch
+    # through the foreachBatch sink must segment exactly as batch
+    d = str(tmp_path / "ug_stream")
+    spark.createDataFrame(
+        [(1, "part window"), (2, "zq xxx")], "id long, text string"
+    ).write.mode("overwrite").parquet(d)
+    seg = F.expr(
+        _segment_sql("w", UNIGRAM_PIECES, UNK_CHAR_COST, MAX_PIECE_LEN)
+    )
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .parquet(d)
+        .select(
+            "id",
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda w: w != "",
+                )
+            ).alias("w"),
+        )
+        .select("id", "w", seg.alias("ps"))
+    )
+    assert stream.isStreaming
+    got: list = []
+    q = stream.writeStream.foreachBatch(
+        lambda df, _eid: got.extend(
+            (r["id"], r["w"], tuple(r["ps"])) for r in df.collect()
+        )
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    exp = sorted(
+        (i, w, tuple(segment_pieces_py(w)))
+        for i, text in ((1, "part window"), (2, "zq xxx"))
+        for w in text.split()
+    )
+    assert sorted(got) == exp
