@@ -21,10 +21,19 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def evidence_map() -> dict:
+def evidence_map(max_round: int | None = None) -> dict:
+    """Derive the per-query evidence history from CORRECTNESS_r*.json.
+
+    ``max_round`` restricts the derivation to driver rounds <= that
+    number — the window-freeze pytest uses it so a CORRECTNESS file the
+    driver drops AFTER the builder's final commit (hence newer than the
+    checked-in EVIDENCE.json) can never redden a suite the builder left
+    green (round-7 VERDICT item 1)."""
     ev: dict[str, dict] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if max_round is not None and rnd > max_round:
+            continue
         for q, row in json.load(open(f)).items():
             checked = row.get("err") in (None, "no_oracle") and row.get(
                 "spark_rows"
@@ -46,9 +55,18 @@ def evidence_map() -> dict:
     return {k: ev[k] for k in sorted(ev)}
 
 
+def max_round_present() -> int:
+    rounds = [
+        int(f.rsplit("_r", 1)[1].split(".")[0])
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) if rounds else 0
+
+
 def main() -> None:
     queries = evidence_map()
     out = {
+        "max_round": max_round_present(),
         "_doc": (
             "Per-query driver CORRECTNESS history, regenerated each round "
             "from CORRECTNESS_r*.json via scripts/regen_evidence.py. "

@@ -51,7 +51,31 @@ def test_window_covers_every_query_without_driver_evidence():
         f"queries with no driver row ever and not in DRIVER_WINDOW: "
         f"{sorted(uncovered)} — add them to the window"
     )
+    # Sync check tolerant of the driver's post-commit artifact drop
+    # (round-7 VERDICT item 1): the ledger only has to match the
+    # derivation restricted to the rounds it recorded, so a
+    # CORRECTNESS file one round newer than EVIDENCE.json warns
+    # instead of failing. regen_evidence.py at round start re-syncs.
     artifact = json.load(open(os.path.join(repo, "EVIDENCE.json")))
-    assert set(artifact["queries"]) == recorded, (
-        "EVIDENCE.json is stale — run python scripts/regen_evidence.py"
+    ledger_round = artifact.get("max_round")
+    if ledger_round is None:  # pre-r8 ledger format
+        ledger_round = max(
+            (r for e in artifact["queries"].values()
+             for r in e["rounds_checked"]),
+            default=0,
+        )
+    assert set(artifact["queries"]) == set(evidence_map(ledger_round)), (
+        "EVIDENCE.json is stale for its own recorded rounds — run "
+        "python scripts/regen_evidence.py"
     )
+    from regen_evidence import max_round_present
+
+    if max_round_present() > ledger_round:
+        import warnings
+
+        warnings.warn(
+            f"EVIDENCE.json records through r{ledger_round} but "
+            f"CORRECTNESS_r{max_round_present():02d}.json is present — "
+            "run python scripts/regen_evidence.py at round start",
+            stacklevel=1,
+        )
