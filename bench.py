@@ -291,8 +291,26 @@ def main() -> None:
         _dot_arrow(4)(_arr, _arr)
     ).write.mode("overwrite").format("noop").save()
 
+    # Host-load telemetry (round-7 VERDICT items 2/7): record enough
+    # about the shared noisy host that a cross-round wall-time drift
+    # can be adjudicated from the artifacts alone ("noise or
+    # regression?") without git archaeology or a re-run.
+    def _uptime() -> float | None:
+        try:
+            with open("/proc/uptime") as fh:
+                return float(fh.read().split()[0])
+        except OSError:
+            return None
+
+    host = {
+        "cpus": os.cpu_count(),
+        "loadavg_start": list(os.getloadavg()),
+        "uptime_sec": _uptime(),
+    }
+
     qs = E.queries()
     timings: dict[str, float] = {}
+    load1: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
@@ -324,6 +342,10 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # 1-min loadavg right after the query: a row that doubled
+            # under loadavg 40 on a 32-cpu host is noise, not a
+            # regression (full map only — the printed line stays small)
+            load1[name] = round(os.getloadavg()[0], 1)
         except Exception as e:  # noqa: BLE001 - harness must survive
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
@@ -335,6 +357,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host": {**host, "loadavg_end": list(os.getloadavg())},
+        "loadavg_after_query": load1,
     }
     if errors:
         full["errors"] = errors
@@ -374,6 +398,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": top,
         "sf": sf,
+        "host": full["host"],
         "full_map": "BENCH_FULL.json",
     }
     if errors:
