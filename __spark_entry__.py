@@ -360,13 +360,20 @@ def _q_match_lines_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_match_line_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw co-clustering pairs, HASH-GATED since r8: the clustering is
+    the package's deterministic relational Lloyd (seed centers = side
+    A's rounded descriptors, 2 unrolled rounds), so
+    oracles.MATCH_LINE_CLUSTER replays every assignment and mean update
+    relationally in DuckDB — this was the repo's last rows-only query
+    (pyspark.ml's k-means|| init could never be pinned)."""
     from pyspark.sql import functions as F
 
     from gpd_lite_toolbox_spark.operators.lines import match_line_cluster
 
     s = _configure(spark)
-    # subset keeps KMeans (k=|A|) bounded; id%20==7 avoids the ids that
-    # roads_b deletes (id%10==0), so every A line has a B counterpart
+    # subset keeps k=|A| (the seed-collect size) bounded; id%20==7
+    # avoids the ids that roads_b deletes (id%10==0), so every A line
+    # has a B counterpart
     va = FX.road_verts(s, sf_dir).filter(F.col("id") % 20 == 7).drop("road_class")
     vb = FX.road_b_verts(s, sf_dir).filter(F.col("id") % 20 == 7)
     return match_line_cluster(va, vb)
@@ -1030,15 +1037,14 @@ def _q_dorling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_match_cluster_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tolerance-scalar gate on the KMeans co-clustering match:
-    roads_b is a <=1-unit jitter of roads_a, so each A-line should
-    co-cluster with its twin.  The fit is partition-stable since r5
-    (sorted single-partition descriptor table), but KMeans is still a
-    non-convex algorithm, so the gate hashes `twin_recall >= 0.95` as
-    a boolean scalar (plus the fixture line count) rather than the
-    exact twin set — the r4 driver run dropped one twin pair (99/100)
-    that the identical local run kept, flaking the round on an
-    exact-set hash.  match_line_cluster stays declared rows-only."""
+    """Tolerance-scalar gate on the co-clustering match: roads_b is a
+    <=1-unit jitter of roads_a, so each A-line should co-cluster with
+    its twin.  Since r8 the clustering is the deterministic relational
+    Lloyd and the raw pairs are themselves hash-gated
+    (match_line_cluster, oracles.MATCH_LINE_CLUSTER); this gate stays
+    as the SEMANTIC check — recall of the planted twins >= 0.95 — on
+    top of the raw replay, the quality property a bit-exact replay
+    alone wouldn't catch."""
     from pyspark.sql import functions as F
 
     s = _configure(spark)
@@ -3870,8 +3876,11 @@ def oracle_sql() -> dict[str, str]:
         "bearing": OR.BEARING,
         "match_lines": OR.MATCH_LINES,
         "match_lines_ragged": OR.MATCH_LINES_RAGGED,
-        # match_line_cluster: KMeans blocking — not SQL-expressible,
-        # rows-only check (the judge sees which).
+        # HASH-GATED since r8: the pyspark.ml KMeans is replaced by the
+        # package's deterministic relational Lloyd, so the raw pairs
+        # replay exactly (oracles.MATCH_LINE_CLUSTER) — the rows-only
+        # list is now EMPTY.
+        "match_line_cluster": OR.MATCH_LINE_CLUSTER,
         "exact_dedup": OR.EXACT_DEDUP,
         "minhash_pairs": OR.MINHASH_PAIRS,
         "dup_groups": OR.DUP_GROUPS,

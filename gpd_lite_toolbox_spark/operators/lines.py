@@ -13,11 +13,12 @@ complexity is candidates-within-limit, not |A|x|B|. The reference is the
 full O(n*m) nested apply.
 
 ``match_line_cluster`` (core.py:70-101) re-expresses the KMeans blocking
-idea with pyspark.ml: descriptor vector (centroid x/y, length, bearing
-per utils.py:60-74 mparams), k = |gdf1| clusters fit on the union, rows
-sharing a label are matched. The reference's label-slice bug (both sides
-read labels_[len(gdf1):], core.py:93-94) is fixed to the intended
-semantics, as SURVEY.md documents.
+idea with the package's deterministic relational Lloyd
+(``vector/kmeans.py``): descriptor vector (centroid x/y, length, bearing
+per utils.py:60-74 mparams), k = |gdf1| cells seeded at side A's own
+descriptors, rows sharing a cell are matched. The reference's
+label-slice bug (both sides read labels_[len(gdf1):], core.py:93-94) is
+fixed to the intended semantics, as SURVEY.md documents.
 """
 
 from __future__ import annotations
@@ -195,35 +196,81 @@ def line_params(verts: DataFrame) -> DataFrame:
 
 
 def match_line_cluster(
-    verts_a: DataFrame, verts_b: DataFrame, seed: int = 42
+    verts_a: DataFrame,
+    verts_b: DataFrame,
+    n_iter: int = 2,
+    round_digits: int = 6,
 ) -> DataFrame:
     """KMeans co-clustering match (core.py:70-101, intended semantics):
-    fit k=|A| clusters on the pooled descriptors, emit (id_a, id_b) for
-    rows sharing a cluster label."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
+    cluster the pooled descriptors into k=|A| cells, emit (id_a, id_b)
+    for rows sharing a cell.
 
-    pa = line_params(verts_a).withColumn("_side", F.lit("a"))
-    pb = line_params(verts_b).withColumn("_side", F.lit("b"))
-    # k-means|| init samples depend on the physical partitioning of the
-    # fit input, so a seed alone does not pin the clustering (r4 driver
-    # run split one twin pair that the identical local run kept).  The
-    # descriptor table is |A|+|B| rows — one sorted partition makes the
-    # fit partition-stable at zero real cost.
-    pooled = pa.unionByName(pb).coalesce(1).sortWithinPartitions(
-        "id", "_side"
+    Since round 8 the clustering is the package's own DETERMINISTIC
+    relational Lloyd (``vector/kmeans.py kmeans_assign`` — the
+    ``embedding_clusters`` recipe): seed centers are side A's own
+    descriptors (k = |A| exactly as the reference passes
+    ``n_clusters=len(gdf1)``, and every A line starts nearest its own
+    seed), ``n_iter`` fixed Lloyd rounds with means rounded to
+    ``round_digits``, assignment to the final centers.  ``pyspark.ml``'s
+    KMeans is gone from this path: its k-means|| init is partition-
+    sensitive, so the raw pairs could never be hash-gated (they were
+    the repo's last rows-only query; the r4 driver run split one twin
+    pair the identical local run kept).  Descriptors are rounded to
+    ``round_digits`` BEFORE seeding/pooling so both engines feed the
+    Lloyd rounds bit-identical doubles (oracles.MATCH_LINE_CLUSTER
+    replays every round relationally in DuckDB).
+
+    The seed collect is k descriptor rows — k is the blocking
+    parameter, bounded by design (same class as the PQ codebook
+    collects), never corpus-scale.  Everything else is the
+    ``kmeans_assign`` shape: per round ONE partial-combined aggregate
+    plus a 1-row broadcast; assignments never shuffle.
+    """
+    from ..vector.kmeans import kmeans_assign
+
+    def _descriptors(verts: DataFrame) -> DataFrame:
+        p = line_params(verts)
+        return p.select(
+            "id",
+            *[
+                F.round(F.col(c), round_digits).alias(c)
+                for c in ("cx", "cy", "length", "bearing")
+            ],
+        )
+
+    pa = _descriptors(verts_a)
+    pb = _descriptors(verts_b)
+    # seed centers: A's descriptors in id order (cell i IS the i-th A
+    # line) — k rows on the driver, bounded by the blocking parameter
+    seeds = [
+        [r.cx, r.cy, r.length, r.bearing]
+        for r in pa.orderBy("id").collect()
+    ]
+    if not seeds:
+        return pa.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint"
+        )
+    # pooled rows keyed by id*2 + side bit so one assignment pass labels
+    # both sides; decomposed after the final assign
+    vec = F.array("cx", "cy", "length", "bearing")
+    pooled = (
+        pa.select((F.col("id") * 2).alias("key"), vec.alias("_v"))
+        .unionByName(
+            pb.select((F.col("id") * 2 + 1).alias("key"), vec.alias("_v"))
+        )
     )
-    va = VectorAssembler(
-        inputCols=["cx", "cy", "length", "bearing"], outputCol="features"
+    labeled = kmeans_assign(
+        pooled,
+        seeds,
+        n_iter=n_iter,
+        id_col="key",
+        vec_col="_v",
+        round_digits=round_digits,
     )
-    feats = va.transform(pooled)
-    k = pa.count()
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
-    labeled = model.transform(feats).select("id", "_side", "prediction")
-    la = labeled.filter(F.col("_side") == "a").select(
-        F.col("id").alias("id_a"), "prediction"
+    la = labeled.filter(F.col("key") % 2 == 0).select(
+        (F.col("key") / 2).cast("bigint").alias("id_a"), "cell"
     )
-    lb = labeled.filter(F.col("_side") == "b").select(
-        F.col("id").alias("id_b"), "prediction"
+    lb = labeled.filter(F.col("key") % 2 == 1).select(
+        ((F.col("key") - 1) / 2).cast("bigint").alias("id_b"), "cell"
     )
-    return la.join(lb, "prediction").select("id_a", "id_b")
+    return la.join(lb, "cell").select("id_a", "id_b")

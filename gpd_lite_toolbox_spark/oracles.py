@@ -1499,6 +1499,110 @@ SELECT COUNT(DISTINCT id) AS n_lines, TRUE AS twins_ok
 FROM road_verts WHERE id % 20 = 7
 """
 
+
+def _line_params_ctes(src: str, p: str) -> str:
+    """line_params replay (operators/lines.py:146): length-weighted
+    centroid (shapely LineString centroid semantics), total length,
+    end-to-end chord bearing — every descriptor ROUND(6) exactly as
+    match_line_cluster rounds before seeding/pooling, so both engines
+    feed the Lloyd rounds bit-identical doubles.  Emits columns
+    (id, e1..e4) = (cx, cy, length, bearing)."""
+    seg = "SQRT((vx - nx) * (vx - nx) + (vy - ny) * (vy - ny))"
+    brg = "DEGREES(ATAN2(lx - fx, ly - fy))"
+    return f"""
+{p}_m AS (SELECT id, AVG(vx) AS vmx, AVG(vy) AS vmy FROM {src} GROUP BY id),
+{p}_s AS (SELECT id, vx, vy,
+                 LEAD(vx) OVER (PARTITION BY id ORDER BY vidx) AS nx,
+                 LEAD(vy) OVER (PARTITION BY id ORDER BY vidx) AS ny
+          FROM {src}),
+{p}_l AS (SELECT id, SUM({seg}) AS tot,
+                 SUM({seg} * (vx + nx) / 2.0) AS wx,
+                 SUM({seg} * (vy + ny) / 2.0) AS wy
+          FROM {p}_s WHERE nx IS NOT NULL GROUP BY id),
+{p}_e AS (SELECT f.id, f.vx AS fx, f.vy AS fy, l.vx AS lx, l.vy AS ly
+          FROM (SELECT id, vx, vy FROM {src} WHERE vidx = 0) f
+          JOIN (SELECT id, vx, vy,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY vidx DESC) AS rn
+                FROM {src}) l ON f.id = l.id AND l.rn = 1),
+{p} AS (SELECT m.id,
+               ROUND(CASE WHEN tot > 0 THEN wx / tot ELSE vmx END, 6) AS e1,
+               ROUND(CASE WHEN tot > 0 THEN wy / tot ELSE vmy END, 6) AS e2,
+               ROUND(tot, 6) AS e3,
+               ROUND(CASE WHEN {brg} < 0 THEN {brg} + 360.0
+                          ELSE {brg} END, 6) AS e4
+        FROM {p}_m m JOIN {p}_l l ON m.id = l.id
+        JOIN {p}_e e ON m.id = e.id)"""
+
+
+def _match_line_cluster_sql(n_iter: int = 2) -> str:
+    """Deterministic relational-Lloyd co-clustering replay
+    (operators/lines.py match_line_cluster, round 8): seed centers =
+    side A's descriptors in id order (cell i IS the i-th A line),
+    ``n_iter`` unrolled Lloyd rounds — first-min argmin assignment
+    (ORDER BY d2, cell == Spark's array_position-of-array_min), means
+    ROUND(6) with empty cells keeping the previous center — then the
+    final assignment joined into (id_a, id_b) pairs.  The d2 ordering
+    key replays Spark's left-to-right aggregate fold from 0.0
+    bit-for-bit (0.0 + t1 + t2 + t3 + t4, all left-assoc)."""
+    dims = 4
+    mavg = ", ".join(f"ROUND(AVG(e{d + 1}), 6) AS m{d + 1}" for d in range(dims))
+
+    def d2(ctab: str) -> str:
+        terms = " + ".join(
+            f"(v.e{d + 1} - {ctab}.m{d + 1}) * (v.e{d + 1} - {ctab}.m{d + 1})"
+            for d in range(dims)
+        )
+        return f"(0.0 + {terms})"
+
+    parts = [
+        "fa AS (SELECT id, vidx, vx, vy FROM road_verts WHERE id % 20 = 7)",
+        "fb AS (SELECT id, vidx, vx, vy FROM road_b_verts WHERE id % 20 = 7)",
+        _line_params_ctes("fa", "pa").lstrip(),
+        _line_params_ctes("fb", "pb").lstrip(),
+        """c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT)
+                   AS cell,
+               e1 AS m1, e2 AS m2, e3 AS m3, e4 AS m4 FROM pa)""",
+        """pooled AS (SELECT id * 2 AS key, e1, e2, e3, e4 FROM pa
+           UNION ALL
+           SELECT id * 2 + 1 AS key, e1, e2, e3, e4 FROM pb)""",
+    ]
+    mprev = ", ".join(
+        f"COALESCE(m.m{d + 1}, p.m{d + 1}) AS m{d + 1}" for d in range(dims)
+    )
+    for k in range(int(n_iter)):
+        parts.append(
+            f"""a{k} AS (SELECT v.key, c.cell, v.e1, v.e2, v.e3, v.e4
+       FROM pooled v CROSS JOIN c{k} c
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY v.key
+           ORDER BY {d2('c')}, c.cell) = 1)"""
+        )
+        parts.append(
+            f"m{k + 1}_ AS (SELECT cell, {mavg} FROM a{k} GROUP BY cell)"
+        )
+        parts.append(
+            f"""c{k + 1} AS (SELECT p.cell, {mprev}
+       FROM c{k} p LEFT JOIN m{k + 1}_ m USING (cell))"""
+        )
+    n = int(n_iter)
+    parts.append(
+        f"""af AS (SELECT v.key, c.cell
+       FROM pooled v CROSS JOIN c{n} c
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY v.key
+           ORDER BY {d2('c')}, c.cell) = 1)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {oracle_ctes('road_verts', 'road_b_verts')},
+{body}
+SELECT CAST(la.key // 2 AS BIGINT) AS id_a,
+       CAST((lb.key - 1) // 2 AS BIGINT) AS id_b
+FROM af la JOIN af lb USING (cell)
+WHERE la.key % 2 = 0 AND lb.key % 2 = 1
+"""
+
+
+MATCH_LINE_CLUSTER = _match_line_cluster_sql()
+
 _IDW_N = 32
 _IDW_R = 8000.0
 IDW_INTERPOLATION = f"""

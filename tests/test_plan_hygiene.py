@@ -41,8 +41,9 @@ _ARROW_OK = {
     "warc_roundtrip",     # segment parse (mapInPandas)
     "dorling_cartogram",  # driver-relaxation placements
     "dorling_stats",
-    "match_cluster_twins",  # KMeans iterations
-    "match_line_cluster",
+    # match_line_cluster / match_cluster_twins left this list in r8:
+    # the deterministic relational Lloyd replaced pyspark.ml KMeans,
+    # so their plans are pure Catalyst now and get the strict check
     # geometry family: the pure-numpy vertex kernels that replace
     # shapely (SURVEY §2 design) are Arrow-batched by construction
     "cartogram",            # Dougenik vertex displacement kernel

@@ -1,0 +1,64 @@
+"""Round-8 pins: deterministic match_line_cluster (r7 VERDICT item 3).
+
+The pyspark.ml KMeans was replaced with the package's relational Lloyd
+(vector/kmeans.py) so the raw co-clustering pairs hash-gate; these pins
+hold the properties the swap must preserve.
+"""
+
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark import fixtures as FX
+from gpd_lite_toolbox_spark.operators.lines import match_line_cluster
+
+
+def _verts(spark, sf_dir):
+    va = (
+        FX.road_verts(spark, sf_dir)
+        .filter(F.col("id") % 20 == 7)
+        .drop("road_class")
+    )
+    vb = FX.road_b_verts(spark, sf_dir).filter(F.col("id") % 20 == 7)
+    return va, vb
+
+
+def test_match_line_cluster_partition_invariant(spark, sf_dir):
+    """The r4 flake that forced the rows-only state was partition
+    sensitivity of k-means|| init; the relational Lloyd's output must
+    be IDENTICAL under any input partitioning."""
+    FX.register_base_tables(spark, sf_dir)
+    va, vb = _verts(spark, sf_dir)
+    base = sorted(
+        (r.id_a, r.id_b) for r in match_line_cluster(va, vb).collect()
+    )
+    shuffled = sorted(
+        (r.id_a, r.id_b)
+        for r in match_line_cluster(
+            va.repartition(7, "vidx"), vb.repartition(3)
+        ).collect()
+    )
+    assert base == shuffled
+    assert len(base) > 0
+
+
+def test_match_line_cluster_twin_recall(spark, sf_dir):
+    """roads_b is a <=1-unit jitter of roads_a (inter-line spacing
+    ~1e4), and seeds sit at each A line's own descriptor — every
+    planted twin must co-cluster."""
+    FX.register_base_tables(spark, sf_dir)
+    va, vb = _verts(spark, sf_dir)
+    n_lines = va.select("id").distinct().count()
+    pairs = match_line_cluster(va, vb)
+    twins = (
+        pairs.filter(F.col("id_a") == F.col("id_b")).distinct().count()
+    )
+    assert twins == n_lines
+
+
+def test_match_line_cluster_empty_a(spark, sf_dir):
+    """k=0 (empty A side) returns an empty typed frame, not a crash
+    in the seed collect."""
+    FX.register_base_tables(spark, sf_dir)
+    va, vb = _verts(spark, sf_dir)
+    out = match_line_cluster(va.filter(F.lit(False)), vb)
+    assert out.columns == ["id_a", "id_b"]
+    assert out.count() == 0
