@@ -5462,7 +5462,13 @@ EVENT_TREND = _trend_sql()
 # two ROUNDs at the end are the bpe_fertility-proven report recipe.
 from .text import unigram as _ug  # noqa: E402
 
-_UG_VALS = ", ".join(f"('{p}', {c})" for p, c in _ug.UNIGRAM_PIECES)
+# single quotes doubled per standard SQL (the pinned inventory has
+# none today, but the literal builder must not silently break if a
+# learned piece ever lands here — ADVICE r7)
+_UG_VALS = ", ".join(
+    "('" + p.replace("'", "''") + f"', {c})"
+    for p, c in _ug.UNIGRAM_PIECES
+)
 
 
 def _ug_stage(prev: str, clen: int, idx: str) -> str:

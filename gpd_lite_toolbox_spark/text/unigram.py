@@ -74,6 +74,35 @@ UNK_CHAR_COST = 60
 MAX_PIECE_LEN = 4
 
 
+def _spark_str_lit(s: str) -> str:
+    """Quote a piece string as a Spark-SQL single-quoted literal.
+    Spark's parser processes backslash escapes inside string literals,
+    so both the backslash and the quote must be escaped — an
+    apostrophe word like "don't" (which unigram_train can legitimately
+    learn pieces from and feed back via ``pieces=``) otherwise yields
+    an unparseable map literal (ADVICE r7)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _validate_pieces(
+    pieces: "list[tuple[str, int]] | None",
+) -> "list[tuple[str, int]] | None":
+    """Reject duplicate piece strings at entry: the three
+    implementations of the DP would otherwise silently diverge
+    (Python ``dict`` keeps the last cost, Spark ``map()`` throws under
+    mapKeyDedupPolicy=EXCEPTION, the DuckDB oracle's MAX(CASE) picks
+    the max cost) — one loud error beats three behaviors (ADVICE r7)."""
+    if pieces is None:
+        return None
+    seen: set[str] = set()
+    dups = [p for p, _ in pieces if p in seen or seen.add(p)]
+    if dups:
+        raise ValueError(
+            f"duplicate piece strings in inventory: {sorted(set(dups))}"
+        )
+    return pieces
+
+
 def segment_word_py(
     word: str,
     pieces: "list[tuple[str, int]] | None" = None,
@@ -84,6 +113,7 @@ def segment_word_py(
     contract, used by the unit tests to pin both engines.  Returns
     ``(total_cost, n_pieces)`` for one word under the same
     tie-break rule as the Spark fold and the DuckDB CTE."""
+    pieces = _validate_pieces(pieces)
     costs = dict(pieces if pieces is not None else UNIGRAM_PIECES)
     n = len(word)
     best: list[tuple[int, int]] = [(0, 0)] + [(0, 0)] * n
@@ -129,7 +159,7 @@ def _viterbi_state_sql(
     replace on ``cost < best OR (cost = best AND np <= best.np)``
     (i.e. a full tie keeps the LONGEST last piece)."""
     mp = "map(" + ", ".join(
-        f"'{p}', {c}" for p, c in pieces
+        f"{_spark_str_lit(p)}, {c}" for p, c in pieces
     ) + ")"
     cands = f"""filter(
       transform(sequence(1, {max_len}), l ->
@@ -235,6 +265,7 @@ def unigram_fertility(
     aggregate per stratum.  The corpus-sized work is exactly the word
     count — same two-exchange shape as ``bpe_fertility``.
     """
+    pieces = _validate_pieces(pieces)
     if pieces is None:
         pieces = UNIGRAM_PIECES
     words = docs.select(
@@ -326,6 +357,7 @@ def segment_pieces_py(
     """Pure-Python reference segmentation (piece strings in document
     order) under the same DP + tie rule as ``segment_word_py`` — the
     test pin for the encode path."""
+    pieces = _validate_pieces(pieces)
     costs = dict(pieces if pieces is not None else UNIGRAM_PIECES)
     n = len(word)
     best: list[tuple[int, int, int]] = [(0, 0, 0)] + [(0, 0, 0)] * n
@@ -381,6 +413,7 @@ def unigram_encode(
     """
     from pyspark.sql import Window
 
+    pieces = _validate_pieces(pieces)
     if pieces is None:
         pieces = UNIGRAM_PIECES
     words_pos = docs.select(
