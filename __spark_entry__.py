@@ -3523,6 +3523,20 @@ def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(_corpus(spark, sf_dir))
 
 
+def _q_unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-completed unigram trainer (text/unigram.py unigram_train_em,
+    r7 VERDICT item 5): frequency seed, then 2 unrolled Viterbi-EM
+    rounds — E-step segments the distinct vocabulary under the current
+    integer costs (row-local DP fold; the inventory rides as a
+    broadcast one-row map, no driver collect), M-step re-prices
+    emissions through the shared shifted round.  Hash-gated against
+    oracles.UNIGRAM_TRAIN_EM (the recursive-CTE DP parameterized on
+    each round's learned inventory)."""
+    from gpd_lite_toolbox_spark.text.unigram import unigram_train_em
+
+    return unigram_train_em(_corpus(spark, sf_dir))
+
+
 def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration (text/dedup.py
     near_dup_threshold_curve): cumulative near-dup pair counts at each
@@ -3669,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_fertility": _q_unigram_fertility,
         "unigram_encode": _q_unigram_encode,
         "unigram_train": _q_unigram_train,
+        "unigram_train_em": _q_unigram_train_em,
         "bpe_encode": _q_bpe_encode,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -4023,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_fertility": OR.UNIGRAM_FERTILITY,
         "unigram_encode": OR.UNIGRAM_ENCODE,
         "unigram_train": OR.UNIGRAM_TRAIN,
+        "unigram_train_em": OR.UNIGRAM_TRAIN_EM,
         "bpe_encode": OR.BPE_ENCODE,
         "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,

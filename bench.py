@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "unigram_fertility",
     "unigram_encode",
     "unigram_train",
+    "unigram_train_em",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

@@ -5495,34 +5495,38 @@ def _ug_stage(prev: str, clen: int, idx: str) -> str:
 # shared DP CTE text (pz piece table, pre-pivoted candidate costs,
 # the recursive fold carrying cost/piece-count/winning-length lists);
 # expects a CTE ``dw(w)`` of distinct words upstream.
-def _ug_dp_ctes() -> str:
-    return f"""pz AS (SELECT * FROM (VALUES {_UG_VALS}) p(piece, cost)),
-cand AS (
+def _ug_dp_body(px: str, pz: str, dw: str) -> str:
+    """``{px}cand`` / ``{px}dp`` CTEs for the recursive Viterbi DP
+    reading piece costs from CTE ``{pz}(piece, cost)`` over distinct
+    words ``{dw}(w)`` — parameterized (round 8) so the EM trainer
+    replay can run the SAME DP against each round's LEARNED inventory
+    instead of the pinned VALUES."""
+    return f"""{px}cand AS (
   SELECT w, j,
          MAX(CASE WHEN l = 1 THEN cost END) AS c1,
          MAX(CASE WHEN l = 2 THEN cost END) AS c2,
          MAX(CASE WHEN l = 3 THEN cost END) AS c3,
          MAX(CASE WHEN l = 4 THEN cost END) AS c4
   FROM (
-    SELECT dw.w, CAST(t.j AS INT) AS j, l.l,
+    SELECT {dw}.w, CAST(t.j AS INT) AS j, l.l,
            CASE WHEN l.l = 1 THEN COALESCE(p.cost, {_ug.UNK_CHAR_COST})
                 ELSE p.cost END AS cost
-    FROM dw
-    CROSS JOIN UNNEST(range(1, length(dw.w) + 1)) t(j)
+    FROM {dw}
+    CROSS JOIN UNNEST(range(1, length({dw}.w) + 1)) t(j)
     CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
-    LEFT JOIN pz p
-      ON p.piece = substr(dw.w, CAST(t.j AS INT) - l.l + 1, l.l)
+    LEFT JOIN {pz} p
+      ON p.piece = substr({dw}.w, CAST(t.j AS INT) - l.l + 1, l.l)
     WHERE l.l <= t.j
   ) GROUP BY w, j
 ),
-dp AS (
+{px}dp AS (
   SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS cs, [0] AS nps,
-         [0] AS ls FROM dw
+         [0] AS ls FROM {dw}
   UNION ALL
   SELECT d.w, d.j + 1, d.cs || [s4.bc], d.nps || [s4.bn],
          d.ls || [s4.bl]
-  FROM dp d
-  JOIN cand c ON c.w = d.w AND c.j = d.j + 1
+  FROM {px}dp d
+  JOIN {px}cand c ON c.w = d.w AND c.j = d.j + 1
   CROSS JOIN LATERAL (SELECT d.cs[d.j + 1] + c.c1 AS bc,
                              d.nps[d.j + 1] + 1 AS bn, 1 AS bl) s1
   {_ug_stage('s1', 2, 'd.j')}
@@ -5530,6 +5534,13 @@ dp AS (
   {_ug_stage('s3', 4, 'd.j - 2')}
   WHERE d.j < length(d.w)
 )"""
+
+
+def _ug_dp_ctes() -> str:
+    return (
+        f"pz AS (SELECT * FROM (VALUES {_UG_VALS}) p(piece, cost)),\n"
+        + _ug_dp_body("", "pz", "dw")
+    )
 
 
 UNIGRAM_FERTILITY = f"""
@@ -5738,3 +5749,103 @@ FROM kept CROSS JOIN tot
 
 
 UNIGRAM_TRAIN = _ug_train_sql()
+
+
+# EM-completed unigram trainer (text/unigram.py unigram_train_em,
+# n_rounds=2): LARGE uncapped substring seed (singles unconditional,
+# multis at min_count), then each round replays the Viterbi (hard-EM)
+# E-step with the recursive-CTE DP parameterized on the CURRENT
+# learned inventory, reconstructs the emitted pieces with the encode
+# oracle's backward walk, counts emissions with word multiplicity,
+# PRUNES multis to the emission-ranked top-k, and re-prices through
+# the shared 1e-9-shifted round (singles never prune: unemitted ones
+# carry their previous row, closing the cheap-UNK leak) — the round
+# COUNT is fixed, so the data-dependent loop unrolls into plain CTE
+# stages (the BPE_MERGES discipline).  Integer costs end-to-end keep
+# the DP bit-exact; the only floats are the LN prices, absorbed by the
+# shifted round exactly as in UNIGRAM_TRAIN (green since r7).
+def _ug_walk_body(px: str) -> str:
+    return f"""{px}fin AS (SELECT w, ls FROM {px}dp WHERE j = length(w)),
+{px}walk AS (
+  SELECT w, CAST(length(w) AS INT) AS j,
+         CAST([] AS VARCHAR[]) AS ps, ls
+  FROM {px}fin
+  UNION ALL
+  SELECT w, j - ls[j + 1],
+         [substr(w, j - ls[j + 1] + 1, ls[j + 1])] || ps, ls
+  FROM {px}walk WHERE j > 0
+),
+{px}syms AS (SELECT w, ps AS acc FROM {px}walk WHERE j = 0)"""
+
+
+def _ug_train_em_sql(
+    n_rounds: int = 2,
+    max_pieces: int = 48,
+    min_count: int = 2,
+    max_len: int = 4,
+    scale: int = 100,
+) -> str:
+    price = (
+        f"CAST(ROUND({int(scale)} * LN(CAST(t AS DOUBLE) / cnt) + 1e-9,"
+        f" 0) AS BIGINT) AS cost"
+    )
+    parts = [
+        """wrd AS (SELECT UNNEST(string_split(COALESCE(text, ''), ' '))
+          AS w FROM corpus)""",
+        """wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM wrd WHERE w <> '' GROUP BY w)""",
+        "dw AS (SELECT w FROM wc)",
+        f"""s_sub AS (SELECT n,
+            substr(w, CAST(t.j AS INT), CAST(ll.l AS INT)) AS piece
+        FROM wc
+        CROSS JOIN UNNEST(range(1, length(w) + 1)) t(j)
+        CROSS JOIN UNNEST(range(1, {int(max_len) + 1})) ll(l)
+        WHERE ll.l <= length(w) - t.j + 1)""",
+        """s_cnt AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM s_sub GROUP BY piece)""",
+        "s_tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM s_cnt)",
+        f"""s_kept AS (SELECT piece, cnt FROM s_cnt
+         WHERE length(piece) = 1 OR cnt >= {int(min_count)})""",
+        f"pz1 AS (SELECT piece, cnt, {price} FROM s_kept CROSS JOIN s_tot)",
+    ]
+    for r in range(1, int(n_rounds) + 1):
+        px = f"r{r}_"
+        parts.append(_ug_dp_body(px, f"pz{r}", "dw"))
+        parts.append(_ug_walk_body(px))
+        parts.append(
+            f"""usage{r} AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+       FROM (SELECT s.w, UNNEST(s.acc) AS piece FROM {px}syms s) u
+       JOIN wc USING (w) GROUP BY piece)"""
+        )
+        parts.append(
+            f"tot{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t"
+            f" FROM usage{r})"
+        )
+        parts.append(
+            f"""kept{r} AS (SELECT piece, cnt FROM usage{r}
+         WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT piece, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+           FROM usage{r}
+           WHERE length(piece) > 1 AND cnt >= {int(min_count)})
+         WHERE rk <= {int(max_pieces)})"""
+        )
+        parts.append(
+            f"""pz{r + 1} AS (
+         SELECT piece, cnt, {price} FROM kept{r} CROSS JOIN tot{r}
+         UNION ALL
+         SELECT p.piece, p.cnt, p.cost FROM pz{r} p
+         WHERE length(p.piece) = 1
+           AND NOT EXISTS (SELECT 1 FROM usage{r} u
+                           WHERE u.piece = p.piece))"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH RECURSIVE {oracle_ctes('corpus')},\n{body}\n"
+        f"SELECT piece, cnt, cost FROM pz{int(n_rounds) + 1}"
+    )
+
+
+UNIGRAM_TRAIN_EM = _ug_train_em_sql()

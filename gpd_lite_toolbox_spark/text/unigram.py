@@ -138,9 +138,10 @@ def segment_word_py(
 
 def _viterbi_state_sql(
     word: str,
-    pieces: list[tuple[str, int]],
+    pieces: "list[tuple[str, int]] | None",
     unk: int,
     max_len: int,
+    mp_expr: "str | None" = None,
 ) -> str:
     """The Viterbi DP as ONE Spark-SQL expression string evaluating to
     the FULL prefix-state array ``array<struct<c: bigint, np: int,
@@ -157,8 +158,14 @@ def _viterbi_state_sql(
     is ~3 KB, and ``F.expr`` hands it to the JVM in a single call.
     The candidate scan keeps the shared tie rule: lengths ascending,
     replace on ``cost < best OR (cost = best AND np <= best.np)``
-    (i.e. a full tie keeps the LONGEST last piece)."""
-    mp = "map(" + ", ".join(
+    (i.e. a full tie keeps the LONGEST last piece).
+
+    ``mp_expr`` (round 8, the EM trainer's hook) substitutes a COLUMN
+    reference — a ``map<string, bigint>`` riding along each row, e.g. a
+    broadcast one-row map built from a LEARNED inventory frame — for
+    the literal map, so the DP can consume data-derived costs with no
+    driver collect and no plan-size growth with inventory size."""
+    mp = mp_expr if mp_expr is not None else "map(" + ", ".join(
         f"{_spark_str_lit(p)}, {c}" for p, c in pieces
     ) + ")"
     cands = f"""filter(
@@ -322,16 +329,17 @@ def unigram_fertility(
 
 def _segment_sql(
     word: str,
-    pieces: list[tuple[str, int]],
+    pieces: "list[tuple[str, int]] | None",
     unk: int,
     max_len: int,
+    mp_expr: "str | None" = None,
 ) -> str:
     """The optimal piece ARRAY for the column named ``word`` as one
     SQL expression: forward DP state (with per-position winning piece
     lengths) then a backward walk over the recorded lengths —
     ``reverse`` restores document order.  At most ``length(word)``
     walk steps; exhausted steps pass the state through."""
-    st = _viterbi_state_sql(word, pieces, unk, max_len)
+    st = _viterbi_state_sql(word, pieces, unk, max_len, mp_expr)
     step_l = "element_at(s.st, s.j + 1).l"
     return f"""reverse(
       aggregate(
@@ -491,19 +499,9 @@ def unigram_train(
     word-count aggregate, then everything is |vocab| x positions
     bounded; the top-k filter is a single bounded sort.
     """
-    from pyspark.sql import Window
-
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
-    words = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-                lambda w: w != "",
-            )
-        ).alias("w")
-    )
-    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    wc = _word_counts(docs, text_col)
     # every substring occurrence of every distinct word, carried with
     # the word's corpus multiplicity — |vocab| x |positions| rows
     sub = wc.select(
@@ -519,6 +517,34 @@ def unigram_train(
         ).alias("piece"),
     )
     cnt = sub.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    return _keep_and_price(cnt, max_pieces, min_count, scale)
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, n): corpus word counts — the ONE corpus-sized aggregate the
+    trainer family shares."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    )
+    return words.groupBy("w").agg(F.count("*").alias("n"))
+
+
+def _keep_and_price(
+    cnt: DataFrame, max_pieces: int, min_count: int, scale: int
+) -> DataFrame:
+    """Shared M-step: keep every single character plus the top
+    ``max_pieces`` multi-char pieces by (count desc, piece) with count
+    >= ``min_count``; price each at ``round(scale * ln(total/cnt))``
+    through the 1e-9-shifted round (numerics.r6) over the total of ALL
+    candidate counts.  Input ``cnt(piece, cnt)`` is |inventory|-bounded
+    — the window sorts bounded rows, never corpus-sized data."""
+    from pyspark.sql import Window
+
     total = cnt.agg(F.sum("cnt").alias("_t"))
     kept = (
         cnt.filter(
@@ -549,3 +575,146 @@ def unigram_train(
             .alias("cost"),
         )
     )
+
+
+def unigram_train_em(
+    docs: DataFrame,
+    n_rounds: int = 2,
+    max_pieces: int = 48,
+    min_count: int = 2,
+    max_len: int = MAX_PIECE_LEN,
+    scale: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Complete the unigram trainer with EM re-estimation and pruning —
+    Kudo 2018's actual shape (``unigram_train`` is only the capped
+    frequency seed): start from a LARGE candidate inventory, estimate
+    usage by EM, and prune to the target size by what the model
+    actually EMITS, not by raw substring frequency.  Substring counts
+    double-count overlaps ('line' also feeds 'lin'/'ine'/'in'/'ne'), so
+    a substring-ranked top-k wastes slots on redundant fragments; an
+    emission-ranked top-k keeps pieces that WIN segmentations — which
+    is why this trainer's inventory beats the seed's on fertility
+    (pytest-pinned).  Per round:
+
+    - **E-step (Viterbi / hard EM)**: segment every DISTINCT corpus
+      word optimally under the CURRENT integer costs — the same
+      row-local DP fold as ``unigram_encode`` — and count each piece's
+      emissions weighted by word multiplicity.  The hard-EM form is
+      deliberate: SentencePiece uses it as the fast approximation of
+      the soft forward-backward E-step, and it is the only form whose
+      integer-exact DP both engines replay bit-identically (a soft
+      E-step sums ``exp(-cost)`` terms — transcendental floats on the
+      gate path).
+    - **M-step + prune**: multi-char pieces keep the top ``max_pieces``
+      by (emission count desc, piece) with count >= ``min_count``,
+      re-priced at ``round(scale * ln(total/cnt))`` through the shared
+      1e-9-shifted round; single characters are NEVER pruned — emitted
+      singles re-price, unemitted singles carry their previous
+      (cnt, cost) forward (the pricing analog of Lloyd's
+      empty-cells-keep-their-center rule in ``kmeans_assign``).
+      Dropping a single would hand its char to the UNK fallback, whose
+      pinned cost sits BELOW learned prices — a model-breaking discount
+      the carry rule forecloses.
+
+    ``n_rounds`` is fixed and unrolled into ONE declarative plan (the
+    ``bpe_train`` / ``lr_train_gd`` / ``kmeans_assign`` discipline):
+    each round's inventory rides into the next DP as a BROADCAST
+    one-row ``map<string, bigint>`` built with ``map_from_entries`` —
+    no driver collect anywhere, and plan size is constant in inventory
+    size (the DP reads the map column instead of inlining literals).
+    The big seed is bounded by |distinct substrings <= max_len| of the
+    corpus vocabulary — alphabet^max_len at worst, far below corpus
+    scale, and it exists only inside round 1's broadcast map.
+
+    Returns ``(piece, cnt, cost)`` — ``cnt`` the final round's
+    emission counts (carried singles keep their last-emitted count).
+    Scale shape: ONE corpus-sized word-count aggregate up front; every
+    round is |vocab|-bounded DP + one partial-combined count aggregate
+    + a bounded window.  Hash-gated end-to-end
+    (oracles.UNIGRAM_TRAIN_EM unrolls the same rounds over the
+    recursive-CTE DP).
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if max_len != MAX_PIECE_LEN:
+        # the DuckDB replay pivots candidate costs c1..c4; keep the
+        # two engines honest about the same contract
+        raise ValueError(
+            f"unigram_train_em is pinned to max_len={MAX_PIECE_LEN}"
+        )
+    from pyspark.sql import Window
+
+    wc = _word_counts(docs, text_col)
+    # LARGE seed: every substring (singles unconditionally, multis at
+    # min_count), priced by substring counts — no top-k cap here; the
+    # EM rounds do the pruning by emissions
+    sub = wc.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(w)),
+                      j -> transform(
+                        sequence(1, least({int(max_len)},
+                                          length(w) - j + 1)),
+                        l -> substr(w, j, l))))"""
+            )
+        ).alias("piece"),
+    )
+    cnt0 = sub.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    tot0 = cnt0.agg(F.sum("cnt").alias("_t"))
+
+    def _price(df: DataFrame) -> DataFrame:
+        return df.select(
+            "piece",
+            "cnt",
+            F.round(
+                F.lit(float(scale))
+                * F.log(F.col("_t").cast("double") / F.col("cnt"))
+                + F.lit(1e-9),
+                0,
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+
+    inv = _price(
+        cnt0.filter(
+            (F.length("piece") == 1) | (F.col("cnt") >= int(min_count))
+        ).crossJoin(F.broadcast(tot0))
+    )
+    seg = F.expr(
+        _segment_sql("w", None, UNK_CHAR_COST, max_len, mp_expr="_mp")
+    )
+    w_multi = Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+    for _ in range(int(n_rounds)):
+        mp_row = inv.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "cost"))
+            ).alias("_mp")
+        )
+        usage = (
+            wc.crossJoin(F.broadcast(mp_row))
+            .select("n", F.explode(seg).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        total = usage.agg(F.sum("cnt").alias("_t"))
+        kept = (
+            usage.filter(F.length("piece") > 1)
+            .filter(F.col("cnt") >= int(min_count))
+            .withColumn("_rk", F.row_number().over(w_multi))
+            .filter(F.col("_rk") <= int(max_pieces))
+            .select("piece", "cnt")
+            .unionByName(
+                usage.filter(F.length("piece") == 1).select("piece", "cnt")
+            )
+        )
+        repriced = _price(kept.crossJoin(F.broadcast(total)))
+        carried = (
+            inv.filter(F.length("piece") == 1)
+            .join(usage, "piece", "left_anti")
+            .select("piece", "cnt", "cost")
+        )
+        inv = repriced.unionByName(carried)
+    return inv

@@ -54,6 +54,50 @@ def test_match_line_cluster_twin_recall(spark, sf_dir):
     assert twins == n_lines
 
 
+def test_unigram_em_beats_seed_fertility(spark, sf_dir):
+    """r7 VERDICT item 5: the EM-trained inventory must beat the
+    frequency-seeded one on corpus fertility — emission-ranked pruning
+    keeps pieces that win segmentations, where substring ranking
+    wastes slots on overlapping fragments (measured 1.50 vs 3.09
+    pieces/word at sf0.01)."""
+    from gpd_lite_toolbox_spark.fixtures import fixture_df
+    from gpd_lite_toolbox_spark.text.unigram import (
+        unigram_fertility,
+        unigram_train,
+        unigram_train_em,
+    )
+
+    FX.register_base_tables(spark, sf_dir)
+    corpus = fixture_df(spark, sf_dir, "corpus")
+    docs = fixture_df(spark, sf_dir, "scorpus")
+    seed = [(r.piece, r.cost) for r in unigram_train(corpus).collect()]
+    em = [(r.piece, r.cost) for r in unigram_train_em(corpus).collect()]
+
+    def fert(pieces):
+        row = (
+            unigram_fertility(docs, pieces=pieces)
+            .agg(
+                F.sum("n_pieces").alias("p"),
+                F.sum("n_words").alias("w"),
+            )
+            .collect()[0]
+        )
+        return row.p / row.w
+
+    assert fert(em) < fert(seed)
+
+
+def test_unigram_em_guards(spark):
+    import pytest
+
+    from gpd_lite_toolbox_spark.text.unigram import unigram_train_em
+
+    with pytest.raises(ValueError, match="n_rounds"):
+        unigram_train_em(None, n_rounds=0)
+    with pytest.raises(ValueError, match="max_len"):
+        unigram_train_em(None, max_len=3)
+
+
 def test_match_line_cluster_empty_a(spark, sf_dir):
     """k=0 (empty A side) returns an empty typed frame, not a crash
     in the seed collect."""
