@@ -2417,6 +2417,49 @@ def _q_stream_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ledger_flags_paths: dict[str, str] = {}
+_ledger_stream_paths: dict[str, str] = {}
+
+
+def _q_stream_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 stretch (r7 VERDICT item 8): the end-to-end curation
+    ledger STREAMED — two staged parquet files, maxFilesPerTrigger=1,
+    so the run genuinely crosses micro-batches; each batch composes
+    the row-local quality/Gopher scoring, the static-dictionary
+    decontamination join, and a partition-pruned probe of the
+    persisted write_curation_flags_index artifact (the global
+    exact/near dedup decisions, built once on day 1).  Every document
+    is decided in exactly one micro-batch against global static state,
+    so the union over batches equals the batch curation_ledger and the
+    query shares CURATION_LEDGER's oracle verbatim."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_curation_ledger,
+    )
+    from gpd_lite_toolbox_spark.text.pipeline import (
+        write_curation_flags_index,
+    )
+
+    s = _configure(spark)
+    corpus = _corpus(spark, sf_dir)
+    if sf_dir not in _ledger_flags_paths:
+        path = tempfile.mkdtemp(prefix="spark_graft_ledgerflags_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_curation_flags_index(corpus, path)
+        _ledger_flags_paths[sf_dir] = path
+    if sf_dir not in _ledger_stream_paths:
+        bpath = tempfile.mkdtemp(prefix="spark_graft_ledger_stream_")
+        atexit.register(shutil.rmtree, bpath, ignore_errors=True)
+        corpus.repartition(2).write.mode("overwrite").parquet(bpath)
+        _ledger_stream_paths[sf_dir] = bpath
+    return run_streaming_curation_ledger(
+        s, _ledger_flags_paths[sf_dir], _ledger_stream_paths[sf_dir]
+    )
+
+
 _substrate_paths: dict[str, str] = {}
 
 
@@ -3653,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": _q_substring_spans,
         "ingest_near_dups": _q_ingest_near_dups,
         "stream_ingest_near_dups": _q_stream_ingest_near_dups,
+        "stream_curation_ledger": _q_stream_curation_ledger,
         "paragraph_dedup": _q_paragraph_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "simhash_pairs": _q_simhash_pairs,
@@ -3998,6 +4042,9 @@ def oracle_sql() -> dict[str, str]:
         # probe-only streaming ingest partitions the same batch over
         # micro-batches, so it shares the batch oracle verbatim
         "stream_ingest_near_dups": OR.INGEST_NEAR_DUPS,
+        # stream==batch by construction (one decision per doc against
+        # global static state): shares the batch ledger's oracle
+        "stream_curation_ledger": OR.CURATION_LEDGER,
         "nb_classify": OR.NB_CLASSIFY,
         "fuzzy_vocab": OR.FUZZY_VOCAB,
         "hybrid_topk": OR.HYBRID_TOPK,

@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     # the result parquet; the returned frame just reads it back), so a
     # timed noop-write would measure a parquet read (same class as
     # bpe_merges); ingest_near_dups times the probe substrate itself.
+    # stream_curation_ledger deliberately NOT benched for the same
+    # reason; curation_ledger times the full decision stack.
     # hits_scores / leakage_safe_split deliberately NOT benched: like
     # bpe_merges, their iterative work (HITS power steps / dup-group
     # label propagation) runs eagerly at query construction via

@@ -527,3 +527,66 @@ def curation_ledger(
         .otherwise(F.lit("kept"))
     )
     return ledger.select("id", status.alias("status"))
+
+
+def write_curation_flags_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_iter: int = 20,
+    n_buckets: int = 16,
+) -> None:
+    """Day-1 artifact for the STREAMING curation ledger: the two
+    GLOBAL per-doc dedup decisions — ``exact`` (not the min-id member
+    of its md5 group) and ``near`` (in a minhash-LSH cluster and not
+    its retained member) — materialized once over the corpus and
+    written id-bucket-partitioned (``bk = id % n_buckets``), so a
+    micro-batch probe collapses its ids' buckets into a static
+    partition filter and never scans the corpus (the
+    ``write_minhash_index`` day-2 discipline).  Both flags replay
+    ``curation_ledger``'s stages verbatim; every other ledger rule is
+    row-local or static-dictionary-joined and stays in-stream.
+    """
+    from ..cache import tracked_persist
+    from .dedup import dedup_canonical, dup_groups, minhash_lsh_pairs
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    pairs = minhash_lsh_pairs(c, threshold=threshold)
+    groups = tracked_persist(dup_groups(c, pairs=pairs, max_iter=max_iter))
+    kept = dedup_canonical(c, groups=groups)
+    near = groups.join(
+        kept.select("group_id", "kept_id"), "group_id"
+    ).select(
+        "id",
+        (
+            (F.col("group_size") > 1) & (F.col("id") != F.col("kept_id"))
+        ).alias("near"),
+    )
+    w = Window.partitionBy("_fp")
+    exact = (
+        c.select("id", F.md5("text").alias("_fp"))
+        .withColumn("_minid", F.min("id").over(w))
+        .select(
+            "id",
+            (
+                F.col("_fp").isNotNull() & (F.col("id") != F.col("_minid"))
+            ).alias("exact"),
+        )
+    )
+    (
+        exact.join(near, "id", "left")
+        .select(
+            "id",
+            "exact",
+            F.coalesce("near", F.lit(False)).alias("near"),
+            (F.col("id") % int(n_buckets)).alias("bk"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bk")
+        .parquet(path)
+    )
+    groups.unpersist()

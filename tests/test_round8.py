@@ -98,6 +98,39 @@ def test_unigram_em_guards(spark):
         unigram_train_em(None, max_len=3)
 
 
+def test_stream_curation_ledger_equals_batch(spark, sf_dir):
+    """r7 VERDICT item 8: the streamed ledger (2 micro-batches, each
+    composing row-local scoring + static-dictionary decontamination +
+    the partition-pruned flags-index probe) must equal the batch
+    curation_ledger row-for-row."""
+    import tempfile
+
+    import __spark_entry__ as E
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_curation_ledger,
+    )
+    from gpd_lite_toolbox_spark.text.pipeline import (
+        curation_ledger,
+        write_curation_flags_index,
+    )
+
+    corpus = E._corpus(spark, sf_dir)
+    flags = tempfile.mkdtemp(prefix="t_ledgerflags_")
+    src = tempfile.mkdtemp(prefix="t_ledgersrc_")
+    write_curation_flags_index(corpus, flags)
+    corpus.repartition(2).write.mode("overwrite").parquet(src)
+    got = sorted(
+        (r.id, r.status)
+        for r in run_streaming_curation_ledger(spark, flags, src).collect()
+    )
+    want = sorted(
+        (r.id, r.status) for r in curation_ledger(corpus).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    assert len({s for _, s in got}) >= 3  # fixture exercises the stack
+
+
 def test_match_line_cluster_empty_a(spark, sf_dir):
     """k=0 (empty A side) returns an empty typed frame, not a crash
     in the seed collect."""
