@@ -61,11 +61,28 @@ HEADLINE = [
     "unigram_encode",
     "bpe_encode",
     "mmr_topk",
+    # heavy non-pair aggregate/ML rows (round-8, r7 VERDICT item 6):
+    # the count-aggregate + broadcast-join shapes deserve the same
+    # two-decade exchange evidence as the dedup family. table_profile
+    # reads the 10x-replicated lineitem (orderkey-offset copies);
+    # nb_classify / lr_quality / dup_ngram_coverage ride the 10x
+    # corpus; embedding_clusters the 10x embeddings; unigram_train_em
+    # is vocab-bounded after one corpus-sized word count (round-1 DP
+    # over the big substring seed is the documented floor).
+    "table_profile",
+    "nb_classify",
+    "lr_quality",
+    "embedding_clusters",
+    "dup_ngram_coverage",
+    "unigram_train_em",
 ]
 
 
 def generate(spark) -> None:
-    if os.path.exists(os.path.join(SF1, "_GENERATED")):
+    # V2 (round 8): lineitem is now a REAL 10x replication (orderkey-
+    # offset copies) instead of a symlink, so table_profile's sf1 row
+    # measures actual scale; older generated dirs regenerate once.
+    if os.path.exists(os.path.join(SF1, "_GENERATED_V2")):
         return
     os.makedirs(SF1, exist_ok=True)
     from pyspark.sql import functions as F
@@ -119,13 +136,31 @@ def generate(spark) -> None:
         f"{SF1}/embeddings.parquet"
     )
 
+    # lineitem: 10 orderkey-offset copies (table_profile's input) —
+    # distinct orderkeys grow linearly, the other columns' domains
+    # stay constant, row count exactly 10x
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    lparts = [
+        li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+        )
+        for k in range(COPIES)
+    ]
+    lout = lparts[0]
+    for p in lparts[1:]:
+        lout = lout.unionByName(p)
+    dst_li = f"{SF1}/lineitem.parquet"
+    if os.path.islink(dst_li):  # pre-V2 symlink
+        os.unlink(dst_li)
+    lout.repartition(16).write.mode("overwrite").parquet(dst_li)
+
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders events"
     ).split():
         dst = f"{SF1}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
-    open(os.path.join(SF1, "_GENERATED"), "w").write("ok\n")
+    open(os.path.join(SF1, "_GENERATED_V2"), "w").write("ok\n")
 
 
 def _time_query(spark, fn, sf_dir):
@@ -171,9 +206,19 @@ def main() -> None:
     ship_package(spark)
     generate(spark)
 
-    qs = E.queries()
+    # optional argv subset (round 8): run only the named queries and
+    # MERGE their rows into the existing BENCH_SF1.json — the 16-query
+    # board no longer fits one driver timeout window, and per-family
+    # re-measurement shouldn't re-pay the whole board anyway
+    subset = [a for a in sys.argv[1:] if a in set(HEADLINE)]
+    names = subset or HEADLINE
     report: dict[str, dict] = {}
-    for name in HEADLINE:
+    out_path = os.path.join(REPO, "BENCH_SF1.json")
+    if subset and os.path.exists(out_path):
+        report.update(json.load(open(out_path)).get("queries", {}))
+
+    qs = E.queries()
+    for name in names:
         row: dict = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             sec, static_plan, final_plan, rows = _time_query(
@@ -206,6 +251,7 @@ def main() -> None:
             row["sf1_exchanges"] <= row["sf0.1_exchanges"]
             and row["sf1_final_exchanges"] <= row["sf0.1_final_exchanges"]
         )
+        row["loadavg1"] = round(os.getloadavg()[0], 1)
         report[name] = row
         print(name, json.dumps(row))
 
@@ -229,12 +275,20 @@ def main() -> None:
             "unigram_fertility's output is source-bounded (rows_ratio "
             "1.0) and its DP is vocab-bounded — the 10x corpus adds only "
             "the 10 copymark words to the distinct-word table, so its "
-            "wall ratio isolates the corpus-sized word-count aggregate."
+            "wall ratio isolates the corpus-sized word-count aggregate. "
+            "Round-8 additions (r7 VERDICT item 6): table_profile reads "
+            "a REAL 10x lineitem (orderkey-offset replicas, so distinct "
+            "orderkeys grow linearly and the other columns' domains stay "
+            "constant); nb_classify/lr_quality/dup_ngram_coverage ride "
+            "the 10x corpus; embedding_clusters the 10x embeddings; "
+            "unigram_train_em's round-1 DP runs over the big substring "
+            "seed of a vocab that gains only the copymark words."
         ),
         "cpus": int(CPUS),
+        "loadavg_end": list(os.getloadavg()),
         "queries": report,
     }
-    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({"total_sf1_sec": round(sum(r["sf1_sec"] for r in report.values()), 2)}))
     spark.stop()
