@@ -3580,6 +3580,34 @@ def _q_unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train_em(_corpus(spark, sf_dir))
 
 
+def _q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the WordPiece model
+    (text/wordpiece.py wordpiece_encode): greedy longest-match-first
+    segmentation with ## continuations and whole-word [UNK] — the
+    BERT tokenizer's rule, completing the tokenizer triad next to
+    bpe_encode (greedy merges) and unigram_encode (optimal DP). Same
+    (id, pos, token, token_id) contract; the oracle replays the
+    pre-pivoted best-length walk per distinct word."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.wordpiece import wordpiece_encode
+
+    docs = _corpus(spark, sf_dir).filter(F.col("id") % 10 == 0)
+    return wordpiece_encode(docs)
+
+
+def _q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece fertility + UNK-rate report per source
+    (text/wordpiece.py wordpiece_fertility): the vocabulary-coverage
+    metric a tokenizer review watches; digits/punctuation are absent
+    from the pinned vocabulary by design, so the fixture genuinely
+    exercises the whole-word [UNK] rule."""
+    from gpd_lite_toolbox_spark.text.wordpiece import wordpiece_fertility
+
+    s = _configure(spark)
+    return wordpiece_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
 def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration (text/dedup.py
     near_dup_threshold_curve): cumulative near-dup pair counts at each
@@ -3728,6 +3756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": _q_unigram_encode,
         "unigram_train": _q_unigram_train,
         "unigram_train_em": _q_unigram_train_em,
+        "wordpiece_encode": _q_wordpiece_encode,
+        "wordpiece_fertility": _q_wordpiece_fertility,
         "bpe_encode": _q_bpe_encode,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -4086,6 +4116,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode": OR.UNIGRAM_ENCODE,
         "unigram_train": OR.UNIGRAM_TRAIN,
         "unigram_train_em": OR.UNIGRAM_TRAIN_EM,
+        "wordpiece_encode": OR.WORDPIECE_ENCODE,
+        "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "bpe_encode": OR.BPE_ENCODE,
         "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "unigram_encode",
     "unigram_train",
     "unigram_train_em",
+    "wordpiece_encode",
+    "wordpiece_fertility",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

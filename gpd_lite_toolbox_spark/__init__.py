@@ -178,6 +178,7 @@ from .text.pipeline import (  # noqa: F401
     clean_corpus_summary,
     corpus_diff,
     curation_ledger,
+    write_curation_flags_index,
     drop_reasons,
     normalize_corpus,
     normalize_text_expr,
@@ -208,6 +209,11 @@ from .text.unigram import (  # noqa: F401
     unigram_encode,
     unigram_fertility,
     unigram_train,
+    unigram_train_em,
+)
+from .text.wordpiece import (  # noqa: F401
+    wordpiece_encode,
+    wordpiece_fertility,
 )
 from .text.analysis import (  # noqa: F401
     dup_ngram_coverage,
@@ -428,6 +434,7 @@ __all__ = [
     "drop_reasons",
     # round-6: substrate layer + end-to-end ledger
     "curation_ledger",
+    "write_curation_flags_index",
     "lr_train_gd",
     "lr_score",
     "standardize_features",
@@ -467,6 +474,9 @@ __all__ = [
     "unigram_fertility",
     "unigram_encode",
     "unigram_train",
+    "unigram_train_em",
+    "wordpiece_encode",
+    "wordpiece_fertility",
     "mmr_topk",
     # sketch/profile/layout breadth (round-4 session 8)
     "kmv_vocab_sketch",

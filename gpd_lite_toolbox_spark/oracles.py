@@ -5849,3 +5849,102 @@ def _ug_train_em_sql(
 
 
 UNIGRAM_TRAIN_EM = _ug_train_em_sql()
+
+
+# WordPiece greedy longest-match segmentation (text/wordpiece.py):
+# candidate hits pre-pivoted per (word, position) — best_l = the
+# longest vocabulary piece (##-prefixed after position 1) — then a
+# recursive walk advancing by best_l, collapsing to ['[UNK]'] the
+# first time no piece matches (j jumps past the end, ending the
+# chain). Pure string membership, no floats: trivially bit-exact.
+from .text import wordpiece as _wp  # noqa: E402
+
+_WP_VALS = ", ".join(
+    "('" + p.replace("'", "''") + "')" for p in _wp.WORDPIECE_VOCAB
+)
+
+
+def _wp_walk_ctes(max_len: int = 4) -> str:
+    """``wpv`` / ``wphits`` / ``wpwalk`` / ``wpseg`` CTEs over a
+    distinct-word CTE ``dw(w)`` upstream; ``wpseg(w, ps)`` is the
+    final segmentation."""
+    piece = (
+        "CASE WHEN t.j = 1 THEN substr(dw.w, CAST(t.j AS INT), l.l)"
+        " ELSE '##' || substr(dw.w, CAST(t.j AS INT), l.l) END"
+    )
+    wpiece = (
+        "CASE WHEN k.j = 1 THEN substr(k.w, k.j, h.best_l)"
+        " ELSE '##' || substr(k.w, k.j, h.best_l) END"
+    )
+    return f"""wpv AS (SELECT * FROM (VALUES {_WP_VALS}) v(piece)),
+wphits AS (
+  SELECT w, j, CAST(MAX(l) AS INT) AS best_l
+  FROM (
+    SELECT dw.w, CAST(t.j AS INT) AS j, l.l
+    FROM dw
+    CROSS JOIN UNNEST(range(1, length(dw.w) + 1)) t(j)
+    CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
+    JOIN wpv p ON p.piece = {piece}
+    WHERE l.l <= length(dw.w) - t.j + 1 AND l.l <= {int(max_len)}
+  ) GROUP BY w, j
+),
+wpwalk AS (
+  SELECT w, 1 AS j, CAST([] AS VARCHAR[]) AS ps FROM dw
+  UNION ALL
+  SELECT k.w,
+         CASE WHEN h.best_l IS NULL THEN length(k.w) + 1
+              ELSE k.j + h.best_l END,
+         CASE WHEN h.best_l IS NULL THEN ['{_wp.UNK_TOKEN}']
+              ELSE k.ps || [{wpiece}] END
+  FROM wpwalk k LEFT JOIN wphits h ON h.w = k.w AND h.j = k.j
+  WHERE k.j <= length(k.w)
+),
+wpseg AS (SELECT w, ps FROM wpwalk WHERE j > length(w))"""
+
+
+WORDPIECE_FERTILITY = f"""
+WITH RECURSIVE {oracle_ctes('scorpus')},
+wrd AS (SELECT source, UNNEST(string_split(COALESCE(text, ''), ' '))
+          AS w FROM scorpus),
+wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM wrd WHERE w <> '' GROUP BY source, w),
+dw AS (SELECT DISTINCT w FROM wc),
+{_wp_walk_ctes()},
+per AS (SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_words,
+               CAST(SUM(n * len(ps)) AS BIGINT) AS n_pieces,
+               CAST(SUM(CASE WHEN ps[1] = '{_wp.UNK_TOKEN}'
+                             THEN n ELSE 0 END) AS BIGINT) AS unks
+        FROM wc JOIN wpseg USING (w) GROUP BY source)
+SELECT source, n_words, n_pieces,
+       CASE WHEN n_words > 0
+            THEN ROUND(n_pieces / CAST(n_words AS DOUBLE), 6)
+            ELSE 0.0 END AS fertility,
+       CASE WHEN n_words > 0
+            THEN ROUND(unks / CAST(n_words AS DOUBLE), 6)
+            ELSE 0.0 END AS unk_rate
+FROM per
+"""
+
+
+WORDPIECE_ENCODE = f"""
+WITH RECURSIVE {oracle_ctes('corpus')},
+docs AS (SELECT id, text FROM corpus WHERE id % 10 = 0),
+wl AS (SELECT id, string_split(COALESCE(text, ''), ' ') AS ws FROM docs),
+wseq AS (SELECT id, UNNEST(range(1, len(ws) + 1)) AS wpos, ws FROM wl),
+wq AS (SELECT id, wpos, ws[wpos] AS w FROM wseq WHERE ws[wpos] <> ''),
+dw AS (SELECT DISTINCT w FROM wq),
+{_wp_walk_ctes()},
+tok AS (SELECT q.id, q.wpos,
+               UNNEST(range(1, len(v.ps) + 1)) AS spos, v.ps AS acc
+        FROM wq q JOIN wpseg v USING (w)),
+tok2 AS (SELECT id, wpos, spos, acc[spos] AS token FROM tok),
+sym AS (SELECT token,
+               ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+        FROM (SELECT DISTINCT token FROM tok2))
+SELECT t.id,
+       ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY t.wpos, t.spos) - 1
+           AS pos,
+       t.token, s.token_id
+FROM tok2 t JOIN sym s USING (token)
+"""

@@ -1,0 +1,271 @@
+"""WordPiece tokenizer (greedy longest-match-first) — the third leg of
+the tokenizer family next to ``text/bpe.py`` (learned merges applied
+greedily) and ``text/unigram.py`` (piece inventory applied OPTIMALLY):
+WordPiece applies a piece inventory GREEDILY, always taking the longest
+vocabulary piece at the current position, with the ``##`` continuation
+convention for non-initial pieces and whole-word ``[UNK]`` fallback —
+the BERT tokenizer's segmentation rule (public spec: Schuster &
+Nakajima 2012; Devlin et al. 2018's WordPiece vocabulary format).
+
+Semantics per word: scan left to right; at each position take the
+LONGEST piece (length <= ``MAX_PIECE_LEN``) present in the vocabulary —
+spelled bare at word start, ``##``-prefixed after — and advance by its
+length; if NO piece matches at some position the WHOLE word becomes the
+single ``[UNK]`` token (BERT's rule: unknown-ness is a word property,
+not a character property).  Pure string membership — no costs, no
+floats — so the segmentation is trivially bit-exact across engines.
+
+Execution shape (the ``bpe_encode`` / ``unigram_encode`` discipline):
+the greedy fold runs once per DISTINCT word — a row-local
+``F.aggregate`` over character positions with pass-through once the
+word is consumed — then broadcast-joins back to the corpus word stream.
+The fold never touches corpus-sized data; at 100 TB the segmented table
+is bounded by |vocabulary|, the corpus-sized side is one
+partial-combined count aggregate.
+
+Reference scope: the reference engine (mthh/gpd_lite_toolbox) has no
+tokenizer surface; this module is part of the training-data-pipeline
+extension (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .unigram import _spark_str_lit
+
+UNK_TOKEN = "[UNK]"
+MAX_PIECE_LEN = 4
+
+# Pinned vocabulary (not learned) for the same reason as
+# bpe.FERTILITY_MERGES / unigram.UNIGRAM_PIECES: the hash gate needs
+# both engines to replay the SAME tokenizer.  Initial pieces are bare,
+# continuation pieces carry the ## prefix; singles cover a-z so most
+# alphabetic words segment, while digits/punctuation are deliberately
+# absent — words containing them exercise the whole-word [UNK] rule.
+_CHARS = "abcdefghijklmnopqrstuvwxyz"
+_MULTI = [
+    "st", "in", "er", "at", "or", "ta", "an", "ar", "ue", "me",
+    "ow", "al", "le", "ry", "da", "qu", "gr", "ha", "ex", "ve",
+    "ro", "co", "wi", "ke",
+    "ort", "ter", "mer", "ine", "que", "ord", "art", "ext", "lin",
+    "eam", "low", "ind", "ash", "val", "rea", "oin", "ust",
+    "part", "sort", "line", "atch", "park", "rder", "ream", "uery",
+    "erge", "wind", "alue", "lumn", "roup", "mall", "cust", "tome",
+]
+WORDPIECE_VOCAB: list[str] = (
+    list(_CHARS)
+    + ["##" + c for c in _CHARS]
+    + _MULTI
+    + ["##" + p for p in _MULTI]
+)
+
+
+def wordpiece_word_py(
+    word: str,
+    vocab: "list[str] | None" = None,
+    max_len: int = MAX_PIECE_LEN,
+) -> list[str]:
+    """Pure-Python reference segmentation — the independent third
+    implementation the unit tests pin both engines against."""
+    vs = set(vocab if vocab is not None else WORDPIECE_VOCAB)
+    n = len(word)
+    j, out = 0, []
+    while j < n:
+        best = None
+        for l in range(min(max_len, n - j), 0, -1):
+            piece = ("##" if j > 0 else "") + word[j : j + l]
+            if piece in vs:
+                best = piece
+                break
+        if best is None:
+            return [UNK_TOKEN]
+        out.append(best)
+        j += len(best) - (2 if best.startswith("##") else 0)
+    return out
+
+
+def _wp_segment_sql(
+    word: str,
+    vocab: "list[str] | None",
+    max_len: int,
+) -> str:
+    """Greedy longest-match segmentation of the string column named
+    ``word`` as ONE Catalyst expression: fold over character positions
+    with state ``struct(j, ps, unk)`` — ``j`` the next unconsumed
+    1-based position, pass-through once consumed; an unmatched
+    position collapses the word to ``[UNK]`` (j jumps past the end).
+    Vocabulary membership is a map literal probed with
+    ``try_element_at``; piece strings escape through the shared
+    ``_spark_str_lit`` (ADVICE r7)."""
+    vs = vocab if vocab is not None else WORDPIECE_VOCAB
+    mp = "map(" + ", ".join(
+        f"{_spark_str_lit(p)}, 1" for p in vs
+    ) + ")"
+    piece = (
+        f"CASE WHEN s.j = 1 THEN substr({word}, s.j, l)"
+        f" ELSE '##' || substr({word}, s.j, l) END"
+    )
+    # best matching length at position s.j (NULL if none); inlined at
+    # each reference — no let-binding exists in Spark SQL expressions,
+    # and the fold is vocab-bounded so the re-evaluation is cheap
+    best = f"""array_max(filter(
+      transform(sequence(1, {int(max_len)}), l ->
+        CASE WHEN l <= length({word}) - s.j + 1
+               AND try_element_at({mp}, {piece}) IS NOT NULL
+             THEN l END),
+      x -> x IS NOT NULL))"""
+    hit = (
+        f"CASE WHEN s.j = 1 THEN substr({word}, s.j, {best})"
+        f" ELSE '##' || substr({word}, s.j, {best}) END"
+    )
+    step = f"""CASE
+      WHEN s.unk OR s.j > length({word}) THEN s
+      WHEN {best} IS NULL THEN named_struct(
+        'j', CAST(length({word}) + 1 AS INT),
+        'ps', array('{UNK_TOKEN}'), 'unk', true)
+      ELSE named_struct(
+        'j', CAST(s.j + {best} AS INT),
+        'ps', concat(s.ps, array({hit})), 'unk', false)
+      END"""
+    return f"""aggregate(
+      sequence(1, length({word})),
+      named_struct('j', 1, 'ps', CAST(array() AS array<string>),
+                   'unk', false),
+      (s, _u) -> {step}).ps"""
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: "list[str] | None" = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """Tokenize the corpus under the WordPiece model — greedy
+    longest-match segmentation per word with ``##`` continuations and
+    whole-word ``[UNK]``.  Output: one row per emitted piece,
+    ``(id, pos, token, token_id)`` — the exact ``bpe_encode`` /
+    ``unigram_encode`` contract, so downstream packing / fertility
+    consumers are interchangeable.
+
+    Scale shape (the ``bpe_encode`` discipline): the greedy fold runs
+    once per DISTINCT word (|vocab|-bounded, broadcast back),
+    positions come from ONE id-keyed groupBy reassembling per-word
+    piece arrays in word order, and token ids are a bounded
+    single-partition rank window broadcast to the stream.
+    """
+    from pyspark.sql import Window
+
+    words_pos = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("wpos", "w"),
+    ).filter(F.col("w") != "")
+    seg = F.expr(_wp_segment_sql("w", vocab, max_len))
+    dw = words_pos.select("w").distinct().select("w", seg.alias("syms"))
+    per_doc = (
+        words_pos.join(F.broadcast(dw), "w")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("wpos", "syms"))
+                ).getField("syms")
+            ).alias("stream")
+        )
+    )
+    toks = per_doc.select(
+        "id", F.posexplode("stream").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    symtab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy("token")) - 1
+            ).cast("bigint").alias("token_id"),
+        )
+    )
+    return toks.join(F.broadcast(symtab), "token").select(
+        "id", "pos", "token", "token_id"
+    )
+
+
+def wordpiece_fertility(
+    docs: DataFrame,
+    vocab: "list[str] | None" = None,
+    strata_col: str = "source",
+    text_col: str = "text",
+    max_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """WordPiece fertility report per stratum: words, greedy piece
+    count, fertility, and the UNK rate — the coverage metric a
+    vocabulary review watches (a rising unk_rate means the vocabulary
+    no longer covers the corpus script/domain).
+
+    Columns: ``(source, n_words, n_pieces, fertility, unk_rate)``.
+    Same two-exchange shape as ``bpe_fertility``: the fold runs on the
+    DISTINCT word table, broadcast-joins to per-(stratum, word)
+    counts, then ONE partial-combined aggregate per stratum.
+    """
+    words = docs.select(
+        F.col(strata_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    seg = F.expr(_wp_segment_sql("w", vocab, max_len))
+    # generator barrier (the unigram _vocab_dp lesson): extracting two
+    # values from the raw fold column would duplicate the whole
+    # expression via CollapseProject — explode the 1-element array so
+    # both extractions reference the single Generate output
+    dw = (
+        wc.select("w")
+        .distinct()
+        .select("w", F.explode(F.array(seg)).alias("_ps"))
+        .select(
+            "w",
+            F.size("_ps").cast("bigint").alias("_np"),
+            (F.element_at("_ps", 1) == UNK_TOKEN).alias("_unk"),
+        )
+    )
+    per = (
+        wc.join(F.broadcast(dw), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("_np")).alias("n_pieces"),
+            F.sum(
+                F.when(F.col("_unk"), F.col("n")).otherwise(F.lit(0))
+            ).alias("_unks"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_pieces") / F.col("n_words").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("_unks") / F.col("n_words").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("unk_rate"),
+    )

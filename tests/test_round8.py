@@ -131,6 +131,66 @@ def test_stream_curation_ledger_equals_batch(spark, sf_dir):
     assert len({s for _, s in got}) >= 3  # fixture exercises the stack
 
 
+def test_wordpiece_matches_python_reference(spark):
+    """Greedy longest-match segmentation: the Spark fold must equal
+    the pure-Python reference word-for-word, including ## continuation
+    spelling and the whole-word [UNK] collapse."""
+    from gpd_lite_toolbox_spark.text.wordpiece import (
+        UNK_TOKEN,
+        wordpiece_encode,
+        wordpiece_word_py,
+    )
+
+    texts = [
+        (1, "customer order line123 part sort wind"),
+        (2, "query value small x9 zz"),
+        (3, None),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(texts, "id bigint, text string")
+    rows = wordpiece_encode(docs).orderBy("id", "pos").collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.id, []).append(r.token)
+    want: dict = {}
+    for i, t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                want.setdefault(i, []).extend(wordpiece_word_py(w))
+    assert got == want
+    assert UNK_TOKEN in got[1]  # line123 has digits -> whole-word UNK
+    # positions dense per doc, token_id = rank in sorted emitted vocab
+    toks = sorted({r.token for r in rows})
+    assert all(r.token_id == toks.index(r.token) for r in rows)
+    assert [r.pos for r in rows if r.id == 1] == list(
+        range(len(want[1]))
+    )
+
+
+def test_wordpiece_quoted_vocab_escapes(spark):
+    """Vocabulary entries with quotes/backslashes must escape into the
+    membership map literal (the shared _spark_str_lit path)."""
+    from gpd_lite_toolbox_spark.text.wordpiece import (
+        wordpiece_encode,
+        wordpiece_word_py,
+    )
+
+    vocab = ["don", "##'t", "'", "\\", "d", "o", "n", "##t", "##'"]
+    docs = spark.createDataFrame(
+        [(1, "don't \\")], "id bigint, text string"
+    )
+    got = [
+        r.token
+        for r in wordpiece_encode(docs, vocab=vocab)
+        .orderBy("pos")
+        .collect()
+    ]
+    want = []
+    for w in "don't \\".split(" "):
+        want.extend(wordpiece_word_py(w, vocab=vocab))
+    assert got == want == ["don", "##'t", "\\"]
+
+
 def test_match_line_cluster_empty_a(spark, sf_dir):
     """k=0 (empty A side) returns an empty typed frame, not a crash
     in the seed collect."""
