@@ -3608,6 +3608,19 @@ def _q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_fertility(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece trainer (text/wordpiece.py wordpiece_train, 8
+    merges): the LIKELIHOOD-scored merge rule — argmax of
+    cnt(ab)/(cnt(a)*cnt(b)) over the ##-seeded symbol vocabulary —
+    next to bpe_merges' raw-count argmax. The data-dependent loop has
+    fixed length, so the oracle unrolls 8 stages with materialized
+    per-step state; the score is one shared IEEE double expression,
+    bit-identical on identical integer counts in both engines."""
+    from gpd_lite_toolbox_spark.text.wordpiece import wordpiece_train
+
+    return wordpiece_train(_corpus(spark, sf_dir))
+
+
 def _q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration (text/dedup.py
     near_dup_threshold_curve): cumulative near-dup pair counts at each
@@ -3758,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train_em": _q_unigram_train_em,
         "wordpiece_encode": _q_wordpiece_encode,
         "wordpiece_fertility": _q_wordpiece_fertility,
+        "wordpiece_train": _q_wordpiece_train,
         "bpe_encode": _q_bpe_encode,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -4118,6 +4132,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train_em": OR.UNIGRAM_TRAIN_EM,
         "wordpiece_encode": OR.WORDPIECE_ENCODE,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
+        "wordpiece_train": OR.WORDPIECE_TRAIN,
         "bpe_encode": OR.BPE_ENCODE,
         "bpe_merges": OR.BPE_MERGES,
         "dedup_threshold_curve": OR.NEAR_DUP_THRESHOLD_CURVE,

@@ -158,7 +158,9 @@ BENCH_QUERIES = [
     # bpe_merges deliberately NOT benched: the iterative training runs
     # eagerly at query construction (argmax collect per merge), so a
     # timed noop-write of the 8-row result would be bench dishonesty;
-    # bpe_pair_counts times the real counting substrate instead
+    # bpe_pair_counts times the real counting substrate instead.
+    # wordpiece_train NOT benched for the same reason (same loop,
+    # likelihood argmax); wordpiece_encode/fertility time the family.
     "dq_audit",
     "ann_topk",
     "mmr_topk",

@@ -214,6 +214,7 @@ from .text.unigram import (  # noqa: F401
 from .text.wordpiece import (  # noqa: F401
     wordpiece_encode,
     wordpiece_fertility,
+    wordpiece_train,
 )
 from .text.analysis import (  # noqa: F401
     dup_ngram_coverage,
@@ -477,6 +478,7 @@ __all__ = [
     "unigram_train_em",
     "wordpiece_encode",
     "wordpiece_fertility",
+    "wordpiece_train",
     "mmr_topk",
     # sketch/profile/layout breadth (round-4 session 8)
     "kmv_vocab_sketch",

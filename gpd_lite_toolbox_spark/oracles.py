@@ -5927,6 +5927,79 @@ FROM per
 """
 
 
+# WordPiece TRAINING replay (text/wordpiece.py wordpiece_train,
+# n_merges=8): the BPE_MERGES unrolling with the LIKELIHOOD argmax —
+# per stage, adjacent-pair counts AND symbol counts over the evolving
+# ##-seeded vocabulary, the winner by the shared WP_SCORE_SQL double
+# (IEEE * and / are correctly rounded, so identical integer counts
+# give bit-identical doubles in both engines), ties (a, b); the merge
+# fold concatenates with the right side's ## stripped.
+def _wp_train_sql(n_merges: int = 8, min_count: int = 2) -> str:
+    score = (
+        "1000000.0 * CAST(cnt AS DOUBLE)"
+        " / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+    )
+    apply_fold = (
+        "list_reduce(list_transform(syms, s -> [s]),"
+        " (acc, e) -> CASE WHEN len(acc) > 0"
+        " AND acc[len(acc)] = bk.a AND e[1] = bk.b"
+        " THEN acc[1:len(acc)-1] || [bk.m]"
+        " ELSE acc || e END)"
+    )
+    parts = [
+        """wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+             FROM corpus) WHERE w <> '' GROUP BY w)""",
+        # AS MATERIALIZED: each step's state is referenced THREE times
+        # (pair counts, symbol counts, next state) — DuckDB inlines
+        # non-materialized CTE references, so the unrolled 8 steps
+        # would otherwise expand to 3^8 corpus scans (observed as an
+        # fd-exhaustion IOException, not just slowness)
+        """s0 AS MATERIALIZED (SELECT list_transform(range(1, length(w) + 1),
+                    j -> CASE WHEN j = 1 THEN substr(w, 1, 1)
+                         ELSE '##' || substr(w, CAST(j AS INT), 1) END)
+                    AS syms, n FROM wc)""",
+    ]
+    for k in range(1, int(n_merges) + 1):
+        parts.append(
+            f"pc{k} AS (SELECT syms[i] AS a, syms[i + 1] AS b,"
+            f" CAST(SUM(n) AS BIGINT) AS cnt"
+            f" FROM s{k - 1}, UNNEST(range(1, len(syms))) t(i)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"sc{k} AS (SELECT s, CAST(SUM(n) AS BIGINT) AS scnt"
+            f" FROM (SELECT UNNEST(syms) AS s, n FROM s{k - 1})"
+            f" GROUP BY s)"
+        )
+        parts.append(
+            f"""b{k} AS (SELECT a, b,
+           a || CASE WHEN starts_with(b, '##') THEN substr(b, 3)
+                     ELSE b END AS m,
+           cnt, ROUND({score}, 6) AS score_e6
+       FROM (SELECT p.a, p.b, p.cnt, x.scnt AS ca, y.scnt AS cb
+             FROM pc{k} p
+             JOIN sc{k} x ON x.s = p.a JOIN sc{k} y ON y.s = p.b
+             WHERE p.cnt >= {int(min_count)})
+       ORDER BY {score} DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT CASE WHEN bk.a IS NULL"
+            f" THEN syms ELSE {apply_fold} END AS syms, n"
+            f" FROM s{k - 1} LEFT JOIN b{k} bk ON TRUE)"
+        )
+    finals = " UNION ALL ".join(
+        f'SELECT {k - 1} AS step, a AS "left", b AS "right", cnt,'
+        f" score_e6 FROM b{k}"
+        for k in range(1, int(n_merges) + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH {oracle_ctes('corpus')},\n{body}\n{finals}"
+
+
+WORDPIECE_TRAIN = _wp_train_sql()
+
+
 WORDPIECE_ENCODE = f"""
 WITH RECURSIVE {oracle_ctes('corpus')},
 docs AS (SELECT id, text FROM corpus WHERE id % 10 = 0),

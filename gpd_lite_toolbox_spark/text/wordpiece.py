@@ -269,3 +269,134 @@ def wordpiece_fertility(
         .otherwise(F.lit(0.0))
         .alias("unk_rate"),
     )
+
+
+def wp_char_seqs(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(syms, n)`` — word vocabulary split into WordPiece seed
+    symbols: the first character bare, every later character
+    ##-prefixed (the BERT continuation convention), weighted by word
+    frequency. One combinable exchange (``word_vocab``)."""
+    from .bpe import word_vocab
+
+    wv = word_vocab(corpus, text_col)
+    syms = F.expr(
+        "transform(sequence(1, length(w)), j -> CASE WHEN j = 1"
+        " THEN substr(w, 1, 1)"
+        " ELSE '##' || substr(w, CAST(j AS INT), 1) END)"
+    )
+    return wv.select(syms.alias("syms"), "n")
+
+
+def _merge_spelling(left: str, right: str) -> str:
+    """The merged symbol's spelling: the right side drops its ##
+    (continuation-ness is carried by the left side's prefix)."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def _apply_wp_merge(
+    syms_col: "F.Column", left: str, right: str
+) -> "F.Column":
+    """Greedy left-to-right merge of adjacent (left, right) — the
+    ``bpe._apply_merge`` fold with the WordPiece spelling rule."""
+    merged = _merge_spelling(left, right)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (t == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+# the deterministic double expression BOTH engines evaluate for the
+# merge score — IEEE * and / are correctly rounded, so identical
+# integer inputs give bit-identical doubles on the JVM and in DuckDB
+WP_SCORE_SQL = (
+    "1000000.0 * CAST(cnt AS DOUBLE)"
+    " / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+)
+
+
+def wordpiece_train(
+    corpus: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` WordPiece merges from the corpus — the
+    LIKELIHOOD-scored variant of BPE training (the published WordPiece
+    rule: merge the pair maximizing ``count(ab) / (count(a) *
+    count(b))``, the unigram-LM likelihood gain, where BPE maximizes
+    raw ``count(ab)``).  Returns ``(step, left, right, cnt,
+    score_e6)`` in learned order; stops early when no pair reaches
+    ``min_count``.
+
+    Determinism/gate: counts are exact integers; the score is ONE
+    fixed double expression (``WP_SCORE_SQL``) whose * and / are
+    IEEE-correctly-rounded, so Spark and DuckDB order candidates
+    identically; ties break (left, right) on binary collation.  The
+    emitted ``score_e6`` goes through ROUND(...,6) inside the engine
+    (never Python's banker-rounding ``round``).
+
+    Scale shape: the ``bpe_train`` discipline — the corpus collapses
+    to the word vocabulary once; each step is two combinable aggregates
+    (pair counts + symbol counts) joined on the bounded symbol table,
+    a 1-row argmax collect (the winning pair must become a literal in
+    the next rewrite plan), and a row-local merge fold with
+    ``localCheckpoint`` lineage truncation.
+    """
+    from .bpe import _pair_counts
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    spark = corpus.sparkSession
+    seqs = wp_char_seqs(corpus, text_col=text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int, float]] = []
+    for step in range(int(n_merges)):
+        sc = (
+            seqs.select(F.explode("syms").alias("s"), "n")
+            .groupBy("s")
+            .agg(F.sum("n").alias("scnt"))
+        )
+        scored = (
+            _pair_counts(seqs)
+            .filter(F.col("cnt") >= int(min_count))
+            .join(
+                sc.select(F.col("s").alias("a"), F.col("scnt").alias("ca")),
+                "a",
+            )
+            .join(
+                sc.select(F.col("s").alias("b"), F.col("scnt").alias("cb")),
+                "b",
+            )
+        )
+        best = (
+            scored.orderBy(
+                F.expr(WP_SCORE_SQL).desc(), F.col("a"), F.col("b")
+            )
+            .limit(1)
+            .select(
+                "a", "b", "cnt",
+                F.expr(f"round({WP_SCORE_SQL}, 6)").alias("score_e6"),
+            )
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append(
+            (step, a, b, int(best[0]["cnt"]), float(best[0]["score_e6"]))
+        )
+        seqs = seqs.select(
+            _apply_wp_merge(F.col("syms"), a, b).alias("syms"), "n"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, cnt bigint,"
+        " score_e6 double",
+    )

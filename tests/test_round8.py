@@ -191,6 +191,29 @@ def test_wordpiece_quoted_vocab_escapes(spark):
     assert got == want == ["don", "##'t", "\\"]
 
 
+def test_wordpiece_train_likelihood_argmax(spark):
+    """The WP trainer must pick the likelihood winner, not the raw
+    count winner: 'xq' occurs 3 times but x/q occur nowhere else, so
+    its score 3/(3*3) beats 'ab' with 5/(9*7) despite cnt 5 > 3; the
+    merged symbol strips the right side's ##."""
+    from gpd_lite_toolbox_spark.text.wordpiece import wordpiece_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xq xq xq ab ab ab ab ab a a a a b b"),
+        ],
+        "id bigint, text string",
+    )
+    rows = wordpiece_train(docs, n_merges=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.left, r.right, r.cnt) == ("x", "##q", 3)
+    # score = 1e6 * 3 / (3 * 3)
+    assert r.score_e6 == round(1e6 * 3 / 9, 6)
+    two = wordpiece_train(docs, n_merges=2).collect()
+    assert (two[1].left, two[1].right) == ("a", "##b")
+
+
 def test_match_line_cluster_empty_a(spark, sf_dir):
     """k=0 (empty A side) returns an empty typed frame, not a crash
     in the seed collect."""
