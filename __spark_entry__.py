@@ -3666,67 +3666,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_contract.py pins that every declared query has a
 # historical driver row in EVIDENCE.json or sits in this window).
 DRIVER_WINDOW = [
-    # --- never driver-checked (added after the r6 freeze), 2 ---
-    "event_trend",
-    "lr_quality",
-    # --- newly hash-gated this round (was rows-only) ---
-    "grid_cut_hull",
-    # --- latest green is r1/r2, 11 ---
-    "dorling_cartogram",
-    "dorling_radius2",
-    "embedding_dups",
-    "idw_interpolation",
-    "isochrone_surface",
-    "media_pipeline",
-    "revenue_by_nation",
-    "top_customers",
-    "tpch_pricing",
-    "dorling_radius",
+    # Round-8 window (freeze-last discipline, r7 VERDICT item 4).
+    # Slots 1-7: this round's new/changed queries — the relational-
+    # Lloyd rewrite (match_line_cluster newly hash-gated + its twins
+    # gate re-checked under the new clustering), the EM trainer, the
+    # streaming ledger, and the WordPiece triad.
     "match_line_cluster",
-    # --- the r3 long tail, 35 ---
-    "ann_lsh_topk",
-    "bearing",
-    "bm25_topk",
-    "clean_corpus",
-    "concave_pairs",
-    "crs_mercator",
-    "dissolve_country",
-    "dup_groups",
-    "ftouches_pairs",
-    "geojson_roundtrip",
-    "grid_cut",
-    "intersection_part",
-    "isochrone_polys",
-    "knn_points",
-    "lang_id",
-    "match_lines_ragged",
-    "mean_coords_global",
-    "multi_to_single",
-    "ngram_jaccard",
-    "pack_sequences",
-    "quality",
-    "random_pts_poly",
-    "repetition_stats",
-    "shared_border",
-    "simhash",
-    "stratified_sample",
-    "value_histogram",
-    "zorder_keys",
-    # --- slots 43-50: this round's new queries and gates
-    # (freeze-last; the displaced dumb_multi_to_single / hav_dist /
-    # simhash_local / wkt_roundtrip / fingerprint / token_stats /
-    # tfidf_topk keep their r3 greens and their code paths stay
-    # covered by multi_to_single / bearing / simhash /
-    # geojson_roundtrip / exact-dedup-family / quality+lang_id /
-    # bm25_topk above) ---
-    "stream_ingest_near_dups",
-    "bpe_encode",
-    "dedup_threshold_curve",
-    "bpe_merges",
-    "unigram_fertility",
-    "unigram_encode",
-    "unigram_train",
-    "mmr_topk",
+    "match_cluster_twins",
+    "unigram_train_em",
+    "stream_curation_ledger",
+    "wordpiece_encode",
+    "wordpiece_fertility",
+    "wordpiece_train",
+    # Slots 8-14: the 7 queries whose latest green was r3 — after this
+    # round no query's evidence is older than r4.
+    "dumb_multi_to_single",
+    "fingerprint",
+    "hav_dist",
+    "simhash_local",
+    "tfidf_topk",
+    "token_stats",
+    "wkt_roundtrip",
+    # Slots 15-50: the alphabetically-first 36 of the 45 r4-green
+    # queries (the oldest remaining evidence tier). The 9 left at r4
+    # — shard_corpus, split_corpus, stream_dedup, stream_interval_join,
+    # stream_near_dedup, top_users_daily, unigram_logprob, url_stats,
+    # warc_roundtrip — rotate next round.
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    "asof_prev_event",
+    "audio_chunks",
+    "boilerplate_lines",
+    "build_vocab",
+    "cdc_snapshot",
+    "chunk_documents",
+    "corpus_diff",
+    "csv_roundtrip",
+    "dedup_canonical",
+    "doc_profile",
+    "docs_rollup",
+    "domain_mixture",
+    "dorling_stats",
+    "dq_audit",
+    "event_transitions",
+    "events_window",
+    "html_extract",
+    "hull_stats",
+    "json_props_stats",
+    "jsonl_roundtrip",
+    "label_centroids",
+    "media_features",
+    "normalize_corpus",
+    "orc_roundtrip",
+    "pii_scan",
+    "quality_funnel",
+    "quantize_int8",
+    "range_neighborhood",
+    "rate_anomaly",
+    "regex_tokens",
+    "resample_ffill",
+    "sample_k_per_group",
+    "session_window",
+    "sessionize",
 ]
 
 
