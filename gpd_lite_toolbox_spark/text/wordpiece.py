@@ -400,3 +400,41 @@ def wordpiece_train(
         "step int, left string, right string, cnt bigint,"
         " score_e6 double",
     )
+
+
+def wordpiece_vocab_learned(
+    corpus: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[str]:
+    """Train-and-assemble a usable WordPiece vocabulary: the seed
+    symbols (every word-initial character bare, every character as a
+    ## continuation) plus each learned merge's exact spelling (the
+    trainer's ``m`` column already carries prefix status — a bare left
+    side yields a bare merged symbol, a ## left side a ## one).  The
+    result feeds ``wordpiece_encode(vocab=..., max_len=...)`` /
+    ``wordpiece_fertility`` directly after this bounded driver collect
+    (the ``bpe_train`` artifact pattern); pass ``max_len`` >= the
+    longest merged CONTENT so the greedy matcher can reach it."""
+    from .bpe import word_vocab
+
+    wv = word_vocab(corpus, text_col)
+    chars = wv.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)), j -> CASE WHEN j = 1"
+                " THEN substr(w, 1, 1)"
+                " ELSE '##' || substr(w, CAST(j AS INT), 1) END)"
+            )
+        ).alias("s")
+    ).distinct()
+    merges = wordpiece_train(
+        corpus, n_merges=n_merges, text_col=text_col, min_count=min_count
+    ).collect()
+    learned = []
+    for r in merges:
+        learned.append(_merge_spelling(r.left, r.right))
+    return sorted(
+        {r.s for r in chars.collect()} | set(learned)
+    )

@@ -214,6 +214,36 @@ def test_wordpiece_train_likelihood_argmax(spark):
     assert (two[1].left, two[1].right) == ("a", "##b")
 
 
+def test_wordpiece_learned_vocab_beats_chars(spark, sf_dir):
+    """Trainer -> tokenizer glue: a vocabulary assembled from learned
+    merges must segment the training corpus with strictly lower
+    fertility than the char-only seed vocabulary, and everything the
+    char vocabulary covers stays covered (no new UNKs)."""
+    import __spark_entry__ as E
+    from gpd_lite_toolbox_spark.text.wordpiece import (
+        wordpiece_fertility,
+        wordpiece_vocab_learned,
+    )
+
+    corpus = E._corpus(spark, sf_dir).withColumn("source", F.lit("s"))
+    learned = wordpiece_vocab_learned(corpus, n_merges=8)
+    chars = sorted(v for v in learned if len(v.lstrip("#")) <= 1 or (
+        v.startswith("##") and len(v) == 3))
+    max_len = max(len(v[2:]) if v.startswith("##") else len(v)
+                  for v in learned)
+
+    def stats(vocab):
+        r = wordpiece_fertility(
+            corpus, vocab=vocab, max_len=max_len
+        ).collect()[0]
+        return r.n_pieces, r.unk_rate
+
+    np_learned, unk_learned = stats(learned)
+    np_chars, unk_chars = stats(chars)
+    assert np_learned < np_chars
+    assert unk_learned == unk_chars
+
+
 def test_match_line_cluster_empty_a(spark, sf_dir):
     """k=0 (empty A side) returns an empty typed frame, not a crash
     in the seed collect."""
