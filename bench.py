@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "bearing",
     "match_lines",
     "match_lines_ragged",
+    # benchable since r8: the relational Lloyd replaced the eager
+    # pyspark.ml fit — construction is one bounded k-row seed collect,
+    # the clustering itself is the timed lazy plan
+    "match_line_cluster",
     "exact_dedup",
     "minhash_pairs",
     "dup_groups",

@@ -45,7 +45,9 @@ def _centers_one_row(centers: DataFrame) -> DataFrame:
     )
 
 
-def _assign(vectors_d: DataFrame, centers: DataFrame) -> DataFrame:
+def _assign(
+    vectors_d: DataFrame, centers: DataFrame, dims: int
+) -> DataFrame:
     """Row-local argmin assignment: d2 list over the centers array
     (left-to-right fold from 0.0 per center), first-min ties by cell
     index via array_position. Adds ``cell`` to the input columns.
@@ -53,7 +55,13 @@ def _assign(vectors_d: DataFrame, centers: DataFrame) -> DataFrame:
     The fold is built as SQL-expression strings (one expr() py4j call
     each) — the Column-API build of this module measured ~1.8 s of
     driver time PER QUERY CALL in py4j round trips (the unigram
-    lesson, text/unigram.py:_viterbi_sql); semantics are identical."""
+    lesson, text/unigram.py:_viterbi_sql); semantics are identical.
+    A per-dimension UNROLLED indexing form was tried in round 8 and
+    REJECTED: 2 x dims GetArrayItem evaluations per center per row in
+    the interpreted projection measured ~2x SLOWER than the
+    zip_with+aggregate fold at both dims=4/k=1000 and dims=64/k=8
+    (``dims`` stays a parameter for the signature's sake)."""
+    del dims  # documented rejection above; fold reads full arrays
     d2l = F.expr(
         "transform(_ctr, c -> aggregate("
         "zip_with(_vv, c.cv, (x, y) -> (x - y) * (x - y)),"
@@ -113,7 +121,7 @@ def kmeans_assign(
         ),
     )
     for _ in range(n_iter):
-        assigned = _assign(vd, centers)
+        assigned = _assign(vd, centers, dims)
         means = assigned.groupBy("cell").agg(
             *[
                 F.expr(
@@ -130,6 +138,6 @@ def kmeans_assign(
             centers.join(means, "cell", "left")
             .select("cell", F.expr(cv_expr).alias("cv"))
         )
-    return _assign(vd, centers).select(
+    return _assign(vd, centers, dims).select(
         F.col("id").alias(id_col), "cell"
     )
