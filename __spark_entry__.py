@@ -3580,6 +3580,29 @@ def _q_unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train_em(_corpus(spark, sf_dir))
 
 
+def _q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (text/corpus.py fim_split,
+    Bavarian et al. 2022): a deterministic hashed 50% of corpus docs
+    split into non-empty (prefix, middle, suffix) at two
+    multiplicative-hash cut points; pure integer row-local arithmetic,
+    replayed exactly by the oracle."""
+    from gpd_lite_toolbox_spark.text.corpus import fim_split
+
+    return fim_split(_corpus(spark, sf_dir))
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text/corpus.py dsir_weights, Xie et
+    al. 2023): per-doc log-likelihood ratio of the 'mirror'-source
+    unigram LM vs the raw LM over the sourced corpus — the weight
+    importance resampling draws against; decimal-lattice per-doc sums
+    keep the score partition-order independent."""
+    from gpd_lite_toolbox_spark.text.corpus import dsir_weights
+
+    s = _configure(spark)
+    return dsir_weights(FX.fixture_df(s, sf_dir, "scorpus"))
+
+
 def _q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization under the WordPiece model
     (text/wordpiece.py wordpiece_encode): greedy longest-match-first
@@ -3726,8 +3749,11 @@ DRIVER_WINDOW = [
     "regex_tokens",
     "resample_ffill",
     "sample_k_per_group",
-    "session_window",
-    "sessionize",
+    # (slots 49-50 went to the two late-round additions below;
+    # session_window / sessionize keep their r4 greens and rotate
+    # next round with the other r4 leftovers)
+    "fim_split",
+    "dsir_weights",
 ]
 
 
@@ -3771,6 +3797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": _q_unigram_train,
         "unigram_train_em": _q_unigram_train_em,
         "wordpiece_encode": _q_wordpiece_encode,
+        "fim_split": _q_fim_split,
+        "dsir_weights": _q_dsir_weights,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
         "bpe_encode": _q_bpe_encode,
@@ -4132,6 +4160,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": OR.UNIGRAM_TRAIN,
         "unigram_train_em": OR.UNIGRAM_TRAIN_EM,
         "wordpiece_encode": OR.WORDPIECE_ENCODE,
+        "fim_split": OR.FIM_SPLIT,
+        "dsir_weights": OR.DSIR_WEIGHTS,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,
         "bpe_encode": OR.BPE_ENCODE,

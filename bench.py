@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "unigram_train_em",
     "wordpiece_encode",
     "wordpiece_fertility",
+    "fim_split",
+    "dsir_weights",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

@@ -132,6 +132,8 @@ from .text.corpus import (  # noqa: F401
     split_expr,
     bigram_logprob,
     kn_bigram_logprob,
+    fim_split,
+    dsir_weights,
     quality_blend,
     epoch_expand,
 )
@@ -436,6 +438,8 @@ __all__ = [
     # round-6: substrate layer + end-to-end ledger
     "curation_ledger",
     "write_curation_flags_index",
+    "fim_split",
+    "dsir_weights",
     "lr_train_gd",
     "lr_score",
     "standardize_features",

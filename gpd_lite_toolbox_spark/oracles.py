@@ -5851,6 +5851,64 @@ def _ug_train_em_sql(
 UNIGRAM_TRAIN_EM = _ug_train_em_sql()
 
 
+# Fill-in-the-middle transform (text/corpus.py fim_split): pure
+# integer multiplicative-hash selection + cut points, replayed with
+# the same modular arithmetic; substr semantics agree 1-based/length
+# in both engines.
+FIM_SPLIT = f"""
+WITH {oracle_ctes('corpus')},
+b AS (SELECT id, text, length(text) AS n,
+             ((id % 100000) * 2654435761) % 100 < 50 AS sel,
+             (id * 2246822519) % 1000003 AS u1,
+             (id * 7919) % 1000003 AS u2
+      FROM corpus),
+c AS (SELECT id, text, n,
+             (text IS NOT NULL AND n >= 20 AND sel) AS fim,
+             CAST(1 + (u1 % (n - 2)) AS INT) AS s1, u2
+      FROM b),
+d AS (SELECT id, text, n, fim, s1,
+             CAST(s1 + 1 + (u2 % (n - s1 - 1)) AS INT) AS s2
+      FROM c)
+SELECT id, fim,
+       CASE WHEN fim THEN substr(text, 1, s1) ELSE text END AS prefix,
+       CASE WHEN fim THEN substr(text, s1 + 1, s2 - s1)
+            ELSE '' END AS middle,
+       CASE WHEN fim THEN substr(text, s2 + 1, n - s2)
+            ELSE '' END AS suffix
+FROM d
+"""
+
+
+# DSIR importance weights (text/corpus.py dsir_weights): add-one
+# smoothed unigram log-likelihood ratio, per-token value through the
+# shared qdec lattice (ROUND(x+1e-9,6) :: DECIMAL(14,6)), per-doc sum
+# exact on decimals, one deterministic cast back to double (dsum).
+DSIR_WEIGHTS = f"""
+WITH {oracle_ctes('scorpus')},
+tk AS (SELECT id, source = 'mirror' AS t,
+              UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+       FROM scorpus),
+tk2 AS (SELECT * FROM tk WHERE tok <> ''),
+vocab AS (SELECT tok,
+                 CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+          FROM tk2 GROUP BY tok),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+               CAST(SUM(cr) AS BIGINT) AS tr,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM vocab),
+ratio AS (SELECT tok,
+                 CAST(ROUND(
+                   LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+                 - LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE))
+                 + 1e-9, 6) AS DECIMAL(14,6)) AS lr
+          FROM vocab CROSS JOIN tot)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(lr) AS DECIMAL(26,6)) AS DOUBLE) AS logratio
+FROM tk2 JOIN ratio USING (tok) WHERE NOT t GROUP BY id
+"""
+
+
 # WordPiece greedy longest-match segmentation (text/wordpiece.py):
 # candidate hits pre-pivoted per (word, position) — best_l = the
 # longest vocabulary piece (##-prefixed after position 1) — then a

@@ -1575,3 +1575,130 @@ def epoch_expand(
         .withColumn("_nc", n_copies)
         .select("id", "source", F.explode(copies).alias("epoch"))
     )
+
+
+def fim_split(
+    docs: DataFrame,
+    fim_pct: int = 50,
+    min_chars: int = 20,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): a
+    deterministic ``fim_pct``% of documents are split into
+    (prefix, middle, suffix) at two hashed character positions — the
+    PSM decomposition an FIM training pipeline feeds the sequence
+    builder; the rest (and every doc shorter than ``min_chars`` or
+    NULL) pass through whole with empty middle/suffix.
+
+    Everything is integer arithmetic on multiplicative id hashes
+    (the ``stratified_sample`` discipline): the decision and both cut
+    points are properties of the ROW, so re-runs, retries, and any
+    partition layout produce identical splits, and the DuckDB oracle
+    replays them exactly.  Split invariants: 1 <= s1 < s2 <= len-1,
+    so all three parts of a selected doc are non-empty.
+
+    Output: ``(id, fim, prefix, middle, suffix)``.  Row-local — no
+    shuffle; the filter/projection fuses into the scan at any scale.
+    """
+    if not 0 <= int(fim_pct) <= 100:
+        raise ValueError(f"fim_pct must be 0..100, got {fim_pct}")
+    text = F.col(text_col)
+    n = F.length(text)
+    uid = F.pmod(F.col(id_col).cast("long"), F.lit(_HASH_MOD))
+    sel = F.pmod(uid * F.lit(_HASH_A), F.lit(100)) < F.lit(int(fim_pct))
+    fim = text.isNotNull() & (n >= int(min_chars)) & sel
+    u1 = F.pmod(F.col(id_col).cast("long") * F.lit(2246822519), F.lit(1000003))
+    u2 = F.pmod(F.col(id_col).cast("long") * F.lit(7919), F.lit(1000003))
+    s1 = (F.lit(1) + F.pmod(u1, n - 2)).cast("int")
+    s2 = (s1 + 1 + F.pmod(u2, n - s1 - 1)).cast("int")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        fim.alias("fim"),
+        F.when(fim, F.substring(text, F.lit(1), s1))
+        .otherwise(text)
+        .alias("prefix"),
+        F.when(fim, F.substring(text, s1 + 1, s2 - s1))
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(fim, F.substring(text, s2 + 1, n - s2))
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str = "source",
+    target_value: str = "mirror",
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    NON-target document by the log-likelihood ratio of an add-one-
+    smoothed target-domain unigram LM against the raw-domain LM — the
+    weight importance resampling draws against when curating a raw
+    crawl toward a target domain.
+
+    ``logratio = sum_w count_d(w) * [ln((ct(w)+1)/(Tt+V))
+                                   - ln((cr(w)+1)/(Tr+V))]``
+    over the shared vocabulary V (hapax smoothing keeps unseen-in-
+    target words finite).  Positive = more target-like than raw.
+
+    Numerics (the lr_quality discipline): each token's log-ratio goes
+    through the 1e-9-shifted round into DECIMAL(14,6), the per-doc sum
+    runs on the exact decimal lattice (order-independent — a plain
+    double SUM would be partition-order dependent), and ONE
+    deterministic rounding hands the result back to double.
+
+    Plan shape: one token explode feeding the vocab count (ct/cr in
+    the SAME partial-combined aggregate) and the score join; the vocab
+    table broadcasts under AQE; one corpus-wide per-doc aggregate.
+
+    Output: ``(id, n_tokens, logratio)`` for non-target docs.
+    """
+    from ..numerics import dsum, qdec
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        (F.col(target_col) == F.lit(target_value)).alias("_t"),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").alias("_tt"),
+        F.sum("cr").alias("_tr"),
+        F.count("*").alias("_v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        qdec(
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("_tt") + F.col("_v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("_tr") + F.col("_v")).cast("double")
+            )
+        ).alias("_lr"),
+    )
+    return (
+        toks.filter(~F.col("_t"))
+        .join(ratio, "tok")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            dsum("_lr").alias("logratio"),
+        )
+    )

@@ -244,6 +244,70 @@ def test_wordpiece_learned_vocab_beats_chars(spark, sf_dir):
     assert unk_learned == unk_chars
 
 
+def test_fim_split_invariants(spark, sf_dir):
+    """FIM parts reassemble to the original text for selected docs
+    with all three parts non-empty; unselected/short/NULL docs pass
+    through whole; the decision is partition-invariant."""
+    import __spark_entry__ as E
+    from gpd_lite_toolbox_spark.text.corpus import fim_split
+
+    corpus = E._corpus(spark, sf_dir)
+    out = fim_split(corpus)
+    joined = out.join(
+        corpus.select(F.col("id"), F.col("text").alias("_orig")), "id"
+    )
+    bad = joined.filter(
+        F.col("fim")
+        & (
+            (F.concat("prefix", "middle", "suffix") != F.col("_orig"))
+            | (F.length("prefix") == 0)
+            | (F.length("middle") == 0)
+            | (F.length("suffix") == 0)
+        )
+    ).count()
+    assert bad == 0
+    whole = joined.filter(~F.col("fim")).filter(
+        ~(
+            (F.col("prefix") == F.col("_orig"))
+            | (F.col("prefix").isNull() & F.col("_orig").isNull())
+        )
+        | (F.col("middle") != "")
+        | (F.col("suffix") != "")
+    ).count()
+    assert whole == 0
+    n_fim = out.filter("fim").count()
+    assert 0 < n_fim < out.count()
+    again = sorted(
+        map(tuple, fim_split(corpus.repartition(7)).collect())
+    )
+    assert again == sorted(map(tuple, out.collect()))
+
+
+def test_dsir_weights_prefers_target_like_docs(spark, sf_dir):
+    """Docs whose content also appears in the 'mirror' target (the
+    planted doc_id%7 copies) must out-score the average raw doc — the
+    importance-resampling property DSIR exists for."""
+    from gpd_lite_toolbox_spark.fixtures import fixture_df
+    from gpd_lite_toolbox_spark.text.corpus import dsir_weights
+
+    FX.register_base_tables(spark, sf_dir)
+    sc = fixture_df(spark, sf_dir, "scorpus")
+    w = dsir_weights(sc)
+    # per-token score, so length doesn't dominate the comparison
+    per = w.select(
+        "id", (F.col("logratio") / F.col("n_tokens")).alias("r")
+    )
+    planted = per.filter(
+        (F.col("id") < 1000000) & (F.col("id") % 7 == 0)
+    )
+    rest = per.filter(
+        (F.col("id") < 1000000) & (F.col("id") % 7 != 0)
+    )
+    m_planted = planted.agg(F.avg("r")).collect()[0][0]
+    m_rest = rest.agg(F.avg("r")).collect()[0][0]
+    assert m_planted > m_rest
+
+
 def test_match_line_cluster_empty_a(spark, sf_dir):
     """k=0 (empty A side) returns an empty typed frame, not a crash
     in the seed collect."""
