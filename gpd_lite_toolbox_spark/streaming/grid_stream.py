@@ -654,14 +654,6 @@ def run_streaming_curation_ledger(
     c_all = batch_all.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    # static benchmark shingle dictionary, built once per run
-    dictionary = tracked_persist(
-        shingles(
-            c_all.filter(F.col("id") % benchmark_mod == 0), hashed=True
-        )
-        .select("shingle")
-        .distinct()
-    )
     out_dir = tempfile.mkdtemp(prefix="ledger_stream_out_")
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     spark.createDataFrame([], "id bigint, status string").write.mode(
@@ -727,21 +719,32 @@ def run_streaming_curation_ledger(
                 "append"
             ).parquet(out_dir)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", int(max_files_per_trigger))
-        .parquet(parquet_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(_decide)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-        dictionary.unpersist()
+    # the run-scoped dictionary releases AND deregisters on exit
+    # (tracked_persist + bare unpersist would leak its registry entry
+    # — one per run; the per-batch probes have their own inner scopes)
+    with scoped_release():
+        dictionary = tracked_persist(
+            shingles(
+                c_all.filter(F.col("id") % benchmark_mod == 0),
+                hashed=True,
+            )
+            .select("shingle")
+            .distinct()
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", int(max_files_per_trigger))
+            .parquet(parquet_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_decide)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.read.parquet(out_dir)
 
 

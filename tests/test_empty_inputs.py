@@ -293,3 +293,43 @@ def test_round6_ops_empty_inputs(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_round8_ops_empty_inputs(spark, tmp_path):
+    """Round-8 family on empty inputs: trainers and transforms return
+    empty typed frames (not errors), the streaming ledger handles an
+    all-empty flags index + source, and no tracked cache leaks."""
+    from gpd_lite_toolbox_spark.text.corpus import dsir_weights, fim_split
+    from gpd_lite_toolbox_spark.text.unigram import unigram_train_em
+    from gpd_lite_toolbox_spark.text.wordpiece import (
+        wordpiece_encode,
+        wordpiece_fertility,
+        wordpiece_train,
+    )
+
+    corpus = _empty(spark, "id long, text string")
+    sourced = _empty(spark, "id long, text string, source string")
+    assert fim_split(corpus).count() == 0
+    assert dsir_weights(sourced).count() == 0
+    assert wordpiece_encode(corpus).count() == 0
+    assert wordpiece_fertility(sourced).count() == 0
+    assert wordpiece_train(corpus).count() == 0
+    assert unigram_train_em(corpus).count() == 0
+
+    from gpd_lite_toolbox_spark.cache import _TRACKED
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_curation_ledger,
+    )
+    from gpd_lite_toolbox_spark.text.pipeline import (
+        write_curation_flags_index,
+    )
+
+    flags = str(tmp_path / "flags")
+    src = str(tmp_path / "src")
+    write_curation_flags_index(corpus, flags)
+    corpus.repartition(1).write.mode("overwrite").parquet(src)
+    n0 = len(_TRACKED)
+    out = run_streaming_curation_ledger(spark, flags, src)
+    assert out.count() == 0
+    assert out.columns == ["id", "status"]
+    assert len(_TRACKED) == n0  # per-run dictionary released
