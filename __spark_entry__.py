@@ -3580,6 +3580,17 @@ def _q_unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train_em(_corpus(spark, sf_dir))
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidates (text/dedup.py winnow_pairs,
+    Schleimer et al. 2003 / MOSS): stride-1 k-gram md5 hashes, window
+    minima, df-capped inverted-index join — the deterministic-locality
+    sibling of minhash_pairs (any shared substring >= k+w-1 chars
+    GUARANTEES a shared fingerprint)."""
+    from gpd_lite_toolbox_spark.text.dedup import winnow_pairs
+
+    return winnow_pairs(_corpus(spark, sf_dir))
+
+
 def _q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle transform (text/corpus.py fim_split,
     Bavarian et al. 2022): a deterministic hashed 50% of corpus docs
@@ -3748,12 +3759,12 @@ DRIVER_WINDOW = [
     "rate_anomaly",
     "regex_tokens",
     "resample_ffill",
-    "sample_k_per_group",
-    # (slots 49-50 went to the two late-round additions below;
-    # session_window / sessionize keep their r4 greens and rotate
-    # next round with the other r4 leftovers)
+    # (slots 48-50 went to the three late-round additions below;
+    # sample_k_per_group / session_window / sessionize keep their r4
+    # greens and rotate next round with the other r4 leftovers)
     "fim_split",
     "dsir_weights",
+    "winnow_pairs",
 ]
 
 
@@ -3798,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train_em": _q_unigram_train_em,
         "wordpiece_encode": _q_wordpiece_encode,
         "fim_split": _q_fim_split,
+        "winnow_pairs": _q_winnow_pairs,
         "dsir_weights": _q_dsir_weights,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
@@ -4161,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train_em": OR.UNIGRAM_TRAIN_EM,
         "wordpiece_encode": OR.WORDPIECE_ENCODE,
         "fim_split": OR.FIM_SPLIT,
+        "winnow_pairs": OR.WINNOW_PAIRS,
         "dsir_weights": OR.DSIR_WEIGHTS,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,

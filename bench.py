@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "wordpiece_fertility",
     "fim_split",
     "dsir_weights",
+    "winnow_pairs",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs

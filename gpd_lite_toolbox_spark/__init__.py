@@ -166,6 +166,8 @@ from .text.dedup import (  # noqa: F401
     chunk_dedup_stats,
     repeated_ngrams,
     pair_pr,
+    winnow_fingerprints,
+    winnow_pairs,
 )
 from .text.classify import (  # noqa: F401
     hash_features,
@@ -440,6 +442,8 @@ __all__ = [
     "write_curation_flags_index",
     "fim_split",
     "dsir_weights",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "lr_train_gd",
     "lr_score",
     "standardize_features",

@@ -5851,6 +5851,40 @@ def _ug_train_em_sql(
 UNIGRAM_TRAIN_EM = _ug_train_em_sql()
 
 
+# Winnowing candidate pairs (text/dedup.py winnow_pairs, Schleimer et
+# al. 2003): the same stride-1 k-gram 60-bit md5 hashes, list-sliced
+# window minima, distinct per doc, df-capped inverted-index join.
+def _winnow_pairs_sql(
+    min_shared: int = 2, max_df: int = 8, k: int = 8, w: int = 4
+) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5(substr(text, CAST(p AS INT),"
+        f" {int(k)})), 1, 15))::UBIGINT AS BIGINT)"
+    )
+    return f"""
+WITH {oracle_ctes('corpus')},
+g AS (SELECT id,
+             list_transform(range(1, length(text) - {int(k) - 1} + 1),
+                            p -> {h}) AS gs
+      FROM corpus WHERE length(text) >= {int(k)}),
+fp AS (SELECT DISTINCT id, fp
+       FROM (SELECT id,
+                    UNNEST(list_transform(
+                      range(1, greatest(len(gs) - {int(w) - 1}, 1) + 1),
+                      j -> list_min(gs[j:j+{int(w) - 1}]))) AS fp
+             FROM g)),
+dfc AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {int(max_df)}),
+cap AS (SELECT f.id, f.fp FROM fp f JOIN dfc USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cap a JOIN cap b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id HAVING COUNT(*) >= {int(min_shared)}
+"""
+
+
+WINNOW_PAIRS = _winnow_pairs_sql()
+
+
 # Fill-in-the-middle transform (text/corpus.py fim_split): pure
 # integer multiplicative-hash selection + cut points, replayed with
 # the same modular arithmetic; substr semantics agree 1-based/length

@@ -2594,3 +2594,89 @@ def pair_pr(
         F.struct(F.lit("f1").alias("metric"), F.col("_f").alias("value")),
     )
     return wide.select(F.explode(entries).alias("_e")).select("_e.*")
+
+
+WINNOW_W = 4  # winnowing window; fingerprint density ~ 2/(w+1)
+
+
+def winnow_fingerprints(
+    corpus: DataFrame,
+    k: int = SHINGLE_K,
+    w: int = WINNOW_W,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): stride-1 ``k``-gram 60-bit md5 hashes, the
+    minimum of every ``w``-hash window, distinct per doc.  Winnowing
+    GUARANTEES any shared substring of length >= k + w - 1 yields a
+    shared fingerprint (the locality property minhash only provides
+    probabilistically), at density ~2/(w+1) of the gram count.
+
+    Output: ``(id, fp)``.  Entirely row-local (two projections: the
+    gram array, then window minima — the split keeps the gram hashes
+    computed ONCE, not once per window membership); docs shorter than
+    ``k`` are excluded.  The 60-bit hash is the shingle family's
+    md5-prefix, so both engines agree exactly.
+    """
+    grams = F.expr(
+        f"""transform(
+          sequence(1, length({text_col}) - {int(k) - 1}),
+          p -> CAST(conv(substr(md5(substring({text_col},
+                 CAST(p AS INT), {int(k)})), 1, 15), 16, 10) AS BIGINT))"""
+    )
+    sel = F.expr(
+        f"""array_distinct(transform(
+          sequence(1, greatest(size(_g) - {int(w) - 1}, 1)),
+          j -> array_min(slice(_g, CAST(j AS INT), {int(w)}))))"""
+    )
+    return (
+        corpus.filter(F.length(text_col) >= int(k))
+        .select(F.col(id_col).alias("id"), grams.alias("_g"))
+        .select("id", F.explode(sel).alias("fp"))
+    )
+
+
+def winnow_pairs(
+    corpus: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 8,
+    k: int = SHINGLE_K,
+    w: int = WINNOW_W,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SHARED winnowing fingerprints
+    — the MOSS similarity join: an inverted index over
+    ``winnow_fingerprints`` with boilerplate guards (a fingerprint in
+    more than ``max_df`` docs is dropped — hot fps come from template
+    text and would otherwise fan out quadratically), pairs keep
+    ``n_shared >= min_shared``.
+
+    Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    Scale shape: fingerprint density bounds the index at ~2/(w+1) of
+    the corpus gram count; the df cap bounds per-key join fan-out at
+    C(max_df, 2); one partial-combined count per fp, one fp-keyed
+    equi-join, one pair aggregate — the ``ngram_jaccard`` inverted-
+    index discipline, with winnowing's locality guarantee instead of a
+    probabilistic sketch.
+    """
+    fps = winnow_fingerprints(corpus, k, w, id_col, text_col)
+    dfc = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    capped = fps.join(
+        dfc.filter(
+            (F.col("_df") >= 2) & (F.col("_df") <= int(max_df))
+        ),
+        "fp",
+    )
+    a = capped.select("fp", F.col("id").alias("id_a"))
+    b = capped.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
