@@ -658,6 +658,18 @@ def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_groups(_corpus(spark, sf_dir))
 
 
+def _q_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (text/dedup.py cc_star, Kiveris et al. 2014) over the SAME banded
+    pair graph as dup_groups — O(log^2 n) rounds regardless of chain
+    length, vs label propagation's diameter(G). Shares dup_groups'
+    recursive-CTE oracle: the reachability walk is a third independent
+    derivation of the same components."""
+    from gpd_lite_toolbox_spark.text.dedup import dup_groups_star
+
+    return dup_groups_star(_corpus(spark, sf_dir))
+
+
 def _q_simhash_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-LOCAL SimHash (higher-order array aggregates, zero
     shuffles — the streaming-legal form): must reproduce the batch
@@ -3614,6 +3626,33 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM scoring (text/corpus.py
+    trigram_logprob): Jelinek-Mercer mix of the three ML orders,
+    completing the CCNet stack over add-k bigram and Kneser-Ney;
+    decimal-lattice per-doc sums keep the mean partition-order
+    independent."""
+    from gpd_lite_toolbox_spark.text.corpus import trigram_logprob
+
+    return trigram_logprob(_corpus(spark, sf_dir))
+
+
+def _q_perplexity_buckets_trigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail terciles with the TRIGRAM scorer swapped
+    in through perplexity_buckets' scorer hook (r8 VERDICT item 7) —
+    pins that the bucketing machinery is scorer-generic."""
+    from gpd_lite_toolbox_spark.text.corpus import (
+        perplexity_buckets,
+        trigram_logprob,
+    )
+
+    return perplexity_buckets(
+        _corpus(spark, sf_dir), scorer=trigram_logprob
+    )
+
+
 def _q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization under the WordPiece model
     (text/wordpiece.py wordpiece_encode): greedy longest-match-first
@@ -3700,71 +3739,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_contract.py pins that every declared query has a
 # historical driver row in EVIDENCE.json or sits in this window).
 DRIVER_WINDOW = [
-    # Round-8 window (freeze-last discipline, r7 VERDICT item 4).
-    # Slots 1-7: this round's new/changed queries — the relational-
-    # Lloyd rewrite (match_line_cluster newly hash-gated + its twins
-    # gate re-checked under the new clustering), the EM trainer, the
-    # streaming ledger, and the WordPiece triad.
-    "match_line_cluster",
-    "match_cluster_twins",
-    "unigram_train_em",
-    "stream_curation_ledger",
-    "wordpiece_encode",
-    "wordpiece_fertility",
-    "wordpiece_train",
-    # Slots 8-14: the 7 queries whose latest green was r3 — after this
-    # round no query's evidence is older than r4.
-    "dumb_multi_to_single",
-    "fingerprint",
-    "hav_dist",
-    "simhash_local",
-    "tfidf_topk",
-    "token_stats",
-    "wkt_roundtrip",
-    # Slots 15-50: the alphabetically-first 36 of the 45 r4-green
-    # queries (the oldest remaining evidence tier). The 9 left at r4
-    # — shard_corpus, split_corpus, stream_dedup, stream_interval_join,
-    # stream_near_dedup, top_users_daily, unigram_logprob, url_stats,
-    # warc_roundtrip — rotate next round.
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    "asof_prev_event",
-    "audio_chunks",
-    "boilerplate_lines",
-    "build_vocab",
-    "cdc_snapshot",
-    "chunk_documents",
-    "corpus_diff",
-    "csv_roundtrip",
-    "dedup_canonical",
-    "doc_profile",
-    "docs_rollup",
-    "domain_mixture",
-    "dorling_stats",
-    "dq_audit",
-    "event_transitions",
-    "events_window",
-    "html_extract",
-    "hull_stats",
-    "json_props_stats",
-    "jsonl_roundtrip",
-    "label_centroids",
-    "media_features",
-    "normalize_corpus",
-    "orc_roundtrip",
-    "pii_scan",
-    "quality_funnel",
-    "quantize_int8",
-    "range_neighborhood",
-    "rate_anomaly",
-    "regex_tokens",
-    "resample_ffill",
-    # (slots 48-50 went to the three late-round additions below;
-    # sample_k_per_group / session_window / sessionize keep their r4
-    # greens and rotate next round with the other r4 leftovers)
-    "fim_split",
-    "dsir_weights",
-    "winnow_pairs",
+    # Round-9 window (freeze-last discipline). Slots 1..N: this
+    # round's new queries (finalized at round end, one slot per new
+    # hash gate).
+    "dup_groups_star",
+    "trigram_logprob",
+    "perplexity_buckets_trigram",
+    # Next: the 12 queries whose latest green is r4 — the oldest
+    # remaining evidence tier (r8 VERDICT item 2); after this round
+    # no query's evidence is older than r5.
+    "sample_k_per_group",
+    "session_window",
+    "sessionize",
+    "shard_corpus",
+    "split_corpus",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_near_dedup",
+    "top_users_daily",
+    "unigram_logprob",
+    "url_stats",
+    "warc_roundtrip",
+    # Fill: the alphabetically-first of the 49 r5-green queries (the
+    # next-oldest tier); the rest rotate next round.
+    "anchor_stats",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "bigram_logprob",
+    "bloom_decontaminate",
+    "bpe_fertility",
+    "chunk_dedup_stats",
+    "cms_heavy_hitters",
+    "conversion_funnel",
+    "curriculum_order",
+    "dau_wau",
+    "dedup_pr",
+    "domain_pagerank",
+    "dup_ngram_coverage",
+    "embedding_outliers",
+    "epoch_expand",
+    "frame_dedup",
+    "gopher_rules",
+    "hard_negatives",
+    "hits_scores",
+    "ingest_near_dups",
+    "leakage_safe_split",
+    "lf_diagnostics",
+    "link_graph",
+    "nb_classify",
+    "ngram_containment",
+    "paragraph_dedup",
+    "profile_drift",
+    "quality_blend",
+    "rabin_chunks",
+    "repeated_ngrams",
+    "retention_cohorts",
+    "retrieval_metrics",
+    "scene_changes",
 ]
 
 
@@ -3811,6 +3843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_split": _q_fim_split,
         "winnow_pairs": _q_winnow_pairs,
         "dsir_weights": _q_dsir_weights,
+        # --- r9 additions ---
+        "dup_groups_star": _q_dup_groups_star,
+        "trigram_logprob": _q_trigram_logprob,
+        "perplexity_buckets_trigram": _q_perplexity_buckets_trigram,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
         "bpe_encode": _q_bpe_encode,
@@ -4085,9 +4121,11 @@ def oracle_sql() -> dict[str, str]:
         # match_cluster_twins: twin-recall tolerance scalar
         # (>= 0.95 as a boolean) over the partition-stable KMeans
         # match. dorling_cartogram is hash-gated since r7 (the
-        # sequential walk replayed in a recursive CTE); only
-        # match_line_cluster raw pairs stay rows-only — KMeans
-        # co-clustering is not partition-stable.
+        # sequential walk replayed in a recursive CTE); since r8
+        # match_line_cluster's raw pairs are hash-gated too — the
+        # deterministic relational Lloyd replaced the eager
+        # pyspark.ml fit, so the oracle replays every assignment
+        # and mean-update round in DuckDB.
         "dorling_cartogram": OR.DORLING_CARTOGRAM,
         "pii_scan": OR.PII_SCAN,
         "boilerplate_lines": OR.BOILERPLATE_LINES,
@@ -4175,6 +4213,10 @@ def oracle_sql() -> dict[str, str]:
         "fim_split": OR.FIM_SPLIT,
         "winnow_pairs": OR.WINNOW_PAIRS,
         "dsir_weights": OR.DSIR_WEIGHTS,
+        # --- r9: star components share the recursive-CTE walk ---
+        "dup_groups_star": OR.DUP_GROUPS,
+        "trigram_logprob": OR.TRIGRAM_LOGPROB,
+        "perplexity_buckets_trigram": OR.PERPLEXITY_BUCKETS_TRIGRAM,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,
         "bpe_encode": OR.BPE_ENCODE,

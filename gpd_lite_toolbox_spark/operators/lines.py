@@ -200,6 +200,8 @@ def match_line_cluster(
     verts_b: DataFrame,
     n_iter: int = 2,
     round_digits: int = 6,
+    max_k: int = 4096,
+    force: bool = False,
 ) -> DataFrame:
     """KMeans co-clustering match (core.py:70-101, intended semantics):
     cluster the pooled descriptors into k=|A| cells, emit (id_a, id_b)
@@ -222,9 +224,20 @@ def match_line_cluster(
 
     The seed collect is k descriptor rows — k is the blocking
     parameter, bounded by design (same class as the PQ codebook
-    collects), never corpus-scale.  Everything else is the
-    ``kmeans_assign`` shape: per round ONE partial-combined aggregate
-    plus a 1-row broadcast; assignments never shuffle.
+    collects), never corpus-scale.  Because the reference semantics
+    force k = |A| (core.py:74 passes ``n_clusters=len(gdf1)``), an
+    unwary caller handing a corpus-scale left side would collect the
+    whole descriptor table onto the driver and broadcast k centers
+    into an O(n*k) distance expression — so the ``cosine_topk
+    max_pairs`` discipline applies: calls where |A| exceeds ``max_k``
+    raise unless ``force=True``, steering large-scale callers to
+    block/subset the left side first (the entry points bound |A| by
+    subsetting; the guard makes the driver-side cost impossible to
+    hit by accident).  The guard's count job re-executes verts_a's
+    upstream lineage once — cache it first if that lineage is
+    expensive.  Everything else is the ``kmeans_assign`` shape: per
+    round ONE partial-combined aggregate plus a 1-row broadcast;
+    assignments never shuffle.
     """
     from ..vector.kmeans import kmeans_assign
 
@@ -240,6 +253,16 @@ def match_line_cluster(
 
     pa = _descriptors(verts_a)
     pb = _descriptors(verts_b)
+    if not force:
+        k = pa.count()
+        if k > max_k:
+            raise ValueError(
+                f"match_line_cluster seeds k=|A| centers on the driver "
+                f"(reference semantics: n_clusters=len(gdf1)): "
+                f"|A|={k} exceeds max_k={max_k}. Block/subset the left "
+                f"side below max_k (the entry queries subset to 1000), "
+                f"raise max_k deliberately, or pass force=True."
+            )
     # seed centers: A's descriptors in id order (cell i IS the i-th A
     # line) — k rows on the driver, bounded by the blocking parameter
     seeds = [

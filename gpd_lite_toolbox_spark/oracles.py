@@ -4880,6 +4880,67 @@ CROSS JOIN ty
 GROUP BY b.id
 """
 
+# Interpolated trigram LM scoring (text/corpus.py trigram_logprob):
+# Jelinek-Mercer mix of the three ML orders, scored on the training
+# corpus (closed world, no backoff branch). The interpolation term is
+# ONE shared IEEE double expression (identical literal order in both
+# engines); each trigram type's NLL goes through the shared
+# 1e-9-shifted 6-decimal lattice into DECIMAL(14,6), the per-doc
+# n-weighted sum is exact on decimals, and one deterministic rounding
+# hands the mean back to double (the DSIR/lr_quality numerics).
+_TRI_L = (0.7, 0.2, 0.1)
+TRIGRAM_LOGPROB = f"""
+WITH {oracle_ctes('corpus')},
+tk AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+tg AS (SELECT id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2,
+              t[CAST(i + 2 AS INT)] AS w3
+       FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)),
+tgc AS (SELECT id, w1, w2, w3, COUNT(*) AS n FROM tg GROUP BY 1, 2, 3, 4),
+c3 AS (SELECT w1, w2, w3, SUM(n) AS n3 FROM tgc GROUP BY 1, 2, 3),
+cx AS (SELECT w1, w2, SUM(n3) AS nctx3 FROM c3 GROUP BY 1, 2),
+bg AS (SELECT id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+       FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+uni AS (SELECT tok, COUNT(*) AS nu FROM toks GROUP BY 1),
+tot AS (SELECT SUM(nu) AS n_total FROM uni),
+lat AS (SELECT g.id, g.n,
+               CAST(ROUND(-LN(
+                   {_TRI_L[0]} * (c3.n3 / CAST(cx.nctx3 AS DOUBLE))
+                 + {_TRI_L[1]} * (c2.n2 / CAST(c1.n1 AS DOUBLE))
+                 + {_TRI_L[2]} * (uni.nu / CAST(tot.n_total AS DOUBLE))
+               ) + 1e-9, 6) AS DECIMAL(14,6)) AS nll
+        FROM tgc g
+        JOIN c3 USING (w1, w2, w3)
+        JOIN cx USING (w1, w2)
+        JOIN c2 ON c2.w1 = g.w2 AND c2.w2 = g.w3
+        JOIN c1 ON c1.w1 = g.w2
+        JOIN uni ON uni.tok = g.w3
+        CROSS JOIN tot)
+SELECT id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       ROUND(CAST(CAST(SUM(n * nll) AS DECIMAL(26,6)) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) + 1e-9, 6) AS avg_neg_logprob
+FROM lat GROUP BY id
+"""
+
+# perplexity_buckets with the trigram scorer swapped in (the scorer
+# hook, r8 VERDICT item 7): same exact-interpolated tercile cutoffs
+# as PERPLEXITY_BUCKETS, over the TRIGRAM_LOGPROB score.
+PERPLEXITY_BUCKETS_TRIGRAM = f"""
+WITH scored AS ({TRIGRAM_LOGPROB}),
+cuts AS (SELECT ROUND(quantile_cont(avg_neg_logprob,
+                                    CAST(1 AS DOUBLE) / 3), 6) AS c1,
+                ROUND(quantile_cont(avg_neg_logprob,
+                                    CAST(2 AS DOUBLE) / 3), 6) AS c2
+         FROM scored)
+SELECT s.id, s.n_trigrams, s.avg_neg_logprob,
+       CASE WHEN s.avg_neg_logprob <= c.c1 THEN 'head'
+            WHEN s.avg_neg_logprob <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN cuts c
+"""
+
 # Composite curation score (text/corpus.py quality_blend): z-scored
 # rule points blended with the negated z-scored unigram NLL; keep
 # tested on the ROUNDED blend.

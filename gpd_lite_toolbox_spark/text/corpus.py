@@ -24,7 +24,7 @@ plan the local test runs:
 from __future__ import annotations
 
 import math
-from typing import Mapping
+from typing import Callable, Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -684,13 +684,23 @@ def mixture_plan(
 
 
 def perplexity_buckets(
-    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    scorer: Callable[..., DataFrame] | None = None,
 ) -> DataFrame:
     """CCNet-style quality bucketing: score every document with the
     corpus-trained unigram model (`unigram_logprob`), then split the
     corpus into head / middle / tail terciles by score — head being the
     most-predictable (lowest mean negative log-likelihood) third, the
     bucket CCNet keeps by default for training data.
+
+    ``scorer`` swaps the LM: any callable with the
+    ``(corpus, id_col=..., text_col=...)`` signature returning a
+    per-doc frame with an ``avg_neg_logprob`` column works —
+    ``bigram_logprob``, ``kn_bigram_logprob``, ``trigram_logprob``.
+    The scorer's other columns pass through unchanged, so the default
+    output contract is untouched.
 
     Buckets come from TWO broadcast cutoffs (exact percentiles at 1/3
     and 2/3), NOT a global ntile: a global rank window would sort the
@@ -707,7 +717,8 @@ def perplexity_buckets(
 
     Columns: ``(id, n_tokens, avg_neg_logprob, bucket)``.
     """
-    scored = unigram_logprob(corpus, id_col=id_col, text_col=text_col)
+    score_fn = scorer if scorer is not None else unigram_logprob
+    scored = score_fn(corpus, id_col=id_col, text_col=text_col)
     cuts = scored.agg(
         F.round(
             F.percentile("avg_neg_logprob", F.lit(1.0 / 3.0)), 6
@@ -716,10 +727,9 @@ def perplexity_buckets(
             F.percentile("avg_neg_logprob", F.lit(2.0 / 3.0)), 6
         ).alias("_c2"),
     )
+    passthrough = list(scored.columns)
     return scored.crossJoin(F.broadcast(cuts)).select(
-        "id",
-        "n_tokens",
-        "avg_neg_logprob",
+        *passthrough,
         F.when(F.col("avg_neg_logprob") <= F.col("_c1"), F.lit("head"))
         .when(F.col("avg_neg_logprob") <= F.col("_c2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
@@ -1466,6 +1476,144 @@ def kn_bigram_logprob(
         .select("id", "n", (-F.log(p)).alias("_nll"))
     )
     return _per_doc_nll(scored)
+
+
+def trigram_doc_counts(
+    corpus: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc trigram-count table ``(id, w1, w2, w3, n)`` — the
+    ``bigram_doc_counts`` recipe one order up: THREE slices of one
+    hoisted split zipped row-locally (no position self-join), the
+    explode partial-combining straight into the per-doc count table.
+    Docs under 3 tokens emit nothing (CASE-guarded, ANSI-safe)."""
+    tg = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("_t"),
+        )
+        .select(
+            "id",
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(_t) < 3"
+                    " THEN CAST(NULL AS"
+                    "   array<struct<w1: string, w2: string, w3: string>>)"
+                    " ELSE zip_with("
+                    "   slice(_t, 1, size(_t) - 2),"
+                    "   zip_with(slice(_t, 2, size(_t) - 2),"
+                    "            slice(_t, 3, size(_t) - 2),"
+                    "            (b, c) -> struct(b AS w2, c AS w3)),"
+                    "   (a, bc) ->"
+                    "     struct(a AS w1, bc.w2 AS w2, bc.w3 AS w3))"
+                    " END"
+                )
+            ).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+        .select("id", F.col("_g.w1"), F.col("_g.w2"), F.col("_g.w3"))
+    )
+    return tg.groupBy("id", "w1", "w2", "w3").agg(
+        F.count("*").alias("n")
+    )
+
+
+def trigram_logprob(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.7, 0.2, 0.1),
+    counts: DataFrame | None = None,
+    bigram_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated trigram language-model scoring — the top of the
+    CCNet/KenLM-style stack next to ``bigram_logprob`` (add-k) and
+    ``kn_bigram_logprob`` (Kneser-Ney): Jelinek-Mercer interpolation
+    of the three maximum-likelihood orders,
+
+        P(w3|w1,w2) = l3*c(w1w2w3)/c(w1w2.)
+                    + l2*c(w2w3)/c(w2.)
+                    + l1*c(w3)/N
+
+    scored on the training corpus itself, so every trigram instance
+    is seen and no backoff branch is reachable (the oracle mirrors
+    the same closed-world expression). Contract follows the bigram
+    scorers: ``(id, n_trigrams, avg_neg_logprob)``, sub-3-token docs
+    unscored.
+
+    Numerics (the DSIR decimal-lattice discipline, numerics.py): the
+    three interpolation terms are one IEEE double expression written
+    in identical left-to-right association in both engines; each
+    trigram type's NLL then goes through the 1e-9-shifted round into
+    DECIMAL(14,6), the per-doc n-weighted sum runs exact on the
+    lattice (partition-order independent), and ONE deterministic
+    rounding hands the mean back to double — a plain double SUM of
+    -log values would be partition-order dependent in the last ulp.
+
+    Scale shape: the corpus collapses into THREE persisted/shared
+    substrates — the per-doc trigram table (built here, one row-local
+    zip + one partial-combined exchange), the per-doc bigram table
+    (``bigram_doc_counts``, session-persisted and SHARED with the
+    bigram scorers via ``counts=``/substrate), and the unigram vocab
+    (one more partial-combined aggregate of the bigram table's w1
+    column plus the per-doc tail correction — see below). Model
+    tables (c3, c2ctx, c2, c1, unigram) are progressively smaller
+    aggregates; the scoring joins are AQE-sized; N is a one-row
+    broadcast. Nothing re-reads raw text beyond the two doc-count
+    builders.
+    """
+    from ..numerics import dsum, qdec, r6
+
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if not all(x >= 0 for x in (l3, l2, l1)) or (l3 + l2 + l1) <= 0:
+        raise ValueError(f"lambdas must be non-negative, got {lambdas}")
+
+    tg = tracked_persist(trigram_doc_counts(corpus, id_col, text_col))
+    bgdoc = _bigram_counts(corpus, id_col, text_col, counts=bigram_counts)
+    # trigram model: c3 and its context marginal
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.sum("n").alias("n3"))
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("n3").alias("nctx3"))
+    # bigram model over (w2, w3): counts from the FULL bigram table
+    # (the trigram table misses each doc's first bigram)
+    c2 = bgdoc.groupBy("w1", "w2").agg(F.sum("n").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    # unigram model: token counts from one explode (the vocab shape
+    # of unigram_logprob); N is its one-row rollup
+    toks = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    uni = tracked_persist(
+        toks.groupBy("tok").agg(F.count("*").alias("nu"))
+    )
+    total = uni.agg(F.sum("nu").alias("n_total"))
+    p = (
+        F.lit(l3) * (F.col("n3") / F.col("nctx3").cast("double"))
+        + F.lit(l2) * (F.col("n2") / F.col("n1").cast("double"))
+        + F.lit(l1) * (F.col("nu") / F.col("n_total").cast("double"))
+    )
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(c2ctx, ["w1", "w2"])
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                "n2",
+            ),
+            ["w2", "w3"],
+        )
+        .join(c1.select(F.col("w1").alias("w2"), "n1"), "w2")
+        .join(uni.select(F.col("tok").alias("w3"), "nu"), "w3")
+        .crossJoin(F.broadcast(total))
+        .select("id", "n", qdec(-F.log(p)).alias("_nll"))
+    )
+    return scored.groupBy("id").agg(
+        F.sum("n").cast("bigint").alias("n_trigrams"),
+        r6(
+            dsum(F.col("n") * F.col("_nll"))
+            / F.sum("n").cast("double")
+        ).alias("avg_neg_logprob"),
+    )
 
 
 def quality_blend(
