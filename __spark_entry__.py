@@ -2387,6 +2387,63 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_near_dups(spark, _mhidx_paths[sf_dir], batch, threshold=0.5)
 
 
+def _q_dup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 component maintenance (text/dedup.py cc_star_increment):
+    the corpus split by id % 13 into an indexed day-1 remainder and an
+    ingest batch; day-1 components come from dup_groups_star, the
+    batch's pairs from the PERSISTED minhash index probe
+    (ingest_near_dups) plus the batch's own in-batch pairs, and the
+    labeling is updated by folding those edges into the prior STAR
+    table — the corpus pair graph is never rebuilt. Oracle: the SAME
+    full-corpus recursive-CTE walk as dup_groups — the incremental
+    path must land on identical components, labels, and sizes."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.text.dedup import (
+        cc_star_increment,
+        dup_groups_star,
+        ingest_near_dups,
+        minhash_lsh_pairs,
+        write_minhash_index,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    batch = corpus.filter(F.col("id") % 13 == 0)
+    day1 = corpus.filter(F.col("id") % 13 != 0)
+    if sf_dir not in _mhidx_paths:
+        path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_minhash_index(day1, path)
+        _mhidx_paths[sf_dir] = path
+    prev = dup_groups_star(day1).select("id", "group_id")
+    cross = ingest_near_dups(
+        spark, _mhidx_paths[sf_dir], batch, threshold=0.5
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    inb = minhash_lsh_pairs(batch, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = cc_star_increment(prev, cross.unionByName(inb))
+    full = (
+        corpus.select("id")
+        .distinct()
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("group_id"), F.col("id")).alias("group_id"),
+        )
+    )
+    sizes = full.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return full.join(sizes, "group_id").select(
+        "id",
+        "group_id",
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )
+
+
 _stream_batch_paths: dict[str, str] = {}
 
 
@@ -3637,6 +3694,16 @@ def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob(_corpus(spark, sf_dir))
 
 
+def _q_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram (text/corpus.py
+    kn_trigram_logprob): KenLM's default order-3 shape — discounted
+    raw counts at the top order, continuation-count models below,
+    derived from one shared per-doc trigram table."""
+    from gpd_lite_toolbox_spark.text.corpus import kn_trigram_logprob
+
+    return kn_trigram_logprob(_corpus(spark, sf_dir))
+
+
 def _q_perplexity_buckets_trigram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3743,7 +3810,9 @@ DRIVER_WINDOW = [
     # round's new queries (finalized at round end, one slot per new
     # hash gate).
     "dup_groups_star",
+    "dup_groups_incremental",
     "trigram_logprob",
+    "kn_trigram_logprob",
     "perplexity_buckets_trigram",
     # Next: the 12 queries whose latest green is r4 — the oldest
     # remaining evidence tier (r8 VERDICT item 2); after this round
@@ -3795,8 +3864,6 @@ DRIVER_WINDOW = [
     "rabin_chunks",
     "repeated_ngrams",
     "retention_cohorts",
-    "retrieval_metrics",
-    "scene_changes",
 ]
 
 
@@ -3845,7 +3912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         # --- r9 additions ---
         "dup_groups_star": _q_dup_groups_star,
+        "dup_groups_incremental": _q_dup_groups_incremental,
         "trigram_logprob": _q_trigram_logprob,
+        "kn_trigram_logprob": _q_kn_trigram_logprob,
         "perplexity_buckets_trigram": _q_perplexity_buckets_trigram,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
@@ -4215,7 +4284,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": OR.DSIR_WEIGHTS,
         # --- r9: star components share the recursive-CTE walk ---
         "dup_groups_star": OR.DUP_GROUPS,
+        "dup_groups_incremental": OR.DUP_GROUPS,
         "trigram_logprob": OR.TRIGRAM_LOGPROB,
+        "kn_trigram_logprob": OR.KN_TRIGRAM_LOGPROB,
         "perplexity_buckets_trigram": OR.PERPLEXITY_BUCKETS_TRIGRAM,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,

@@ -236,6 +236,20 @@ BENCH_QUERIES = [
     "dau_wau",
     "profile_drift",
     "scene_changes",
+    # round 9: dup_groups_star times the same pair substrate as
+    # dup_groups with the star closure's final label join (the
+    # alternation itself runs eagerly at construction, exactly like
+    # dup_groups' propagation rounds — symmetric treatment);
+    # dup_groups_incremental deliberately NOT benched: the index
+    # write, the probe, AND the incremental closure all run eagerly
+    # at query construction (the ingest_near_dups + hits_scores
+    # classes combined); ingest_near_dups + dup_groups_star time its
+    # substrates. perplexity_buckets_trigram times the scorer-hook
+    # composition over the trigram stack.
+    "dup_groups_star",
+    "trigram_logprob",
+    "kn_trigram_logprob",
+    "perplexity_buckets_trigram",
     # ann_ivf_deleted deliberately NOT benched: index write, delete,
     # compaction, and the before/after comparison all run EAGERLY at
     # query construction (same class as bpe_merges); ann_ivf_topk

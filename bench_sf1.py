@@ -75,14 +75,60 @@ HEADLINE = [
     "embedding_clusters",
     "dup_ngram_coverage",
     "unigram_train_em",
+    # round-9 (r8 VERDICT item 5): the r8 families. winnow_pairs'
+    # 10x dup-clique corpus is exactly its hard case (every copy
+    # shares every fingerprint with 9 siblings); wordpiece_* are
+    # vocab-bounded DPs like the unigram rows; fim_split/dsir_weights
+    # are row-local / one-aggregate shapes riding the 10x corpus;
+    # trigram_logprob is the three-order count-aggregate stack.
+    "winnow_pairs",
+    "wordpiece_encode",
+    "wordpiece_fertility",
+    "fim_split",
+    "dsir_weights",
+    "trigram_logprob",
+    # bench-only (defined below, not a declared query): reference
+    # blocking semantics with k FIXED at the sf0.1 |A| while the B
+    # corpus grows 10x — proves the documented claim that
+    # match_line_cluster's cost past the descriptor build is O(|B|*k),
+    # bounded by the blocking parameter, not the corpus.
+    "match_line_cluster_fixed_k",
 ]
+
+
+def _q_match_line_cluster_fixed_k(spark, sf_dir):
+    """A from sf0.1 (k fixed at ~1000 seeds), B from ``sf_dir`` —
+    at sf1 the 10x part table grows ONLY the assignment side."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark import fixtures as FX
+    from gpd_lite_toolbox_spark.operators.lines import match_line_cluster
+
+    va = (
+        FX.road_verts(spark, SF01)
+        .filter(F.col("id") % 20 == 7)
+        .drop("road_class")
+    )
+    vb = FX.road_b_verts(spark, sf_dir).filter(F.col("id") % 20 == 7)
+    return match_line_cluster(va, vb, max_k=4096)
+
+
+# bench-only callables (same (spark, sf_dir) contract as declared
+# queries; kept out of __spark_entry__ because they are scale probes,
+# not oracle-gated product queries)
+LOCAL = {"match_line_cluster_fixed_k": _q_match_line_cluster_fixed_k}
 
 
 def generate(spark) -> None:
     # V2 (round 8): lineitem is now a REAL 10x replication (orderkey-
     # offset copies) instead of a symlink, so table_profile's sf1 row
     # measures actual scale; older generated dirs regenerate once.
-    if os.path.exists(os.path.join(SF1, "_GENERATED_V2")):
+    # V3 (round 9): part is now a REAL 10x replication too (partkey
+    # offset by a multiple of 20, so the %4 road-class, %10 roads_b
+    # membership, and %20 entry-subset selections are copy-invariant)
+    # — the road fixtures derive from part, and the fixed-k
+    # match_line_cluster probe needs a B side that actually grows.
+    if os.path.exists(os.path.join(SF1, "_GENERATED_V3")):
         return
     os.makedirs(SF1, exist_ok=True)
     from pyspark.sql import functions as F
@@ -154,13 +200,31 @@ def generate(spark) -> None:
         os.unlink(dst_li)
     lout.repartition(16).write.mode("overwrite").parquet(dst_li)
 
-    for t in (
-        "region nation customer supplier part orders events"
-    ).split():
+    # part: 10 partkey-offset copies (stride multiple of 20 keeps
+    # every modulus-derived road selection copy-invariant)
+    pt = spark.read.parquet(f"{SF01}/part.parquet")
+    pparts = [
+        pt.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(k * 10_000_000)
+        )
+        for k in range(COPIES)
+    ]
+    pout = pparts[0]
+    for p in pparts[1:]:
+        pout = pout.unionByName(p)
+    dst_pt = f"{SF1}/part.parquet"
+    if os.path.islink(dst_pt):  # pre-V3 symlink
+        os.unlink(dst_pt)
+    pout.repartition(4).write.mode("overwrite").parquet(dst_pt)
+
+    for t in "region nation customer supplier orders events".split():
         dst = f"{SF1}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
-    open(os.path.join(SF1, "_GENERATED_V2"), "w").write("ok\n")
+    v2 = os.path.join(SF1, "_GENERATED_V2")
+    if os.path.exists(v2):
+        os.unlink(v2)
+    open(os.path.join(SF1, "_GENERATED_V3"), "w").write("ok\n")
 
 
 def _time_query(spark, fn, sf_dir):
@@ -217,7 +281,7 @@ def main() -> None:
     if subset and os.path.exists(out_path):
         report.update(json.load(open(out_path)).get("queries", {}))
 
-    qs = E.queries()
+    qs = {**E.queries(), **LOCAL}
     for name in names:
         row: dict = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
@@ -282,7 +346,19 @@ def main() -> None:
             "constant); nb_classify/lr_quality/dup_ngram_coverage ride "
             "the 10x corpus; embedding_clusters the 10x embeddings; "
             "unigram_train_em's round-1 DP runs over the big substring "
-            "seed of a vocab that gains only the copymark words."
+            "seed of a vocab that gains only the copymark words. "
+            "Round-9 additions (r8 VERDICT item 5): winnow_pairs' sf1 "
+            "row count COLLAPSES (73 vs 841) rather than exploding — "
+            "the 10 replicas share every fingerprint, so shared "
+            "fingerprints cross the MOSS max_df cap and are dropped "
+            "from the inverted index BY DESIGN (the cap is the "
+            "documented skew guard; this corpus is its worst case and "
+            "the wall ratio prices the fingerprint scan, not the pair "
+            "join). match_line_cluster_fixed_k holds k at the sf0.1 "
+            "|A| (seeds from sf0.1) while roads_b rides the 10x part "
+            "replication — its sublinear wall ratio is the evidence "
+            "that cost past the descriptor build is O(|B|*k), bounded "
+            "by the blocking parameter, not the corpus."
         ),
         "cpus": int(CPUS),
         "loadavg_end": list(os.getloadavg()),

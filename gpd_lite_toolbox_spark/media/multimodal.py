@@ -15,11 +15,12 @@ container, so decoding is layered behind the same Spark plumbing
   payload's leading bytes as (width, height) — real batch shape, real
   schema, fake pixels; lets every downstream op (resize bookkeeping,
   frame sampling, feature hashing) be exercised and tested.
-- ``decode_image_pixels``: a REAL image decode when Pillow is
-  importable on the executors (grayscale raster + pixel stats), with
-  the deterministic fake-codec contract as the fallback when it is
-  not (this container) or when a payload is corrupt — same output
-  schema on both paths, ``px_codec`` records which ran.
+- ``decode_image_pixels``: a REAL image decode — Pillow when
+  importable on the executors, else the package's stdlib PNG decoder
+  (``png_gray``) for PNG payloads — with the deterministic
+  fake-codec contract as the final fallback for anything else or
+  corrupt bytes; same output schema on every path, ``px_codec``
+  records which ran.
 
 ``attach_fake_media`` derives payloads deterministically from an id
 column so fixtures exist at every scale factor.
@@ -128,6 +129,107 @@ def decode_image_meta(
     )
 
 
+def png_gray(b: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """Stdlib PNG decode to an 8-bit grayscale raster: (w, h, pixels)
+    or None when ``b`` is not a PNG this decoder handles. A REAL
+    codec — signature check, IHDR parse, zlib-inflated IDAT, full
+    scanline unfiltering (None/Sub/Up/Average/Paeth) — built from
+    zlib + struct only, so the real-decode path of
+    ``decode_image_pixels`` is exercisable in containers without
+    Pillow. Supports the common crawl shapes: bit depth 8, color
+    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), interlace 0;
+    anything else returns None and the caller falls back.
+
+    Grayscale conversion matches Pillow's ``convert("L")`` integer
+    kernel — ``(19595*R + 38470*G + 7471*B + 0x8000) >> 16`` (ITU-R
+    601-2 luma, round-half-up in fixed point) — so the PIL and stdlib
+    paths produce identical rasters for the supported shapes and the
+    pixel-stat columns do not depend on which codec ran.
+
+    Cost note: unfiltering is row-sequential Python/numpy — fine for
+    thumbnail/test rasters; executors with Pillow installed take the
+    C path first and never reach this."""
+    import zlib
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, meta = 8, [], None
+    try:
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                meta = (w, h, depth, ctype, comp, filt, inter)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if meta is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, inter = meta
+        if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+            return None
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if nch is None or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except Exception:
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prior) & 0xFF
+        else:
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                bb = prior[i]
+                c = prior[i - nch] if i >= nch else 0
+                if f == 1:
+                    rec[i] = (rec[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (rec[i] + ((a + bb) >> 1)) & 0xFF
+                elif f == 4:
+                    pp = a + bb - c
+                    pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        bb if pb <= pc else c
+                    )
+                    rec[i] = (rec[i] + pred) & 0xFF
+                else:
+                    return None
+        out[y] = rec.astype(np.uint8)
+        prior = rec.astype(np.int32)
+    px = out.reshape(h, w, nch).astype(np.int64)
+    if ctype == 0:
+        gray = px[:, :, 0]
+    elif ctype == 4:
+        gray = px[:, :, 0]  # PIL L of LA drops alpha
+    else:  # RGB / RGBA: PIL's fixed-point ITU-R 601-2 kernel
+        gray = (
+            19595 * px[:, :, 0]
+            + 38470 * px[:, :, 1]
+            + 7471 * px[:, :, 2]
+            + 0x8000
+        ) >> 16
+    return int(w), int(h), gray.astype(np.uint8).ravel()
+
+
 def pil_available() -> bool:
     """True when Pillow is importable in THIS interpreter — callers
     (and the auto-skipping decode pytest) use it to know which codec
@@ -143,19 +245,21 @@ def pil_available() -> bool:
 def decode_image_pixels(
     df: DataFrame, media_col: str = "media", header_bytes: int = 16
 ) -> DataFrame:
-    """Pixel decode with a REAL codec when one exists: when Pillow is
-    importable on the executors, each payload is decoded as an actual
-    image container (JPEG/PNG/anything PIL reads), converted to 8-bit
-    grayscale, and per-image pixel statistics are computed over the
-    TRUE raster; when Pillow is absent — this container — the
-    deterministic fake-codec contract applies unchanged (16-byte
+    """Pixel decode with a REAL codec when one exists, in three
+    tiers: (1) when Pillow is importable on the executors, each
+    payload is decoded as an actual image container (JPEG/PNG/anything
+    PIL reads) and converted to 8-bit grayscale; (2) otherwise —
+    this container — PNG payloads go through the package's own
+    stdlib decoder (``png_gray``: zlib-inflated IDAT + full scanline
+    unfiltering, PIL-parity grayscale kernel), so a REAL decode path
+    runs and is pytest-pinned even without Pillow; (3) anything else
+    falls back to the deterministic fake-codec contract (16-byte
     ``<IIII`` header + raw-uint8 body), so the operator is total in
-    both environments and the output SCHEMA is identical either way.
-    A payload the real codec cannot parse (crawl data always carries
-    corrupt images) also falls back to the fake-codec interpretation
-    instead of killing the Arrow batch.
+    every environment and the output SCHEMA is identical on all
+    paths. A payload no codec can parse (crawl data always carries
+    corrupt images) takes tier 3 instead of killing the Arrow batch.
 
-    Output adds: ``px_codec`` ('pil' | 'raw'), ``px_w``, ``px_h``
+    Output adds: ``px_codec`` ('pil' | 'png' | 'raw'), ``px_w``, ``px_h``
     (decoder-reported dimensions; header dimensions on the raw path),
     ``px_n``, ``px_mean``, ``px_std`` (round 6, population, exact
     integer sum/sum-of-squares form shared with
@@ -189,6 +293,11 @@ def decode_image_pixels(
                         codec = "pil"
                     except Exception:
                         body = None
+                if body is None:
+                    png = png_gray(b)
+                    if png is not None:
+                        w, h, body = png
+                        codec = "png"
                 if body is None:
                     if len(b) >= header_bytes:
                         w, h, _sr, _nf = struct.unpack_from("<IIII", b, 0)

@@ -4924,6 +4924,49 @@ SELECT id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
 FROM lat GROUP BY id
 """
 
+# Interpolated Kneser-Ney trigram (text/corpus.py kn_trigram_logprob,
+# KenLM's default order-3 shape): highest order discounts raw counts,
+# both lower orders are CONTINUATION-count models derived from the
+# trigram table; closed world on the training corpus so no unseen
+# branch. Same decimal-lattice per-doc mean as TRIGRAM_LOGPROB; the
+# probability is ONE shared IEEE double expression with identical
+# parenthesization in both engines.
+KN_TRIGRAM_LOGPROB = f"""
+WITH {oracle_ctes('corpus')},
+tk AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+tg AS (SELECT id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2,
+              t[CAST(i + 2 AS INT)] AS w3
+       FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)),
+tgc AS (SELECT id, w1, w2, w3, COUNT(*) AS n FROM tg GROUP BY 1, 2, 3, 4),
+c3 AS (SELECT w1, w2, w3, SUM(n) AS n3 FROM tgc GROUP BY 1, 2, 3),
+cx AS (SELECT w1, w2, SUM(n3) AS nctx, COUNT(*) AS nfol3
+       FROM c3 GROUP BY 1, 2),
+ct AS (SELECT w2, w3, COUNT(*) AS t23 FROM c3 GROUP BY 1, 2),
+tm AS (SELECT w2, SUM(t23) AS tmid, COUNT(*) AS tfol FROM ct GROUP BY 1),
+td AS (SELECT w3, COUNT(*) AS tdot FROM ct GROUP BY 1),
+tt AS (SELECT COUNT(*) AS T FROM ct),
+lat AS (SELECT g.id, g.n,
+               CAST(ROUND(-LN(
+                   GREATEST(c3.n3 - {_KN_D}, 0.0) / CAST(cx.nctx AS DOUBLE)
+                 + (({_KN_D} * cx.nfol3) / CAST(cx.nctx AS DOUBLE))
+                   * (GREATEST(ct.t23 - {_KN_D}, 0.0)
+                      / CAST(tm.tmid AS DOUBLE)
+                      + (({_KN_D} * tm.tfol) / CAST(tm.tmid AS DOUBLE))
+                        * (td.tdot / CAST(tt.T AS DOUBLE)))
+               ) + 1e-9, 6) AS DECIMAL(14,6)) AS nll
+        FROM tgc g
+        JOIN c3 USING (w1, w2, w3)
+        JOIN cx USING (w1, w2)
+        JOIN ct USING (w2, w3)
+        JOIN tm USING (w2)
+        JOIN td USING (w3)
+        CROSS JOIN tt)
+SELECT id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       ROUND(CAST(CAST(SUM(n * nll) AS DECIMAL(26,6)) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) + 1e-9, 6) AS avg_neg_logprob
+FROM lat GROUP BY id
+"""
+
 # perplexity_buckets with the trigram scorer swapped in (the scorer
 # hook, r8 VERDICT item 7): same exact-interpolated tercile cutoffs
 # as PERPLEXITY_BUCKETS, over the TRIGRAM_LOGPROB score.

@@ -1616,6 +1616,97 @@ def trigram_logprob(
     )
 
 
+def kn_trigram_logprob(
+    corpus: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM scoring — the KenLM default
+    order-3 model (Heafield 2011 estimates exactly this shape), on
+    top of ``kn_bigram_logprob``'s order-2 and ``trigram_logprob``'s
+    Jelinek-Mercer mix. Lower orders use CONTINUATION counts derived
+    from the trigram table (the defining KN move — a word that
+    follows only one fixed context stops looking fluent no matter how
+    frequent the phrase):
+
+        P(w3|w1w2) = max(c3-d,0)/cctx + lam3(w1w2) * P2(w3|w2)
+        lam3(w1w2) = d * |{w3: c3(w1w2w3)>0}| / cctx
+        P2(w3|w2)  = max(t(w2w3)-d,0)/tmid(w2)
+                     + (d * tfol(w2)/tmid(w2)) * t(.w3)/T
+        t(w2w3) = |{w1: c3>0}|      (distinct left contexts)
+        tmid(w2) = sum_w3 t(w2w3);  tfol(w2) = |{w3: t(w2w3)>0}|
+        t(.w3) = |{w2: t(w2w3)>0}|; T = |distinct (w2,w3) rows|
+
+    Scored on the training corpus itself: every scored trigram has
+    c3 >= 1, hence t(w2w3) >= 1, tmid(w2) >= 1, t(.w3) >= 1 — no
+    unseen-event branch is reachable and the oracle mirrors the same
+    closed-world expression. Contract matches ``trigram_logprob``:
+    ``(id, n_trigrams, avg_neg_logprob)``, sub-3-token docs unscored,
+    qdec-lattice per-type NLL + exact decimal per-doc weighted mean.
+
+    Scale shape: ONE persisted per-doc trigram table (shared with
+    ``trigram_logprob`` via ``counts=``); c3, cctx, and all four
+    continuation tables are progressively smaller aggregates of it;
+    scoring joins are AQE-sized; T is a one-row broadcast.
+    """
+    from ..numerics import dsum, qdec, r6
+
+    d = float(discount)
+    if not (0.0 < d <= 1.0):
+        raise ValueError(f"discount must be in (0, 1], got {discount}")
+    tg = (
+        counts
+        if counts is not None
+        else tracked_persist(trigram_doc_counts(corpus, id_col, text_col))
+    )
+    c3 = tracked_persist(
+        tg.groupBy("w1", "w2", "w3").agg(F.sum("n").alias("n3"))
+    )
+    cctx = c3.groupBy("w1", "w2").agg(
+        F.sum("n3").alias("nctx"),
+        F.count("*").alias("nfol3"),  # |{w3: c3(w1w2w3)>0}|
+    )
+    ctab = tracked_persist(
+        c3.groupBy("w2", "w3").agg(F.count("*").alias("t23"))
+    )
+    tmid = ctab.groupBy("w2").agg(
+        F.sum("t23").alias("tmid"),
+        F.count("*").alias("tfol"),  # |{w3: t(w2w3)>0}|
+    )
+    tdot = ctab.groupBy("w3").agg(F.count("*").alias("tdot"))
+    ttot = ctab.agg(F.count("*").alias("T"))
+    p2 = (
+        F.greatest(F.col("t23") - F.lit(d), F.lit(0.0))
+        / F.col("tmid").cast("double")
+        + ((F.lit(d) * F.col("tfol")) / F.col("tmid").cast("double"))
+        * (F.col("tdot") / F.col("T").cast("double"))
+    )
+    p = (
+        F.greatest(F.col("n3") - F.lit(d), F.lit(0.0))
+        / F.col("nctx").cast("double")
+        + ((F.lit(d) * F.col("nfol3")) / F.col("nctx").cast("double"))
+        * p2
+    )
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(cctx, ["w1", "w2"])
+        .join(ctab, ["w2", "w3"])
+        .join(tmid, "w2")
+        .join(tdot, "w3")
+        .crossJoin(F.broadcast(ttot))
+        .select("id", "n", qdec(-F.log(p)).alias("_nll"))
+    )
+    return scored.groupBy("id").agg(
+        F.sum("n").cast("bigint").alias("n_trigrams"),
+        r6(
+            dsum(F.col("n") * F.col("_nll"))
+            / F.sum("n").cast("double")
+        ).alias("avg_neg_logprob"),
+    )
+
+
 def quality_blend(
     corpus: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:

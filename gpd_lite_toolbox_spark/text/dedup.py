@@ -1399,6 +1399,49 @@ def dup_groups_star(
     )
 
 
+def cc_star_increment(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 25,
+    strict: bool = True,
+) -> DataFrame:
+    """Day-2 component maintenance: fold a batch of NEW edges into an
+    existing component labeling without re-clustering the corpus.
+
+    ``prev_labels`` is any prior ``(id, group_id)`` assignment whose
+    groups are connected components (the output of ``cc_star`` /
+    ``dup_groups_star`` / ``dup_groups``); ``new_edges`` is the
+    batch's ``(src, dst)`` pair table (e.g. ``ingest_near_dups``
+    cross pairs plus the batch's own ``minhash_lsh_pairs``). Returns
+    the updated ``(id, group_id)`` over the union of prior nodes and
+    new-edge endpoints — EQUAL to re-running ``cc_star`` on the full
+    historical edge set (pytest-pinned), because a labeling's star
+    edges (id -> group_id) have exactly the components of the edges
+    that produced them.
+
+    This is the ``ingest_near_dups`` discipline applied to the
+    clustering step itself: day-2 cost is the star table (one edge
+    per non-singleton prior node — already a fixed point for the star
+    operators, so re-convergence takes O(log^2) rounds of the MERGED
+    graph's contraction, typically 1-2) plus the batch's edges; the
+    historical pair graph is never rebuilt and the raw pair lists
+    never retained.
+    """
+    star = prev_labels.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias("src"), F.col("group_id").alias("dst")
+    )
+    comp = cc_star(
+        star.unionByName(new_edges.select("src", "dst")),
+        max_iter=max_iter,
+        strict=strict,
+    )
+    # prior singletons untouched by the batch keep their own label
+    untouched = prev_labels.select("id", "group_id").join(
+        comp.select("id"), "id", "left_anti"
+    )
+    return comp.unionByName(untouched)
+
+
 def dedup_canonical(
     corpus: DataFrame,
     id_col: str = "id",

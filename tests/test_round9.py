@@ -207,3 +207,237 @@ def test_perplexity_buckets_scorer_hook(spark, sf_dir):
         for r in tri.groupBy("bucket").agg(F.count("*").alias("c")).collect()
     }
     assert set(counts) == {"head", "middle", "tail"}
+
+
+# --- r8 VERDICT item 8: a real decode path behind the media family ---
+
+import struct  # noqa: E402
+import zlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from gpd_lite_toolbox_spark.media.multimodal import (  # noqa: E402
+    decode_image_pixels,
+    pil_available,
+    png_gray,
+)
+
+
+def _encode_png(px, ctype, filters):
+    """Minimal PNG writer for the test: px is (h, w, nch) uint8,
+    one filter byte per row from ``filters`` (exercises the decoder's
+    unfiltering, including Sub/Up/Average/Paeth)."""
+    h, w, nch = px.shape
+    raw = bytearray()
+    prior = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        line = px[y].ravel().astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        enc = line.copy()
+        for i in range(w * nch):
+            a = line[i - nch] if i >= nch else 0
+            b = prior[i]
+            c = prior[i - nch] if i >= nch else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.extend(int(v) & 0xFF for v in enc)
+        prior = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pil_l(px):
+    """PIL convert('L') ground truth: the fixed-point ITU-R 601-2
+    kernel for RGB(A), passthrough channel 0 for gray/LA."""
+    px = px.astype(np.int64)
+    if px.shape[2] in (1, 2):
+        return px[:, :, 0].astype(np.uint8)
+    return (
+        (19595 * px[:, :, 0] + 38470 * px[:, :, 1] + 7471 * px[:, :, 2]
+         + 0x8000) >> 16
+    ).astype(np.uint8)
+
+
+def test_png_gray_all_filters_and_color_types():
+    """Every filter type and every supported color type decodes to
+    the exact raster the filters encoded (property: encode-decode
+    identity against an independent numpy ground truth)."""
+    rng = np.random.RandomState(7)
+    for ctype, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.randint(0, 256, size=(7, 5, nch), dtype=np.uint8)
+        blob = _encode_png(px, ctype, filters=[0, 1, 2, 3, 4])
+        got = png_gray(blob)
+        assert got is not None, f"ctype {ctype} failed to decode"
+        w, h, gray = got
+        assert (w, h) == (5, 7)
+        assert np.array_equal(gray, _pil_l(px).ravel())
+
+
+def test_png_gray_rejects_garbage():
+    assert png_gray(b"not a png at all") is None
+    assert png_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10) is None
+    # 16-bit depth is out of scope -> None, caller falls back
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+    )
+    assert png_gray(blob) is None
+
+
+def test_decode_image_pixels_real_png_through_spark(spark):
+    """The operator's real-codec tier end-to-end: PNG payloads decode
+    on the executors (tier 'png' here, 'pil' where Pillow exists) and
+    the pixel stats match numpy on the true raster; a garbage payload
+    in the same batch takes the raw fallback without killing it."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    blob = _encode_png(px, 2, filters=[4, 3, 2, 1, 0])
+    junk = struct.pack("<IIII", 9, 9, 0, 0) + bytes(range(32))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(junk))],
+        "id long, media binary",
+    )
+    out = {r.id: r for r in decode_image_pixels(df).collect()}
+    expect_codec = "pil" if pil_available() else "png"
+    gray = _pil_l(px).astype(np.float64)
+    assert out[1].px_codec == expect_codec
+    assert (out[1].px_w, out[1].px_h) == (4, 6)
+    assert out[1].px_n == 24
+    assert abs(out[1].px_mean - round(gray.mean(), 6)) < 1e-9
+    assert abs(out[1].px_std - round(gray.std(), 6)) < 1e-6
+    assert out[1].px_min == int(gray.min())
+    assert out[1].px_max == int(gray.max())
+    assert out[2].px_codec == "raw"
+    assert out[2].px_n == 32
+
+
+# --- day-2 component maintenance: cc_star_increment ---
+
+from gpd_lite_toolbox_spark.text.dedup import cc_star_increment  # noqa: E402
+
+
+def test_cc_star_increment_equals_full_recompute(spark):
+    """Fold day-2 edges into day-1 labels == recompute over the full
+    edge set, on a graph whose batch merges two prior components,
+    extends a chain, and leaves one group untouched."""
+    day1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "src long, dst long",
+    )
+    prev = cc_star(day1)
+    # node 40/41: brand-new pair; (3,10): merges {1,2,3} with {10,11};
+    # (11,12): extends; (50,51),(51,52): new chain
+    new = spark.createDataFrame(
+        [(40, 41), (3, 10), (11, 12), (50, 51), (51, 52)],
+        "src long, dst long",
+    )
+    inc = sorted(map(tuple, cc_star_increment(prev, new).collect()))
+    full = sorted(map(tuple, cc_star(day1.unionByName(new)).collect()))
+    assert inc == full
+    got = dict(inc)
+    assert got[12] == 1 and got[10] == 1  # merged component min
+    assert got[20] == 20 and got[21] == 20  # untouched group intact
+    assert got[52] == 50  # new chain
+
+
+def test_cc_star_increment_preserves_prior_singletons(spark):
+    """Singleton labels (id == group_id) untouched by the batch pass
+    through; ones hit by the batch merge."""
+    prev = spark.createDataFrame(
+        [(7, 7), (8, 8), (1, 1), (2, 1)], "id long, group_id long"
+    )
+    new = spark.createDataFrame([(8, 2)], "src long, dst long")
+    got = dict(
+        (r.id, r.group_id) for r in cc_star_increment(prev, new).collect()
+    )
+    assert got == {7: 7, 8: 1, 1: 1, 2: 1}
+
+
+# --- interpolated Kneser-Ney trigram (KenLM's default order) ---
+
+from gpd_lite_toolbox_spark.text.corpus import kn_trigram_logprob  # noqa: E402
+
+
+def test_kn_trigram_known_values(spark):
+    """Hand-computed check: every continuation count and the nested
+    interpolation verified against the closed formula."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c")], "id long, text string"
+    )
+    out = {r.id: r for r in kn_trigram_logprob(docs).collect()}
+    d = 0.75
+    # c3: aba=2 bab=1 abc=1; cctx(ab)=3 nfol3(ab)=2; cctx(ba)=1 nfol3(ba)=1
+    # ct (distinct w1 per (w2,w3)): (b,a)=1 (a,b)=1 (b,c)=1
+    # tmid: b->2 (rows (b,a),(b,c)), a->1; tfol: b=2, a=1
+    # tdot: a=1 b=1 c=1; T=3
+    def p2(t23, tmid, tfol, tdot, T=3):
+        return max(t23 - d, 0) / tmid + (d * tfol / tmid) * (tdot / T)
+
+    def p3(n3, nctx, nfol3, p2v):
+        return max(n3 - d, 0) / nctx + (d * nfol3 / nctx) * p2v
+
+    def lat(x):
+        return round(-math.log(x) + 1e-9, 6)
+
+    nll_aba = lat(p3(2, 3, 2, p2(1, 2, 2, 1)))  # cont (b,a)
+    nll_bab = lat(p3(1, 1, 1, p2(1, 1, 1, 1)))  # cont (a,b)
+    nll_abc = lat(p3(1, 3, 2, p2(1, 2, 2, 1)))  # cont (b,c)
+    exp1 = round((2 * nll_aba + nll_bab) / 3 + 1e-9, 6)
+    exp2 = round(nll_abc + 1e-9, 6)
+    assert out[1].n_trigrams == 3 and out[2].n_trigrams == 1
+    assert abs(out[1].avg_neg_logprob - exp1) < 2e-6
+    assert abs(out[2].avg_neg_logprob - exp2) < 2e-6
+
+
+def test_kn_trigram_continuation_beats_frequency(spark):
+    """The KN signature one order up: 'bar' always follows the single
+    context 'foo', while 'cat'/'dog' follow many distinct contexts.
+    When an unusual context precedes both, raw-frequency backoff (the
+    JM trigram) rates the frequent-but-stuck 'bar' BETTER than KN
+    does relative to the versatile word — continuation counts demote
+    boilerplate continuations."""
+    rows = [(i, f"w{i} x foo bar y{i}") for i in range(30)]
+    rows += [(100 + i, f"p{i} q cat r{i}") for i in range(10)]
+    rows += [(200 + i, f"s{i} t dog u{i}") for i in range(10)]
+    # probes: same fresh context 'z0 z1' before 'bar' vs before 'cat'
+    rows += [(900, "z0 z1 bar"), (901, "z0 z1 cat")]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    kn = {r.id: r.avg_neg_logprob for r in kn_trigram_logprob(docs).collect()}
+    jm = {r.id: r.avg_neg_logprob for r in trigram_logprob(docs).collect()}
+    # JM backs off to raw frequency: bar occurs 31 times vs cat's 11,
+    # so JM scores the bar-probe strictly cheaper (negative gap). KN
+    # backs off to continuation TYPE counts, and both words have
+    # exactly 2 distinct preceding contexts — the stuck-but-frequent
+    # word's advantage disappears (gap 0). The KN gap must therefore
+    # be LARGER (closer to 0) than the JM gap.
+    assert (jm[900] - jm[901]) < 0  # JM rewards raw frequency
+    assert (kn[900] - kn[901]) > (jm[900] - jm[901])
+    assert abs(kn[900] - kn[901]) < 1e-6  # equal continuation types
