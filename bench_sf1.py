@@ -87,6 +87,7 @@ HEADLINE = [
     "fim_split",
     "dsir_weights",
     "trigram_logprob",
+    "kn_trigram_logprob",
     # bench-only (defined below, not a declared query): reference
     # blocking semantics with k FIXED at the sf0.1 |A| while the B
     # corpus grows 10x — proves the documented claim that

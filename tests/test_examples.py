@@ -143,3 +143,26 @@ def test_substrate_ledger_pipeline(spark, sf_dir, tmp_path):
     assert s.n_near_dup_pairs > 0       # day-2 query found pairs
     assert s.n_scored > 0               # day-2 LM scored docs
     assert ledger.count() == sum(sc.values())
+
+
+def test_lm_quality_stack(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from lm_quality_stack import run
+
+    ladder, migration, dsir = run(spark, sf_dir)
+    nll = {r.scorer: r.mean_nll for r in ladder.collect()}
+    assert set(nll) == {
+        "unigram", "bigram_addk", "bigram_kn", "trigram_jm", "trigram_kn"
+    }
+    # order helps: each raw-count order fits tighter than the last
+    assert nll["bigram_addk"] < nll["unigram"]
+    assert nll["trigram_jm"] < nll["bigram_addk"]
+    mig = migration.collect()
+    total = sum(r.n_docs for r in mig)
+    diag = sum(
+        r.n_docs for r in mig if r.bucket_unigram == r.bucket_trigram
+    )
+    # the context-aware scorer re-ranks SOME docs but not most
+    assert 0 < diag < total
+    d = dsir.collect()[0]
+    assert d.n_scored > 0 and 0 < d.n_target_like < d.n_scored
