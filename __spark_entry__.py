@@ -3683,6 +3683,23 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(FX.fixture_df(s, sf_dir, "scorpus"))
 
 
+def _q_banned_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scan by dictionary join (text/analysis.py
+    banned_phrase_hits): stride-1 slices per distinct phrase length
+    equi-joined against the phrase dictionary — the scalable shape
+    for 100k-entry NSFW/spam lists where a regex alternation is
+    driver-poison. Oracle = the naive per-(doc, phrase, position)
+    test, a fully independent derivation."""
+    from gpd_lite_toolbox_spark.text.analysis import (
+        BANNED_FIXTURE_PHRASES,
+        banned_phrase_hits,
+    )
+
+    return banned_phrase_hits(
+        _corpus(spark, sf_dir), BANNED_FIXTURE_PHRASES
+    )
+
+
 def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram LM scoring (text/corpus.py
     trigram_logprob): Jelinek-Mercer mix of the three ML orders,
@@ -3814,6 +3831,7 @@ DRIVER_WINDOW = [
     "trigram_logprob",
     "kn_trigram_logprob",
     "perplexity_buckets_trigram",
+    "banned_phrase_hits",
     # Next: the 12 queries whose latest green is r4 — the oldest
     # remaining evidence tier (r8 VERDICT item 2); after this round
     # no query's evidence is older than r5.
@@ -3863,7 +3881,6 @@ DRIVER_WINDOW = [
     "quality_blend",
     "rabin_chunks",
     "repeated_ngrams",
-    "retention_cohorts",
 ]
 
 
@@ -3915,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups_incremental": _q_dup_groups_incremental,
         "trigram_logprob": _q_trigram_logprob,
         "kn_trigram_logprob": _q_kn_trigram_logprob,
+        "banned_phrase_hits": _q_banned_phrase_hits,
         "perplexity_buckets_trigram": _q_perplexity_buckets_trigram,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
@@ -4287,6 +4305,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_groups_incremental": OR.DUP_GROUPS,
         "trigram_logprob": OR.TRIGRAM_LOGPROB,
         "kn_trigram_logprob": OR.KN_TRIGRAM_LOGPROB,
+        "banned_phrase_hits": OR.BANNED_PHRASE_HITS,
         "perplexity_buckets_trigram": OR.PERPLEXITY_BUCKETS_TRIGRAM,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,

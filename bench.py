@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     # substrates. perplexity_buckets_trigram times the scorer-hook
     # composition over the trigram stack.
     "dup_groups_star",
+    "banned_phrase_hits",
     "trigram_logprob",
     "kn_trigram_logprob",
     "perplexity_buckets_trigram",

@@ -88,6 +88,9 @@ HEADLINE = [
     "dsir_weights",
     "trigram_logprob",
     "kn_trigram_logprob",
+    # dictionary-join blocklist scan: pure row-local slices + one
+    # dictionary join, so the 10x corpus must scale ~linearly
+    "banned_phrase_hits",
     # bench-only (defined below, not a declared query): reference
     # blocking semantics with k FIXED at the sf0.1 |A| while the B
     # corpus grows 10x — proves the documented claim that

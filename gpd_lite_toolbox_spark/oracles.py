@@ -6228,3 +6228,25 @@ SELECT t.id,
        t.token, s.token_id
 FROM tok2 t JOIN sym s USING (token)
 """
+
+
+# Blocklist scan (text/analysis.py banned_phrase_hits): dictionary
+# join over stride-1 slices on the Spark side; the oracle is the
+# NAIVE independent derivation — every (doc, phrase, position)
+# triple tested directly. Overlapping occurrences count.
+from .text.analysis import BANNED_FIXTURE_PHRASES as _BPH  # noqa: E402
+
+_BPH_VALS = ", ".join("('" + p.replace("'", "''") + "')" for p in _BPH)
+BANNED_PHRASE_HITS = f"""
+WITH {oracle_ctes('corpus')},
+ph AS (SELECT * FROM (VALUES {_BPH_VALS}) v(phrase))
+SELECT c.id, p.phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus c
+CROSS JOIN ph p
+CROSS JOIN UNNEST(range(1, GREATEST(length(lower(c.text))
+                                    - length(p.phrase) + 2, 1)))
+     AS u(pos)
+WHERE substr(lower(c.text), CAST(pos AS INT), length(p.phrase))
+      = p.phrase
+GROUP BY 1, 2
+"""

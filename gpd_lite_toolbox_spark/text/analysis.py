@@ -477,3 +477,97 @@ def script_profile(
         ),
         dominant.alias("dominant"),
     )
+
+
+def banned_phrase_hits(
+    corpus: DataFrame,
+    phrases,
+    id_col: str = "id",
+    text_col: str = "text",
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Blocklist scan by DICTIONARY JOIN, not regex alternation:
+    count every occurrence of every banned phrase in every document.
+    ``pii_scan`` covers pattern-shaped leaks (emails, card numbers);
+    this is its dictionary-shaped sibling — NSFW/spam/boilerplate
+    phrase lists run to hundreds of thousands of entries, where a
+    compiled ``(p1|p2|...)`` alternation is driver-poison and a
+    per-row loop is a Python UDF. Here the corpus is sliced into
+    substrings ONCE PER DISTINCT PHRASE LENGTH (the shingle
+    projection's shape: row-local, stride 1) and each slice table is
+    equi-joined against the phrase dictionary — AQE broadcasts a
+    small dictionary and degrades to a shuffled hash join on the
+    slice key when the list outgrows the threshold, which is exactly
+    the 100 TB-safe shape (swap the raw-string key for xxhash64 of
+    the slice if dictionary strings are long).
+
+    ``phrases``: a Python sequence of strings (the usual case — the
+    distinct lengths are known driver-side with no job) or a
+    single-column DataFrame (lengths collected: one bounded driver
+    step, the codebook-collect class).
+
+    Output: ``(id, phrase, n_hits)`` — only matching (doc, phrase)
+    combinations, ``n_hits`` counts OVERLAPPING occurrences (slices
+    advance by one char, so "aaa" hits "aa" twice; mirrored by the
+    oracle).
+    """
+    spark = corpus.sparkSession
+    if isinstance(phrases, DataFrame):
+        pcol = phrases.columns[0]
+        plist = [r[0] for r in phrases.select(pcol).distinct().collect()]
+    else:
+        plist = list(dict.fromkeys(phrases))
+    plist = [p for p in plist if p]
+    if not plist:
+        raise ValueError("phrases must contain at least one non-empty entry")
+    if case_insensitive:
+        plist = list(dict.fromkeys(p.lower() for p in plist))
+    pdf = F.broadcast(
+        spark.createDataFrame(
+            [(p, len(p)) for p in plist], "phrase string, plen int"
+        )
+    )
+    text = F.col(text_col)
+    if case_insensitive:
+        text = F.lower(text)
+    lengths = sorted({len(p) for p in plist})
+    parts = []
+    for ln in lengths:
+        # one row-local slice projection per distinct length: pos
+        # 1..len(text)-ln+1, each emitting the ln-char substring
+        parts.append(
+            corpus.select(
+                F.col(id_col).alias("id"), text.alias("_t")
+            )
+            .filter(F.length("_t") >= ln)
+            .select(
+                "id",
+                F.lit(ln).alias("plen"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(_t) - {ln} + 1),"
+                        f" p -> substring(_t, p, {ln}))"
+                    )
+                ).alias("phrase"),
+            )
+        )
+    slices = parts[0]
+    for p in parts[1:]:
+        slices = slices.unionByName(p)
+    return (
+        slices.join(pdf, ["phrase", "plen"])
+        .groupBy("id", "phrase")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+
+
+# fixture blocklist for the declared banned_phrase_hits query (shared
+# with oracles.BANNED_PHRASE_HITS so both engines scan one list):
+# three phrases drawn from the documents fixture's vocabulary plus
+# one that never occurs (the empty-result path must stay exercised)
+BANNED_FIXTURE_PHRASES = (
+    "table value",
+    "fast merge",
+    "key agg row",
+    "zz never present zz",
+)

@@ -441,3 +441,99 @@ def test_kn_trigram_continuation_beats_frequency(spark):
     assert (jm[900] - jm[901]) < 0  # JM rewards raw frequency
     assert (kn[900] - kn[901]) > (jm[900] - jm[901])
     assert abs(kn[900] - kn[901]) < 1e-6  # equal continuation types
+
+
+def test_cc_star_random_graphs_match_union_find(spark):
+    """Property sweep: on seeded random graphs the star alternation's
+    components must equal an independent union-find's — guards the
+    composite-fixed-point subtlety (the loop checks the fixed point of
+    small(large(E)), and this pins that no non-star fixed point or
+    2-cycle ever yields wrong components)."""
+    import random
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then label by component min
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        return {
+            v: min(members)
+            for members in comp.values()
+            for v in members
+        }
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.choice([12, 40, 80])
+        m = rng.randint(n // 3, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.group_id for r in cc_star(df).collect()}
+        want = union_find(n, edges)
+        touched = {v for e in edges for v in e}
+        assert got == {
+            v: want[v] for v in touched
+        }, f"trial {trial} (n={n}, m={len(edges)})"
+
+
+# --- dictionary-join blocklist scan ---
+
+from gpd_lite_toolbox_spark.text.analysis import (  # noqa: E402
+    banned_phrase_hits,
+)
+
+
+def test_banned_phrase_hits_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa and AAA again"),
+            (2, "the Fast Merge path"),
+            (3, "nothing here"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        (r.id, r.phrase): r.n_hits
+        for r in banned_phrase_hits(
+            docs, ["aa", "fast merge", "absent phrase"]
+        ).collect()
+    }
+    # overlapping occurrences: "aaa" yields 2, case-folded AAA 2 more
+    assert out[(1, "aa")] == 4
+    assert out[(2, "fast merge")] == 1  # case-insensitive by default
+    assert (3, "aa") not in out
+    assert not any(p == "absent phrase" for (_, p) in out)
+    # case-sensitive mode: AAA no longer matches
+    strict = {
+        (r.id, r.phrase): r.n_hits
+        for r in banned_phrase_hits(
+            docs, ["aa"], case_insensitive=False
+        ).collect()
+    }
+    assert strict[(1, "aa")] == 2
+
+
+def test_banned_phrase_hits_dataframe_input_and_guard(spark):
+    docs = spark.createDataFrame([(1, "x y z")], "id long, text string")
+    ph = spark.createDataFrame([("x y",), ("x y",)], "phrase string")
+    out = banned_phrase_hits(docs, ph).collect()
+    assert len(out) == 1 and out[0].n_hits == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        banned_phrase_hits(docs, [])
