@@ -3700,6 +3700,25 @@ def _q_banned_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_banned_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blocklist gate (streaming/grid_stream.py
+    run_streaming_blocklist_gate): stateless append-mode ROW-LOCAL
+    occurrence fold — a deliberately different derivation than the
+    batch slice-join operator, sharing its naive per-position
+    oracle."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_blocklist_gate,
+    )
+    from gpd_lite_toolbox_spark.text.analysis import (
+        BANNED_FIXTURE_PHRASES,
+    )
+
+    s = _configure(spark)
+    return run_streaming_blocklist_gate(
+        s, f"{sf_dir}/documents.parquet", BANNED_FIXTURE_PHRASES
+    )
+
+
 def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram LM scoring (text/corpus.py
     trigram_logprob): Jelinek-Mercer mix of the three ML orders,
@@ -3832,6 +3851,7 @@ DRIVER_WINDOW = [
     "kn_trigram_logprob",
     "perplexity_buckets_trigram",
     "banned_phrase_hits",
+    "stream_banned_phrases",
     # Next: the 12 queries whose latest green is r4 — the oldest
     # remaining evidence tier (r8 VERDICT item 2); after this round
     # no query's evidence is older than r5.
@@ -3880,7 +3900,6 @@ DRIVER_WINDOW = [
     "profile_drift",
     "quality_blend",
     "rabin_chunks",
-    "repeated_ngrams",
 ]
 
 
@@ -3933,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_logprob": _q_trigram_logprob,
         "kn_trigram_logprob": _q_kn_trigram_logprob,
         "banned_phrase_hits": _q_banned_phrase_hits,
+        "stream_banned_phrases": _q_stream_banned_phrases,
         "perplexity_buckets_trigram": _q_perplexity_buckets_trigram,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
@@ -4306,6 +4326,9 @@ def oracle_sql() -> dict[str, str]:
         "trigram_logprob": OR.TRIGRAM_LOGPROB,
         "kn_trigram_logprob": OR.KN_TRIGRAM_LOGPROB,
         "banned_phrase_hits": OR.BANNED_PHRASE_HITS,
+        # raw-documents variant: the streaming source reads the
+        # parquet directly (no derived planted rows)
+        "stream_banned_phrases": OR.STREAM_BANNED_PHRASES,
         "perplexity_buckets_trigram": OR.PERPLEXITY_BUCKETS_TRIGRAM,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,

@@ -6250,3 +6250,22 @@ WHERE substr(lower(c.text), CAST(pos AS INT), length(p.phrase))
       = p.phrase
 GROUP BY 1, 2
 """
+
+
+# Streaming blocklist gate (streaming/grid_stream.py
+# run_streaming_blocklist_gate): the streaming source reads
+# documents.parquet RAW (no derived planted rows), so the gate gets
+# its own naive per-position walk over the raw table — same phrase
+# list, same overlap semantics as BANNED_PHRASE_HITS.
+STREAM_BANNED_PHRASES = f"""
+WITH ph AS (SELECT * FROM (VALUES {_BPH_VALS}) v(phrase))
+SELECT d.doc_id AS id, p.phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM documents d
+CROSS JOIN ph p
+CROSS JOIN UNNEST(range(1, GREATEST(length(lower(d.text))
+                                    - length(p.phrase) + 2, 1)))
+     AS u(pos)
+WHERE substr(lower(d.text), CAST(pos AS INT), length(p.phrase))
+      = p.phrase
+GROUP BY 1, 2
+"""

@@ -943,3 +943,74 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
         F.max(F.unix_micros("ts")).alias("t_end_us"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+def run_streaming_blocklist_gate(
+    spark,
+    parquet_dir: str,
+    phrases,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming blocklist gate: documents stream in and every banned
+    phrase's OVERLAPPING occurrence count is computed ROW-LOCALLY —
+    for each phrase, a filter over the position sequence counting
+    matching fixed-width slices — then exploded to one row per
+    matching (doc, phrase). Fully STATELESS append mode (the
+    ``run_streaming_quality_gate`` class): no watermark, no state
+    store, deterministic under any micro-batch partitioning.
+
+    Deliberately a DIFFERENT derivation than the batch operator
+    (text/analysis.py ``banned_phrase_hits`` slices the corpus and
+    equi-joins the phrase dictionary — the right shape for 100k-entry
+    lists; the row-local fold here inlines the phrase list into the
+    projection, the right shape for the bounded lists a live ingest
+    gate carries): both must land on identical rows, so they share
+    the naive per-position DuckDB oracle AND a stream==batch pytest.
+
+    Output: ``(id, phrase, n_hits)`` with n_hits > 0.
+    """
+    from ..text.analysis import BANNED_FIXTURE_PHRASES  # noqa: F401
+
+    plist = [p for p in dict.fromkeys(str(x).lower() for x in phrases) if p]
+    if not plist:
+        raise ValueError("phrases must contain at least one non-empty entry")
+    parquet_dir = _stage_dir(parquet_dir, "blocklist_stream_")
+    schema = spark.read.parquet(parquet_dir).schema
+
+    def _hits(p: str) -> F.Column:
+        lit = p.replace("\\", "\\\\").replace("'", "\\'")
+        ln = len(p)
+        return F.expr(
+            # greatest(.., 1) not 0: sequence(1, 0) is DESCENDING [1,0] in
+            # Spark; the one harmless probe position matches nothing
+            # because substr of a shorter text can never equal the
+            # fixed-width phrase
+            f"size(filter(sequence(1, greatest(length(_t) - {ln} + 1, 1)),"
+            f" q -> substr(_t, q, {ln}) = '{lit}'))"
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"), _hits(p).alias("n_hits")
+            )
+            for p in plist
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(parquet_dir)
+        .select(
+            F.col(id_col).alias("id"),
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+        )
+        .select("id", F.explode(entries).alias("_e"))
+        .filter(F.col("_e.n_hits") > 0)
+        .select(
+            "id",
+            F.col("_e.phrase").alias("phrase"),
+            F.col("_e.n_hits").cast("bigint").alias("n_hits"),
+        )
+    )
+    return _drain_to_memory(spark, stream, "blocklist_stream_out", "append")

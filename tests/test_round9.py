@@ -537,3 +537,36 @@ def test_banned_phrase_hits_dataframe_input_and_guard(spark):
     assert len(out) == 1 and out[0].n_hits == 1
     with pytest.raises(ValueError, match="non-empty"):
         banned_phrase_hits(docs, [])
+
+
+def test_stream_blocklist_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming row-local fold and the batch slice-join are
+    different derivations of one contract — identical rows."""
+    import gpd_lite_toolbox_spark.fixtures as _FX
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_blocklist_gate,
+    )
+    from gpd_lite_toolbox_spark.text.analysis import (
+        BANNED_FIXTURE_PHRASES,
+    )
+
+    _FX.register_base_tables(spark, sf_dir)
+    batch = sorted(
+        map(
+            tuple,
+            banned_phrase_hits(
+                _corpus(spark, sf_dir), BANNED_FIXTURE_PHRASES
+            ).collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            run_streaming_blocklist_gate(
+                spark,
+                f"{sf_dir}/documents.parquet",
+                BANNED_FIXTURE_PHRASES,
+            ).collect(),
+        )
+    )
+    assert batch == stream and len(batch) > 0
