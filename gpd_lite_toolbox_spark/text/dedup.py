@@ -1324,9 +1324,10 @@ def cc_star(
     cur = _canon(edges).localCheckpoint()
     sig = _checksum(cur)
     for _ in range(max_iter):
-        stepped = _canon(
-            _small_star(_large_star(cur))
-        ).localCheckpoint()
+        # no _canon here: both star operators already emit oriented
+        # (big -> small) self-loop-free edges and end in a distinct —
+        # re-canonicalizing would add one redundant exchange per round
+        stepped = _small_star(_large_star(cur)).localCheckpoint()
         nsig = _checksum(stepped)
         if nsig == sig:
             # exact confirm: checksum equality is necessary, the
