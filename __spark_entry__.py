@@ -2334,6 +2334,46 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _mhidx_paths: dict[str, str] = {}
 
+# The incremental-dedup queries share one day-1/day-2 definition: docs
+# with id % 13 == 0 are the ingest batch, the rest are the indexed
+# day-1 corpus. _minhash_index() is the ONLY place that split is
+# written next to the index build — _q_ingest_near_dups,
+# _q_dup_groups_incremental and _q_stream_ingest_near_dups all memoize
+# into _mhidx_paths, so a drifting split in any one of them would
+# silently poison whichever runs second (r9 ADVICE item 4).
+_INGEST_BATCH_MOD = 13
+
+
+def _ingest_split(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ingest batch, indexed day-1 remainder) — the one split."""
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.filter(F.col("id") % _INGEST_BATCH_MOD == 0),
+        corpus.filter(F.col("id") % _INGEST_BATCH_MOD != 0),
+    )
+
+
+def _minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process+sf_dir) and return the persisted minhash
+    index over the day-1 remainder. The index — an index-sized on-disk
+    artifact — is memoized and removed at exit, mirroring the amortized
+    serving path it models: re-invocations and repeated bench/pytest
+    constructions pay only the ingest read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from gpd_lite_toolbox_spark.text.dedup import write_minhash_index
+
+    if sf_dir not in _mhidx_paths:
+        _, indexed = _ingest_split(_corpus(spark, sf_dir))
+        path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        write_minhash_index(indexed, path)
+        _mhidx_paths[sf_dir] = path
+    return _mhidx_paths[sf_dir]
+
 
 def _q_weighted_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-weighted quotas: the 30 best documents of
@@ -2365,26 +2405,12 @@ def _q_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (memoized, removed at exit), mirroring the amortized serving path
     it models: re-invocations and repeated bench/pytest constructions
     pay only the ingest read."""
-    import atexit
-    import shutil
-    import tempfile
+    from gpd_lite_toolbox_spark.text.dedup import ingest_near_dups
 
-    from pyspark.sql import functions as F
-
-    from gpd_lite_toolbox_spark.text.dedup import (
-        ingest_near_dups,
-        write_minhash_index,
+    batch, _ = _ingest_split(_corpus(spark, sf_dir))
+    return ingest_near_dups(
+        spark, _minhash_index(spark, sf_dir), batch, threshold=0.5
     )
-
-    corpus = _corpus(spark, sf_dir)
-    batch = corpus.filter(F.col("id") % 13 == 0)
-    if sf_dir not in _mhidx_paths:
-        indexed = corpus.filter(F.col("id") % 13 != 0)
-        path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        write_minhash_index(indexed, path)
-        _mhidx_paths[sf_dir] = path
-    return ingest_near_dups(spark, _mhidx_paths[sf_dir], batch, threshold=0.5)
 
 
 def _q_dup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2397,10 +2423,6 @@ def _q_dup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the corpus pair graph is never rebuilt. Oracle: the SAME
     full-corpus recursive-CTE walk as dup_groups — the incremental
     path must land on identical components, labels, and sizes."""
-    import atexit
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from gpd_lite_toolbox_spark.text.dedup import (
@@ -2408,20 +2430,13 @@ def _q_dup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_groups_star,
         ingest_near_dups,
         minhash_lsh_pairs,
-        write_minhash_index,
     )
 
     corpus = _corpus(spark, sf_dir)
-    batch = corpus.filter(F.col("id") % 13 == 0)
-    day1 = corpus.filter(F.col("id") % 13 != 0)
-    if sf_dir not in _mhidx_paths:
-        path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        write_minhash_index(day1, path)
-        _mhidx_paths[sf_dir] = path
+    batch, day1 = _ingest_split(corpus)
     prev = dup_groups_star(day1).select("id", "group_id")
     cross = ingest_near_dups(
-        spark, _mhidx_paths[sf_dir], batch, threshold=0.5
+        spark, _minhash_index(spark, sf_dir), batch, threshold=0.5
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     inb = minhash_lsh_pairs(batch, threshold=0.5).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -2459,30 +2474,20 @@ def _q_stream_ingest_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from gpd_lite_toolbox_spark.streaming.grid_stream import (
         run_streaming_ingest_near_dups,
     )
-    from gpd_lite_toolbox_spark.text.dedup import write_minhash_index
 
     s = _configure(spark)
-    corpus = _corpus(spark, sf_dir)
-    if sf_dir not in _mhidx_paths:
-        indexed = corpus.filter(F.col("id") % 13 != 0)
-        path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        write_minhash_index(indexed, path)
-        _mhidx_paths[sf_dir] = path
+    idx_path = _minhash_index(s, sf_dir)
     if sf_dir not in _stream_batch_paths:
+        batch, _ = _ingest_split(_corpus(spark, sf_dir))
         bpath = tempfile.mkdtemp(prefix="spark_graft_ingest_batch_")
         atexit.register(shutil.rmtree, bpath, ignore_errors=True)
-        corpus.filter(F.col("id") % 13 == 0).repartition(2).write.mode(
-            "overwrite"
-        ).parquet(bpath)
+        batch.repartition(2).write.mode("overwrite").parquet(bpath)
         _stream_batch_paths[sf_dir] = bpath
     return run_streaming_ingest_near_dups(
-        s, _mhidx_paths[sf_dir], _stream_batch_paths[sf_dir], threshold=0.5
+        s, idx_path, _stream_batch_paths[sf_dir], threshold=0.5
     )
 
 
@@ -3660,6 +3665,34 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_corpus(spark, sf_dir))
 
 
+def _q_winnow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS df-cap drop-mass audit (text/dedup.py winnow_report):
+    one summary row quantifying the fingerprint/posting mass
+    winnow_pairs' boilerplate guard drops — without it a cap-induced
+    pair collapse (841 -> 73 at 10x the fixture) reads as "few
+    duplicates" (r9 VERDICT What's-wrong item 4). Oracle reuses the
+    winnow fingerprint CTE chain verbatim, aggregated uncapped."""
+    from gpd_lite_toolbox_spark.text.dedup import winnow_report
+
+    return winnow_report(_corpus(spark, sf_dir))
+
+
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination curation artifact (text/dedup.py
+    contamination_report): Gopher duplicate-5-gram coverage joined
+    with cross-split minhash leakage — the two audit signals a
+    training-data pipeline gates on, in one row per doc (r9 VERDICT
+    item 8a). Oracle composes the SPLIT_LEAKAGE and
+    DUP_NGRAM_COVERAGE CTE chains."""
+    from gpd_lite_toolbox_spark.text.corpus import split_corpus
+    from gpd_lite_toolbox_spark.text.dedup import contamination_report
+
+    corpus = _corpus(spark, sf_dir)
+    return contamination_report(
+        corpus, split_corpus(corpus, seed=OR.SPLIT_SEED), threshold=0.5
+    )
+
+
 def _q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle transform (text/corpus.py fim_split,
     Bavarian et al. 2022): a deterministic hashed 50% of corpus docs
@@ -3697,6 +3730,27 @@ def _q_banned_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return banned_phrase_hits(
         _corpus(spark, sf_dir), BANNED_FIXTURE_PHRASES
+    )
+
+
+def _q_banned_phrase_hits_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINGLE-PASS tier of the blocklist scan (text/analysis.py
+    banned_phrase_hits mode="ac"): an Aho-Corasick automaton — built
+    driver-side from the dictionary, broadcast once — walks each
+    document's characters exactly ONCE in an Arrow-batched mapInPandas
+    pass, reporting every overlapping occurrence of every phrase
+    via merged output links. One corpus scan regardless of how many
+    phrases or distinct lengths the dictionary carries, vs the join
+    tier's O(chars x distinct_lengths) slice projections — this is the
+    100k-entry-blocklist path (r9 VERDICT item 3). Same dictionary,
+    same oracle, same hashes as banned_phrase_hits."""
+    from gpd_lite_toolbox_spark.text.analysis import (
+        BANNED_FIXTURE_PHRASES,
+        banned_phrase_hits,
+    )
+
+    return banned_phrase_hits(
+        _corpus(spark, sf_dir), BANNED_FIXTURE_PHRASES, mode="ac"
     )
 
 
@@ -3842,64 +3896,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_contract.py pins that every declared query has a
 # historical driver row in EVIDENCE.json or sits in this window).
 DRIVER_WINDOW = [
-    # Round-9 window (freeze-last discipline). Slots 1..N: this
+    # Round-10 window (freeze-last discipline). Slots 1..N: this
     # round's new queries (finalized at round end, one slot per new
     # hash gate).
-    "dup_groups_star",
-    "dup_groups_incremental",
-    "trigram_logprob",
-    "kn_trigram_logprob",
-    "perplexity_buckets_trigram",
-    "banned_phrase_hits",
-    "stream_banned_phrases",
-    # Next: the 12 queries whose latest green is r4 — the oldest
-    # remaining evidence tier (r8 VERDICT item 2); after this round
-    # no query's evidence is older than r5.
-    "sample_k_per_group",
-    "session_window",
-    "sessionize",
-    "shard_corpus",
-    "split_corpus",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_near_dedup",
-    "top_users_daily",
-    "unigram_logprob",
-    "url_stats",
-    "warc_roundtrip",
-    # Fill: the alphabetically-first of the 49 r5-green queries (the
+    "banned_phrase_hits_ac",
+    "winnow_report",
+    "contamination_report",
+    # Next: the 18 queries whose latest green is r5 — the oldest
+    # remaining evidence tier (r9 VERDICT "What's missing" item 2);
+    # after this round no query's evidence is older than r6.
+    "repeated_ngrams",
+    "retention_cohorts",
+    "retrieval_metrics",
+    "scene_changes",
+    "script_profile",
+    "semantic_decontaminate",
+    "semantic_dedup",
+    "session_paths",
+    "simhash_pairs",
+    "span_removal",
+    "stream_quality_gate",
+    "substring_spans",
+    "table_profile",
+    "tpch_shipping",
+    "unigram_divergence",
+    "weak_labels",
+    "weighted_sample",
+    "xml_roundtrip",
+    # Fill: the alphabetically-first of the 49 r6-green queries (the
     # next-oldest tier); the rest rotate next round.
-    "anchor_stats",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "bigram_logprob",
-    "bloom_decontaminate",
-    "bpe_fertility",
-    "chunk_dedup_stats",
-    "cms_heavy_hitters",
-    "conversion_funnel",
-    "curriculum_order",
-    "dau_wau",
-    "dedup_pr",
-    "domain_pagerank",
-    "dup_ngram_coverage",
-    "embedding_outliers",
-    "epoch_expand",
-    "frame_dedup",
-    "gopher_rules",
-    "hard_negatives",
-    "hits_scores",
-    "ingest_near_dups",
-    "leakage_safe_split",
-    "lf_diagnostics",
-    "link_graph",
-    "nb_classify",
-    "ngram_containment",
-    "paragraph_dedup",
-    "profile_drift",
-    "quality_blend",
-    "rabin_chunks",
+    "ann_ivf_deleted",
+    "ann_topk",
+    "bigram_pmi",
+    "borders",
+    "bpe_pair_counts",
+    "cartogram",
+    "classify_values",
+    "compaction_plan",
+    "curation_ledger",
+    "decontaminate",
+    "dissolve_union",
+    "docs_cube",
+    "drop_reasons",
+    "embedding_clusters",
+    "exact_dedup",
+    "find_borders",
+    "fuzzy_vocab",
+    "gridify_stats",
+    "hash_features",
+    "hilbert_keys",
+    "hybrid_topk",
+    "intersects_pairs",
+    "isochrone_bands",
+    "jl_project",
+    "kmv_distinct",
+    "kn_bigram",
+    "length_buckets",
+    "make_grid",
+    "match_lines",
 ]
 
 
@@ -3945,6 +3999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": _q_wordpiece_encode,
         "fim_split": _q_fim_split,
         "winnow_pairs": _q_winnow_pairs,
+        "winnow_report": _q_winnow_report,
+        "contamination_report": _q_contamination_report,
         "dsir_weights": _q_dsir_weights,
         # --- r9 additions ---
         "dup_groups_star": _q_dup_groups_star,
@@ -3952,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_logprob": _q_trigram_logprob,
         "kn_trigram_logprob": _q_kn_trigram_logprob,
         "banned_phrase_hits": _q_banned_phrase_hits,
+        "banned_phrase_hits_ac": _q_banned_phrase_hits_ac,
         "stream_banned_phrases": _q_stream_banned_phrases,
         "perplexity_buckets_trigram": _q_perplexity_buckets_trigram,
         "wordpiece_fertility": _q_wordpiece_fertility,
@@ -4319,6 +4376,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_encode": OR.WORDPIECE_ENCODE,
         "fim_split": OR.FIM_SPLIT,
         "winnow_pairs": OR.WINNOW_PAIRS,
+        "winnow_report": OR.WINNOW_REPORT,
+        "contamination_report": OR.CONTAMINATION_REPORT,
         "dsir_weights": OR.DSIR_WEIGHTS,
         # --- r9: star components share the recursive-CTE walk ---
         "dup_groups_star": OR.DUP_GROUPS,
@@ -4326,6 +4385,8 @@ def oracle_sql() -> dict[str, str]:
         "trigram_logprob": OR.TRIGRAM_LOGPROB,
         "kn_trigram_logprob": OR.KN_TRIGRAM_LOGPROB,
         "banned_phrase_hits": OR.BANNED_PHRASE_HITS,
+        # single-pass Aho-Corasick tier: same dictionary, same oracle
+        "banned_phrase_hits_ac": OR.BANNED_PHRASE_HITS,
         # raw-documents variant: the streaming source reads the
         # parquet directly (no derived planted rows)
         "stream_banned_phrases": OR.STREAM_BANNED_PHRASES,

@@ -91,6 +91,17 @@ HEADLINE = [
     # dictionary-join blocklist scan: pure row-local slices + one
     # dictionary join, so the 10x corpus must scale ~linearly
     "banned_phrase_hits",
+    # round-10 (r9 VERDICT items 2/3/4): the trigram scorer's bucket
+    # rollup; the winnow df-cap drop-mass audit (its sf1 row QUANTIFIES
+    # the 841->73 winnow_pairs collapse — n_postings_dropped is in the
+    # row notes); and the large-dictionary blocklist tiers — 1024
+    # synthetic phrases across 20 distinct lengths, where the join
+    # tier pays one corpus-chars slice scan PER length and the
+    # Aho-Corasick mapInPandas tier scans each document ONCE
+    "perplexity_buckets_trigram",
+    "winnow_report",
+    "banned_phrase_hits_1k_ac",
+    "banned_phrase_hits_1k_join",
     # bench-only (defined below, not a declared query): reference
     # blocking semantics with k FIXED at the sf0.1 |A| while the B
     # corpus grows 10x — proves the documented claim that
@@ -117,10 +128,114 @@ def _q_match_line_cluster_fixed_k(spark, sf_dir):
     return match_line_cluster(va, vb, max_k=4096)
 
 
+def _bench_phrases(n: int = 1024, n_lengths: int = 20) -> list[str]:
+    """Deterministic synthetic blocklist: ``n`` distinct phrases whose
+    lengths cycle through ``n_lengths`` distinct values (4..4+n-1) —
+    the length SPECTRUM is what multiplies the join tier's cost. The
+    fixture's 4 real phrases ride along so the hit path is exercised."""
+    from gpd_lite_toolbox_spark.text.analysis import BANNED_FIXTURE_PHRASES
+
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+    def b36(i: int) -> str:  # 4 chars cover 36^4 = 1.68M phrases
+        s = ""
+        for _ in range(4):
+            s = digits[i % 36] + s
+            i //= 36
+        return s
+
+    out = list(BANNED_FIXTURE_PHRASES)
+    i = 0
+    while len(out) < n:
+        ln = 4 + (i % n_lengths)
+        base = b36(i) + "qzx"
+        out.append((base * (ln // len(base) + 1))[:ln])
+        i += 1
+    return out
+
+
+def _q_banned_1k(mode):
+    def q(spark, sf_dir):
+        from gpd_lite_toolbox_spark import fixtures as FX
+        from gpd_lite_toolbox_spark.text.analysis import banned_phrase_hits
+
+        corpus = FX.fixture_df(spark, sf_dir, "corpus")
+        return banned_phrase_hits(corpus, _bench_phrases(), mode=mode)
+
+    return q
+
+
 # bench-only callables (same (spark, sf_dir) contract as declared
 # queries; kept out of __spark_entry__ because they are scale probes,
 # not oracle-gated product queries)
-LOCAL = {"match_line_cluster_fixed_k": _q_match_line_cluster_fixed_k}
+LOCAL = {
+    "match_line_cluster_fixed_k": _q_match_line_cluster_fixed_k,
+    "banned_phrase_hits_1k_ac": _q_banned_1k("ac"),
+    "banned_phrase_hits_1k_join": _q_banned_1k("join"),
+}
+
+
+# Eager probes (round-10, r9 VERDICT item 4): cc_star's alternating
+# star rounds run AT CONSTRUCTION (localCheckpoint per round), so the
+# lazy noop-write methodology would time only the final label
+# assembly. These rows time construction + one full count, once per
+# scale, and record the ROUND COUNT — the O(log^2 n) evidence.
+EAGER = ["dup_groups_star", "dup_groups_incremental", "cc_star_chain"]
+
+
+def _eager_probe(spark, name: str, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from gpd_lite_toolbox_spark.text.dedup import (
+        cc_star,
+        cc_star_increment,
+        dup_groups_star,
+        ingest_near_dups,
+        minhash_lsh_pairs,
+    )
+
+    stats: dict = {}
+    if name == "dup_groups_star":
+        corpus = E._corpus(spark, sf_dir)
+        t0 = time.perf_counter()
+        df = dup_groups_star(corpus, stats=stats)
+        rows = df.count()
+    elif name == "dup_groups_incremental":
+        # day-1 state (prior labels + persisted minhash index) is
+        # built and materialized BEFORE the clock: the documented
+        # claim is day-2 cost = the batch fold, not the corpus
+        corpus = E._corpus(spark, sf_dir)
+        batch, day1 = E._ingest_split(corpus)
+        idx = E._minhash_index(spark, sf_dir)
+        prev = (
+            dup_groups_star(day1).select("id", "group_id").localCheckpoint()
+        )
+        t0 = time.perf_counter()
+        cross = ingest_near_dups(spark, idx, batch, threshold=0.5).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        inb = minhash_lsh_pairs(batch, threshold=0.5).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        df = cc_star_increment(prev, cross.unionByName(inb), stats=stats)
+        rows = df.count()
+    elif name == "cc_star_chain":
+        # the planted LONG CHAIN — label propagation's worst case
+        # (diameter rounds); the star alternation must close it in
+        # O(log^2 n) rounds at BOTH scales
+        n = 100_000 if sf_dir == SF01 else 1_000_000
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        t0 = time.perf_counter()
+        df = cc_star(edges, max_iter=40, stats=stats)
+        rows = df.count()
+    else:  # pragma: no cover
+        raise ValueError(name)
+    sec = round(time.perf_counter() - t0, 3)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    return sec, rows, stats.get("rounds"), plan.count("Exchange")
 
 
 def generate(spark) -> None:
@@ -278,11 +393,14 @@ def main() -> None:
     # MERGE their rows into the existing BENCH_SF1.json — the 16-query
     # board no longer fits one driver timeout window, and per-family
     # re-measurement shouldn't re-pay the whole board anyway
-    subset = [a for a in sys.argv[1:] if a in set(HEADLINE)]
-    names = subset or HEADLINE
+    args = sys.argv[1:]
+    subset = [a for a in args if a in set(HEADLINE)]
+    eager_subset = [a for a in args if a in set(EAGER)]
+    names = subset or ([] if args else HEADLINE)
+    eager_names = eager_subset or ([] if args else EAGER)
     report: dict[str, dict] = {}
     out_path = os.path.join(REPO, "BENCH_SF1.json")
-    if subset and os.path.exists(out_path):
+    if args and os.path.exists(out_path):
         report.update(json.load(open(out_path)).get("queries", {}))
 
     qs = {**E.queries(), **LOCAL}
@@ -319,6 +437,32 @@ def main() -> None:
             row["sf1_exchanges"] <= row["sf0.1_exchanges"]
             and row["sf1_final_exchanges"] <= row["sf0.1_final_exchanges"]
         )
+        row["loadavg1"] = round(os.getloadavg()[0], 1)
+        report[name] = row
+        print(name, json.dumps(row))
+
+    for name in eager_names:
+        row = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            sec, rows, rounds, exch = _eager_probe(spark, name, sf_dir)
+            row[f"{label}_sec"] = sec
+            row[f"{label}_rows"] = rows
+            row[f"{label}_cc_rounds"] = rounds
+            row[f"{label}_exchanges"] = exch
+        row["wall_ratio"] = (
+            round(row["sf1_sec"] / row["sf0.1_sec"], 2)
+            if row["sf0.1_sec"] > 0
+            else None
+        )
+        row["rows_ratio"] = (
+            round(row["sf1_rows"] / row["sf0.1_rows"], 2)
+            if row["sf0.1_rows"]
+            else None
+        )
+        row["no_exchange_regression"] = (
+            row["sf1_exchanges"] <= row["sf0.1_exchanges"]
+        )
+        row["timing"] = "eager: construction + count, single run"
         row["loadavg1"] = round(os.getloadavg()[0], 1)
         report[name] = row
         print(name, json.dumps(row))
@@ -362,7 +506,28 @@ def main() -> None:
             "|A| (seeds from sf0.1) while roads_b rides the 10x part "
             "replication — its sublinear wall ratio is the evidence "
             "that cost past the descriptor build is O(|B|*k), bounded "
-            "by the blocking parameter, not the corpus."
+            "by the blocking parameter, not the corpus. "
+            "Round-10 additions (r9 VERDICT items 2/3/4): "
+            "winnow_report's sf1 row is the drop-mass audit for the "
+            "winnow_pairs collapse — its n_postings_dropped quantifies "
+            "the fingerprint mass the MOSS df cap removes on the "
+            "replica-clique corpus. banned_phrase_hits_1k_{ac,join} "
+            "scan the SAME 1024-phrase/20-length synthetic dictionary: "
+            "the join tier pays one corpus-chars slice scan per "
+            "distinct length (cost multiplies with the length "
+            "spectrum), the Aho-Corasick mapInPandas tier walks each "
+            "document once (wall ~flat vs dictionary size/lengths — "
+            "compare its sf rows against banned_phrase_hits' 3-length "
+            "join rows). dup_groups_star / dup_groups_incremental / "
+            "cc_star_chain are EAGER rows (cc_star's star rounds run "
+            "at construction): wall includes construction + one count, "
+            "single run, with the star ROUND COUNT recorded per scale "
+            "— cc_star_chain is a planted 100k/1M-link chain, label "
+            "propagation's diameter-bound worst case, which the "
+            "alternating star closes in the recorded O(log^2 n) "
+            "rounds at both scales; dup_groups_incremental's clock "
+            "starts AFTER day-1 labels + index exist (day-2 cost = "
+            "the batch fold, not the corpus)."
         ),
         "cpus": int(CPUS),
         "loadavg_end": list(os.getloadavg()),

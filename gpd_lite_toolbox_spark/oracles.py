@@ -3197,6 +3197,67 @@ JOIN sp b ON b.id = p.id_b
 WHERE a.split <> b.split
 """
 
+# Per-document contamination curation artifact (text/dedup.py
+# contamination_report): SPLIT_LEAKAGE's cross-split pairs collapsed
+# doc-wise, joined with DUP_NGRAM_COVERAGE's relational coverage —
+# both CTE chains reused verbatim (one pair semantics, one split
+# semantics, one coverage semantics).
+_CONTAM_FRAC_GATE = 0.2
+
+CONTAMINATION_REPORT = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_FINAL}),
+{_SPLIT_CTES},
+leak AS (SELECT p.id_a, p.id_b, p.jaccard
+         FROM pairs p
+         JOIN sp a ON a.id = p.id_a
+         JOIN sp b ON b.id = p.id_b
+         WHERE a.split <> b.split),
+lsides AS (SELECT id_a AS id, jaccard FROM leak
+           UNION ALL
+           SELECT id_b AS id, jaccard FROM leak),
+lper AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_leak,
+                ROUND(MAX(jaccard), 6) AS max_j
+         FROM lsides GROUP BY id),
+t AS (SELECT id, text, string_split(text, ' ') AS toks FROM corpus),
+base AS (SELECT id, toks, len(toks) AS m,
+                CAST(length(text) - (len(toks) - 1) AS BIGINT)
+                  AS tok_chars
+         FROM t),
+gg AS (SELECT b.id, u.i,
+              array_to_string(b.toks[u.i + 1 : u.i + {DUP_NGRAM_N}], ' ')
+                AS gram
+       FROM base b,
+            UNNEST(generate_series(0, b.m - {DUP_NGRAM_N})) AS u(i)
+       WHERE b.m >= {DUP_NGRAM_N}),
+dd AS (SELECT id, gram FROM gg GROUP BY id, gram HAVING COUNT(*) >= 2),
+occ AS (SELECT gg.id, gg.i
+        FROM gg JOIN dd ON dd.id = gg.id AND dd.gram = gg.gram),
+cov AS (SELECT DISTINCT o.id, u.j
+        FROM occ o,
+             UNNEST(generate_series(o.i, o.i + {DUP_NGRAM_N} - 1))
+               AS u(j)),
+covch AS (SELECT c.id,
+                 CAST(SUM(length(b.toks[c.j + 1])) AS BIGINT)
+                   AS covered_chars
+          FROM cov c JOIN base b ON b.id = c.id
+          GROUP BY c.id),
+frac AS (SELECT b.id,
+                CASE WHEN b.tok_chars > 0
+                     THEN ROUND(COALESCE(cc.covered_chars, 0)
+                                / CAST(b.tok_chars AS DOUBLE), 6)
+                     ELSE 0.0 END AS dup_ngram_char_frac
+         FROM base b LEFT JOIN covch cc ON cc.id = b.id)
+SELECT f.id, s.split, f.dup_ngram_char_frac,
+       COALESCE(lp.n_leak, 0) AS n_cross_split_pairs,
+       COALESCE(lp.max_j, 0.0) AS max_leak_jaccard,
+       COALESCE(lp.n_leak, 0) > 0 AS leaked,
+       f.dup_ngram_char_frac > {_CONTAM_FRAC_GATE} AS repetitive
+FROM frac f
+JOIN sp s ON s.id = f.id
+LEFT JOIN lper lp ON lp.id = f.id
+"""
+
 # Exact-substring spans (text/dedup.py exact_substring_spans): the
 # identical relational algebra — stride-1 L-gram md5-prefix hashes,
 # diagonal gaps-and-islands merge — so spans agree row-for-row.
@@ -5960,9 +6021,9 @@ UNIGRAM_TRAIN_EM = _ug_train_em_sql()
 # Horner fold, mod every step — non-negative, so plain % agrees),
 # list-sliced window minima, distinct per doc, df-capped
 # inverted-index join.
-def _winnow_pairs_sql(
-    min_shared: int = 2, max_df: int = 8, k: int = 8, w: int = 4
-) -> str:
+def _winnow_fp_ctes(k: int = 8, w: int = 4) -> str:
+    """The shared winnow-fingerprint CTE chain (cc / g / fp) used by
+    WINNOW_PAIRS and WINNOW_REPORT — one fingerprint semantics."""
     from .text import dedup as _wd
 
     h = "CAST(0 AS BIGINT)"
@@ -5971,9 +6032,7 @@ def _winnow_pairs_sql(
             f"({h} * {_wd.WINNOW_B}"
             f" + cs[CAST(p AS INT) + {j}]) % {_wd.WINNOW_M}"
         )
-    return f"""
-WITH {oracle_ctes('corpus')},
-cc AS (SELECT id,
+    return f"""cc AS (SELECT id,
               list_transform(range(1, length(text) + 1),
                              i -> ord(substr(text, CAST(i AS INT), 1)))
                 AS cs
@@ -5987,7 +6046,15 @@ fp AS (SELECT DISTINCT id, fp
                     UNNEST(list_transform(
                       range(1, greatest(len(gs) - {int(w) - 1}, 1) + 1),
                       j -> list_min(gs[j:j+{int(w) - 1}]))) AS fp
-             FROM g)),
+             FROM g))"""
+
+
+def _winnow_pairs_sql(
+    min_shared: int = 2, max_df: int = 8, k: int = 8, w: int = 4
+) -> str:
+    return f"""
+WITH {oracle_ctes('corpus')},
+{_winnow_fp_ctes(k, w)},
 dfc AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp
         HAVING COUNT(*) BETWEEN 2 AND {int(max_df)}),
 cap AS (SELECT f.id, f.fp FROM fp f JOIN dfc USING (fp))
@@ -5998,6 +6065,34 @@ GROUP BY a.id, b.id HAVING COUNT(*) >= {int(min_shared)}
 
 
 WINNOW_PAIRS = _winnow_pairs_sql()
+
+
+# Winnow df-cap drop-mass audit (text/dedup.py winnow_report): the
+# SAME fingerprint chain, aggregated over the UNCAPPED df table — the
+# mass the MOSS boilerplate guard drops, made visible.
+def _winnow_report_sql(max_df: int = 8, k: int = 8, w: int = 4) -> str:
+    return f"""
+WITH {oracle_ctes('corpus')},
+{_winnow_fp_ctes(k, w)},
+dfa AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fps_unique,
+       CAST(SUM(CASE WHEN df BETWEEN 2 AND {int(max_df)} THEN 1
+                ELSE 0 END) AS BIGINT) AS n_fps_kept,
+       CAST(SUM(CASE WHEN df BETWEEN 2 AND {int(max_df)} THEN df
+                ELSE 0 END) AS BIGINT) AS n_postings_kept,
+       CAST(SUM(CASE WHEN df > {int(max_df)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fps_capped,
+       CAST(SUM(CASE WHEN df > {int(max_df)} THEN df ELSE 0 END)
+            AS BIGINT) AS n_postings_dropped,
+       CAST(MAX(df) AS BIGINT) AS max_df_seen
+FROM dfa
+"""
+
+
+WINNOW_REPORT = _winnow_report_sql()
 
 
 # Fill-in-the-middle transform (text/corpus.py fim_split): pure

@@ -979,15 +979,24 @@ def run_streaming_blocklist_gate(
     schema = spark.read.parquet(parquet_dir).schema
 
     def _hits(p: str) -> F.Column:
-        lit = p.replace("\\", "\\\\").replace("'", "\\'")
+        # Column-level construction (no SQL-string interpolation): an
+        # externally sourced blocklist can carry newlines/control chars
+        # that would break or alter a generated F.expr literal.
         ln = len(p)
-        return F.expr(
-            # greatest(.., 1) not 0: sequence(1, 0) is DESCENDING [1,0] in
-            # Spark; the one harmless probe position matches nothing
-            # because substr of a shorter text can never equal the
-            # fixed-width phrase
-            f"size(filter(sequence(1, greatest(length(_t) - {ln} + 1, 1)),"
-            f" q -> substr(_t, q, {ln}) = '{lit}'))"
+        # greatest(.., 1) not 0: sequence(1, 0) is DESCENDING [1,0] in
+        # Spark; the one harmless probe position matches nothing
+        # because substr of a shorter text can never equal the
+        # fixed-width phrase
+        positions = F.sequence(
+            F.lit(1),
+            F.greatest(F.length("_t") - F.lit(ln - 1), F.lit(1)),
+        )
+        return F.size(
+            F.filter(
+                positions,
+                lambda q: F.substring(F.col("_t"), q, F.lit(ln))
+                == F.lit(p),
+            )
         )
 
     entries = F.array(

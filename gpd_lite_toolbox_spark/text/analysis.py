@@ -479,39 +479,59 @@ def script_profile(
     )
 
 
-def banned_phrase_hits(
-    corpus: DataFrame,
-    phrases,
-    id_col: str = "id",
-    text_col: str = "text",
-    case_insensitive: bool = True,
-) -> DataFrame:
-    """Blocklist scan by DICTIONARY JOIN, not regex alternation:
-    count every occurrence of every banned phrase in every document.
-    ``pii_scan`` covers pattern-shaped leaks (emails, card numbers);
-    this is its dictionary-shaped sibling — NSFW/spam/boilerplate
-    phrase lists run to hundreds of thousands of entries, where a
-    compiled ``(p1|p2|...)`` alternation is driver-poison and a
-    per-row loop is a Python UDF. Here the corpus is sliced into
-    substrings ONCE PER DISTINCT PHRASE LENGTH (the shingle
-    projection's shape: row-local, stride 1) and each slice table is
-    equi-joined against the phrase dictionary — AQE broadcasts a
-    small dictionary and degrades to a shuffled hash join on the
-    slice key when the list outgrows the threshold, which is exactly
-    the 100 TB-safe shape (swap the raw-string key for xxhash64 of
-    the slice if dictionary strings are long).
+# banned_phrase_hits tier thresholds. Below both, the dictionary-join
+# tier runs (few distinct lengths -> few slice projections, and a
+# small dictionary is worth the broadcast hint); at or above either,
+# the Aho-Corasick mapInPandas tier scans the corpus ONCE regardless
+# of the dictionary's length spectrum (r9 VERDICT item 3: the join
+# tier's cost is O(corpus_chars x distinct_lengths)).
+_AC_MIN_PHRASES = 64
+_AC_MIN_LENGTHS = 8
+# Above this the explicit broadcast hint is dropped and AQE decides —
+# a forced broadcast of a 100k-entry dictionary is exactly the failure
+# the docstring used to claim could not happen (r9 ADVICE item 2).
+_BROADCAST_MAX_PHRASES = 10_000
 
-    ``phrases``: a Python sequence of strings (the usual case — the
-    distinct lengths are known driver-side with no job) or a
-    single-column DataFrame (lengths collected: one bounded driver
-    step, the codebook-collect class).
 
-    Output: ``(id, phrase, n_hits)`` — only matching (doc, phrase)
-    combinations, ``n_hits`` counts OVERLAPPING occurrences (slices
-    advance by one char, so "aaa" hits "aa" twice; mirrored by the
-    oracle).
-    """
-    spark = corpus.sparkSession
+def _aho_corasick(plist: list[str]):
+    """Build the Aho-Corasick automaton (goto / fail / output) for
+    ``plist``. Classic Aho & Corasick 1975 construction: a trie of the
+    phrases, BFS failure links, and output lists merged down the
+    failure chain so every node knows EVERY phrase ending at it —
+    which is what makes one left-to-right pass report all overlapping
+    occurrences of all phrases."""
+    from collections import deque
+
+    goto: list[dict[str, int]] = [{}]
+    out: list[tuple[int, ...]] = [()]
+    for idx, p in enumerate(plist):
+        node = 0
+        for ch in p:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(())
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node] = out[node] + (idx,)
+    fail = [0] * len(goto)
+    dq = deque(goto[0].values())
+    while dq:
+        node = dq.popleft()
+        for ch, nxt in goto[node].items():
+            dq.append(nxt)
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[nxt] = cand if cand != nxt else 0
+            if out[fail[nxt]]:
+                out[nxt] = out[nxt] + out[fail[nxt]]
+    return goto, fail, out
+
+
+def _normalize_phrases(phrases, case_insensitive: bool) -> list[str]:
     if isinstance(phrases, DataFrame):
         pcol = phrases.columns[0]
         plist = [r[0] for r in phrases.select(pcol).distinct().collect()]
@@ -522,11 +542,82 @@ def banned_phrase_hits(
         raise ValueError("phrases must contain at least one non-empty entry")
     if case_insensitive:
         plist = list(dict.fromkeys(p.lower() for p in plist))
-    pdf = F.broadcast(
-        spark.createDataFrame(
-            [(p, len(p)) for p in plist], "phrase string, plen int"
+    return plist
+
+
+def banned_phrase_hits(
+    corpus: DataFrame,
+    phrases,
+    id_col: str = "id",
+    text_col: str = "text",
+    case_insensitive: bool = True,
+    mode: str = "auto",
+) -> DataFrame:
+    """Blocklist scan: count every occurrence of every banned phrase
+    in every document. ``pii_scan`` covers pattern-shaped leaks
+    (emails, card numbers); this is its dictionary-shaped sibling —
+    NSFW/spam/boilerplate phrase lists run to hundreds of thousands of
+    entries, where a compiled ``(p1|p2|...)`` alternation is
+    driver-poison and a per-row Python loop over phrases is a UDF per
+    phrase. Two tiers, identical results (both hash-gated against the
+    same per-position DuckDB oracle):
+
+    - ``mode="join"`` — DICTIONARY JOIN: the corpus is sliced into
+      substrings once per distinct phrase length (the shingle
+      projection's shape: row-local, stride 1) and each slice table is
+      equi-joined against the phrase dictionary. The dictionary gets
+      an explicit broadcast hint only while it is small
+      (``_BROADCAST_MAX_PHRASES``); past that the hint is dropped and
+      AQE picks broadcast vs shuffled hash join on the slice key —
+      the 100 TB-safe degradation (swap the raw-string key for
+      xxhash64 of the slice if dictionary strings are long). Cost is
+      O(corpus_chars x distinct_lengths): right for the short length
+      spectra a live gate carries.
+    - ``mode="ac"`` — AHO-CORASICK, one corpus scan regardless of the
+      length spectrum: the automaton (trie + failure links, built
+      driver-side in O(total_phrase_chars), bounded by the DICTIONARY,
+      never the corpus) ships to executors as an sc.broadcast, and a
+      ``mapInPandas`` pass walks each document's characters exactly
+      once, emitting every overlapping occurrence of every phrase via
+      the merged output links. Arrow-batched; per-doc work is
+      O(n_chars + n_hits) with zero dependence on dictionary size or
+      distinct lengths — the 100k-entry-blocklist path.
+
+    ``mode="auto"`` (default) picks: AC when the dictionary has >=
+    ``_AC_MIN_PHRASES`` entries or >= ``_AC_MIN_LENGTHS`` distinct
+    lengths, else the join tier.
+
+    ``phrases``: a Python sequence of strings (the usual case — the
+    automaton/lengths are known driver-side with no job) or a
+    single-column DataFrame (collected: one bounded driver step, the
+    codebook-collect class — blocklists are dictionary-sized by
+    definition).
+
+    Output: ``(id, phrase, n_hits)`` — only matching (doc, phrase)
+    combinations, ``n_hits`` counts OVERLAPPING occurrences (slices
+    advance by one char, so "aaa" hits "aa" twice; mirrored by the
+    oracle and by AC's per-end-position reporting).
+    """
+    plist = _normalize_phrases(phrases, case_insensitive)
+    if mode == "auto":
+        mode = (
+            "ac"
+            if len(plist) >= _AC_MIN_PHRASES
+            or len({len(p) for p in plist}) >= _AC_MIN_LENGTHS
+            else "join"
         )
+    if mode == "ac":
+        return _banned_phrase_hits_ac(
+            corpus, plist, id_col, text_col, case_insensitive
+        )
+    if mode != "join":
+        raise ValueError(f"mode must be auto|join|ac, got {mode!r}")
+    spark = corpus.sparkSession
+    pdf = spark.createDataFrame(
+        [(p, len(p)) for p in plist], "phrase string, plen int"
     )
+    if len(plist) <= _BROADCAST_MAX_PHRASES:
+        pdf = F.broadcast(pdf)
     text = F.col(text_col)
     if case_insensitive:
         text = F.lower(text)
@@ -558,6 +649,76 @@ def banned_phrase_hits(
         slices.join(pdf, ["phrase", "plen"])
         .groupBy("id", "phrase")
         .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+
+
+def _banned_phrase_hits_ac(
+    corpus: DataFrame,
+    plist: list[str],
+    id_col: str,
+    text_col: str,
+    case_insensitive: bool,
+) -> DataFrame:
+    """The Aho-Corasick tier (see banned_phrase_hits). Single pass per
+    document, automaton broadcast once per job; the mapInPandas output
+    is already (doc, phrase)-unique (one counting dict per doc), so the
+    trailing groupBy exists only to make the exchange shape explicit
+    for downstream aggregation consumers — at the fixture it's a
+    near-no-op partial-combined aggregate."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = corpus.sparkSession
+    automaton_bc = spark.sparkContext.broadcast(_aho_corasick(plist))
+    phrases_bc = spark.sparkContext.broadcast(plist)
+
+    text = F.col(text_col)
+    if case_insensitive:
+        text = F.lower(text)
+    src = corpus.select(F.col(id_col).alias("id"), text.alias("_t"))
+    id_field = src.schema["id"]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("phrase", StringType(), False),
+            StructField("n_hits", LongType(), False),
+        ]
+    )
+
+    def scan(batches):
+        goto, fail, out = automaton_bc.value
+        words = phrases_bc.value
+        root = goto[0]
+        for pdf_in in batches:
+            ids, hit_phrase, hit_n = [], [], []
+            for doc_id, txt in zip(pdf_in["id"], pdf_in["_t"]):
+                if not txt:
+                    continue
+                counts: dict[int, int] = {}
+                node = 0
+                for ch in txt:
+                    while node and ch not in goto[node]:
+                        node = fail[node]
+                    node = goto[node].get(ch, 0) if node else root.get(ch, 0)
+                    for pi in out[node]:
+                        counts[pi] = counts.get(pi, 0) + 1
+                for pi, c in counts.items():
+                    ids.append(doc_id)
+                    hit_phrase.append(words[pi])
+                    hit_n.append(c)
+            yield pd.DataFrame(
+                {"id": ids, "phrase": hit_phrase, "n_hits": hit_n}
+            )
+
+    return (
+        src.mapInPandas(scan, out_schema)
+        .groupBy("id", "phrase")
+        .agg(F.sum("n_hits").cast("bigint").alias("n_hits"))
     )
 
 

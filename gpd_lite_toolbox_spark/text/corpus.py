@@ -1567,7 +1567,11 @@ def trigram_logprob(
     if not all(x >= 0 for x in (l3, l2, l1)) or (l3 + l2 + l1) <= 0:
         raise ValueError(f"lambdas must be non-negative, got {lambdas}")
 
-    tg = tracked_persist(trigram_doc_counts(corpus, id_col, text_col))
+    tg = (
+        counts
+        if counts is not None
+        else tracked_persist(trigram_doc_counts(corpus, id_col, text_col))
+    )
     bgdoc = _bigram_counts(corpus, id_col, text_col, counts=bigram_counts)
     # trigram model: c3 and its context marginal
     c3 = tg.groupBy("w1", "w2", "w3").agg(F.sum("n").alias("n3"))

@@ -39,6 +39,7 @@ _ARROW_OK = {
     "ann_pq_topk",       # Arrow PQ encoder (pandas_udf)
     "ann_ivfpq_topk",    # Arrow IVFPQ encoder (cell+residual+codes)
     "warc_roundtrip",     # segment parse (mapInPandas)
+    "banned_phrase_hits_ac",  # Aho-Corasick single-pass scan (mapInPandas)
     "dorling_cartogram",  # driver-relaxation placements
     "dorling_stats",
     # match_line_cluster / match_cluster_twins left this list in r8:

@@ -1,0 +1,536 @@
+"""Round-10 pins (r9 VERDICT + ADVICE items).
+
+- banned_phrase_hits grows a single-pass Aho-Corasick mapInPandas tier
+  for large dictionaries (VERDICT next-round item 2) and drops the
+  unconditional broadcast hint on the join tier (ADVICE item 2).
+- winnow_report exposes the MOSS df-cap drop mass (VERDICT item 3).
+- contamination_report joins dup-ngram coverage with split leakage
+  into one per-doc curation artifact (VERDICT item 8a).
+- run_streaming_blocklist_gate builds its per-phrase count with
+  Column-level functions, so SQL-significant characters in an external
+  blocklist cannot break the generated expression (ADVICE item 3).
+- trigram_logprob actually uses its counts= substrate (ADVICE item 1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpd_lite_toolbox_spark import fixtures as FX
+from gpd_lite_toolbox_spark.text import analysis as TA
+from gpd_lite_toolbox_spark.text.analysis import (
+    BANNED_FIXTURE_PHRASES,
+    banned_phrase_hits,
+)
+from gpd_lite_toolbox_spark.text.dedup import (
+    contamination_report,
+    split_leakage,
+    winnow_pairs,
+    winnow_report,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# --- Aho-Corasick tier ---
+
+
+def test_ac_tier_equals_join_tier_on_fixture(spark, sf_dir):
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    a = banned_phrase_hits(corpus, BANNED_FIXTURE_PHRASES, mode="join")
+    b = banned_phrase_hits(corpus, BANNED_FIXTURE_PHRASES, mode="ac")
+    assert _rows(a) == _rows(b)
+    assert a.columns == b.columns
+
+
+def test_ac_tier_overlaps_case_null_empty(spark):
+    """Overlapping occurrences ('aaaa' holds 'aa' 3 times), nested
+    phrases sharing prefixes ('ab' inside 'aba'), case folding, and
+    null/empty docs — all must agree with the join tier exactly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "abababa"),
+            (3, ""),
+            (4, None),
+            (5, "AbAb"),
+            (6, "xyababx"),
+        ],
+        "id long, text string",
+    )
+    phrases = ["aa", "ab", "aba", "abab", "zz"]
+    a = _rows(banned_phrase_hits(docs, phrases, mode="join"))
+    b = _rows(banned_phrase_hits(docs, phrases, mode="ac"))
+    assert a == b
+    # spot truth: AC output links must surface the suffix phrase too
+    d2 = {(p, n) for i, p, n in b if i == 2}
+    assert ("aba", 3) in d2 and ("ab", 3) in d2 and ("abab", 2) in d2
+
+
+def test_ac_tier_case_sensitive_mode(spark):
+    docs = spark.createDataFrame(
+        [(1, "Foo foo FOO")], "id long, text string"
+    )
+    got = _rows(
+        banned_phrase_hits(
+            docs, ["foo"], case_insensitive=False, mode="ac"
+        )
+    )
+    assert got == [(1, "foo", 1)]
+
+
+def test_auto_mode_dispatch(spark):
+    """auto picks AC at >= _AC_MIN_PHRASES entries (or length spread)
+    and the join tier below; the tier shows in the physical plan as
+    MapInPandas vs none."""
+    docs = spark.createDataFrame([(1, "abc")], "id long, text string")
+    few = banned_phrase_hits(docs, ["ab", "bc"], mode="auto")
+    assert "MapInPandas" not in few._jdf.queryExecution().executedPlan().toString()
+    many = banned_phrase_hits(
+        docs,
+        [f"phrase{i:04d}" for i in range(TA._AC_MIN_PHRASES)],
+        mode="auto",
+    )
+    assert "MapInPandas" in many._jdf.queryExecution().executedPlan().toString()
+    # length-spectrum trigger: few phrases, many distinct lengths
+    spread = banned_phrase_hits(
+        docs,
+        ["a" * (i + 1) for i in range(TA._AC_MIN_LENGTHS)],
+        mode="auto",
+    )
+    assert "MapInPandas" in spread._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_tier_broadcast_hint_gated(spark, monkeypatch):
+    """ADVICE item 2: the explicit broadcast hint must disappear when
+    the dictionary outgrows _BROADCAST_MAX_PHRASES, so AQE (not a
+    forced hint) decides the join strategy for huge blocklists."""
+    docs = spark.createDataFrame([(1, "abcd")], "id long, text string")
+    monkeypatch.setattr(TA, "_BROADCAST_MAX_PHRASES", 2)
+    hinted = banned_phrase_hits(docs, ["ab", "cd"], mode="join")
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    unhinted = banned_phrase_hits(docs, ["ab", "cd", "bc"], mode="join")
+    assert (
+        "ResolvedHint"
+        not in unhinted._jdf.queryExecution().analyzed().toString()
+    )
+    # and the two tiers still agree
+    assert _rows(hinted) == [(1, "ab", 1), (1, "cd", 1)]
+    assert _rows(unhinted) == [(1, "ab", 1), (1, "bc", 1), (1, "cd", 1)]
+
+
+def test_ac_automaton_unit():
+    """Driver-side automaton sanity: merged output links report every
+    pattern ending at a position, including suffix patterns."""
+    goto, fail, out = TA._aho_corasick(["he", "she", "his", "hers"])
+    node = 0
+    hits = []
+    for i, ch in enumerate("ushers"):
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        for pi in out[node]:
+            hits.append((i, pi))
+    # 'she' ends at 3 (idx 1), 'he' ends at 3 (idx 0), 'hers' at 5 (3)
+    assert (3, 1) in hits and (3, 0) in hits and (5, 3) in hits
+    assert len(hits) == 3
+
+
+# --- winnow_report: the df-cap drop mass made visible ---
+
+
+def test_winnow_report_accounting_identities(spark, sf_dir):
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    row = winnow_report(corpus).collect()[0]
+    assert row.n_fps == (
+        row.n_fps_unique + row.n_fps_kept + row.n_fps_capped
+    )
+    assert row.n_postings == (
+        row.n_fps_unique + row.n_postings_kept + row.n_postings_dropped
+    )
+    assert row.max_df_seen >= 1
+
+
+def test_winnow_report_exposes_replica_clique_drop(spark):
+    """A 12-replica clique pushes every shared fingerprint past the
+    default df cap (8): winnow_pairs returns NOTHING for the clique —
+    exactly the silent collapse the report exists to expose."""
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(i, text.strip()) for i in range(12)], "id long, text string"
+    )
+    assert winnow_pairs(docs).count() == 0
+    row = winnow_report(docs).collect()[0]
+    assert row.n_fps_capped > 0
+    assert row.n_postings_dropped == 12 * row.n_fps_capped
+    assert row.max_df_seen == 12
+    assert row.n_fps_kept == 0 and row.n_postings_kept == 0
+
+
+# --- contamination_report ---
+
+
+def _splits(corpus):
+    from gpd_lite_toolbox_spark.oracles import SPLIT_SEED
+    from gpd_lite_toolbox_spark.text.corpus import split_corpus
+
+    return split_corpus(corpus, seed=SPLIT_SEED)
+
+
+def test_contamination_report_structure(spark, sf_dir):
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    splits = _splits(corpus)
+    rep = contamination_report(corpus, splits, threshold=0.5)
+    rows = rep.collect()
+    assert len(rows) == corpus.count()
+    leaks = split_leakage(corpus, splits, threshold=0.5).collect()
+    leaked_ids = {r.id_a for r in leaks} | {r.id_b for r in leaks}
+    got_leaked = {r.id for r in rows if r.leaked}
+    assert got_leaked == leaked_ids
+    for r in rows:
+        assert r.leaked == (r.n_cross_split_pairs > 0)
+        assert r.repetitive == (r.dup_ngram_char_frac > 0.2)
+        if not r.leaked:
+            assert r.max_leak_jaccard == 0.0
+        else:
+            assert 0.0 < r.max_leak_jaccard <= 1.0
+
+
+# --- streaming blocklist gate: injection-safe phrase literals ---
+
+
+def test_stream_blocklist_gate_sql_significant_phrases(spark, tmp_path):
+    """ADVICE item 3: phrases carrying quotes, newlines and other
+    SQL-literal-significant characters must count correctly (the old
+    string-interpolated F.expr escaped only backslash and quote)."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_blocklist_gate,
+    )
+
+    evil = "it's a\ntrap"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix {evil} suffix {evil}!"),
+            (2, "clean document"),
+            (3, "ends with it's a\ntrap"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = run_streaming_blocklist_gate(
+        spark, src, [evil, "back\\slash", "clean doc"]
+    )
+    got = _rows(out)
+    assert (1, evil, 2) in got
+    assert (3, evil, 1) in got
+    assert (2, "clean doc", 1) in got
+
+
+# --- trigram_logprob counts= substrate is used (ADVICE item 1) ---
+
+
+def test_trigram_logprob_counts_substrate_used(spark, sf_dir):
+    from gpd_lite_toolbox_spark.text.corpus import (
+        trigram_doc_counts,
+        trigram_logprob,
+    )
+
+    corpus = FX.fixture_df(spark, sf_dir, "corpus").filter(
+        F.col("id") % 7 == 0
+    )
+    base = trigram_logprob(corpus)
+    same = trigram_logprob(corpus, counts=trigram_doc_counts(corpus))
+    assert _rows(base) == _rows(same)
+    # a deliberately different substrate must change the output —
+    # proof the parameter is consumed, not recomputed and ignored
+    half = trigram_doc_counts(corpus.filter(F.col("id") % 14 == 0))
+    other = trigram_logprob(corpus, counts=half)
+    assert _rows(other) != _rows(base)
+
+
+# --- bench board writer: round-stamped boards are append-only ---
+
+
+def test_bench_round_board_append_only(tmp_path):
+    """r9 VERDICT item 6: the driver's post-commit bench run must not
+    clobber the builder's committed quiet board — an existing
+    round-stamped file versions the new write to .post{N}.json unless
+    the builder explicitly opts into overwrite."""
+    import bench
+
+    d = str(tmp_path)
+    p1 = bench._round_board_path(d, 10)
+    assert p1.endswith("BENCH_FULL_r10.json")
+    open(p1, "w").write("{}")
+    p2 = bench._round_board_path(d, 10)
+    assert p2.endswith("BENCH_FULL_r10.post1.json")
+    open(p2, "w").write("{}")
+    p3 = bench._round_board_path(d, 10)
+    assert p3.endswith("BENCH_FULL_r10.post2.json")
+    # deliberate refresh path
+    assert bench._round_board_path(d, 10, overwrite=True) == p1
+
+
+# --- jpeg_gray: the baseline JPEG decode tier (r9 VERDICT item 5) ---
+
+
+import numpy as np  # noqa: E402
+
+from gpd_lite_toolbox_spark.media import multimodal as MM  # noqa: E402
+
+
+class _JpegEncoder:
+    """Minimal in-test BASELINE grayscale JPEG encoder — an independent
+    derivation (bit-writer + run-length + canonical fixed-length
+    Huffman tables) used only to pin jpeg_gray. Quantization table is
+    all-ones so coefficients survive exactly."""
+
+    def __init__(self, restart: int = 0):
+        self.restart = restart
+        # canonical tables with every symbol at code length 8:
+        # DC categories 0..11, AC = EOB, ZRL and (run<<4|size) for
+        # run 0..15, size 1..10 (162 symbols < 256)
+        self.dc_syms = list(range(12))
+        self.ac_syms = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ]
+        self.dc_code = {s: i for i, s in enumerate(self.dc_syms)}
+        self.ac_code = {s: i for i, s in enumerate(self.ac_syms)}
+
+    @staticmethod
+    def _cat(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    def _emit(self, bits, code: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def _flush(self, bits) -> bytes:
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+    def _dht(self, cls: int, syms) -> bytes:
+        counts = [0] * 16
+        counts[7] = len(syms)  # all codes at length 8
+        seg = bytes([(cls << 4) | 0]) + bytes(counts) + bytes(syms)
+        return b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+
+    def encode(self, img: np.ndarray) -> bytes:
+        h, w = img.shape
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        # edge-replicate to full blocks (only exact-multiple images
+        # are used for exact pins)
+        padded = np.pad(
+            img.astype(np.float64) - 128.0,
+            ((0, bh * 8 - h), (0, bw * 8 - w)),
+            mode="edge",
+        )
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(
+            [1] * 64
+        )
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+            [1, 1, 0x11, 0]
+        )
+        out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+        out += self._dht(0, self.dc_syms)
+        out += self._dht(1, self.ac_syms)
+        if self.restart:
+            out += b"\xff\xdd" + (4).to_bytes(2, "big") + self.restart.to_bytes(
+                2, "big"
+            )
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        B = MM._IDCT_B
+        pred = 0
+        nblock = 0
+        rst = 0
+        bits: list[int] = []
+        for by in range(bh):
+            for bx in range(bw):
+                if self.restart and nblock and nblock % self.restart == 0:
+                    out += self._flush(bits)
+                    bits = []
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    pred = 0
+                nblock += 1
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = B @ block @ B.T  # forward DCT (B orthogonalish)
+                # scan[i] = natural[_JPEG_ZIGZAG[i]]
+                zz = np.floor(coefs.ravel() + 0.5).astype(np.int64)[
+                    MM._JPEG_ZIGZAG
+                ]
+                dc = int(zz[0])
+                diff = dc - pred
+                pred = dc
+                t = self._cat(diff)
+                self._emit(bits, self.dc_code[t], 8)
+                if t:
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    self._emit(bits, v, t)
+                run = 0
+                last_nz = max(
+                    [k for k in range(1, 64) if zz[k] != 0], default=0
+                )
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        self._emit(bits, self.ac_code[0xF0], 8)
+                        run -= 16
+                    s = self._cat(int(zz[k]))
+                    self._emit(bits, self.ac_code[(run << 4) | s], 8)
+                    v = int(zz[k])
+                    v = v if v >= 0 else v + (1 << s) - 1
+                    self._emit(bits, v, s)
+                    run = 0
+                if last_nz < 63:
+                    self._emit(bits, self.ac_code[0x00], 8)
+        out += self._flush(bits)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+def _idct_direct(zz_natural: np.ndarray) -> np.ndarray:
+    """Independent direct-summation IDCT (quadruple loop) with the
+    decoder's floor(x+0.5)+128 rounding — derived separately from the
+    matrix form in MM._IDCT_B."""
+    out = np.zeros((8, 8), dtype=np.int64)
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.5) if u == 0 else 1.0
+                    cv = np.sqrt(0.5) if v == 0 else 1.0
+                    acc += (
+                        cu
+                        * cv
+                        / 4.0
+                        * zz_natural[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16.0)
+                        * np.cos((2 * x + 1) * v * np.pi / 16.0)
+                    )
+            out[y, x] = int(np.floor(acc + 0.5)) + 128
+    return np.clip(out, 0, 255)
+
+
+def test_jpeg_gray_flat_blocks_exact():
+    for v in (0, 1, 127, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        got = MM.jpeg_gray(_JpegEncoder().encode(img))
+        assert got is not None
+        w, h, px = got
+        assert (w, h) == (24, 16)
+        assert np.array_equal(px.reshape(16, 24), img)
+
+
+def test_jpeg_gray_single_ac_matches_direct_idct():
+    """Hand-built bitstream territory: one AC coefficient per block,
+    decoded raster must equal the independent direct-summation IDCT
+    (and sit safely away from .5 rounding ties)."""
+    enc = _JpegEncoder()
+    # pin the decoder's arithmetic: decode an encoder output and
+    # compare against the direct-summation IDCT of the encoder's own
+    # quantized coefficients (recomputed independently below)
+    rng = np.random.RandomState(7)
+    img = (rng.rand(8, 8) * 255).astype(np.uint8)
+    payload = enc.encode(img)
+    got = MM.jpeg_gray(payload)
+    assert got is not None
+    _, _, px = got
+    # recompute the encoder's coefficients independently
+    B = MM._IDCT_B
+    coefs = B @ (img.astype(np.float64) - 128.0) @ B.T
+    qblock = np.floor(coefs + 0.5).astype(np.int64)
+    expect = _idct_direct(qblock)
+    frac = np.abs((B.T @ qblock @ B) % 1.0 - 0.5)
+    assert frac.min() > 1e-9, "tie-prone fixture; reseed"
+    assert np.array_equal(px.reshape(8, 8), expect)
+
+
+def test_jpeg_gray_roundtrip_within_one():
+    rng = np.random.RandomState(42)
+    for shape in ((8, 8), (16, 16), (24, 40), (17, 23)):
+        img = (rng.rand(*shape) * 255).astype(np.uint8)
+        got = MM.jpeg_gray(_JpegEncoder().encode(img))
+        assert got is not None
+        w, h, px = got
+        assert (w, h) == (shape[1], shape[0])
+        diff = np.abs(
+            px.reshape(shape).astype(int) - img.astype(int)
+        ).max()
+        assert diff <= 1, f"roundtrip error {diff} on {shape}"
+
+
+def test_jpeg_gray_restart_intervals():
+    rng = np.random.RandomState(3)
+    img = (rng.rand(16, 32) * 255).astype(np.uint8)
+    plain = MM.jpeg_gray(_JpegEncoder().encode(img))
+    rst = MM.jpeg_gray(_JpegEncoder(restart=2).encode(img))
+    assert plain is not None and rst is not None
+    assert np.array_equal(plain[2], rst[2])
+
+
+def test_jpeg_gray_rejects_non_baseline_and_corrupt():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good = _JpegEncoder().encode(img)
+    assert MM.jpeg_gray(b"") is None
+    assert MM.jpeg_gray(b"\xff\xd8\xff\xd9") is None
+    assert MM.jpeg_gray(good[:-20]) is None  # truncated entropy data
+    # progressive SOF2 must be refused, not half-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert MM.jpeg_gray(prog) is None
+    # PNG payload is not a JPEG
+    assert MM.jpeg_gray(b"\x89PNG\r\n\x1a\n" + good) is None
+
+
+def test_jpeg_tier_wired_into_decode_image_pixels(spark):
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = _JpegEncoder().encode(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "id long, media binary"
+    )
+    from gpd_lite_toolbox_spark.deploy import ship_package
+
+    ship_package(spark)
+    row = MM.decode_image_pixels(df).collect()[0]
+    expected_codec = "pil" if MM.pil_available() else "jpeg"
+    assert row.px_codec == expected_codec
+    assert (row.px_w, row.px_h, row.px_n) == (8, 8, 64)
+
+
+@pytest.mark.skipif(
+    not MM.pil_available(), reason="Pillow not importable here"
+)
+def test_jpeg_gray_pil_parity():
+    """When Pillow exists, the stdlib tier must agree with it exactly
+    on its supported shapes (the png_gray parity discipline)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(11)
+    img = (rng.rand(16, 16) * 255).astype(np.uint8)
+    payload = _JpegEncoder().encode(img)
+    ours = MM.jpeg_gray(payload)
+    theirs = np.asarray(
+        Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8
+    )
+    assert ours is not None
+    assert np.array_equal(ours[2].reshape(16, 16), theirs)
