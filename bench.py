@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "fim_split",
     "dsir_weights",
     "winnow_pairs",
+    "winnow_report",
     "bpe_encode",
     "dedup_threshold_curve",
     # bpe_merges deliberately NOT benched: the iterative training runs
@@ -251,6 +252,8 @@ BENCH_QUERIES = [
     # dictionary-join substrate.
     "dup_groups_star",
     "banned_phrase_hits",
+    "banned_phrase_hits_ac",
+    "contamination_report",
     "trigram_logprob",
     "kn_trigram_logprob",
     "perplexity_buckets_trigram",

@@ -166,3 +166,32 @@ def test_lm_quality_stack(spark, sf_dir):
     assert 0 < diag < total
     d = dsir.collect()[0]
     assert d.n_scored > 0 and 0 < d.n_target_like < d.n_scored
+
+
+def test_star_trigram_pipeline(spark, sf_dir):
+    sys.path.insert(0, "/root/repo/examples")
+    from star_trigram_pipeline import run
+
+    summary, contam, mixture, shards = run(spark, sf_dir)
+    names = [s["stage"] for s in summary["stages"]]
+    assert names == [
+        "ingest",
+        "dedup_star_canonical",
+        "bloom_decontaminate",
+        "blocklist_gate_ac",
+        "trigram_quality_gate",
+        "contamination_report",
+        "temperature_mixture",
+        "shard_corpus",
+    ]
+    rows = {s["stage"]: s["rows"] for s in summary["stages"]}
+    # the funnel only narrows through the drop stages
+    assert rows["ingest"] >= rows["dedup_star_canonical"]
+    assert rows["dedup_star_canonical"] >= rows["bloom_decontaminate"]
+    assert rows["bloom_decontaminate"] >= rows["blocklist_gate_ac"]
+    assert rows["blocklist_gate_ac"] >= rows["trigram_quality_gate"]
+    assert rows["trigram_quality_gate"] == rows["contamination_report"]
+    assert summary["final_docs"] > 0
+    assert summary["n_shards"] >= 1
+    mx = mixture.collect()
+    assert abs(sum(r.weight for r in mx) - 1.0) < 1e-4
