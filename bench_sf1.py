@@ -419,6 +419,17 @@ def main() -> None:
                     "PartitionFilters" in final_plan
                     and "bucket" in final_plan
                 )
+            if name == "winnow_report":
+                # the row IS the drop-mass audit — quote its values in
+                # the artifact so the winnow_pairs collapse is priced
+                # in-place (r9 VERDICT item 3)
+                row[f"{label}_report"] = {
+                    k: int(v)
+                    for k, v in qs[name](spark, sf_dir)
+                    .collect()[0]
+                    .asDict()
+                    .items()
+                }
         row["wall_ratio"] = (
             round(row["sf1_sec"] / row["sf0.1_sec"], 2)
             if row["sf0.1_sec"] > 0
