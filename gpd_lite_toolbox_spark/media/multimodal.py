@@ -17,10 +17,14 @@ container, so decoding is layered behind the same Spark plumbing
   frame sampling, feature hashing) be exercised and tested.
 - ``decode_image_pixels``: a REAL image decode — Pillow when
   importable on the executors, else the package's stdlib PNG decoder
-  (``png_gray``) for PNG payloads — with the deterministic
-  fake-codec contract as the final fallback for anything else or
-  corrupt bytes; same output schema on every path, ``px_codec``
-  records which ran.
+  (``png_gray``) for PNG payloads and the stdlib baseline JPEG
+  decoder (``jpeg_gray``) for grayscale JPEGs — with the
+  deterministic fake-codec contract as the final fallback for
+  anything else or corrupt bytes; same output schema on every path,
+  ``px_codec`` records which ran.
+- ``decode_audio_samples``: the audio mirror — RIFF/WAVE integer PCM
+  through the stdlib ``wav_pcm`` decoder, fake-codec fallback for
+  everything else, ``au_codec`` records which ran.
 
 ``attach_fake_media`` derives payloads deterministically from an id
 column so fixtures exist at every scale factor.
@@ -504,6 +508,153 @@ def jpeg_gray(b: bytes) -> "tuple[int, int, np.ndarray] | None":
         return int(w), int(h), out[:h, :w].ravel()
     except Exception:
         return None
+
+
+def wav_pcm(b: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """Stdlib WAV decode to integer PCM samples:
+    (sample_rate, n_channels, samples) or None when ``b`` is not a
+    RIFF/WAVE payload this decoder handles — the AUDIO sibling of
+    ``png_gray``/``jpeg_gray``. A REAL codec: RIFF header walk
+    (chunk-aligned, unknown chunks skipped), ``fmt `` parse, and
+    little-endian PCM sample decode for format 1 (integer PCM) at
+    8/16/24/32-bit widths. 8-bit WAV is unsigned by spec and is
+    recentered to signed (-128..127) so every width reports samples on
+    a signed scale; 24-bit is sign-extended from 3-byte frames.
+    ``samples`` is channel-INTERLEAVED exactly as stored (callers
+    slice ``samples[c::n_channels]`` for one channel). Float PCM
+    (format 3), extensible (0xFFFE), compressed formats, and
+    truncated/odd payloads return None and the caller falls back.
+    """
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                return None
+            if cid == b"fmt ":
+                if clen < 16:
+                    return None
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            # chunks are word-aligned: odd sizes carry a pad byte
+            pos += 8 + clen + (clen & 1)
+        if fmt is None or data is None:
+            return None
+        audio_fmt, nch, sr, _byte_rate, _block, bits = fmt
+        if audio_fmt != 1 or nch == 0 or sr == 0:
+            return None
+        if bits == 8:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+            )
+        elif bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) - (len(data) % 2)], dtype="<i2"
+            ).astype(np.int32)
+        elif bits == 24:
+            n = len(data) // 3
+            raw = np.frombuffer(data[: n * 3], dtype=np.uint8).reshape(n, 3)
+            v = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            samples = np.where(v >= 1 << 23, v - (1 << 24), v)
+        elif bits == 32:
+            samples = np.frombuffer(
+                data[: len(data) - (len(data) % 4)], dtype="<i4"
+            ).astype(np.int64)
+        else:
+            return None
+        # drop a trailing partial frame so channels stay aligned
+        n_full = (len(samples) // nch) * nch
+        return int(sr), int(nch), samples[:n_full]
+    except Exception:
+        return None
+
+
+def decode_audio_samples(
+    df: DataFrame, media_col: str = "media", header_bytes: int = 16
+) -> DataFrame:
+    """Audio-sample decode with a REAL codec when the payload is one —
+    the audio mirror of ``decode_image_pixels``: RIFF/WAVE integer-PCM
+    payloads go through ``wav_pcm`` (``au_codec='wav'``); anything
+    else falls back to the deterministic fake-codec contract (16-byte
+    ``<IIII`` header carrying the sample rate, body bytes as unsigned
+    8-bit samples — ``au_codec='raw'``), so the operator is total and
+    schema-stable in every environment, and corrupt crawl audio takes
+    the fallback instead of killing the Arrow batch.
+
+    Output adds: ``au_codec``, ``au_sr``, ``au_channels``, ``au_n``
+    (samples, all channels), ``au_mean``, ``au_std`` (round 6,
+    population, exact integer sum / sum-of-squares — the
+    ``decode_image_pixels`` stats discipline), ``au_min``, ``au_max``.
+
+    Scale shape: one Arrow ``mapInPandas`` projection, no shuffle —
+    decode-at-ingest, features downstream."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict = {c: [] for c in (
+                "au_codec", "au_sr", "au_channels", "au_n",
+                "au_mean", "au_std", "au_min", "au_max",
+            )}
+            for payload in pdf[media_col]:
+                b = bytes(payload)
+                wav = wav_pcm(b)
+                if wav is not None:
+                    sr, nch, body = wav
+                    codec = "wav"
+                else:
+                    nch = 1
+                    sr = 0
+                    if len(b) >= header_bytes:
+                        _w, _h, sr, _nf = struct.unpack_from("<IIII", b, 0)
+                    body = np.frombuffer(
+                        b[header_bytes:], dtype=np.uint8
+                    ).astype(np.int64)
+                    codec = "raw"
+                n = len(body)
+                if n == 0:
+                    mean = std = 0.0
+                    mn = mx = 0
+                else:
+                    s = int(body.sum())
+                    s2 = int((body.astype(np.int64) ** 2).sum())
+                    mean = s / n
+                    std = float(np.sqrt((s2 - s * s / n) / n))
+                    mn, mx = int(body.min()), int(body.max())
+                cols["au_codec"].append(codec)
+                cols["au_sr"].append(int(sr))
+                cols["au_channels"].append(int(nch))
+                cols["au_n"].append(n)
+                cols["au_mean"].append(round(mean, 6))
+                cols["au_std"].append(round(std, 6))
+                cols["au_min"].append(mn)
+                cols["au_max"].append(mx)
+            out = pdf.copy()
+            for c, vals in cols.items():
+                out[c] = vals
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        _decode,
+        schema=(
+            f"{schema}, au_codec string, au_sr int, au_channels int, "
+            "au_n bigint, au_mean double, au_std double, "
+            "au_min bigint, au_max bigint"
+        ),
+    )
 
 
 def pil_available() -> bool:

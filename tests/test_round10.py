@@ -279,6 +279,7 @@ def test_bench_round_board_append_only(tmp_path):
 
 
 import numpy as np  # noqa: E402
+import struct  # noqa: E402
 
 from gpd_lite_toolbox_spark.media import multimodal as MM  # noqa: E402
 
@@ -534,3 +535,119 @@ def test_jpeg_gray_pil_parity():
     )
     assert ours is not None
     assert np.array_equal(ours[2].reshape(16, 16), theirs)
+
+
+# --- wav_pcm: the RIFF/WAVE integer-PCM audio decode tier ---
+
+
+def _wav_bytes(samples: np.ndarray, sr: int, nch: int, sampwidth: int) -> bytes:
+    """Independent derivation via the stdlib wave module (1/2/4-byte
+    widths; the 3-byte case is hand-built below)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(nch)
+    w.setsampwidth(sampwidth)
+    w.setframerate(sr)
+    if sampwidth == 1:
+        raw = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        raw = samples.astype("<i2").tobytes()
+    else:
+        raw = samples.astype("<i4").tobytes()
+    w.writeframes(raw)
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_pcm_widths_roundtrip_exact():
+    rng = np.random.RandomState(5)
+    sr = 16000
+    for width, lo, hi in ((1, -128, 127), (2, -32768, 32767),
+                          (4, -(1 << 31), (1 << 31) - 1)):
+        src = rng.randint(lo, hi + 1, size=480).astype(np.int64)
+        got = MM.wav_pcm(_wav_bytes(src, sr, 1, width))
+        assert got is not None
+        gsr, gch, samples = got
+        assert (gsr, gch) == (sr, 1)
+        assert np.array_equal(samples.astype(np.int64), src)
+
+
+def test_wav_pcm_stereo_interleaved():
+    rng = np.random.RandomState(6)
+    src = rng.randint(-30000, 30000, size=400).astype(np.int64)  # 200 frames
+    got = MM.wav_pcm(_wav_bytes(src, 8000, 2, 2))
+    assert got is not None
+    sr, nch, samples = got
+    assert (sr, nch) == (8000, 2)
+    assert np.array_equal(samples.astype(np.int64), src)
+    # channel slicing contract
+    assert np.array_equal(samples[0::2].astype(np.int64), src[0::2])
+
+
+def test_wav_pcm_24bit_hand_built():
+    """wave.py can't write 24-bit portably, so build the RIFF by hand
+    — a second independent derivation of the container."""
+    import struct as st
+
+    vals = np.array([0, 1, -1, 8_388_607, -8_388_608, 123_456], dtype=np.int64)
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    fmt = st.pack("<HHIIHH", 1, 1, 44100, 44100 * 3, 3, 24)
+    body = (
+        b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(raw)) + raw
+    )
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+    got = MM.wav_pcm(wav)
+    assert got is not None
+    sr, nch, samples = got
+    assert (sr, nch) == (44100, 1)
+    assert np.array_equal(samples.astype(np.int64), vals)
+
+
+def test_wav_pcm_rejects_non_pcm_and_corrupt():
+    src = np.zeros(10, dtype=np.int64)
+    good = _wav_bytes(src, 8000, 1, 2)
+    assert MM.wav_pcm(b"") is None
+    assert MM.wav_pcm(good[:30]) is None
+    assert MM.wav_pcm(b"RIFX" + good[4:]) is None
+    # float PCM (format 3) refused
+    fl = good.replace(
+        b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x03\x00", 1
+    )
+    assert MM.wav_pcm(fl) is None
+    # a JPEG is not a WAV
+    assert MM.wav_pcm(_JpegEncoder().encode(
+        np.zeros((8, 8), dtype=np.uint8))) is None
+
+
+def test_wav_tier_wired_into_decode_audio_samples(spark):
+    rng = np.random.RandomState(9)
+    src = rng.randint(-1000, 1000, size=256).astype(np.int64)
+    wav = _wav_bytes(src, 22050, 1, 2)
+    fake = bytes(struct.pack("<IIII", 0, 0, 8000, 1)) + bytes(range(16))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(fake))],
+        "id long, media binary",
+    )
+    from gpd_lite_toolbox_spark.deploy import ship_package
+
+    ship_package(spark)
+    rows = {r.id: r for r in MM.decode_audio_samples(df).collect()}
+    r1 = rows[1]
+    assert r1.au_codec == "wav"
+    assert (r1.au_sr, r1.au_channels, r1.au_n) == (22050, 1, 256)
+    s = int(src.sum()); s2 = int((src ** 2).sum()); n = len(src)
+    assert r1.au_mean == round(s / n, 6)
+    assert r1.au_std == round(float(np.sqrt((s2 - s * s / n) / n)), 6)
+    assert (r1.au_min, r1.au_max) == (int(src.min()), int(src.max()))
+    r2 = rows[2]
+    assert r2.au_codec == "raw"
+    assert (r2.au_sr, r2.au_n) == (8000, 16)
+    assert (r2.au_min, r2.au_max) == (0, 15)
+
