@@ -3885,16 +3885,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordering contract (round-5 VERDICT item 3): the driver's
 # correctness runner truncates at 50 queries, so the 50-slot window
-# rotates each round to the queries whose driver evidence is weakest.
-# r7 window: the two queries that have never received ANY driver row
-# (landed after the r6 freeze), grid_cut_hull's brand-new hash gate,
-# then every query whose latest green is r1/r2 (incl. the remaining
-# rows-only entries), then the complete r3 long tail — after this
-# window no green in EVIDENCE.json is older than round 3.  Slot 50
-# is the round's one new query (freeze-last discipline, r6 VERDICT
-# item 5: the window is finalized AFTER the last query addition, and
-# tests/test_entry_contract.py pins that every declared query has a
-# historical driver row in EVIDENCE.json or sits in this window).
+# rotates each round to the queries whose driver evidence is weakest:
+# this round's NEW queries first (freeze-last discipline, r6 VERDICT
+# item 5: the window is finalized AFTER the last query addition), then
+# the oldest evidence tier in full, then an alphabetical fill from the
+# next-oldest tier. tests/test_entry_contract.py pins that every
+# declared query has a historical driver row in EVIDENCE.json or sits
+# in this window, so none can land unchecked.
 DRIVER_WINDOW = [
     # Round-10 window (freeze-last discipline). Slots 1..N: this
     # round's new queries (finalized at round end, one slot per new

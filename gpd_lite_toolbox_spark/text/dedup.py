@@ -2977,6 +2977,12 @@ def winnow_pairs(
     equi-join, one pair aggregate — the ``ngram_jaccard`` inverted-
     index discipline, with winnowing's locality guarantee instead of a
     probabilistic sketch.
+
+    The cap drops postings SILENTLY by design (hot fingerprints are
+    template noise) — run ``winnow_report`` alongside to see how much
+    mass it removed; on replica-heavy corpora the drop can be nearly
+    everything (BENCH_SF1's 10x clique corpus: 841 -> 73 pairs with
+    6.47M of 6.47M postings past the cap).
     """
     fps = winnow_fingerprints(corpus, k, w, id_col, text_col)
     dfc = fps.groupBy("fp").agg(F.count("*").alias("_df"))
