@@ -394,6 +394,12 @@ def main() -> None:
     # board no longer fits one driver timeout window, and per-family
     # re-measurement shouldn't re-pay the whole board anyway
     args = sys.argv[1:]
+    # an unknown (misspelled) name must fail loudly — silently running
+    # zero queries would re-dump the stale board under fresh
+    # provenance fields (note/loadavg_end), masquerading as a new run
+    unknown = [a for a in args if a not in set(HEADLINE) | set(EAGER)]
+    if unknown:
+        raise SystemExit(f"bench_sf1: unknown query names {unknown}")
     subset = [a for a in args if a in set(HEADLINE)]
     eager_subset = [a for a in args if a in set(EAGER)]
     names = subset or ([] if args else HEADLINE)

@@ -272,7 +272,12 @@ class _JpegBitReader:
                 return False  # a real marker: stop
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | byte
+        # mask to the live bits before shifting: an unmasked
+        # accumulator grows into an unbounded bignum and turns the
+        # entropy decode quadratic (measured 47 s on 200 KB of data)
+        self.bitbuf = (
+            (self.bitbuf & ((1 << self.nbits) - 1)) << 8
+        ) | byte
         self.nbits += 8
         return True
 
@@ -499,8 +504,9 @@ def jpeg_gray(b: bytes) -> "tuple[int, int, np.ndarray] | None":
                 block = np.zeros(64, dtype=np.int64)
                 block[_JPEG_ZIGZAG] = coef * q
                 spatial = _IDCT_B.T @ block.reshape(8, 8) @ _IDCT_B
-                # round-half-away descale + level shift, like the PNG
-                # tier an explicit deterministic rounding contract
+                # floor(x+0.5) round-half-UP descale + level shift —
+                # an explicit deterministic rounding contract, like
+                # the PNG tier's
                 px = np.floor(spatial + 0.5).astype(np.int64) + 128
                 out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                     px, 0, 255
@@ -615,22 +621,15 @@ def decode_audio_samples(
                 else:
                     nch = 1
                     sr = 0
-                    if len(b) >= header_bytes:
+                    # guard on the 16 bytes the unpack actually needs,
+                    # not header_bytes (a smaller header_bytes must not
+                    # let short payloads raise struct.error mid-batch)
+                    if len(b) >= 16:
                         _w, _h, sr, _nf = struct.unpack_from("<IIII", b, 0)
-                    body = np.frombuffer(
-                        b[header_bytes:], dtype=np.uint8
-                    ).astype(np.int64)
+                    body = np.frombuffer(b[header_bytes:], dtype=np.uint8)
                     codec = "raw"
+                mean, std, mn, mx = _int_stats(body)
                 n = len(body)
-                if n == 0:
-                    mean = std = 0.0
-                    mn = mx = 0
-                else:
-                    s = int(body.sum())
-                    s2 = int((body.astype(np.int64) ** 2).sum())
-                    mean = s / n
-                    std = float(np.sqrt((s2 - s * s / n) / n))
-                    mn, mx = int(body.min()), int(body.max())
                 cols["au_codec"].append(codec)
                 cols["au_sr"].append(int(sr))
                 cols["au_channels"].append(int(nch))
@@ -650,11 +649,38 @@ def decode_audio_samples(
     return df.mapInPandas(
         _decode,
         schema=(
-            f"{schema}, au_codec string, au_sr int, au_channels int, "
+            # au_sr is bigint: the raw-fallback header field is an
+            # unsigned <I up to 4294967295, which an int32 column
+            # would wrap negative (or fail under safe Arrow casts)
+            f"{schema}, au_codec string, au_sr bigint, au_channels int, "
             "au_n bigint, au_mean double, au_std double, "
             "au_min bigint, au_max bigint"
         ),
     )
+
+
+def _int_stats(body: np.ndarray) -> "tuple[float, float, int, int]":
+    """(mean, std, min, max) over integer samples in the exact
+    sum / sum-of-squares form (population std; callers round).
+    Shared by the image and audio decoders so the accumulator
+    discipline lives in ONE place. Bodies up to 16-bit ride int64
+    accumulators (overflow needs >= 2^33 samples per row); wider PCM
+    (24/32-bit) accumulates on Python ints — an int64 sum-of-squares
+    wraps after just TWO full-scale 32-bit samples and would emit
+    negative variance / NaN std."""
+    n = len(body)
+    if n == 0:
+        return 0.0, 0.0, 0, 0
+    if body.dtype.itemsize <= 2:
+        s = int(body.sum(dtype=np.int64))
+        s2 = int((body.astype(np.int64) ** 2).sum(dtype=np.int64))
+    else:
+        ob = body.astype(object)
+        s = int(ob.sum())
+        s2 = int((ob * ob).sum())
+    mean = s / n
+    std = float(np.sqrt((s2 - s * s / n) / n))
+    return mean, std, int(body.min()), int(body.max())
 
 
 def pil_available() -> bool:
@@ -734,19 +760,13 @@ def decode_image_pixels(
                         w, h, body = jpg
                         codec = "jpeg"
                 if body is None:
-                    if len(b) >= header_bytes:
+                    # the header unpack needs 16 bytes regardless of
+                    # where the caller says the body starts
+                    if len(b) >= 16:
                         w, h, _sr, _nf = struct.unpack_from("<IIII", b, 0)
                     body = np.frombuffer(b[header_bytes:], dtype=np.uint8)
+                mean, std, mn, mx = _int_stats(body)
                 n = len(body)
-                if n == 0:
-                    mean = std = 0.0
-                    mn = mx = 0
-                else:
-                    s = int(body.sum())
-                    s2 = int((body.astype(np.int64) ** 2).sum())
-                    mean = s / n
-                    std = float(np.sqrt((s2 - s * s / n) / n))
-                    mn, mx = int(body.min()), int(body.max())
                 cols["px_codec"].append(codec)
                 cols["px_w"].append(int(w))
                 cols["px_h"].append(int(h))
@@ -800,23 +820,12 @@ def extract_media_features(
                 body = np.frombuffer(
                     bytes(payload)[header_bytes:], dtype=np.uint8
                 )
-                n = len(body)
-                if n == 0:
-                    n_.append(0)
-                    mean_.append(0.0)
-                    std_.append(0.0)
-                    mn_.append(0)
-                    mx_.append(0)
-                    continue
-                s = int(body.sum())
-                s2 = int((body.astype(np.int64) ** 2).sum())
-                mean = s / n
-                var = (s2 - s * s / n) / n
-                n_.append(n)
+                mean, std, mn, mx = _int_stats(body)
+                n_.append(len(body))
                 mean_.append(round(mean, 6))
-                std_.append(round(var**0.5, 6))
-                mn_.append(int(body.min()))
-                mx_.append(int(body.max()))
+                std_.append(round(std, 6))
+                mn_.append(mn)
+                mx_.append(mx)
             out = pdf.copy()
             out["px_n"] = pd.Series(n_, dtype="int64").to_numpy()
             out["px_mean"] = mean_

@@ -651,3 +651,68 @@ def test_wav_tier_wired_into_decode_audio_samples(spark):
     assert (r2.au_sr, r2.au_n) == (8000, 16)
     assert (r2.au_min, r2.au_max) == (0, 15)
 
+
+
+# --- review findings (round-10 self-review) ---
+
+
+def test_jpeg_bitreader_linear_time():
+    """The entropy bit reader must mask consumed bits out of its
+    accumulator — an unmasked bignum turns decode quadratic (measured
+    47 s on 200 KB). Pin: the accumulator never exceeds its live-bit
+    width while scanning a large stuffed stream."""
+    data = bytes([0b10101010]) * 50_000
+    r = MM._JpegBitReader(data, 0)
+    for _ in range(50_000 * 8):
+        assert r.read_bit() is not None
+        assert r.bitbuf < (1 << 16)
+    assert r.read_bit() is None
+
+
+def test_int_stats_wide_pcm_no_overflow():
+    """int64 sum-of-squares wraps after two full-scale 32-bit samples;
+    the shared stats helper must accumulate exactly for wide PCM."""
+    full = np.array([2**31 - 1] * 4, dtype=np.int64)
+    mean, std, mn, mx = MM._int_stats(full)
+    assert std == 0.0 and mean == float(2**31 - 1)
+    assert mn == mx == 2**31 - 1
+    loud24 = np.array([8_388_607, -8_388_608] * 100_000, dtype=np.int32)
+    mean, std, mn, mx = MM._int_stats(loud24)
+    assert not np.isnan(std) and std > 8e6
+    assert (mn, mx) == (-8_388_608, 8_388_607)
+
+
+def test_audio_raw_fallback_huge_sr_and_short_payload(spark):
+    """A corrupt header with sample_rate 0xFFFFFFFF must flow through
+    (au_sr is bigint, not a wrapping int32), and header_bytes smaller
+    than the 16-byte header must not raise struct.error on short
+    payloads — the operator-is-total contract."""
+    from gpd_lite_toolbox_spark.deploy import ship_package
+
+    ship_package(spark)
+    evil = struct.pack("<IIII", 0, 0, 0xFFFFFFFF, 1) + b"\x01\x02"
+    short = b"0123456789"  # 10 bytes < 16
+    df = spark.createDataFrame(
+        [(1, bytearray(evil)), (2, bytearray(short))],
+        "id long, media binary",
+    )
+    rows = {
+        r.id: r
+        for r in MM.decode_audio_samples(df, header_bytes=8).collect()
+    }
+    assert rows[1].au_sr == 0xFFFFFFFF
+    assert rows[2].au_codec == "raw" and rows[2].au_sr == 0
+    assert rows[2].au_n == 2  # body = payload[8:]
+
+
+def test_bench_sf1_rejects_unknown_query_names():
+    import subprocess
+    import sys as _sys
+
+    p = subprocess.run(
+        [_sys.executable, "/root/repo/bench_sf1.py", "winnow_reprot"],
+        capture_output=True,
+        text=True,
+    )
+    assert p.returncode != 0
+    assert "unknown query names" in (p.stderr + p.stdout)
