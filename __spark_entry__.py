@@ -3773,6 +3773,30 @@ def _q_stream_banned_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_banned_phrases_ac(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LARGE-DICTIONARY streaming blocklist gate
+    (streaming/grid_stream.py run_streaming_blocklist_gate_ac): each
+    micro-batch runs the batch Aho-Corasick tier via foreachBatch —
+    the scale path when the list is too big to inline into the stream
+    projection; the per-phrase-struct fold (stream_banned_phrases)
+    stays the bounded-list form. Union over micro-batches == the
+    batch AC output, so it shares the same raw-documents naive
+    per-position oracle."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_blocklist_gate_ac,
+    )
+    from gpd_lite_toolbox_spark.text.analysis import (
+        BANNED_FIXTURE_PHRASES,
+    )
+
+    s = _configure(spark)
+    return run_streaming_blocklist_gate_ac(
+        s, f"{sf_dir}/documents.parquet", BANNED_FIXTURE_PHRASES
+    )
+
+
 def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated trigram LM scoring (text/corpus.py
     trigram_logprob): Jelinek-Mercer mix of the three ML orders,
@@ -3899,6 +3923,7 @@ DRIVER_WINDOW = [
     "banned_phrase_hits_ac",
     "winnow_report",
     "contamination_report",
+    "stream_banned_phrases_ac",
     # Next: the 18 queries whose latest green is r5 — the oldest
     # remaining evidence tier (r9 VERDICT "What's missing" item 2);
     # after this round no query's evidence is older than r6.
@@ -3950,7 +3975,6 @@ DRIVER_WINDOW = [
     "kn_bigram",
     "length_buckets",
     "make_grid",
-    "match_lines",
 ]
 
 
@@ -4007,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "banned_phrase_hits": _q_banned_phrase_hits,
         "banned_phrase_hits_ac": _q_banned_phrase_hits_ac,
         "stream_banned_phrases": _q_stream_banned_phrases,
+        "stream_banned_phrases_ac": _q_stream_banned_phrases_ac,
         "perplexity_buckets_trigram": _q_perplexity_buckets_trigram,
         "wordpiece_fertility": _q_wordpiece_fertility,
         "wordpiece_train": _q_wordpiece_train,
@@ -4387,6 +4412,8 @@ def oracle_sql() -> dict[str, str]:
         # raw-documents variant: the streaming source reads the
         # parquet directly (no derived planted rows)
         "stream_banned_phrases": OR.STREAM_BANNED_PHRASES,
+        # foreachBatch Aho-Corasick tier: same raw-documents oracle
+        "stream_banned_phrases_ac": OR.STREAM_BANNED_PHRASES,
         "perplexity_buckets_trigram": OR.PERPLEXITY_BUCKETS_TRIGRAM,
         "wordpiece_fertility": OR.WORDPIECE_FERTILITY,
         "wordpiece_train": OR.WORDPIECE_TRAIN,

@@ -246,10 +246,11 @@ BENCH_QUERIES = [
     # at query construction (the ingest_near_dups + hits_scores
     # classes combined); ingest_near_dups + dup_groups_star time its
     # substrates. perplexity_buckets_trigram times the scorer-hook
-    # composition over the trigram stack. stream_banned_phrases NOT
-    # benched (drains eagerly at construction, the
-    # stream_curation_ledger class); banned_phrase_hits times the
-    # dictionary-join substrate.
+    # composition over the trigram stack. stream_banned_phrases and
+    # stream_banned_phrases_ac NOT benched (both drain eagerly at
+    # construction, the stream_curation_ledger class);
+    # banned_phrase_hits / banned_phrase_hits_ac time the two batch
+    # substrates.
     "dup_groups_star",
     "banned_phrase_hits",
     "banned_phrase_hits_ac",

@@ -1023,3 +1023,69 @@ def run_streaming_blocklist_gate(
         )
     )
     return _drain_to_memory(spark, stream, "blocklist_stream_out", "append")
+
+
+def run_streaming_blocklist_gate_ac(
+    spark,
+    parquet_dir: str,
+    phrases,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """LARGE-DICTIONARY streaming blocklist gate: each micro-batch
+    runs the batch Aho-Corasick tier (text/analysis.py
+    ``banned_phrase_hits`` mode="ac") via ``foreachBatch`` — the scale
+    path when the list is too big to inline.
+    ``run_streaming_blocklist_gate`` embeds one struct per phrase in
+    the stream projection (the right shape for the bounded lists a
+    live gate carries); a 100k-entry dictionary would make that plan
+    enormous, while here the dictionary rides the broadcast automaton
+    and the plan stays constant-size. The scan is row-local per
+    document and every stream doc lands in exactly one micro-batch,
+    so the union over micro-batches is EXACTLY the batch AC output —
+    same ``(id, phrase, n_hits)`` contract and the same raw-documents
+    oracle as ``stream_banned_phrases`` (stream==batch pytest-pinned;
+    the automaton is rebuilt per micro-batch, an O(dictionary chars)
+    driver step of the codebook-collect class).
+
+    ``max_files_per_trigger`` bounds each micro-batch so a multi-file
+    source genuinely exercises multiple batches.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..text.analysis import banned_phrase_hits
+
+    parquet_dir = _stage_dir(parquet_dir, "blocklist_ac_stream_")
+    schema = spark.read.parquet(parquet_dir).schema
+    out_dir = tempfile.mkdtemp(prefix="blocklist_ac_out_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    # seed the sink with the empty result so an empty stream still
+    # yields a readable frame with the right schema/dtypes
+    empty = spark.createDataFrame([], schema)
+    banned_phrase_hits(
+        empty, phrases, id_col=id_col, text_col=text_col, mode="ac"
+    ).write.mode("append").parquet(out_dir)
+
+    def _scan(mb, _bid):
+        banned_phrase_hits(
+            mb, phrases, id_col=id_col, text_col=text_col, mode="ac"
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .parquet(parquet_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_scan)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)

@@ -716,3 +716,43 @@ def test_bench_sf1_rejects_unknown_query_names():
     )
     assert p.returncode != 0
     assert "unknown query names" in (p.stderr + p.stdout)
+
+
+def test_stream_blocklist_ac_equals_batch_and_inline_stream(
+    spark, tmp_path
+):
+    """The foreachBatch Aho-Corasick gate must land on exactly the
+    rows of (a) the batch AC tier over the whole corpus and (b) the
+    inline per-phrase streaming fold — across multiple genuine
+    micro-batches (two parquet files, maxFilesPerTrigger=1)."""
+    from gpd_lite_toolbox_spark.streaming.grid_stream import (
+        run_streaming_blocklist_gate,
+        run_streaming_blocklist_gate_ac,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast merge table value fast merge"),
+            (2, "nothing banned here"),
+            (3, "key agg row KEY AGG ROW"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(src)
+    phrases = BANNED_FIXTURE_PHRASES
+    ac_stream = _rows(
+        run_streaming_blocklist_gate_ac(spark, src, phrases)
+    )
+    inline_stream = _rows(run_streaming_blocklist_gate(spark, src, phrases))
+    batch = _rows(
+        banned_phrase_hits(
+            docs.select(F.col("doc_id").alias("id"), "text"),
+            phrases,
+            mode="ac",
+        )
+    )
+    assert ac_stream == inline_stream == batch
+    assert (1, "fast merge", 2) in ac_stream
+    assert (3, "key agg row", 2) in ac_stream
