@@ -102,6 +102,10 @@ HEADLINE = [
     "winnow_report",
     "banned_phrase_hits_1k_ac",
     "banned_phrase_hits_1k_join",
+    # per-doc contamination artifact: composes the banded-LSH pair
+    # table (minhash_pairs' row, pair-clique caveat applies to the
+    # leak side) with the zero-shuffle coverage pass + two id joins
+    "contamination_report",
     # bench-only (defined below, not a declared query): reference
     # blocking semantics with k FIXED at the sf0.1 |A| while the B
     # corpus grows 10x — proves the documented claim that

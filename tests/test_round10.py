@@ -756,3 +756,70 @@ def test_stream_blocklist_ac_equals_batch_and_inline_stream(
     assert ac_stream == inline_stream == batch
     assert (1, "fast merge", 2) in ac_stream
     assert (3, "key agg row", 2) in ac_stream
+
+
+# --- property tests (hypothesis): the new tiers vs naive references ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _naive_overlap_counts(text: str, phrases: list) -> dict:
+    out = {}
+    for p in phrases:
+        c = sum(
+            1
+            for i in range(len(text) - len(p) + 1)
+            if text[i : i + len(p)] == p
+        )
+        if c:
+            out[p] = c
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.text(alphabet="abc", max_size=60),
+    phrases=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_ac_automaton_matches_naive_scan(text, phrases):
+    """Driver-side property: the Aho-Corasick walk reports EXACTLY the
+    naive per-position overlapping counts for every phrase, on a
+    3-letter alphabet dense with nested/overlapping patterns."""
+    goto, fail, out = TA._aho_corasick(phrases)
+    counts: dict = {}
+    node = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        for pi in out[node]:
+            counts[phrases[pi]] = counts.get(phrases[pi], 0) + 1
+    assert counts == _naive_overlap_counts(text, phrases)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    nch=st.integers(min_value=1, max_value=3),
+    width=st.sampled_from([1, 2, 4]),
+    sr=st.integers(min_value=1, max_value=192_000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_pcm_roundtrip_property(n, nch, width, sr, seed):
+    """Any wave-module-writable PCM stream decodes back exactly:
+    width/channel/rate space swept, including empty streams."""
+    rng = np.random.RandomState(seed)
+    lo, hi = {1: (-128, 127), 2: (-32768, 32767),
+              4: (-(1 << 31), (1 << 31) - 1)}[width]
+    src = rng.randint(lo, hi + 1, size=n * nch).astype(np.int64)
+    got = MM.wav_pcm(_wav_bytes(src, sr, nch, width))
+    assert got is not None
+    gsr, gch, samples = got
+    assert (gsr, gch) == (sr, nch)
+    assert np.array_equal(samples.astype(np.int64), src)
