@@ -585,7 +585,14 @@ def banned_phrase_hits(
 
     ``mode="auto"`` (default) picks: AC when the dictionary has >=
     ``_AC_MIN_PHRASES`` entries or >= ``_AC_MIN_LENGTHS`` distinct
-    lengths, else the join tier.
+    lengths, else the join tier. The thresholds are deliberately
+    conservative — on the sf0.1 fixture AC already beats the join
+    tier at the 4-phrase dictionary (0.49 vs 2.57 s) and the gap is
+    13-43x at 1024 phrases (BENCH_SF1) — because the join tier's
+    remaining advantages are categorical, not measured: it stays
+    entirely JVM-side (no Python workers required on the cluster) and
+    its cost is vectorized-predictable rather than per-char Python,
+    so small static gate lists keep it by default.
 
     ``phrases``: a Python sequence of strings (the usual case — the
     automaton/lengths are known driver-side with no job) or a

@@ -823,3 +823,28 @@ def test_wav_pcm_roundtrip_property(n, nch, width, sr, seed):
     gsr, gch, samples = got
     assert (gsr, gch) == (sr, nch)
     assert np.array_equal(samples.astype(np.int64), src)
+
+
+def test_minhash_index_single_definition(spark, sf_dir):
+    """r9 ADVICE item 4: the day-1/day-2 split and the persisted
+    minhash index are owned by ONE helper — repeat calls memoize to
+    the same artifact, so the three consumer queries cannot drift
+    apart on the split definition."""
+    import __spark_entry__ as E
+
+    prior = dict(E._mhidx_paths)
+    try:
+        E._mhidx_paths.clear()
+        p1 = E._minhash_index(spark, sf_dir)
+        p2 = E._minhash_index(spark, sf_dir)
+        assert p1 == p2
+        assert list(E._mhidx_paths) == [sf_dir]
+        batch, day1 = E._ingest_split(E._corpus(spark, sf_dir))
+        b = {r.id for r in batch.select("id").collect()}
+        d = {r.id for r in day1.select("id").collect()}
+        assert b.isdisjoint(d)
+        assert all(i % E._INGEST_BATCH_MOD == 0 for i in b)
+        assert all(i % E._INGEST_BATCH_MOD != 0 for i in d)
+    finally:
+        E._mhidx_paths.clear()
+        E._mhidx_paths.update(prior)
