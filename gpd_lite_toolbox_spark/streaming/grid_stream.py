@@ -541,15 +541,7 @@ def run_streaming_ingest_near_dups(
         .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(parquet_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(_probe)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    _run_foreach_batch(stream, _probe)
     return spark.read.parquet(out_dir)
 
 
@@ -1025,6 +1017,27 @@ def run_streaming_blocklist_gate(
     return _drain_to_memory(spark, stream, "blocklist_stream_out", "append")
 
 
+# run_streaming_blocklist_gate_ac's (source, dictionary) -> out-dir
+# memo: bounds the output-tempdir footprint to one live dir per key
+_blocklist_ac_out_dirs: dict = {}
+
+
+def _run_foreach_batch(stream, fn) -> None:
+    """Drive a foreachBatch stream to completion (availableNow
+    trigger, await, stop) — the one lifecycle definition shared by the
+    foreachBatch runners, as _drain_to_memory is for memory-sink
+    streams."""
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
 def run_streaming_blocklist_gate_ac(
     spark,
     parquet_dir: str,
@@ -1056,36 +1069,65 @@ def run_streaming_blocklist_gate_ac(
     import shutil
     import tempfile
 
-    from ..text.analysis import banned_phrase_hits
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..text.analysis import (
+        _aho_corasick,
+        _banned_phrase_hits_ac,
+        _normalize_phrases,
+    )
 
     parquet_dir = _stage_dir(parquet_dir, "blocklist_ac_stream_")
     schema = spark.read.parquet(parquet_dir).schema
+    # one output dir PER (source, dictionary) key, replaced on re-run —
+    # a fresh mkdtemp per invocation would leak one result-sized dir
+    # per call for the life of the process (the _stage_dir rationale)
+    plist = _normalize_phrases(phrases, case_insensitive=True)
+    key = (parquet_dir, tuple(plist), id_col, text_col)
+    prior = _blocklist_ac_out_dirs.pop(key, None)
+    if prior is not None:
+        shutil.rmtree(prior, ignore_errors=True)
     out_dir = tempfile.mkdtemp(prefix="blocklist_ac_out_")
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
-    # seed the sink with the empty result so an empty stream still
-    # yields a readable frame with the right schema/dtypes
-    empty = spark.createDataFrame([], schema)
-    banned_phrase_hits(
-        empty, phrases, id_col=id_col, text_col=text_col, mode="ac"
-    ).write.mode("append").parquet(out_dir)
+    _blocklist_ac_out_dirs[key] = out_dir
+    # ONE automaton build + broadcast for the whole stream (not one
+    # per micro-batch — a 100k-entry dictionary on a many-file source
+    # would otherwise accumulate 2N dictionary-sized broadcasts)
+    shared_bc = (
+        spark.sparkContext.broadcast(_aho_corasick(plist)),
+        spark.sparkContext.broadcast(plist),
+    )
+    # seed the sink with the statically known output schema — no
+    # Spark job needed to learn (id, phrase, n_hits) dtypes
+    id_field = schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("phrase", StringType(), False),
+            StructField("n_hits", LongType(), False),
+        ]
+    )
+    spark.createDataFrame([], out_schema).write.parquet(f"{out_dir}/seed")
 
-    def _scan(mb, _bid):
-        banned_phrase_hits(
-            mb, phrases, id_col=id_col, text_col=text_col, mode="ac"
-        ).write.mode("append").parquet(out_dir)
+    def _scan(mb, bid):
+        # per-batch-id target + overwrite = idempotent under
+        # foreachBatch's at-least-once re-execution (an append sink
+        # would double-count a retried micro-batch)
+        _banned_phrase_hits_ac(
+            mb, plist, id_col, text_col, True, shared_bc=shared_bc
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_{bid}")
 
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(parquet_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(_scan)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(stream, _scan)
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        out_dir
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.read.parquet(out_dir)

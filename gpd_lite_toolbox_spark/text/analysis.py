@@ -665,13 +665,19 @@ def _banned_phrase_hits_ac(
     id_col: str,
     text_col: str,
     case_insensitive: bool,
+    shared_bc=None,
 ) -> DataFrame:
     """The Aho-Corasick tier (see banned_phrase_hits). Single pass per
     document, automaton broadcast once per job; the mapInPandas output
     is already (doc, phrase)-unique (one counting dict per doc), so the
     trailing groupBy exists only to make the exchange shape explicit
     for downstream aggregation consumers — at the fixture it's a
-    near-no-op partial-combined aggregate."""
+    near-no-op partial-combined aggregate.
+
+    ``shared_bc``: optional ``(automaton_bc, phrases_bc)`` pair of
+    prebuilt broadcasts — the streaming foreachBatch runner passes one
+    so an N-micro-batch stream pays ONE automaton build instead of N
+    (and leaves 2 broadcast variables alive instead of 2N)."""
     import pandas as pd
     from pyspark.sql.types import (
         LongType,
@@ -681,8 +687,11 @@ def _banned_phrase_hits_ac(
     )
 
     spark = corpus.sparkSession
-    automaton_bc = spark.sparkContext.broadcast(_aho_corasick(plist))
-    phrases_bc = spark.sparkContext.broadcast(plist)
+    if shared_bc is not None:
+        automaton_bc, phrases_bc = shared_bc
+    else:
+        automaton_bc = spark.sparkContext.broadcast(_aho_corasick(plist))
+        phrases_bc = spark.sparkContext.broadcast(plist)
 
     text = F.col(text_col)
     if case_insensitive:
