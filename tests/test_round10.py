@@ -848,3 +848,16 @@ def test_minhash_index_single_definition(spark, sf_dir):
     finally:
         E._mhidx_paths.clear()
         E._mhidx_paths.update(prior)
+
+
+def test_ac_tier_plan_shape(spark, sf_dir):
+    """PLANS.md round-10 plan-audit pin: the AC tier's corpus side is
+    scan -> project -> MapInPandas with ZERO exchanges below the
+    Python node (the automaton rides a broadcast variable, not the
+    plan); the only exchange is the post-scan hit aggregate."""
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    df = banned_phrase_hits(corpus, BANNED_FIXTURE_PHRASES, mode="ac")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    below = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in below, below[:1500]
