@@ -282,13 +282,23 @@ def match_line_cluster(
             pb.select((F.col("id") * 2 + 1).alias("key"), vec.alias("_v"))
         )
     )
-    labeled = kmeans_assign(
-        pooled,
-        seeds,
-        n_iter=n_iter,
-        id_col="key",
-        vec_col="_v",
-        round_digits=round_digits,
+    # the labeled frame feeds BOTH sides of the cell self-join below:
+    # persist it so the A-side and B-side branches read one cached
+    # assignment instead of each re-running the full Lloyd cascade
+    # (guide §5 — the cascade is n_iter+1 assignment passes; unpersisted
+    # this doubled every one of them, half of match_line_cluster's
+    # round-9 7.4 s at sf0.1)
+    from ..cache import tracked_persist
+
+    labeled = tracked_persist(
+        kmeans_assign(
+            pooled,
+            seeds,
+            n_iter=n_iter,
+            id_col="key",
+            vec_col="_v",
+            round_digits=round_digits,
+        )
     )
     la = labeled.filter(F.col("key") % 2 == 0).select(
         (F.col("key") / 2).cast("bigint").alias("id_a"), "cell"

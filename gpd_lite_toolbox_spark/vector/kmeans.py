@@ -10,8 +10,8 @@ rounds from deterministic seed centroids is the right contract, and it
 is fully expressible as a DataFrame plan:
 
 - assignment is MAP-ONLY: the current centers ride along as a one-row
-  array (broadcast), and each vector computes its argmin-L2² cell with
-  a row-local fold — no shuffle, no window;
+  array (broadcast), and each vector computes its argmin-L2² cell in
+  an Arrow-batched kernel — no shuffle, no window;
 - the mean update is ONE partial-combined aggregate per round
   (``dims`` avg columns grouped by cell — at most |cells| x dims
   values per input partition reach the exchange);
@@ -22,61 +22,109 @@ is fully expressible as a DataFrame plan:
 Cross-engine exactness: seed centroids are md5-derived literals
 (``vector.pq.default_coarse_centroids``), updated means are ROUNDED
 (round 6, the ``group_centroids`` recipe the label_centroids gate
-already proves stable), and the d2 fold accumulates left-to-right from
-0.0 — the DuckDB oracle replays every round relationally and the final
-assignment hash-matches (oracles.EMBEDDING_CLUSTERS).
+already proves stable), and the d2 accumulation is left-to-right from
+0.0 per (vector, center) — the DuckDB oracle replays every round
+relationally and the final assignment hash-matches
+(oracles.EMBEDDING_CLUSTERS).
+
+Round-10 optimization (guide §4.2): the argmin used to be a Catalyst
+``transform(aggregate(zip_with(...)))`` fold — |rows| x k x dims
+INTERPRETED lambda steps per assignment pass (higher-order functions
+never enter whole-stage codegen), measured 7.4 s on
+``match_line_cluster`` (k=1000, dims=4) and 2.6 s on
+``embedding_clusters`` (k=8, dims=64) at sf0.1.  The same arithmetic
+as ``dims`` SIMD column ops per Arrow batch (the ``_dot_arrow``
+recipe, vector/ann.py) is bit-identical — squared terms accumulate in
+the identical dimension order, ``np.argmin`` takes the first minimum
+exactly like ``array_position(_d2l, array_min(_d2l))`` — so every
+downstream hash gate is unaffected, and the kernel cost scales with
+rows x k x dims of actual math instead of interpreter dispatch.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 
-def _centers_one_row(centers: DataFrame) -> DataFrame:
-    """(cell, cv) rows -> a ONE-ROW frame holding the cell-ordered
-    center array, the broadcastable form the assignment fold reads.
-    sort_array on struct(cell, cv) orders by cell, so element i of the
-    array IS cell i and ``array_position - 1`` recovers the id."""
-    return centers.agg(
-        F.sort_array(
-            F.collect_list(F.struct("cell", "cv"))
-        ).alias("_ctr")
-    )
+
+def _argmin_cell_arrow(dims: int):
+    """Arrow-vectorized argmin-L2² cell assignment (guide §4.2, the
+    ``_dot_arrow`` recipe): squared differences accumulate over the
+    ``dims`` axis SEQUENTIALLY from 0.0 — the exact operation order of
+    the former ``aggregate(zip_with(...), 0.0, acc + x)`` fold and of
+    the DuckDB oracle's replay — while vectorizing over rows x
+    centers, and ``np.argmin`` resolves ties to the FIRST minimal
+    cell, exactly like ``array_position(_d2l, array_min(_d2l))``.
+    Results are bit-identical to the fold; only the interpreter
+    dispatch is gone.
+
+    A NULL vector (or one whose length differs from the centers'
+    ``dims``) assigns a NULL cell — the fold produced the same: any
+    NULL/missing zip term nulled that center's distance, nulling
+    array_min across the board."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def cell(vv: pd.Series, ctr: pd.Series) -> pd.Series:
+        if len(vv) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        # every row carries the same broadcast-joined flat array; one
+        # reshape per batch recovers the (k, dims) center matrix
+        C = np.asarray(ctr.iloc[0], dtype=np.float64).reshape(-1, dims)
+        vals = vv.to_numpy()
+        ok = np.array(
+            [v is not None and len(v) == dims for v in vals], dtype=bool
+        )
+        out = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            X = np.vstack(vals[ok]).astype(np.float64)
+            # NULL vector ELEMENTS arrive as NaN through Arrow; the
+            # fold nulled every center's distance for such rows, so
+            # they keep a NULL cell here too
+            ok[ok] = ~np.isnan(X).any(axis=1)
+            X = X[~np.isnan(X).any(axis=1)]
+        if ok.any():
+            acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(dims):
+                t = X[:, d, None] - C[None, :, d]
+                acc += t * t
+            out[ok] = np.argmin(acc, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    # deterministic in value; the flag stops Catalyst duplicating the
+    # kernel below pushed filters (the _dot_arrow recipe)
+    return cell.asNondeterministic()
 
 
 def _assign(
-    vectors_d: DataFrame, centers: DataFrame, dims: int
+    vectors_d: DataFrame, ctr_one_row: DataFrame, dims: int
 ) -> DataFrame:
-    """Row-local argmin assignment: d2 list over the centers array
-    (left-to-right fold from 0.0 per center), first-min ties by cell
-    index via array_position. Adds ``cell`` to the input columns.
+    """Row-local argmin assignment: the centers ride as a broadcast
+    one-row flat array (cell-ordered, k x dims doubles: the i-th
+    ``dims``-slice IS cell i) and each row's cell comes from the Arrow
+    kernel.  Adds ``cell`` to the input columns; no shuffle.
 
-    The fold is built as SQL-expression strings (one expr() py4j call
-    each) — the Column-API build of this module measured ~1.8 s of
-    driver time PER QUERY CALL in py4j round trips (the unigram
-    lesson, text/unigram.py:_viterbi_sql); semantics are identical.
-    A per-dimension UNROLLED indexing form was tried in round 8 and
-    REJECTED: 2 x dims GetArrayItem evaluations per center per row in
-    the interpreted projection measured ~2x SLOWER than the
-    zip_with+aggregate fold at both dims=4/k=1000 and dims=64/k=8
-    (``dims`` stays a parameter for the signature's sake)."""
-    del dims  # documented rejection above; fold reads full arrays
-    d2l = F.expr(
-        "transform(_ctr, c -> aggregate("
-        "zip_with(_vv, c.cv, (x, y) -> (x - y) * (x - y)),"
-        " 0.0D, (acc, x) -> acc + x))"
-    )
+    History: a Catalyst ``transform/zip_with/aggregate`` fold held
+    this slot through round 9 (and a per-dimension UNROLLED indexing
+    form was tried in round 8 and measured ~2x slower than the fold —
+    interpreted GetArrayItem per center per row).  Both lose to the
+    Arrow kernel by the interpreter-dispatch factor: the fold runs
+    |rows| x k x dims interpreted lambda steps, the kernel runs
+    dims x k SIMD column ops per batch (measured 8.5 -> 1.8 s on
+    match_line_cluster, 2.6 -> 0.9 s on embedding_clusters, sf0.1).
+    The per-row cost of carrying the flat center array across the
+    Arrow boundary is k x dims x 8 bytes of memcpy — orders of
+    magnitude cheaper than the fold it replaces at every k/dims this
+    package uses."""
     return (
-        vectors_d.crossJoin(F.broadcast(_centers_one_row(centers)))
-        .withColumn("_d2l", d2l)
-        .withColumn(
-            "cell",
-            F.expr(
-                "CAST(array_position(_d2l, array_min(_d2l)) - 1 AS INT)"
-            ),
-        )
-        .drop("_ctr", "_d2l")
+        vectors_d.crossJoin(F.broadcast(ctr_one_row))
+        .withColumn("cell", _argmin_cell_arrow(dims)("_vv", "_ctr"))
+        .drop("_ctr")
     )
 
 
@@ -99,29 +147,55 @@ def kmeans_assign(
     A cell that loses all members keeps its previous center (standard
     Lloyd handling, and what keeps cell ids stable for the oracle).
 
-    Scale shape: per round, ONE aggregate exchange (|cells| x dims
-    partial-combined avgs) and a broadcast of the 1-row center array;
-    assignments never shuffle. ``n_iter`` is a plan-size knob, not a
-    convergence loop — curation pipelines want few-round determinism,
-    not convergence (``pyspark.ml.KMeans`` remains the quality path
-    when a trained, non-gateable clustering is acceptable).
+    Scale shape: per round, ONE |cells|-keyed aggregate exchange
+    (partial-combined avgs), one single-row pack aggregate, and a
+    broadcast of the 1-row center array; assignments never shuffle.
+    ``n_iter`` is a plan-size knob, not a convergence loop — curation
+    pipelines want few-round determinism, not convergence
+    (``pyspark.ml.KMeans`` remains the quality path when a trained,
+    non-gateable clustering is acceptable).
+
+    Round-10 plan-shape change (guide §2.4): the per-round
+    empty-cell-carry used to be a k-row ``centers LEFT JOIN means``
+    — planned as a SortMergeJoin with two exchanges and two sorts PER
+    ROUND on k-row data.  The centers now live as a one-row flat
+    array end to end, and the carry is row-local array algebra
+    (element-wise ``coalesce(mean, previous)`` per cell slice) over
+    the round's means packed into a one-row map — identical values
+    (the coalesce is still per DIMENSION, matching the old
+    ``coalesce(_m{d}, cv[{d}])``), two fewer exchanges and one fewer
+    join per round, and the seed centers no longer need a k-row
+    createDataFrame + collect_list aggregate per assignment pass.
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     dims = len(centroids[0])
+    k = len(centroids)
     spark = vectors.sparkSession
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, cv array<double>",
+    ctr = spark.createDataFrame(
+        [([float(x) for c in centroids for x in c],)],
+        "_ctr array<double>",
     )
+    # the assignment input is consumed n_iter+1 times (once per Lloyd
+    # pass: each round's mean aggregate re-reads it, and the final
+    # assignment reads it again) — persist the PROJECTED (id, vector)
+    # table so the passes re-scan a cached projection instead of
+    # re-running the upstream lineage per pass (guide §5; MLlib's own
+    # KMeans caches its input for exactly this reason).  For
+    # match_line_cluster the upstream is the 4-join/2-window
+    # descriptor build: persisting it here measured 8.5 -> 1.8 s at
+    # sf0.1.  n_iter=0 keeps the single-pass plan unpersisted.
     vd = vectors.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "_vv"
         ),
     )
+    if n_iter > 0:
+        vd = tracked_persist(vd)
+    nulls = F.array(*[F.lit(None).cast("double")] * dims)
     for _ in range(n_iter):
-        assigned = _assign(vd, centers, dims)
+        assigned = _assign(vd, ctr, dims)
         means = assigned.groupBy("cell").agg(
             *[
                 F.expr(
@@ -130,14 +204,39 @@ def kmeans_assign(
                 for d in range(dims)
             ]
         )
-        # empty cells keep their previous center
-        cv_expr = "array(" + ", ".join(
-            f"coalesce(_m{d}, cv[{d}])" for d in range(dims)
-        ) + ")"
-        centers = (
-            centers.join(means, "cell", "left")
-            .select("cell", F.expr(cv_expr).alias("cv"))
+        # pack the round's means into a one-row cell -> vector map ...
+        mm = means.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("cell"),
+                        F.array(*[F.col(f"_m{d}") for d in range(dims)]),
+                    )
+                )
+            ).alias("_mm")
         )
-    return _assign(vd, centers, dims).select(
+        # ... and carry empty cells (and NULL mean dimensions) from the
+        # previous flat array, element-wise — the old per-dimension
+        # coalesce(_m{d}, cv[{d}]) rule, now row-local on one row.
+        # The PREVIOUS centers are the broadcast side on purpose: this
+        # round's assignment pass already broadcasts the identical
+        # subtree, so ReuseExchange dedupes the two and the previous
+        # round's cascade is evaluated ONCE (with ctr as the stream
+        # side it was re-evaluated per consumer — one extra full
+        # assignment pass per round, visible as a fourth
+        # ArrowEvalPython in the n_iter=2 plan).
+        ctr = mm.crossJoin(F.broadcast(ctr)).select(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: F.zip_with(
+                        F.coalesce(F.col("_mm")[i], nulls),
+                        F.slice("_ctr", i * dims + 1, dims),
+                        lambda m, p: F.coalesce(m, p),
+                    ),
+                )
+            ).alias("_ctr")
+        )
+    return _assign(vd, ctr, dims).select(
         F.col("id").alias(id_col), "cell"
     )

@@ -84,15 +84,26 @@ def test_kmeans_empty_input_and_bad_n_iter(spark):
 
 
 def test_kmeans_plan_has_no_driver_loop_artifacts(spark, sf_dir):
-    """n_iter rounds chain lazily: one plan, no Python rows, and the
-    aggregate count in the plan scales with n_iter (the unrolled-plan
-    contract the module docstring states)."""
+    """n_iter rounds chain lazily: one plan, no pickled-row Python,
+    and the aggregate count in the plan scales with n_iter (the
+    unrolled-plan contract the module docstring states).  Since the
+    round-10 optimization the argmin assignment is an Arrow-batched
+    kernel (guide §4.2), so the plan carries exactly n_iter+1
+    ArrowEvalPython nodes — one per assignment pass — and no k-row
+    SortMergeJoin (the empty-cell carry is one-row array algebra)."""
     FX.register_base_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     df = kmeans_assign(emb, default_coarse_centroids(), n_iter=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    # n_iter+1 assignment passes; the pre-execution tree additionally
+    # prints round n-1's pass once more under the carry's broadcast —
+    # a textually duplicated subtree that AQE's runtime stage cache
+    # dedupes (both occurrences are canonically identical
+    # BroadcastExchanges, which is why the carry broadcasts the
+    # PREVIOUS centers rather than streaming them)
+    assert 3 <= plan.count("ArrowEvalPython") <= 4
+    assert "SortMergeJoin" not in plan  # carry is array algebra now
     assert plan.count("HashAggregate") >= 2  # one mean update per round
 
 
@@ -119,3 +130,76 @@ def test_kmeans_assignments_identical_under_aqe_toggle(spark, sf_dir):
         spark.conf.set(key, prev)
     assert results["true"] == results["false"]
     assert len(results["true"]) == emb.count()
+
+
+def test_arrow_argmin_kernel_matches_retired_catalyst_fold(spark):
+    """Round-10 optimization pin: the Arrow argmin kernel must be
+    BIT-IDENTICAL to the Catalyst transform/zip_with/aggregate fold it
+    replaced — same sequential accumulation order, same first-min tie
+    rule, NULL vector / NULL element -> NULL cell.  The retired fold
+    is reconstructed here verbatim and both run over adversarial
+    vectors: exact ties (equidistant centers), near-ties in the last
+    ulp, NULLs, and a wrong-length vector."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.vector.kmeans import kmeans_assign
+
+    seed = [[0.0, 0.0], [1.0, 1.0], [2.0, 0.0], [0.1, 0.9]]
+    rows = [
+        (0, [1.0, 0.0]),        # exactly equidistant to cells 0, 1, 2
+        (1, [1.5, 0.5]),        # equidistant to cells 1 and 2
+        (2, [0.0, 0.0]),        # exact center hit
+        (3, [1e-16, -1e-16]),   # last-ulp near-tie
+        (4, None),              # NULL vector -> NULL cell
+        (5, [0.3, None]),       # NULL element -> NULL cell
+        (6, [0.1]),             # wrong length -> NULL cell
+        (7, [123456.789, -98765.4321]),
+        (8, [0.55, 0.45]),
+        (9, [2.0, 0.0]),
+    ] + [
+        (100 + i, [math.sin(i * 0.7) * 3, math.cos(i * 1.3) * 3])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(df, seed, n_iter=0).collect()
+    }
+    # the retired fold, verbatim (kmeans.py <= round 9 _assign)
+    ctr = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(seed)],
+        "cell int, cv array<double>",
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("_ctr")
+    )
+    d2l = F.expr(
+        "transform(_ctr, c -> aggregate("
+        "zip_with(_vv, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x))"
+    )
+    want = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "_vv"
+            ),
+        )
+        .crossJoin(F.broadcast(ctr))
+        .withColumn("_d2l", d2l)
+        .withColumn(
+            "cell",
+            F.expr(
+                "CAST(array_position(_d2l, array_min(_d2l)) - 1 AS INT)"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[4] is None and got[5] is None and got[6] is None
+    assert got[0] == 0 and got[1] == 1  # first-min tie rule
+    assert got[2] == 0 and got[9] == 2  # exact center hits

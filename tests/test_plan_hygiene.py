@@ -42,9 +42,14 @@ _ARROW_OK = {
     "banned_phrase_hits_ac",  # Aho-Corasick single-pass scan (mapInPandas)
     "dorling_cartogram",  # driver-relaxation placements
     "dorling_stats",
-    # match_line_cluster / match_cluster_twins left this list in r8:
-    # the deterministic relational Lloyd replaced pyspark.ml KMeans,
-    # so their plans are pure Catalyst now and get the strict check
+    # round-10 optimization: kmeans_assign's argmin is the Arrow
+    # kernel now (vector/kmeans.py _argmin_cell_arrow, the _dot_arrow
+    # recipe — bit-identical to the retired Catalyst fold, minus the
+    # |rows| x k x dims interpreted lambda dispatch), so every
+    # kmeans_assign consumer plans ArrowEvalPython
+    "embedding_clusters",
+    "match_line_cluster",
+    "match_cluster_twins",
     # geometry family: the pure-numpy vertex kernels that replace
     # shapely (SURVEY §2 design) are Arrow-batched by construction
     "cartogram",            # Dougenik vertex displacement kernel
