@@ -629,29 +629,31 @@ def banned_phrase_hits(
     if case_insensitive:
         text = F.lower(text)
     lengths = sorted({len(p) for p in plist})
-    parts = []
-    for ln in lengths:
-        # one row-local slice projection per distinct length: pos
-        # 1..len(text)-ln+1, each emitting the ln-char substring
-        parts.append(
-            corpus.select(
-                F.col(id_col).alias("id"), text.alias("_t")
-            )
-            .filter(F.length("_t") >= ln)
-            .select(
-                "id",
-                F.lit(ln).alias("plen"),
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, length(_t) - {ln} + 1),"
-                        f" p -> substring(_t, p, {ln}))"
-                    )
-                ).alias("phrase"),
-            )
+    # ONE row-local slice projection emitting every distinct length's
+    # stride-1 slices (round-10 optimization, guide §2.3/§6: the
+    # per-length form was a UNION of one corpus scan PER DISTINCT
+    # LENGTH — L scans, L decode passes, L lower() evaluations; this
+    # emits the identical (id, plen, phrase) multiset from one scan).
+    # Docs shorter than a length contribute nothing for it (the CASE
+    # arm), exactly like the old per-branch length(_t) >= ln filter.
+    slice_arms = ", ".join(
+        f"CASE WHEN length(_t) >= {ln} THEN"
+        f" transform(sequence(1, length(_t) - {ln} + 1),"
+        f" p -> struct({ln} AS plen, substring(_t, p, {ln}) AS phrase))"
+        f" ELSE CAST(array() AS"
+        f" array<struct<plen: int, phrase: string>>) END"
+        for ln in lengths
+    )
+    from ..parallelism import widen
+
+    slices = (
+        widen(corpus.select(F.col(id_col).alias("id"), text.alias("_t")))
+        .select(
+            "id",
+            F.explode(F.expr(f"concat({slice_arms})")).alias("_s"),
         )
-    slices = parts[0]
-    for p in parts[1:]:
-        slices = slices.unionByName(p)
+        .select("id", F.col("_s.plen"), F.col("_s.phrase"))
+    )
     return (
         slices.join(pdf, ["phrase", "plen"])
         .groupBy("id", "phrase")

@@ -718,7 +718,14 @@ def perplexity_buckets(
     Columns: ``(id, n_tokens, avg_neg_logprob, bucket)``.
     """
     score_fn = scorer if scorer is not None else unigram_logprob
-    scored = score_fn(corpus, id_col=id_col, text_col=text_col)
+    # the scored frame feeds BOTH the percentile aggregate and the
+    # bucket projection: persist the doc-sized table so the scorer's
+    # whole pipeline runs once, not twice (guide §5; locally the
+    # second pass was cheap broadcast joins over already-persisted
+    # substrates, but at scale it is a full second scoring join)
+    scored = tracked_persist(
+        score_fn(corpus, id_col=id_col, text_col=text_col)
+    )
     cuts = scored.agg(
         F.round(
             F.percentile("avg_neg_logprob", F.lit(1.0 / 3.0)), 6
@@ -1595,9 +1602,20 @@ def trigram_logprob(
         + F.lit(l2) * (F.col("n2") / F.col("n1").cast("double"))
         + F.lit(l1) * (F.col("nu") / F.col("n_total").cast("double"))
     )
-    scored = (
-        tg.join(c3, ["w1", "w2", "w3"])
-        .join(c2ctx, ["w1", "w2"])
+    # Round-10 restructure (guide §3 / §8): the per-type NLL is a
+    # function of MODEL tables only, so assemble it on the trigram-
+    # TYPE side (five type/vocab-sized joins) and join the corpus-
+    # sized per-doc table ONCE on its natural (w1, w2, w3) key —
+    # previously tg itself rode all five joins on five DIFFERENT keys,
+    # which at model sizes past the broadcast threshold means five
+    # corpus-sized shuffles instead of one.  Values are unchanged: the
+    # same counts attach to each type, the NLL expression is the same
+    # IEEE double expression, and every model join is key-unique so
+    # cardinalities are preserved; the per-doc sum rides the decimal
+    # lattice (dsum), so it is partition-order independent by
+    # construction.
+    types = (
+        c3.join(c2ctx, ["w1", "w2"])
         .join(
             c2.select(
                 F.col("w1").alias("w2"),
@@ -1609,7 +1627,10 @@ def trigram_logprob(
         .join(c1.select(F.col("w1").alias("w2"), "n1"), "w2")
         .join(uni.select(F.col("tok").alias("w3"), "nu"), "w3")
         .crossJoin(F.broadcast(total))
-        .select("id", "n", qdec(-F.log(p)).alias("_nll"))
+        .select("w1", "w2", "w3", qdec(-F.log(p)).alias("_nll"))
+    )
+    scored = tg.join(types, ["w1", "w2", "w3"]).select(
+        "id", "n", "_nll"
     )
     return scored.groupBy("id").agg(
         F.sum("n").cast("bigint").alias("n_trigrams"),
@@ -1693,14 +1714,20 @@ def kn_trigram_logprob(
         + ((F.lit(d) * F.col("nfol3")) / F.col("nctx").cast("double"))
         * p2
     )
-    scored = (
-        tg.join(c3, ["w1", "w2", "w3"])
-        .join(cctx, ["w1", "w2"])
+    # same round-10 restructure as trigram_logprob: per-type NLL from
+    # model tables only (c3 IS the type table), then ONE corpus-sized
+    # join on (w1, w2, w3) — four corpus-keyed joins removed; values
+    # identical (key-unique joins, same expression, dsum lattice)
+    types = (
+        c3.join(cctx, ["w1", "w2"])
         .join(ctab, ["w2", "w3"])
         .join(tmid, "w2")
         .join(tdot, "w3")
         .crossJoin(F.broadcast(ttot))
-        .select("id", "n", qdec(-F.log(p)).alias("_nll"))
+        .select("w1", "w2", "w3", qdec(-F.log(p)).alias("_nll"))
+    )
+    scored = tg.join(types, ["w1", "w2", "w3"]).select(
+        "id", "n", "_nll"
     )
     return scored.groupBy("id").agg(
         F.sum("n").cast("bigint").alias("n_trigrams"),
