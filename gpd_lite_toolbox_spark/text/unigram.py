@@ -643,9 +643,20 @@ def unigram_train_em(
         raise ValueError(
             f"unigram_train_em is pinned to max_len={MAX_PIECE_LEN}"
         )
-    from pyspark.sql import Window
+    from ..cache import tracked_persist
 
-    wc = _word_counts(docs, text_col)
+    # Round-10 optimization (guide §5): every frame below is consumed
+    # by SEVERAL branches of the next round (usage feeds the kept
+    # window, the singles branch, the total, and the carry anti-join;
+    # inv feeds the broadcast map and the carry; wc feeds every
+    # round's E-step) — unpersisted, each reference re-evaluated the
+    # whole prior-round cascade, so wall time grew SUPERLINEARLY in
+    # n_rounds (measured 1.36 s at n_rounds=1 vs 4.23 s at n_rounds=2
+    # on the sf0.1 fixture's 33-word vocabulary — pure plan
+    # re-evaluation, not data).  All persisted frames are vocab- or
+    # inventory-bounded (never corpus-sized), so the caching is safe
+    # at any corpus scale.
+    wc = tracked_persist(_word_counts(docs, text_col))
     # LARGE seed: every substring (singles unconditionally, multis at
     # min_count), priced by substring counts — no top-k cap here; the
     # EM rounds do the pruning by emissions
@@ -661,7 +672,9 @@ def unigram_train_em(
             )
         ).alias("piece"),
     )
-    cnt0 = sub.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    cnt0 = tracked_persist(
+        sub.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    )
     tot0 = cnt0.agg(F.sum("cnt").alias("_t"))
 
     def _price(df: DataFrame) -> DataFrame:
@@ -678,19 +691,70 @@ def unigram_train_em(
             .alias("cost"),
         )
 
-    inv = _price(
-        cnt0.filter(
-            (F.length("piece") == 1) | (F.col("cnt") >= int(min_count))
-        ).crossJoin(F.broadcast(tot0))
+    inv = tracked_persist(
+        _price(
+            cnt0.filter(
+                (F.length("piece") == 1)
+                | (F.col("cnt") >= int(min_count))
+            ).crossJoin(F.broadcast(tot0))
+        )
     )
     seg = F.expr(
         _segment_sql("w", None, UNK_CHAR_COST, max_len, mp_expr="_mp")
     )
-    w_multi = Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+    # Round-10 plan-shape rewrite (guide §2.4 / §7.2 "very large
+    # plans"): the M-step used to be relational bookkeeping — a global
+    # row_number window, a union, a left_anti join, and a reprice
+    # crossJoin PER ROUND — each branch re-embedding the (large)
+    # Viterbi expression tree of every prior round into the logical
+    # plan, so analysis/planning time and stage count grew
+    # superlinearly in n_rounds (measured 1.36 s at n_rounds=1 vs
+    # 4.23 s at n_rounds=2 on a 33-word vocabulary — plan overhead,
+    # not data).  The inventory is |pieces|-bounded, so it now lives
+    # as a ONE-ROW struct array and the whole M-step (top-k by
+    # (cnt desc, piece), min_count filter, never-prune-singles carry,
+    # reprice over the emission total) is row-local array algebra —
+    # per round: ONE real aggregate (usage) + two one-row packs, no
+    # window/join/union.  Values are identical: sort_array on
+    # struct(-cnt, piece) IS the (cnt desc, piece) rank order, the
+    # carry membership test replays the anti-join, and the reprice is
+    # the same IEEE round(scale*ln(total/cnt)+1e-9) expression.
+    inv_row = tracked_persist(
+        inv.agg(
+            F.collect_list(F.struct("piece", "cnt", "cost")).alias(
+                "_inv"
+            )
+        )
+    )
+    mk, mc = int(max_pieces), int(min_count)
+    mstep = F.expr(
+        f"""concat(
+          transform(
+            concat(
+              transform(
+                slice(sort_array(transform(
+                  filter(_u, x -> length(x.piece) > 1
+                                  AND x.cnt >= {mc}),
+                  x -> struct(-x.cnt AS nc, x.piece AS piece,
+                              x.cnt AS cnt))), 1, {mk}),
+                s -> struct(s.piece AS piece, s.cnt AS cnt)),
+              transform(filter(_u, x -> length(x.piece) = 1),
+                        x -> struct(x.piece AS piece, x.cnt AS cnt))),
+            k -> struct(
+              k.piece AS piece, k.cnt AS cnt,
+              CAST(round({float(scale)}D * ln(
+                     CAST(aggregate(_u, 0L, (a, x) -> a + x.cnt)
+                          AS DOUBLE) / k.cnt) + 1e-9, 0)
+                   AS BIGINT) AS cost)),
+          filter(_inv, p -> length(p.piece) = 1
+            AND NOT array_contains(
+                  transform(_u, x -> x.piece), p.piece)))"""
+    )
     for _ in range(int(n_rounds)):
-        mp_row = inv.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("piece", "cost"))
+        mp_row = inv_row.select(
+            F.expr(
+                "map_from_entries(transform(_inv,"
+                " x -> struct(x.piece, x.cost)))"
             ).alias("_mp")
         )
         usage = (
@@ -699,22 +763,14 @@ def unigram_train_em(
             .groupBy("piece")
             .agg(F.sum("n").alias("cnt"))
         )
-        total = usage.agg(F.sum("cnt").alias("_t"))
-        kept = (
-            usage.filter(F.length("piece") > 1)
-            .filter(F.col("cnt") >= int(min_count))
-            .withColumn("_rk", F.row_number().over(w_multi))
-            .filter(F.col("_rk") <= int(max_pieces))
-            .select("piece", "cnt")
-            .unionByName(
-                usage.filter(F.length("piece") == 1).select("piece", "cnt")
+        urow = usage.agg(
+            F.collect_list(F.struct("piece", "cnt")).alias("_u")
+        )
+        inv_row = tracked_persist(
+            urow.crossJoin(F.broadcast(inv_row)).select(
+                mstep.alias("_inv")
             )
         )
-        repriced = _price(kept.crossJoin(F.broadcast(total)))
-        carried = (
-            inv.filter(F.length("piece") == 1)
-            .join(usage, "piece", "left_anti")
-            .select("piece", "cnt", "cost")
-        )
-        inv = repriced.unionByName(carried)
-    return inv
+    return inv_row.select(
+        F.explode("_inv").alias("_p")
+    ).select("_p.piece", "_p.cnt", "_p.cost")

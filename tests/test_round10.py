@@ -861,3 +861,102 @@ def test_ac_tier_plan_shape(spark, sf_dir):
     assert "MapInPandas" in plan
     below = plan.split("MapInPandas", 1)[1]
     assert "Exchange" not in below, below[:1500]
+
+
+def test_em_array_mstep_matches_retired_relational_mstep(spark, sf_dir):
+    """Round-10 optimization pin: unigram_train_em's M-step became
+    one-row array algebra (top-k slice of sort_array, row-local carry
+    membership, fold-total reprice).  Replay the RETIRED relational
+    M-step (global row_number window + union + left_anti join +
+    reprice crossJoin) over the same E-step usage table and require
+    the identical (piece, cnt, cost) inventory after the full 2
+    rounds."""
+    from pyspark.sql import Window
+
+    from gpd_lite_toolbox_spark.text.unigram import (
+        MAX_PIECE_LEN,
+        UNK_CHAR_COST,
+        _segment_sql,
+        _word_counts,
+        unigram_train_em,
+    )
+
+    corpus = FX.fixture_df(spark, sf_dir, "corpus")
+    got = {
+        (r.piece, r.cnt, r.cost)
+        for r in unigram_train_em(corpus).collect()
+    }
+
+    # retired relational trainer, verbatim (unigram.py <= round 9)
+    max_pieces, min_count, scale = 48, 2, 100
+    wc = _word_counts(corpus, "text")
+    sub = wc.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(w)),
+                      j -> transform(
+                        sequence(1, least({MAX_PIECE_LEN},
+                                          length(w) - j + 1)),
+                        l -> substr(w, j, l))))"""
+            )
+        ).alias("piece"),
+    )
+    cnt0 = sub.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    tot0 = cnt0.agg(F.sum("cnt").alias("_t"))
+
+    def _price(df):
+        return df.select(
+            "piece",
+            "cnt",
+            F.round(
+                F.lit(float(scale))
+                * F.log(F.col("_t").cast("double") / F.col("cnt"))
+                + F.lit(1e-9),
+                0,
+            )
+            .cast("bigint")
+            .alias("cost"),
+        )
+
+    inv = _price(
+        cnt0.filter(
+            (F.length("piece") == 1) | (F.col("cnt") >= min_count)
+        ).crossJoin(F.broadcast(tot0))
+    )
+    seg = F.expr(
+        _segment_sql("w", None, UNK_CHAR_COST, MAX_PIECE_LEN, mp_expr="_mp")
+    )
+    w_multi = Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+    for _ in range(2):
+        mp_row = inv.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "cost"))
+            ).alias("_mp")
+        )
+        usage = (
+            wc.crossJoin(F.broadcast(mp_row))
+            .select("n", F.explode(seg).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").alias("cnt"))
+        ).persist()
+        total = usage.agg(F.sum("cnt").alias("_t"))
+        kept = (
+            usage.filter(F.length("piece") > 1)
+            .filter(F.col("cnt") >= min_count)
+            .withColumn("_rk", F.row_number().over(w_multi))
+            .filter(F.col("_rk") <= max_pieces)
+            .select("piece", "cnt")
+            .unionByName(
+                usage.filter(F.length("piece") == 1).select("piece", "cnt")
+            )
+        )
+        repriced = _price(kept.crossJoin(F.broadcast(total)))
+        carried = (
+            inv.filter(F.length("piece") == 1)
+            .join(usage, "piece", "left_anti")
+            .select("piece", "cnt", "cost")
+        )
+        inv = repriced.unionByName(carried).persist()
+    want = {(r.piece, r.cnt, r.cost) for r in inv.collect()}
+    assert got == want and len(got) > 0
