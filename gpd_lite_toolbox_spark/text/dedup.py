@@ -361,12 +361,6 @@ def minhash_lsh_pairs(
     # string-shingle table (substrate 'minhash_verify_sets'): with
     # both it and ``sig`` supplied the operator never reads the raw
     # text at all — the day-2 substrate contract.
-    sets_ = verify_sets
-    if sets_ is None:
-        sets_ = _widen(corpus).select(
-            F.col(id_col).alias("id"),
-            F.array_sort(shingle_str_array_expr(text_col)).alias("_ss"),
-        )
     # spread the surviving narrow pair table before the array-verify
     # joins: AQE coalesces it by byte size while the per-row verify
     # cost (two array joins + array_intersect) dominates — the same
@@ -374,6 +368,23 @@ def minhash_lsh_pairs(
     cand = cand.repartition(
         cand.sparkSession.sparkContext.defaultParallelism
     )
+    sets_ = verify_sets
+    if sets_ is None:
+        # persisted since round 10: the sets table feeds BOTH verify
+        # sides, so unpersisted the per-doc sort+fold ran twice (a
+        # candidate-id semi-join restricting the fold to pair members
+        # was tried instead and REJECTED: it saves fold work but adds
+        # a distinct + semi-join + pair-table persist — measured
+        # ~+1 s/query at sf0.1 where the fold itself costs 0.25 s;
+        # at index scale the substrate path passes verify_sets anyway)
+        sets_ = tracked_persist(
+            _widen(corpus).select(
+                F.col(id_col).alias("id"),
+                F.array_sort(
+                    shingle_str_array_expr(text_col)
+                ).alias("_ss"),
+            )
+        )
     out = (
         cand.join(
             sets_.select(F.col("id").alias("id_a"), F.col("_ss").alias("_sa")),
@@ -1687,9 +1698,13 @@ def contamination_report(
     leaks = split_leakage(
         corpus, splits, threshold, id_col, pairs, text_col
     )
+    # one explode instead of a two-branch union (round 10): the union
+    # form re-evaluated the whole LSH pair pipeline once per branch
+    # (the minhash_band_keys lesson); the exploded multiset is
+    # identical
     sides = leaks.select(
-        F.col("id_a").alias("id"), "jaccard"
-    ).unionByName(leaks.select(F.col("id_b").alias("id"), "jaccard"))
+        F.explode(F.array("id_a", "id_b")).alias("id"), "jaccard"
+    )
     per = sides.groupBy("id").agg(
         F.count("*").cast("bigint").alias("_n_leak"),
         F.round(F.max("jaccard"), 6).alias("_max_j"),
