@@ -362,6 +362,16 @@ def lr_train_gd(
     )
     if standardize:
         inst = standardize_features(inst, feature_cols, d)
+    if n_iter > 0:
+        # the instance table feeds every round's gradient aggregate
+        # (and standardization adds a stats aggregate + z-projection
+        # to its lineage): persist the projected features so each
+        # round re-scans a cache instead of re-standardizing
+        # (guide §5, the kmeans_assign/MLlib input-cache pattern;
+        # feature-table-sized, never wider than the selected columns)
+        from ..cache import tracked_persist
+
+        inst = tracked_persist(inst)
     # weights start at the exact-zero row (p = 0.5 everywhere)
     weights = inst.sparkSession.range(1).select(
         F.lit(0.0).alias("bias"),
