@@ -2999,13 +2999,23 @@ def winnow_pairs(
     everything (BENCH_SF1's 10x clique corpus: 841 -> 73 pairs with
     6.47M of 6.47M postings past the cap).
     """
+    from pyspark.sql import Window
+
     fps = winnow_fingerprints(corpus, k, w, id_col, text_col)
-    dfc = fps.groupBy("fp").agg(F.count("*").alias("_df"))
-    capped = fps.join(
-        dfc.filter(
+    # df cap as a WINDOW over the fp layout (round 10, the
+    # _df_capped_candidates recipe): the former groupBy+join form
+    # evaluated the winnow fold once per join side — and the pair
+    # self-join below doubled it again (~4 evaluations of the
+    # row-local codepoint/Karp-Rabin/window-minima chain per query).
+    # The window rides the one exchange the join needed anyway, and
+    # the capped posting table (<= max_df per fp by construction) is
+    # persisted so the a/b pair sides read one materialization.
+    capped = tracked_persist(
+        fps.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(
             (F.col("_df") >= 2) & (F.col("_df") <= int(max_df))
-        ),
-        "fp",
+        )
     )
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))
