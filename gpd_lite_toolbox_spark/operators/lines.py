@@ -251,7 +251,16 @@ def match_line_cluster(
             ],
         )
 
-    pa = _descriptors(verts_a)
+    from ..cache import tracked_persist
+
+    # side A's descriptor table is consumed THREE times (the max_k
+    # guard count, the k-row seed collect, and the pooled union that
+    # kmeans_assign materializes) — each evaluation re-runs the
+    # 2-aggregate/2-window/3-join line_params build over A's vertex
+    # table (guide §5). Persist the k-row descriptor projection so the
+    # build runs once; B's descriptors are consumed once and stay
+    # unpersisted.
+    pa = tracked_persist(_descriptors(verts_a))
     pb = _descriptors(verts_b)
     if not force:
         k = pa.count()
@@ -288,8 +297,6 @@ def match_line_cluster(
     # (guide §5 — the cascade is n_iter+1 assignment passes; unpersisted
     # this doubled every one of them, half of match_line_cluster's
     # round-9 7.4 s at sf0.1)
-    from ..cache import tracked_persist
-
     labeled = tracked_persist(
         kmeans_assign(
             pooled,
