@@ -63,10 +63,22 @@ def match_lines(
 
     Inputs are vertex tables (id, vidx, vx, vy). Output:
     (id_a, id_b, fh_dist) — fully native: bbox-join candidates (the
-    prune is lossless: fh < limit forces expanded-bbox overlap), two
-    index-mapped equi-join branches (A-longer / B-longer), one
-    max-aggregate, a rank-1 window. No Python boundary.
+    prune is lossless: fh < limit forces expanded-bbox overlap), one
+    row-local aligned-index explode per candidate, one (id, vidx)
+    equi-join per side, one max-aggregate, a rank-1 window. No Python
+    boundary.
     """
+    # Round-10 (guide §5): each side is consumed three times — the
+    # bbox aggregate plus BOTH index-mapped join branches — and the
+    # inputs are typically derived tables (the fixture builds pay a
+    # scan + cross-join + two aggregates + a window per evaluation), so
+    # persist the projected four columns once per side. The bench's
+    # clearCache-per-run discipline means every timed run still pays
+    # the one build honestly.
+    from ..cache import tracked_persist
+
+    verts_a = tracked_persist(verts_a.select("id", "vidx", "vx", "vy"))
+    verts_b = tracked_persist(verts_b.select("id", "vidx", "vx", "vy"))
     ba = _line_bboxes(verts_a)
     bb = _line_bboxes(verts_b)
     if cell_size is None:
@@ -105,30 +117,44 @@ def match_lines(
         F.col("id").alias("id_b"), F.col("vidx").alias("bvidx"),
         F.col("vx").alias("bx"), F.col("vy").alias("by"),
     )
-    # branch 1: A is the longer (or equal) side — its vertices drive
-    p1 = (
-        cand.filter(F.col("na") >= F.col("nb"))
-        .join(a, "id_a")
-        .filter(F.col("avidx") < F.col("chkl") * F.col("nb"))
-        .withColumn(
-            "bvidx", F.floor(F.col("avidx") / F.col("chkl")).cast("long")
-        )
-        .join(b, ["id_b", "bvidx"])
+    # Round-10 (guide §2.4/§3): the aligned index pairs are generated
+    # ROW-LOCALLY per candidate — i drives the longer side, i // chkl
+    # the shorter, i < min(L, chkl*S) — replacing the former TWO
+    # A-longer/B-longer branches that each fanned out via a join on the
+    # line id alone, then post-filtered, then unioned. Same pair
+    # multiset by construction (the branch filters reproduced exactly
+    # as the two arms of the WHEN); each vertex table now joins ONCE,
+    # on its full (id, vidx) key, so the probe is equi-selective
+    # instead of id-fan-out + filter, and the candidate table is
+    # evaluated once instead of twice. Plan effect at sf0.1: Exchanges
+    # 48 -> 26, Generates 16 -> 9 per query (committed plan pair).
+    a_longer = F.col("na") >= F.col("nb")
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.least(big, F.col("chkl") * small).cast("long") - 1,
+            )
+        ).alias("i"),
+        a_longer.alias("_al"),
+        "chkl",
+    ).select(
+        "id_a",
+        "id_b",
+        F.when(F.col("_al"), F.col("i"))
+        .otherwise(F.floor(F.col("i") / F.col("chkl")))
+        .cast("long")
+        .alias("avidx"),
+        F.when(F.col("_al"), F.floor(F.col("i") / F.col("chkl")))
+        .otherwise(F.col("i"))
+        .cast("long")
+        .alias("bvidx"),
     )
-    # branch 2: B is strictly longer
-    p2 = (
-        cand.filter(F.col("nb") > F.col("na"))
-        .join(b, "id_b")
-        .filter(F.col("bvidx") < F.col("chkl") * F.col("na"))
-        .withColumn(
-            "avidx", F.floor(F.col("bvidx") / F.col("chkl")).cast("long")
-        )
-        .join(a, ["id_a", "avidx"])
-    )
-    sel = ["id_a", "id_b", "ax", "ay", "bx", "by"]
     d = (
-        p1.select(*sel)
-        .unionByName(p2.select(*sel))
+        pairs.join(a, ["id_a", "avidx"])
+        .join(b, ["id_b", "bvidx"])
         .groupBy("id_a", "id_b")
         .agg(
             F.max(
