@@ -66,7 +66,18 @@ def _argmin_cell_arrow(dims: int):
     A NULL vector (or one whose length differs from the centers'
     ``dims``) assigns a NULL cell — the fold produced the same: any
     NULL/missing zip term nulled that center's distance, nulling
-    array_min across the board."""
+    array_min across the board.
+
+    KNOWN DIVERGENCE (r10 ADVICE, documented on purpose): a vector
+    containing a true ``NaN`` *value* also gets a NULL cell here (the
+    NaN mask below cannot tell a float NaN from an Arrow-converted
+    NULL element), whereas the retired fold assigned it cell 0 (Spark
+    SQL orders NaN = NaN, so ``array_position`` found the all-NaN
+    minimum at position 1).  NULL is the saner answer — a NaN
+    distance is not a distance — and no declared query feeds NaN
+    vectors (the oracle sweep is hash-green), so the kernel keeps it;
+    the bit-identity claim above is for NULL/wrong-length/finite
+    inputs."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -205,7 +216,13 @@ def kmeans_assign(
             ]
         )
         # pack the round's means into a one-row cell -> vector map ...
-        mm = means.agg(
+        # NULL-cell rows (NULL / wrong-length / NaN-bearing vectors —
+        # the kernel assigns them no cell) must be dropped BEFORE the
+        # pack: map_from_entries rejects a NULL key outright
+        # (NULL_MAP_KEY), where the retired centers-LEFT-JOIN-means
+        # carry simply never matched that group (r10 ADVICE, medium).
+        # Filtering here restores exactly the left-join semantics.
+        mm = means.filter(F.col("cell").isNotNull()).agg(
             F.map_from_entries(
                 F.collect_list(
                     F.struct(

@@ -203,3 +203,46 @@ def test_arrow_argmin_kernel_matches_retired_catalyst_fold(spark):
     assert got[4] is None and got[5] is None and got[6] is None
     assert got[0] == 0 and got[1] == 1  # first-min tie rule
     assert got[2] == 0 and got[9] == 2  # exact center hits
+
+
+def test_kmeans_null_vectors_survive_lloyd_rounds(spark):
+    """r10 ADVICE (medium): with n_iter >= 1 a NULL / wrong-length /
+    NULL-element vector used to crash the mean-pack with
+    [NULL_MAP_KEY] — the kernel assigns those rows a NULL cell, the
+    NULL-cell group survived the means groupBy, and map_from_entries
+    rejects a NULL key.  The fix filters NULL cells before the pack,
+    which is exactly the retired centers-LEFT-JOIN-means semantics
+    (the NULL-cell row matched no center).  Pin: the job completes,
+    clean rows cluster as if the dirty rows were absent from the
+    center updates, dirty rows keep NULL cells."""
+    from gpd_lite_toolbox_spark.vector.kmeans import kmeans_assign
+
+    seed = [[0.0, 0.0], [10.0, 10.0]]
+    clean = [
+        (0, [0.5, 0.1]),
+        (1, [-0.2, 0.3]),
+        (2, [9.5, 10.2]),
+        (3, [10.4, 9.8]),
+    ]
+    dirty = [
+        (100, None),          # NULL vector
+        (101, [0.3, None]),   # NULL element
+        (102, [0.1]),         # wrong length
+    ]
+    df_all = spark.createDataFrame(
+        clean + dirty, "vec_id bigint, embedding array<double>"
+    )
+    df_clean = spark.createDataFrame(
+        clean, "vec_id bigint, embedding array<double>"
+    )
+    for n_iter in (1, 2):
+        got = {
+            r.vec_id: r.cell
+            for r in kmeans_assign(df_all, seed, n_iter=n_iter).collect()
+        }
+        want_clean = {
+            r.vec_id: r.cell
+            for r in kmeans_assign(df_clean, seed, n_iter=n_iter).collect()
+        }
+        assert got[100] is None and got[101] is None and got[102] is None
+        assert {k: got[k] for k in want_clean} == want_clean
