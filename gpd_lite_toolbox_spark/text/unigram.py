@@ -73,6 +73,18 @@ UNIGRAM_PIECES: list[tuple[str, int]] = [
 UNK_CHAR_COST = 60
 MAX_PIECE_LEN = 4
 
+# Loud ceiling on the one-row piece-inventory packs in
+# ``unigram_train_em`` (r10 VERDICT "What's wrong" #5): the SEED
+# inventory is |distinct substrings <= MAX_PIECE_LEN| of the corpus
+# vocabulary — bounded, but only by the vocabulary, so a caller
+# feeding an unbounded vocabulary would silently build a
+# multi-gigabyte single row.  At ~50 bytes per (piece, cnt, cost)
+# struct this cap keeps the row under ~100 MB and fails loudly
+# (in-plan assert_true) instead.  The post-EM inventory is
+# max_pieces-bounded by construction and rides the same guard for
+# free (it is always smaller than the seed).
+SEED_INV_ROW_CAP = 2_000_000
+
 
 def _spark_str_lit(s: str) -> str:
     """Quote a piece string as a Spark-SQL single-quoted literal.
@@ -719,12 +731,32 @@ def unigram_train_em(
     # struct(-cnt, piece) IS the (cnt desc, piece) rank order, the
     # carry membership test replays the anti-join, and the reprice is
     # the same IEEE round(scale*ln(total/cnt)+1e-9) expression.
+    # in-plan bound assertion (r10 VERDICT #5): the pack below is the
+    # only place the inventory becomes a single row, so the loud
+    # guard lives here — assert_true returns NULL when the bound
+    # holds (the when() then passes _inv through unchanged) and
+    # aborts the job with the sized message when it does not.
+    _capped_inv = F.when(
+        F.assert_true(
+            F.size(F.col("_inv")) <= F.lit(int(SEED_INV_ROW_CAP)),
+            F.concat(
+                F.lit("unigram_train_em: one-row piece inventory ("),
+                F.size(F.col("_inv")).cast("string"),
+                F.lit(
+                    f" pieces) exceeds SEED_INV_ROW_CAP="
+                    f"{int(SEED_INV_ROW_CAP)}; the corpus vocabulary "
+                    "is too large for the one-row EM carry"
+                ),
+            ),
+        ).isNull(),
+        F.col("_inv"),
+    ).alias("_inv")
     inv_row = tracked_persist(
         inv.agg(
             F.collect_list(F.struct("piece", "cnt", "cost")).alias(
                 "_inv"
             )
-        )
+        ).select(_capped_inv)
     )
     mk, mc = int(max_pieces), int(min_count)
     mstep = F.expr(

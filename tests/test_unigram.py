@@ -298,3 +298,27 @@ def test_segmentation_expr_is_streaming_legal(spark, tmp_path):
         for w in text.split()
     )
     assert sorted(got) == exp
+
+
+def test_em_seed_inventory_cap_fails_loudly(spark, monkeypatch):
+    """r10 VERDICT #5: unigram_train_em packs the piece inventory into
+    ONE row; the seed pack is vocabulary-bounded, not constant-bounded,
+    so the in-plan guard must abort loudly when the cap is exceeded
+    instead of silently building a multi-GB row — and stay invisible
+    when the bound holds."""
+    import pytest
+
+    from gpd_lite_toolbox_spark.text import unigram as U
+
+    docs = spark.createDataFrame(
+        [(1, "line part window line"), (2, "window part line")],
+        "id bigint, text string",
+    )
+    # bound holds: the guard is a pass-through (same rows as ever)
+    out = U.unigram_train_em(docs, n_rounds=1, max_pieces=8).collect()
+    assert len(out) > 0
+    # bound violated: the job fails with the sized message, not a
+    # silent giant row
+    monkeypatch.setattr(U, "SEED_INV_ROW_CAP", 3)
+    with pytest.raises(Exception, match="SEED_INV_ROW_CAP"):
+        U.unigram_train_em(docs, n_rounds=1, max_pieces=8).collect()
