@@ -505,8 +505,18 @@ def ingest_near_dups(
     from functools import reduce
     from operator import or_
 
+    # the batch's (id, text) projection is consumed TWICE per run —
+    # the signature fill below and the exact-verify shingle sets
+    # (sets_n) — and the batch is typically an upstream filter/union
+    # lineage that would otherwise re-scan per consumer (round 11,
+    # the r10 "Not yet optimized" item; guide §5).  Widened once here
+    # so both folds run at full task width and the persisted layout
+    # is already wide.
+    bt = tracked_persist(
+        _widen(batch).select(F.col(id_col), F.col(text_col))
+    )
     sig_n = tracked_persist(
-        minhash_signatures(batch, id_col=id_col, text_col=text_col)
+        minhash_signatures(bt, id_col=id_col, text_col=text_col)
     )
     bands_n = minhash_band_keys(sig_n).withColumn(
         "bucket", F.substring("band_key", 1, _IDX_BUCKET_HEX)
@@ -547,6 +557,7 @@ def ingest_near_dups(
         if cond != "PATH_NOT_FOUND" and not committed_empty:
             raise
         sig_n.unpersist()
+        bt.unpersist()
         return batch.select(
             F.col(id_col).alias("id_a"),
             F.col(id_col).alias("id_b"),
@@ -594,7 +605,7 @@ def ingest_near_dups(
         .filter(est >= F.lit(math.ceil(threshold * N_HASHES)))
         .select("new_id", "idx_id")
     )
-    sets_n = _widen(batch).select(
+    sets_n = bt.select(
         F.col(id_col).alias("new_id"),
         F.array_sort(shingle_str_array_expr(text_col)).alias("_sa"),
     )
@@ -1694,9 +1705,23 @@ def contamination_report(
     """
     from .analysis import dup_ngram_coverage
 
-    cov = dup_ngram_coverage(corpus, n, id_col, text_col)
+    # round 11 (r10 VERDICT item 6): the report's two signals each
+    # re-evaluated their shared INPUTS, not the pair table — the
+    # splits frame is consumed three times (split_leakage's id_a and
+    # id_b sides plus the per-doc assembly join) and the corpus text
+    # twice (the coverage pass and the LSH pipeline's shingle
+    # substrate fill).  Persist the two projected inputs once; the
+    # leak pair table itself is consumed exactly once (the explode),
+    # so it needs no persist — measured, see OPTIMIZATION_r11.md.
+    corpus_pt = tracked_persist(
+        _widen(corpus).select(F.col(id_col), F.col(text_col))
+    )
+    splits_pt = tracked_persist(
+        splits.select(F.col(id_col), F.col("split"))
+    )
+    cov = dup_ngram_coverage(corpus_pt, n, id_col, text_col)
     leaks = split_leakage(
-        corpus, splits, threshold, id_col, pairs, text_col
+        corpus_pt, splits_pt, threshold, id_col, pairs, text_col
     )
     # one explode instead of a two-branch union (round 10): the union
     # form re-evaluated the whole LSH pair pipeline once per branch
@@ -1712,7 +1737,7 @@ def contamination_report(
     return (
         cov.select("id", "dup_ngram_char_frac")
         .join(
-            splits.select(F.col(id_col).alias("id"), "split"), "id"
+            splits_pt.select(F.col(id_col).alias("id"), "split"), "id"
         )
         .join(per, "id", "left")
         .select(
@@ -2999,24 +3024,37 @@ def winnow_pairs(
     everything (BENCH_SF1's 10x clique corpus: 841 -> 73 pairs with
     6.47M of 6.47M postings past the cap).
     """
-    from pyspark.sql import Window
-
-    fps = winnow_fingerprints(corpus, k, w, id_col, text_col)
-    # df cap as a WINDOW over the fp layout (round 10, the
-    # _df_capped_candidates recipe): the former groupBy+join form
-    # evaluated the winnow fold once per join side — and the pair
-    # self-join below doubled it again (~4 evaluations of the
-    # row-local codepoint/Karp-Rabin/window-minima chain per query).
-    # The window rides the one exchange the join needed anyway, and
-    # the capped posting table (<= max_df per fp by construction) is
-    # persisted so the a/b pair sides read one materialization.
-    capped = tracked_persist(
-        fps.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("fp"))
-        ).filter(
-            (F.col("_df") >= 2) & (F.col("_df") <= int(max_df))
-        )
+    # df cap via a PRE-AGGREGATED count joined back (round 11, r10
+    # VERDICT "What's wrong" #2): round 10's
+    # `count(*) over (partition by fp)` window put EVERY posting of a
+    # hot fingerprint into ONE task before the cap filter discarded
+    # it — at 100 TB a boilerplate fp holding 0.1% of the corpus is a
+    # straggler that buffers its whole partition just to compute a
+    # count it throws away, and AQE's skew handling cannot split a
+    # window partition (guide §2.5 — skew splitting applies to joins
+    # only).  The groupBy count partial-aggregates MAP-SIDE (a hot fp
+    # reduces to one partial count per map task, never its postings),
+    # the kept-fp table (2 <= df <= max_df) joins back as an
+    # AQE-skew-splittable equi-join (broadcast at audit scale), and
+    # the persisted fingerprint table keeps the winnow fold (the
+    # round-10 fix) evaluated ONCE across the count and the join.
+    # the posting table persists so the FOLD (the corpus-sized work:
+    # codepoint hashes -> Karp-Rabin k-grams -> window minima,
+    # measured 0.8-1.0 s of the query's ~1.5 s at sf0.1) runs ONCE
+    # across the count and the probe — without it the probe join
+    # re-evaluates the fold (measured +0.5 s here, and a second full
+    # corpus decode at 100 TB)
+    fps = tracked_persist(
+        winnow_fingerprints(corpus, k, w, id_col, text_col)
     )
+    dfc = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= int(max_df)))
+    )
+    # the capped posting table (<= max_df per fp by construction) is
+    # persisted so the a/b pair sides read one materialization
+    capped = tracked_persist(fps.join(dfc.select("fp"), "fp"))
     a = capped.select("fp", F.col("id").alias("id_a"))
     b = capped.select("fp", F.col("id").alias("id_b"))
     return (
