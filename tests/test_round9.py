@@ -9,6 +9,11 @@ guard makes the corpus-scale collect impossible to hit by accident
 import pytest
 from pyspark.sql import functions as F
 
+# round 11 (r10 VERDICT item 1): round-9 replay pins / cc_star
+# random-graph sweeps — excluded from the default lane so the
+# driver's gate completes; the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
 from gpd_lite_toolbox_spark import fixtures as FX
 from gpd_lite_toolbox_spark.operators.lines import match_line_cluster
 

@@ -12,6 +12,12 @@ from hypothesis import strategies as st
 
 from tests.test_session7_ops import _ref_bpe
 
+# round 11 (r10 VERDICT item 1): hypothesis property sweep —
+# excluded from the default lane so the driver's gate completes;
+# the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
+
 word = st.text(
     alphabet=st.sampled_from("abcde"), min_size=1, max_size=6
 )

