@@ -465,6 +465,14 @@ def main() -> None:
         "queries": top,
         "sf": sf,
         "host": full["host"],
+        # per-query 1-min loadavg for the printed top-30 (r10 VERDICT
+        # "What's wrong" #4, additions-only): PERF adjudication can
+        # noise-flag a row from stdout alone — a query timed under
+        # loadavg 7 on a 32-cpu host is host noise, not a plan
+        # regression — without digging the full board out of the repo.
+        "loadavg_after_query": {
+            q: load1[q] for q in top if q in load1
+        },
         "full_map": "BENCH_FULL.json",
     }
     if errors:

@@ -112,6 +112,22 @@ HEADLINE = [
     # match_line_cluster's cost past the descriptor build is O(|B|*k),
     # bounded by the blocking parameter, not the corpus.
     "match_line_cluster_fixed_k",
+    # round-11 (r10 VERDICT item 7): the remaining top-10 board rows
+    # whose sf0.1 numbers are orchestration-bound — the SF1 rows with
+    # exchange counts are the evidence that transfers to 100 TB.
+    # ngram_containment/dedup_threshold_curve ride the 10x dup-clique
+    # corpus (pair-table caveat as minhash_pairs); retrieval_metrics'
+    # two search pipelines both scale with the corpus;
+    # approx_distinct_audit is the per-column pruned-scan shape.
+    "ngram_containment",
+    "retrieval_metrics",
+    "dedup_threshold_curve",
+    "approx_distinct_audit",
+    # round-11 (r10 VERDICT item 10, bench-only LOCAL probe): the
+    # approx_count_distinct twin of table_profile's exact Expand
+    # distinct — the docstring's documented petabyte swap, measured
+    # instead of asserted.  The declared exact query is untouched.
+    "table_profile_approx",
 ]
 
 
@@ -169,6 +185,65 @@ def _q_banned_1k(mode):
     return q
 
 
+def _q_table_profile_approx(spark, sf_dir):
+    """table_profile's documented petabyte path: the same
+    split-aggregate shape (plain stats pass + distinct pass, crossJoin
+    of one-row frames) with the exact multi-column distinct — Spark's
+    k-fold Expand rewrite — swapped for ``approx_count_distinct``
+    (one partial-combined HLL pass, no Expand).  Output columns match
+    the declared query; n_distinct is the sketch estimate (~2% rsd),
+    which is why this is a bench probe and not the oracle-gated
+    query."""
+    from pyspark.sql import functions as F
+
+    from gpd_lite_toolbox_spark.operators.audit import _NUMERIC_KINDS
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = df.dtypes
+    aggs = [F.count("*").cast("bigint").alias("_n")]
+    for c, t in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}")
+        )
+        if any(t.startswith(k) for k in _NUMERIC_KINDS):
+            aggs.append(
+                F.round(F.min(F.col(c).cast("double")), 6).alias(f"_mn_{c}")
+            )
+            aggs.append(
+                F.round(F.max(F.col(c).cast("double")), 6).alias(f"_mx_{c}")
+            )
+    dist = df.agg(
+        *[
+            F.approx_count_distinct(c).cast("bigint").alias(f"_nd_{c}")
+            for c, _ in cols
+        ]
+    )
+    one = df.agg(*aggs).crossJoin(F.broadcast(dist))
+    null_d = F.lit(None).cast("double")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"_mn_{c}")
+                    if any(t.startswith(k) for k in _NUMERIC_KINDS)
+                    else null_d
+                ).alias("min_num"),
+                (
+                    F.col(f"_mx_{c}")
+                    if any(t.startswith(k) for k in _NUMERIC_KINDS)
+                    else null_d
+                ).alias("max_num"),
+            )
+            for c, t in cols
+        ]
+    )
+    return one.select(F.explode(entries).alias("_e")).select("_e.*")
+
+
 # bench-only callables (same (spark, sf_dir) contract as declared
 # queries; kept out of __spark_entry__ because they are scale probes,
 # not oracle-gated product queries)
@@ -176,6 +251,7 @@ LOCAL = {
     "match_line_cluster_fixed_k": _q_match_line_cluster_fixed_k,
     "banned_phrase_hits_1k_ac": _q_banned_1k("ac"),
     "banned_phrase_hits_1k_join": _q_banned_1k("join"),
+    "table_profile_approx": _q_table_profile_approx,
 }
 
 
