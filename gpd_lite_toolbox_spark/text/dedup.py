@@ -1705,14 +1705,16 @@ def contamination_report(
     """
     from .analysis import dup_ngram_coverage
 
-    # round 11 (r10 VERDICT item 6): the report's two signals each
-    # re-evaluated their shared INPUTS, not the pair table — the
-    # splits frame is consumed three times (split_leakage's id_a and
-    # id_b sides plus the per-doc assembly join) and the corpus text
-    # twice (the coverage pass and the LSH pipeline's shingle
-    # substrate fill).  Persist the two projected inputs once; the
-    # leak pair table itself is consumed exactly once (the explode),
-    # so it needs no persist — measured, see OPTIMIZATION_r11.md.
+    # round 11 (r10 VERDICT item 6), three persists, each measured
+    # (isolation grid in OPTIMIZATION_r11.md): the splits frame is
+    # consumed three times (split_leakage's id_a and id_b sides plus
+    # the per-doc assembly join), the corpus text twice (the coverage
+    # pass and the LSH pipeline's shingle substrate fill), and the
+    # leak PAIR table — tiny, but the root of the report's deepest
+    # lineage — persists so the downstream aggregate/joins replan
+    # against a materialized boundary instead of the whole LSH
+    # cascade.  sf0.1: 1.16 s (no persists) -> 0.93-0.98 s (all
+    # three); each persist alone measured weaker.
     corpus_pt = tracked_persist(
         _widen(corpus).select(F.col(id_col), F.col(text_col))
     )
@@ -1720,8 +1722,10 @@ def contamination_report(
         splits.select(F.col(id_col), F.col("split"))
     )
     cov = dup_ngram_coverage(corpus_pt, n, id_col, text_col)
-    leaks = split_leakage(
-        corpus_pt, splits_pt, threshold, id_col, pairs, text_col
+    leaks = tracked_persist(
+        split_leakage(
+            corpus_pt, splits_pt, threshold, id_col, pairs, text_col
+        )
     )
     # one explode instead of a two-branch union (round 10): the union
     # form re-evaluated the whole LSH pair pipeline once per branch

@@ -13,7 +13,11 @@ script runs the CURRENT tree against the pre-restructure tree
 plans, counts the exchanges the per-doc table rides, and records the
 wall delta.
 
-    python scripts/ab_trigram_sf1.py PRE_TREE NOW_TREE
+    python scripts/ab_trigram_sf1.py LABEL TREE
+
+One tree per process (a second tree's ship_package / fixture
+memoization conflicts inside one JVM); run it once per tree and
+compare the two printed JSON lines.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ QUERIES = ["trigram_logprob", "kn_trigram_logprob"]
 
 
 def main() -> None:
-    pre, now = [os.path.abspath(p) for p in sys.argv[1:3]]
+    label, tree = sys.argv[1], os.path.abspath(sys.argv[2])
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -52,59 +56,51 @@ def main() -> None:
     if not os.path.exists(os.path.join(SF1, "_GENERATED_V3")):
         raise SystemExit("run bench_sf1.py once first to generate sf1 data")
 
-    def load(tree):
-        for m in list(sys.modules):
-            if m.startswith("gpd_lite_toolbox_spark") or m == "__spark_entry__":
-                del sys.modules[m]
-        sys.path.insert(0, tree)
-        import __spark_entry__ as E
+    sys.path.insert(0, tree)
+    import __spark_entry__ as E
 
-        assert E.__file__.startswith(tree + os.sep)
-        from gpd_lite_toolbox_spark.deploy import ship_package
+    assert E.__file__.startswith(tree + os.sep)
+    from gpd_lite_toolbox_spark.deploy import ship_package
 
-        ship_package(spark)
-        qs = E.queries()
-        sys.path.remove(tree)
-        return qs
+    ship_package(spark)
+    qs = E.queries()
 
-    out: dict = {"cpus": int(CPUS), "broadcast": "disabled", "runs": {}}
-    sums: dict = {}
-    for label, tree in (("pre", pre), ("now", now)):
-        qs = load(tree)
-        for name in QUERIES:
-            df = qs[name](spark, SF1)
-            df.write.mode("overwrite").format("noop").save()  # warm
-            best = float("inf")
-            for _ in range(3):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            pp = os.path.join(
-                REPO, "plans", "r11", f"{name}_sf1_nobcast_{label}.txt"
-            )
-            with open(pp, "w") as fh:
-                fh.write(plan)
-            # the output checksum proves the two trees score identically
-            chk = df.agg(
-                F.count("*").alias("n"),
-                F.round(F.sum(F.hash(*df.columns).cast("double")), 0).alias(
-                    "h"
-                ),
-            ).collect()[0]
-            sums.setdefault(name, {})[label] = (chk.n, chk.h)
-            out["runs"][f"{name}_{label}"] = {
-                "sec": round(best, 3),
-                "exchanges": plan.count("Exchange"),
-                "smj": plan.count("SortMergeJoin"),
-                "plan_file": pp,
-                "loadavg1": round(os.getloadavg()[0], 1),
-            }
-            print(name, label, out["runs"][f"{name}_{label}"], flush=True)
-    out["checksums_equal"] = {
-        q: sums[q]["pre"] == sums[q]["now"] for q in QUERIES
+    out: dict = {
+        "label": label,
+        "tree": tree,
+        "cpus": int(CPUS),
+        "broadcast": "disabled",
+        "runs": {},
     }
+    for name in QUERIES:
+        df = qs[name](spark, SF1)
+        df.write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pp = os.path.join(
+            REPO, "plans", "r11", f"{name}_sf1_nobcast_{label}.txt"
+        )
+        with open(pp, "w") as fh:
+            fh.write(plan)
+        # the output checksum proves the two trees score identically
+        chk = df.agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.hash(*df.columns).cast("double")), 0).alias("h"),
+        ).collect()[0]
+        out["runs"][name] = {
+            "sec": round(best, 3),
+            "exchanges": plan.count("Exchange"),
+            "smj": plan.count("SortMergeJoin"),
+            "checksum": [chk.n, chk.h],
+            "plan_file": pp,
+            "loadavg1": round(os.getloadavg()[0], 1),
+        }
+        print(name, label, out["runs"][name], flush=True)
     print(json.dumps(out))
     spark.stop()
 

@@ -5,23 +5,27 @@ Round 10 computed the MOSS df cap as
 ``count(*) over (partition by fp)`` — which moves EVERY posting of a
 hot fingerprint into ONE window task before the ``_df <= max_df``
 filter throws it away, and AQE cannot split a window partition
-(guide §2.5: skew handling applies to joins only).  Round 11 replaces
-it with a map-side-combined groupBy count joined back (broadcast at
-audit scale, AQE-skew-splittable at 100 TB).
+(guide §2.5: skew splitting applies to joins only).  Round 11
+replaces it with a map-side-combined groupBy count joined back
+(broadcast at audit scale, AQE-skew-splittable at 100 TB).
 
-This fixture plants exactly the failure case: ``N_DOCS`` documents of
-unique text, of which 1 in ``HOT_EVERY`` carries the same boilerplate
-paragraph — its ~70 winnowed fingerprints each appear in
-N_DOCS/HOT_EVERY documents, so ~1-2% of ALL postings belong to a few
-hot fps that the cap must discard.  Evidence produced:
+The fixture plants the template-dominated shape that makes the cap
+necessary in the first place: ``N_DOCS`` short unique documents
+(~2 fingerprints each), ``HOT_FRAC`` of which carry the same short
+boilerplate tail (~2-3 fingerprints, each appearing in
+N_DOCS x HOT_FRAC documents — every one a posting the cap discards).
 
-- posting-mass layout: share of all postings held by the single
-  hottest fp-hash partition (what the window form forces one task to
-  buffer);
-- wall time, TREE (working copy, groupBy+join) vs HEAD (window), at
-  the default conf AND with autoBroadcastJoinThreshold=-1 (forcing
-  the new form's join to shuffle, to show AQE's skew split still
-  applies where the window never could);
+Evidence printed:
+
+- fingerprint-layout concentration: postings held by the single
+  hottest fp-hash partition vs the median partition — the rows ONE
+  window task must ingest and buffer before the filter, vs what the
+  new form's count aggregate delivers to any reduce task (bounded by
+  DISTINCT fps per partition, reported alongside);
+- wall time, interleaved TREE_A (window) / TREE_B (groupBy+join), at
+  the default conf and with autoBroadcastJoinThreshold=-1 (forcing
+  the new form's worst case: a shuffled join, where AQE skew split
+  still applies — the window never qualifies);
 - result equality: identical (id_a, id_b, n_shared) multisets.
 
     python scripts/skew_winnow_fixture.py TREE_A TREE_B
@@ -34,34 +38,26 @@ import os
 import sys
 import time
 
-N_DOCS = 60_000
-HOT_EVERY = 100  # 1% of docs share the boilerplate paragraph
+N_DOCS = 100_000
+HOT_FRAC = 2  # 1 in 2 docs carries the boilerplate tail
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-BOILER = (
-    "this document is provided as is without warranty of any kind "
-    "either express or implied including but not limited to the "
-    "implied warranties of merchantability and fitness for a "
-    "particular purpose the entire risk remains with the recipient"
-)
+BOILER = " all rights reserved"  # 20 chars -> a couple of fingerprints
 
 
 def corpus(spark):
     from pyspark.sql import functions as F
 
-    # unique per-doc body (md5 of the id keeps it deterministic and
-    # shared-substring-free past the shingle size), boilerplate
-    # appended to every HOT_EVERY-th doc
+    # 16 unique chars per doc (md5 prefix: shared-substring-free past
+    # the 8-char shingle size with overwhelming probability), plus the
+    # boilerplate tail on every HOT_FRAC-th doc
     return spark.range(N_DOCS).select(
         F.col("id"),
         F.concat(
-            F.md5(F.col("id").cast("string")),
-            F.lit(" "),
-            F.md5((F.col("id") + 7).cast("string")),
-            F.lit(" "),
-            F.md5((F.col("id") + 13).cast("string")),
-            F.when(F.col("id") % HOT_EVERY == 0, F.lit(" " + BOILER))
-            .otherwise(F.lit("")),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 16),
+            F.when(F.col("id") % HOT_FRAC == 0, F.lit(BOILER)).otherwise(
+                F.lit("")
+            ),
         ).alias("text"),
     )
 
@@ -96,6 +92,7 @@ def main() -> None:
 
     fps = D0.winnow_fingerprints(docs).localCheckpoint()
     n_postings = fps.count()
+    n_distinct = fps.select("fp").distinct().count()
     layout = (
         fps.repartition(int(CPUS), "fp")
         .withColumn("p", F.spark_partition_id())
@@ -111,10 +108,18 @@ def main() -> None:
     evidence = {
         "n_docs": N_DOCS,
         "n_postings": n_postings,
+        "n_distinct_fps": n_distinct,
         "hot_fp_postings_top5": [r["count"] for r in hot],
-        "max_partition_postings": counts[0],
-        "median_partition_postings": counts[len(counts) // 2],
-        "max_over_median": round(counts[0] / counts[len(counts) // 2], 2),
+        "hot_fp_share_of_postings": round(hot[0]["count"] / n_postings, 3),
+        "window_task_max_rows": counts[0],
+        "window_task_median_rows": counts[len(counts) // 2],
+        "window_max_over_median": round(
+            counts[0] / max(counts[len(counts) // 2], 1), 2
+        ),
+        # the new form's count aggregate delivers at most one partial
+        # row per (map task, distinct fp) to a reduce task — bounded
+        # by distinct fps, never by postings
+        "agg_reduce_input_upper_bound": n_distinct,
     }
     print("layout:", json.dumps(evidence), flush=True)
 
